@@ -1,0 +1,61 @@
+"""Text-analysis functions for the LLM-data-pipeline surface: language ID,
+quality scoring, token statistics, document fingerprinting.
+
+These generalize the reference's paragraph-quality predicates (alpha-char
+minimum in pdf_text_extractor.py:72-77, token-count floor in
+farm_trainer.py:116-117) into first-class scoring columns usable as training
+data filters at corpus scale.  All pure Column expressions — JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny high-frequency English function-word list; enough signal for an n-gram
+# heuristic language gate over web-scale text.
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
+
+
+def word_set(c: Column) -> Column:
+    """Distinct whitespace tokens of a document (shingle base for dedup)."""
+    return F.array_distinct(F.split(c, " "))
+
+
+def stopword_ratio(c: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    words = F.split(c, " ")
+    sw = F.array([F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return (hits.cast("double") / F.greatest(F.size(words), F.lit(1)).cast("double")).alias(
+        "stopword_ratio"
+    )
+
+
+def lang_id(c: Column, threshold: float = 0.05) -> Column:
+    """Heuristic language gate: stopword-hit ratio over the token stream.
+    Real corpora would swap in a trained n-gram model; the shape (pure column
+    expression, no UDF) is the point."""
+    return F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite document-quality score in [0, 1]: rewards reasonable length,
+    moderate mean word length, and low symbol density — the standard cheap
+    pretraining-corpus filters."""
+    words = F.split(c, " ")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    mean_word_len = n_chars / n_words
+    sym = F.length(F.regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double") / n_chars
+    len_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    wl_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+    sym_score = F.when(sym <= 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - sym))
+    return ((len_score + wl_score + sym_score) / 3.0).alias("quality_score")
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, casefolded text.
+    Exact-dedup key that survives formatting noise; portable (same hex in
+    Spark/DuckDB/Python)."""
+    norm = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
+    return F.md5(norm).alias("fingerprint")

@@ -1,0 +1,121 @@
+"""Text-cleaning scalar functions, F1-F20 of SURVEY.md §2.8.
+
+Each function re-expresses one reference scalar as a Spark Column expression
+(regexp chains stay inside whole-stage codegen — no Python UDFs).  Reference
+citations give the semantics being matched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_text(c: Column) -> Column:
+    """F1 — curator-flavor clean_text
+    (ref: /root/reference/src/components/preprocessing/base_curator.py:33-49).
+
+    Normalize curly quotes to straight, strip newline/tab, strip control and
+    non-ascii bytes, collapse runs of whitespace, trim.
+    """
+    c = F.regexp_replace(c, "[“”„‟″‶]", '"')
+    c = F.regexp_replace(c, "[‘’‚‛′‵]", "'")
+    c = F.regexp_replace(c, "[\\n\\t]", " ")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]", "")
+    c = F.regexp_replace(c, "\\s{2,}", " ")
+    return F.trim(c)
+
+
+def clean_text_kpi(c: Column) -> Column:
+    """F2 — KPI-flavor clean_text: F1 plus strip regex metacharacters,
+    lowercase, and remove ellipsis runs
+    (ref: base_kpi_inference_curator.py:16-58)."""
+    c = clean_text(c)
+    c = F.lower(c)
+    c = F.regexp_replace(c, "\\.{2,}", " ")
+    c = F.translate(c, "[]{}()*+?\\^$|<>", "")
+    c = F.regexp_replace(c, "\\s{2,}", " ")
+    return F.trim(c)
+
+
+def remove_html_tags(c: Column) -> Column:
+    """F13 (ref: /root/reference/src/components/utils/nq_utils.py:19-21)."""
+    return F.regexp_replace(c, "<[^>]+>\\s?", "")
+
+
+def contains_table(c: Column) -> Column:
+    """F14a — rlike ``<Table>.*</Table>`` (ref: nq_utils.py:11-16)."""
+    return c.rlike("<Table>.*</Table>")
+
+
+def is_not_short(c: Column, min_tokens: int = 10) -> Column:
+    """F14b — whitespace token count > threshold (ref: nq_utils.py:24-26)."""
+    return F.size(F.split(c, " ")) > min_tokens
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count (quality predicates P6; ref:
+    farm_trainer.py:116-117)."""
+    return F.size(F.split(c, " "))
+
+
+def get_text_section(c: Column, start: int, end: int) -> Column:
+    """F12 — token slice ``doc.split(' ')[start:end]`` re-joined
+    (ref: nq_utils.py:6-8)."""
+    return F.array_join(F.slice(F.split(c, " "), start + 1, end - start), " ")
+
+
+def str_w_spaces_to_numeric(c: Column) -> Column:
+    """F5 — ``"1 234,5" → 1234.5``: drop spaces, comma→dot, cast double
+    (ref: demo1-create-tables.ipynb cells 9, 11)."""
+    return F.regexp_replace(F.regexp_replace(c, " ", ""), ",", ".").cast("double")
+
+
+def get_pdf_name_right(c: Column) -> Column:
+    """F6 — repair messy pdf filenames: ``,pdf`` typo, doubled extension,
+    missing extension, stray whitespace
+    (ref: /root/reference/src/components/utils/qa_utils.py:76-87)."""
+    c = F.trim(c)
+    c = F.regexp_replace(c, ",pdf$", ".pdf")
+    c = F.regexp_replace(c, "(\\.pdf)+$", ".pdf")
+    return F.when(c.rlike("\\.pdf$"), c).otherwise(F.concat(c, F.lit(".pdf")))
+
+
+def add_pdf_extension(c: Column) -> Column:
+    """F20 (ref: kpi_inference_curator.py:561-569)."""
+    return F.concat(c, F.lit(".pdf"))
+
+
+def clean_page(c: Column) -> Column:
+    """F7 — ``"[1, 02]"`` → ``[1, 2]``; null if not bracketed
+    (ref: qa_utils.py:93-98)."""
+    return F.when(c.rlike("^\\[.*\\]$"), F.from_json(c, "array<int>")).otherwise(F.lit(None))
+
+
+def parse_string_list(c: Column) -> Column:
+    """F8 — tolerant ``ast.literal_eval`` of a stringified list; malformed →
+    null (ref: text_curator.py:260-299).  Single-quoted python lists are
+    normalized to JSON before parsing."""
+    normalized = F.regexp_replace(c, "'", '"')
+    return F.from_json(normalized, "array<string>")
+
+
+def year_in_question(question: Column, year: Column, add_year: Column) -> Column:
+    """F17 — ``q.split('?')[0] + ' in year {y}?'`` when the KPI wants a year
+    (ref: kpi_inference_curator.py:121-125)."""
+    rewritten = F.concat(
+        F.split(question, "\\?").getItem(0), F.lit(" in year "), year.cast("string"), F.lit("?")
+    )
+    return F.when(add_year, rewritten).otherwise(question)
+
+
+def page_shift(c: Column, delta: int) -> Column:
+    """F18 — the 1-based (annotation) vs 0-based (extraction) page-number
+    convention shift; must be exact (ref: text_curator.py:217,330)."""
+    return (c.cast("int") + delta).alias("page")
+
+
+def numeric_only_cell(c: Column) -> Column:
+    """F15 — detector for number-only table cells, dropped before gathering
+    table text (ref: farm_trainer.py:88-91)."""
+    return c.rlike("^\\W*[0-9]*\\W?[0-9]*?\\W*$")

@@ -1,0 +1,217 @@
+"""Deduplication operators for corpus-scale training-data pipelines.
+
+Generalizes the reference's row dedup (P8: drop_duplicates in
+farm_trainer.py:73, kpi_inference_curator.py:399-404) into the family a
+100 TB text pipeline needs: exact content dedup, MinHash+LSH near-dedup,
+SimHash near-dedup, n-gram Jaccard verification.
+
+Scale design:
+- Exact dedup is a hash-groupBy — one shuffle on a 32-hex-char key, never on
+  the document text itself.
+- MinHash signatures are computed from EXPLODED (doc, token) pairs with a
+  partial aggregate (map-side combine) per (doc, seed); LSH banding turns
+  near-dup discovery into an equi-join on (band, band_key) — no all-pairs
+  comparison anywhere, no CartesianProduct in any plan.
+- All hashes are md5-derived → bit-identical in Spark, DuckDB and Python, so
+  every stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.analysis import doc_fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-duplicate groups: md5 of normalized text → keep the minimum
+    id as the canonical representative, count the clones."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct unigram shingles per document (long form)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature: for seed i, sig_i(doc) = min over shingles w of
+    md5(i || ':' || w).  The lexicographic min of the hex digest is a valid
+    min-wise hash; per-(doc, seed) min gets a map-side partial aggregate.
+
+    Returns (doc_id, i, mh).
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
+    toks = _tokens(df, text_col, id_col).select("doc_id", "w", seeds)
+    return toks.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))).alias("mh")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows_per_band = n_hashes/bands) and equi-join on
+    (band, band_key).  Returns candidate pairs (d1 < d2), distinct."""
+    rows_per_band = n_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .withColumn("tagged", F.concat(F.col("i").cast("string"), F.lit(":"), F.col("mh")))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged")))).alias("bkey"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    exact token-set Jaccard verification on candidates only.
+
+    Output: (d1, d2, jaccard) for pairs above the threshold.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, n_hashes, bands)
+    toksets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+    )
+    return (
+        cands.join(toksets.withColumnRenamed("doc_id", "d1").withColumnRenamed("ws", "ws1"), "d1")
+        .join(toksets.withColumnRenamed("doc_id", "d2").withColumnRenamed("ws", "ws2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ws1", "ws2")).cast("double")
+                / F.size(F.array_union("ws1", "ws2")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: each distinct token hashes to a 32-bit int (md5
+    prefix); bit j of the fingerprint is the sign of the sum of (+1/-1) votes
+    across tokens.  Pure aggregates — one shuffle on doc_id."""
+    toks = _tokens(df, text_col, id_col).withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit fingerprint into 4 bytes;
+    by pigeonhole, any pair within hamming distance 3 shares at least one
+    exact byte → equi-join per byte-band, then exact hamming check.  No
+    all-pairs scan."""
+    fps = simhash(df, text_col, id_col)
+    bands = []
+    for byte in range(4):
+        bands.append(
+            fps.select(
+                "doc_id",
+                "simhash",
+                F.lit(byte).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    block_col: str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity between documents sharing a blocking
+    key (e.g. language) — candidate pruning via equi-join, never all-pairs.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    block = F.col(block_col) if block_col else F.lit(1)
+    docs = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), grams.alias("gs"))
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, on=["blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(
+                F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
+                / F.size(F.array_union("a.gs", "b.gs")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,108 @@
+"""Fuzzy best-match joins (J4/J5/F16 of SURVEY.md §2.3).
+
+Reference semantics: find_relevant_table / find_closest_paragraph score every
+candidate on the same (pdf, page) with a fuzzy ratio and keep the argmax
+(ref: /root/reference/src/components/preprocessing/table_curator.py:169-191,
+kpi_inference_curator.py:273-360).
+
+Scale shape: equi-join on the blocking keys FIRST (candidate pruning — the
+plan must contain no CartesianProduct), then score, then window top-1.  Two
+scorers:
+
+- ``jaccard_best_match_join`` — token-set Jaccard as a pure Column
+  expression (JVM-side, oracle-checkable); a good stand-in for
+  token_set_ratio whose exact value differences don't change the argmax in
+  most corpora.
+- ``fuzzy_best_match_join`` — difflib SequenceMatcher ratio (the classic
+  fuzzywuzzy/rapidfuzz backend) in an Arrow-batched pandas UDF for exact
+  partial/set-ratio semantics where they matter.  rapidfuzz is used when
+  importable (10-50× faster); stdlib difflib otherwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from .relational import argmax_per_group
+
+try:  # optional fast path
+    from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
+
+    def _ratio(a: str, b: str) -> float:
+        return float(_rf_fuzz.token_set_ratio(a, b))
+
+except Exception:  # pragma: no cover - depends on container contents
+    from difflib import SequenceMatcher
+
+    def _ratio(a: str, b: str) -> float:
+        ta = " ".join(sorted(set(a.split())))
+        tb = " ".join(sorted(set(b.split())))
+        return 100.0 * SequenceMatcher(None, ta, tb).ratio()
+
+
+@F.pandas_udf(DoubleType())
+def fuzzy_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series([_ratio(x or "", y or "") for x, y in zip(a, b)])
+
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    wa = F.array_distinct(F.split(a, " "))
+    wb = F.array_distinct(F.split(b, " "))
+    return F.round(
+        F.size(F.array_intersect(wa, wb)).cast("double")
+        / F.size(F.array_union(wa, wb)).cast("double"),
+        6,
+    )
+
+
+def _best_match(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    score: Column,
+    left_id: list[str],
+    min_score: float,
+) -> DataFrame:
+    cand = left.join(right, on=on)
+    scored = cand.withColumn("match_score", score)
+    best = argmax_per_group(
+        scored.filter(F.col("match_score") >= min_score),
+        left_id,
+        F.col("match_score"),
+        tiebreak=[c for c in right.columns if c not in on][:1],
+    )
+    return best
+
+
+def jaccard_best_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_text: str,
+    right_text: str,
+    left_id: list[str],
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Candidate-pruned fuzzy join with a JVM-side token-Jaccard scorer."""
+    return _best_match(
+        left, right, on, token_jaccard(F.col(left_text), F.col(right_text)), left_id, min_score
+    )
+
+
+def fuzzy_best_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_text: str,
+    right_text: str,
+    left_id: list[str],
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Candidate-pruned fuzzy join with the token_set_ratio pandas UDF —
+    exact reference scoring semantics (J4/J5)."""
+    return _best_match(
+        left, right, on, fuzzy_ratio_udf(F.col(left_text), F.col(right_text)), left_id, min_score
+    )

@@ -1,0 +1,84 @@
+"""Relational composite operators: windows, reshapes, dedup, sampling.
+
+All are thin, plan-transparent compositions — Catalyst sees straight through
+them (no UDFs), so pushdown/pruning/AQE behave as if written inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import deterministic_split_flag, md5_hex
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_col: Column, k: int, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """W1 — top-k rows per group by score
+    (ref: /root/reference/src/models/text_kpi_infer.py:267-274, top_k=4).
+
+    Tiebreak columns make the result deterministic under any partitioning.
+    Window ranking shuffles once on the group keys; at scale prefer k small
+    (rank predicate becomes a partial top-k under AQE).
+    """
+    order = [order_col.desc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def argmax_per_group(df: DataFrame, group_cols: list[str], order_col: Column, tiebreak: list[str] | None = None) -> DataFrame:
+    """W3 — single best row per group (ref: table_curator.py:191 argmax)."""
+    return top_k_per_group(df, group_cols, order_col, 1, tiebreak)
+
+
+def melt(df: DataFrame, id_vars: list[str], value_vars: list[str], var_name: str = "variable", value_name: str = "value") -> DataFrame:
+    """U4 — wide→long (ref: text_kpi_infer.py:235-243 pd.melt of rank_* cols).
+
+    Implemented with the built-in ``stack`` expression — one pass, no shuffle.
+    """
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_vars)
+    stack_expr = f"stack({len(value_vars)}, {pairs}) as (`{var_name}`, `{value_name}`)"
+    return df.select(*id_vars, F.expr(stack_expr))
+
+
+def dedup_keep_first(df: DataFrame, subset: list[str], order_by: list[str]) -> DataFrame:
+    """P8/A1 — subset dedup with a deterministic winner
+    (ref: kpi_inference_curator.py:399-404 drop_duplicates;
+    text_curator.py:101 groupby().first()).
+
+    pandas keeps the first row in file order; under distribution "first" is
+    meaningless, so the winner is the minimum of explicit order columns —
+    reproducible under any partitioning.
+    """
+    w = Window.partitionBy(*subset).orderBy(*[F.col(c).asc() for c in order_by])
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def train_dev_split(df: DataFrame, key: Column, train_frac: float = 0.8, salt: str = "split") -> tuple[DataFrame, DataFrame]:
+    """O3 — hash-based split (ref: farm_trainer.py:75-77 train_test_split).
+
+    Content-hash split instead of randomSplit: stable under repartitioning
+    and incremental reprocessing (a document never migrates between splits).
+    """
+    flagged = df.withColumn("is_train", deterministic_split_flag(key, train_frac, salt))
+    return flagged.filter("is_train").drop("is_train"), flagged.filter("NOT is_train").drop("is_train")
+
+
+def deterministic_sample(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+    """O2/O4 — reproducible pseudo-random sample: order by content hash, take
+    n.  Replaces seeded shuffle/choice loops (text_curator.py:211-246)."""
+    return (
+        df.withColumn("shuffle_key", md5_hex(*[F.col(c) for c in key_cols]))
+        .orderBy("shuffle_key")
+        .limit(n)
+        .drop("shuffle_key")
+    )
+
+
+def skip_processed(df: DataFrame, processed: DataFrame, on: list[str]) -> DataFrame:
+    """P10 — incremental recompute: anti-join against the sink's ledger of
+    already-processed keys (ref: pdf_text_extractor.py:129-139 existence
+    checks; relevance_infer.py:79-92).  At scale the ledger is a parquet
+    listing, broadcast when small."""
+    return df.join(processed.select(*on).distinct(), on=on, how="left_anti")

@@ -1,0 +1,92 @@
+"""Event-stream queries (SURVEY.md §2.10 + F8 JSON parsing) over ``events``.
+
+The reference is batch-only; these queries give its incremental semantics a
+real event-time surface: tumbling-window aggregation, sessionization, JSON
+prop extraction.  All run identically on a streaming DataFrame (see
+streaming.incremental) — the batch forms here are what the oracle can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.incremental import sessionize, windowed_event_counts
+from . import load, register
+
+
+@register(
+    "events_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling 1-hour event-time window; window.start == date_trunc('hour').
+    return windowed_event_counts(load(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "events_sessionize",
+    """
+    SELECT user_id,
+           CAST(MAX(session_id) AS INT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts,
+               epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+        FROM events
+      )
+    )
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessionization (30 min), then sessions/events per user.
+    s = sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("int").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8 — JSON prop parsing (literal_eval → from_json analogue).
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_value")
+    )
+
+
+@register(
+    "events_daily_type_matrix",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily per-type rollup — the Superset time-series slice shape.
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )

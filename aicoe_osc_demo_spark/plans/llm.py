@@ -1,0 +1,295 @@
+"""LLM-data-pipeline queries: dedup (exact / MinHash-LSH / SimHash / n-gram
+Jaccard), similarity search (brute-force + LSH ANN), fuzzy best-match joins.
+
+All hashes are md5-derived so even the MinHash/LSH pipeline is verifiable in
+ANSI SQL.  None of these plans contains a CartesianProduct — candidate
+generation is always an equi-join on a hash-derived key (band, bucket, or
+blocking key); that is the property that survives a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup_pairs,
+)
+from ..operators.fuzzy import fuzzy_best_match_join, jaccard_best_match_join, token_jaccard
+from ..operators.relational import argmax_per_group
+from ..operators.similarity import cosine_topk, lsh_ann_topk
+from . import load, register
+
+
+@register(
+    "llm_exact_dedup",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact dedup: hash-groupBy on the normalized-content fingerprint — the
+    # shuffle key is 32 hex chars, never the document text.
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    )
+    SELECT doc_id, CAST(s.i AS INT) AS i,
+           MIN(md5(CAST(s.i AS VARCHAR) || ':' || w)) AS mh
+    FROM words, generate_series(0, 7) AS s(i)
+    GROUP BY doc_id, s.i
+"""
+
+
+@register("llm_minhash_signatures", _MINHASH_SQL)
+def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash signatures (8 hashes): min-wise md5 over distinct unigram
+    # shingles, partial-aggregated map-side.
+    return minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=8)
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             md5(string_agg(CAST(i AS VARCHAR) || ':' || mh, '|'
+                            ORDER BY CAST(i AS VARCHAR) || ':' || mh)) AS bkey
+      FROM sigs GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    ),
+    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+    SELECT d1, d2,
+           ROUND(CAST(len(list_intersect(t1.ws, t2.ws)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(t1.ws, t2.ws))) AS DOUBLE), 6) AS jaccard
+    FROM cand JOIN toksets t1 ON cand.d1 = t1.doc_id
+              JOIN toksets t2 ON cand.d2 = t2.doc_id
+    WHERE CAST(len(list_intersect(t1.ws, t2.ws)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(t1.ws, t2.ws))) AS DOUBLE) >= 0.5
+    """,
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full MinHash+LSH near-dedup: 8 hashes, 4 bands of 2 → banded equi-join
+    # for candidates → exact Jaccard verification on candidates only.
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), n_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "llm_simhash_fingerprints",
+    # Bit j votes +1 if set in the token's 32-bit md5-prefix hash else -1;
+    # fingerprint bit j = (vote sum > 0).  CAST('0x'||hex AS BIGINT) parses
+    # the hex in DuckDB; Spark uses conv().
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) != 0 THEN 1 ELSE -1 END) AS v
+      FROM toks, generate_series(0, 31) AS s(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def llm_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 32-bit SimHash fingerprints — one aggregate pass, shuffle on doc_id.
+    return simhash(load(spark, sf_dir, "documents"))
+
+
+@register("llm_simhash_pairs")
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash near-dup pairs: byte-banded equi-join (pigeonhole over hamming
+    # ≤ 3) then exact hamming check.  Rows-only check — the nested band
+    # union + bit_count isn't worth hand-writing in the oracle dialect.
+    return simhash_dedup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    """
+    WITH grams AS (
+      SELECT doc_id, lang, n_chars // 100 AS width,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS gs
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.width = b.width
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.05
+    """,
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word-3-gram Jaccard near-dup pairs, blocked on (lang, length-bucket) —
+    # candidate pruning by equi-join, not all-pairs.
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = d.withColumn("width", (F.col("n_chars") / 100).cast("long"))
+    words = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, 3), " "),
+        )
+    )
+    docs = d.select("doc_id", "lang", "width", grams.alias("gs"))
+    a, b = docs.alias("a"), docs.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
+        / F.size(F.array_union("a.gs", "b.gs")).cast("double"),
+        6,
+    )
+    return (
+        a.join(b, on=["lang", "width"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+@register(
+    "llm_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scores AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scores
+    ) WHERE rn <= 5
+    """,
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute-force exact ANN baseline: 5 query vectors against the corpus,
+    # JVM-side zip_with/aggregate dot products, window top-5.
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register("llm_ann_lsh_topk")
+def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hyperplane-LSH approximate ANN: bucket equi-join + 1-bit-flip probes,
+    # exact cosine re-rank within candidates.  Rows-only check (the
+    # deterministic plane constants make it reproducible run-to-run).
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+@register(
+    "llm_fuzzy_jaccard_join",
+    """
+    WITH l AS (SELECT doc_id AS qid, text AS qtext, lang FROM documents WHERE doc_id < 50),
+    r AS (SELECT doc_id AS cid, text AS ctext, lang FROM documents WHERE doc_id >= 100),
+    cand AS (
+      SELECT l.qid, r.cid,
+             ROUND(CAST(len(list_intersect(list_distinct(string_split(l.qtext, ' ')),
+                                           list_distinct(string_split(r.ctext, ' ')))) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(string_split(l.qtext, ' '),
+                                                        string_split(r.ctext, ' ')))) AS DOUBLE), 6)
+               AS match_score
+      FROM l JOIN r ON l.lang = r.lang
+    )
+    SELECT qid, cid AS best_cid, match_score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY match_score DESC, cid ASC) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def llm_fuzzy_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4/J5 — fuzzy best-match join with JVM-side token-Jaccard scoring:
+    # candidates blocked on lang (equi-join), window top-1
+    # (ref: table_curator.py:169-191 find_relevant_table shape).
+    d = load(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext"), "lang"
+    )
+    right = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("cid"), F.col("text").alias("ctext"), "lang"
+    )
+    cand = left.join(right, on="lang").withColumn(
+        "match_score", token_jaccard(F.col("qtext"), F.col("ctext"))
+    )
+    best = argmax_per_group(cand, ["qid"], F.col("match_score"), tiebreak=["cid"])
+    return best.select("qid", F.col("cid").alias("best_cid"), "match_score")
+
+
+@register("llm_fuzzy_ratio_join")
+def llm_fuzzy_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4/J5 with the token_set_ratio pandas-UDF scorer (F16) — exact
+    # reference scoring semantics; rows-only check (difflib ratio has no SQL
+    # equivalent).
+    d = load(spark, sf_dir, "documents")
+    left = d.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext"), "lang"
+    )
+    right = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("cid"), F.col("text").alias("ctext"), "lang"
+    )
+    best = fuzzy_best_match_join(
+        left, right, on=["lang"], left_text="qtext", right_text="ctext", left_id=["qid"]
+    )
+    return best.select("qid", F.col("cid").alias("best_cid"), F.round("match_score", 4).alias("match_score"))
+
+
+@register(
+    "llm_lsh_candidate_count",
+    f"""
+    WITH sigs AS ({_MINHASH_SQL}),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             md5(string_agg(CAST(i AS VARCHAR) || ':' || mh, '|'
+                            ORDER BY CAST(i AS VARCHAR) || ':' || mh)) AS bkey
+      FROM sigs GROUP BY doc_id, i // 2
+    )
+    SELECT COUNT(*) AS n_candidates FROM (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    )
+    """,
+)
+def llm_lsh_candidate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Observability for the LSH stage: candidate-pair volume (the number that
+    # decides shuffle size at 100 TB).
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=8)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    return cands.agg(F.count(F.lit(1)).alias("n_candidates"))

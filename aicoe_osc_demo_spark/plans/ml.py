@@ -1,0 +1,191 @@
+"""ML-pipeline queries (SURVEY.md §2.9, M1-M4 dataflow + A2/A10/J3/W1).
+
+The scoring model is the deterministic stub (see operators.inference) so the
+ENTIRE inference dataflow — crossJoin fan-out, mapInPandas scoring with a
+per-executor model singleton, no-answer aggregation, top-k ranking — is
+oracle-checkable in pure SQL.  Swapping the stub for a transformer changes no
+plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.inference import qa_pipeline, relevance_pipeline, stub_relevance_scores
+from . import load, register
+
+# Stub-score formulas (shared with operators.inference._StubModel):
+#   relevance: ((31*len(text) + 17*len(question)) % 1000) / 1000
+#   no-answer: ((13*len(text)) % 1000) / 1000
+_REL_SCORE_SQL = "((31 * length(text) + 17 * length(question)) % 1000) / 1000.0"
+_NOANS_SCORE_SQL = "((13 * length(text)) % 1000) / 1000.0"
+
+
+def _questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KPI-dictionary analogue (kpi_mapping.py:4-31): one question per brand.
+    p = load(spark, sf_dir, "part")
+    return (
+        p.select("p_brand")
+        .distinct()
+        .select(
+            F.col("p_brand").alias("kpi_id"),
+            F.concat(F.lit("What is the exposure of "), F.col("p_brand"), F.lit("?")).alias(
+                "question"
+            ),
+        )
+    )
+
+
+_QUESTIONS_SQL = """
+  SELECT p_brand AS kpi_id, 'What is the exposure of ' || p_brand || '?' AS question
+  FROM (SELECT DISTINCT p_brand FROM part)
+"""
+
+
+@register(
+    "ml_relevance_inference",
+    f"""
+    WITH q AS ({_QUESTIONS_SQL}),
+    pairs AS (SELECT d.doc_id, q.kpi_id, q.question, d.text FROM documents d CROSS JOIN q),
+    scored AS (SELECT doc_id, kpi_id, {_REL_SCORE_SQL} AS score FROM pairs)
+    SELECT kpi_id,
+           COUNT(*) AS n_relevant,
+           ROUND(AVG(score), 6) AS avg_score
+    FROM scored WHERE score >= 0.5
+    GROUP BY kpi_id
+    """,
+)
+def ml_relevance_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M1+J3 — question fan-out (crossJoin broadcast) → mapInPandas stub
+    # scorer → keep positives → per-KPI rollup
+    # (ref: relevance_infer.py:95-143,196-231).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rel = relevance_pipeline(docs, _questions(spark, sf_dir), threshold=0.5)
+    return rel.groupBy("kpi_id").agg(
+        F.count(F.lit(1)).alias("n_relevant"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
+@register(
+    "ml_qa_inference_topk",
+    f"""
+    WITH q AS (SELECT * FROM ({_QUESTIONS_SQL}) WHERE kpi_id <= 'Brand#13'),
+    pairs AS (
+      SELECT d.doc_id, q.kpi_id, q.question, d.text
+      FROM (SELECT * FROM documents WHERE doc_id < 50) d CROSS JOIN q
+    ),
+    scored AS (
+      SELECT doc_id, kpi_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS answer,
+             {_REL_SCORE_SQL} AS score,
+             {_NOANS_SCORE_SQL} + (-0.015) AS pure_no_ans_score
+      FROM pairs
+    ),
+    finald AS (
+      SELECT doc_id, kpi_id, score,
+             CASE WHEN pure_no_ans_score > score THEN 'no_answer' ELSE answer END AS final_answer
+      FROM scored
+    )
+    SELECT kpi_id, doc_id, final_answer, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY kpi_id
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM finald
+    ) WHERE rn <= 4
+    """,
+)
+def ml_qa_inference_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M2+F19+W1 — QA stub answers, no-answer boost arithmetic, top-k=4 per
+    # question (ref: text_kpi_infer.py:180-274; settings.yaml:114,118).
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text")
+    qs = _questions(spark, sf_dir).filter(F.col("kpi_id") <= "Brand#13")
+    pairs = docs.crossJoin(F.broadcast(qs))
+    ranked = qa_pipeline(pairs, group_cols=["kpi_id"], top_k=4, no_ans_boost=-0.015, tiebreak=["doc_id"])
+    return ranked.select("kpi_id", "doc_id", "final_answer", "score")
+
+
+@register(
+    "ml_no_answer_aggregate",
+    f"""
+    WITH q AS ({_QUESTIONS_SQL}),
+    pairs AS (
+      SELECT d.doc_id, q.kpi_id, q.question, d.text
+      FROM (SELECT * FROM documents WHERE doc_id < 100) d CROSS JOIN q
+    ),
+    scored AS (
+      SELECT doc_id, kpi_id, {_REL_SCORE_SQL} AS score,
+             {_NOANS_SCORE_SQL} AS no_ans_score
+      FROM pairs
+    )
+    SELECT kpi_id,
+           bool_and(no_ans_score > score) AS all_no_answer,
+           ROUND(MAX(no_ans_score), 6) AS max_no_ans_score
+    FROM scored GROUP BY kpi_id
+    """,
+)
+def ml_no_answer_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2 — group-by boolean-all aggregate (text_kpi_infer.py:17-29,251-258).
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id", "text")
+    pairs = docs.crossJoin(F.broadcast(_questions(spark, sf_dir)))
+    scored = stub_relevance_scores(pairs).withColumn(
+        "no_ans_score", ((13 * F.length("text")) % 1000) / 1000.0
+    )
+    return scored.groupBy("kpi_id").agg(
+        F.bool_and(F.col("no_ans_score") > F.col("score")).alias("all_no_answer"),
+        F.round(F.max("no_ans_score"), 6).alias("max_no_ans_score"),
+    )
+
+
+@register(
+    "ml_group_metrics",
+    """
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 5 AND event_id % 2 = 0) AS tp,
+           COUNT(*) FILTER (WHERE value > 5 AND event_id % 2 = 1) AS fp,
+           COUNT(*) FILTER (WHERE value <= 5 AND event_id % 2 = 0) AS fn,
+           ROUND(CAST(COUNT(*) FILTER (WHERE value > 5 AND event_id % 2 = 0) AS DOUBLE)
+                 / greatest(COUNT(*) FILTER (WHERE value > 5), 1), 6) AS precision_
+    FROM events GROUP BY event_type
+    """,
+)
+def ml_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10/M9 — per-group TP/FP/FN metrics as pure aggregates
+    # (ref: benchmarks_performance.ipynb cell 11; farm_trainer.py:327-333).
+    e = load(spark, sf_dir, "events")
+    pred_pos = F.col("value") > 5
+    actual_pos = F.col("event_id") % 2 == 0
+    tp = F.count(F.when(pred_pos & actual_pos, 1)).alias("tp")
+    fp = F.count(F.when(pred_pos & ~actual_pos, 1)).alias("fp")
+    fn = F.count(F.when(~pred_pos & actual_pos, 1)).alias("fn")
+    return e.groupBy("event_type").agg(
+        tp,
+        fp,
+        fn,
+        F.round(
+            F.count(F.when(pred_pos & actual_pos, 1)).cast("double")
+            / F.greatest(F.count(F.when(pred_pos, 1)), F.lit(1)),
+            6,
+        ).alias("precision_"),
+    )
+
+
+@register(
+    "ml_train_dev_split_sizes",
+    """
+    SELECT is_train, COUNT(*) AS n FROM (
+      SELECT substr(md5('qa' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS is_train
+      FROM documents
+    ) GROUP BY is_train
+    """,
+)
+def ml_train_dev_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O3/M5 — deterministic 80/20 split at document granularity
+    # (farm_trainer.py:75-77; base_kpi_inference_curator.py:158-186).
+    from ..operators.relational import train_dev_split
+
+    d = load(spark, sf_dir, "documents")
+    train, dev = train_dev_split(d, F.col("doc_id"), 0.8, "qa")
+    return train.select(F.lit(True).alias("is_train")).unionByName(
+        dev.select(F.lit(False).alias("is_train"))
+    ).groupBy("is_train").agg(F.count(F.lit(1)).alias("n"))

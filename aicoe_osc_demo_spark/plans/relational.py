@@ -1,0 +1,680 @@
+"""Core relational queries (SURVEY.md §2 families P/J/A/W/O/U over the test
+star schema).  Each query is the Spark-first expression of a reference
+operator; the paired DuckDB SQL is the correctness oracle.
+
+Scale notes apply throughout: dimension joins broadcast, fact-fact joins
+shuffle on their keys with AQE handling skew, aggregates get map-side partial
+combine from Catalyst, and every filter/projection is expressed declaratively
+so it pushes into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import deterministic_split_flag, md5_hex
+from ..operators.relational import dedup_keep_first, melt, top_k_per_group
+from . import load, register
+
+# --------------------------------------------------------------------------
+# Aggregations (A4/A5/A6/A9) — TPC-H Q1 shape: the demo1 Superset slices are
+# exactly "SUM/AVG/COUNT by small group key" (data/superset/demo1.json
+# slices 5-9, 16-20).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_by_group",
+    "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY o_orderpriority",
+)
+def agg_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4 — Superset pie/dist_bar count-by-dimension (demo1.json slices 5, 6).
+    return load(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "agg_sum_avg_by_group",
+    """
+    SELECT c_mktsegment,
+           ROUND(SUM(c_acctbal), 2) AS total_balance,
+           ROUND(AVG(c_acctbal), 6) AS avg_balance,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_sum_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5/A6 — SUM(coverage)/AVG(reduction_ambition) by company analogue.
+    return load(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_global_sum",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9 — global total (time-anlysis.ipynb cell 30 analogue).
+    return load(spark, sf_dir, "lineitem").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_summary_stats",
+    """
+    SELECT COUNT(l_quantity) AS cnt,
+           ROUND(AVG(l_quantity), 6) AS mean_qty,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem
+    """,
+)
+def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 — describe()-style summary (time-anlysis.ipynb cells 8-27).
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count("l_quantity").alias("cnt"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@register(
+    "agg_distinct_count",
+    """
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 — distinct/unique per group.
+    return load(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers")
+    )
+
+
+@register(
+    "agg_having_groups",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def agg_having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 — group filter (nq_curator.py:153-157 both-labels-present HAVING).
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections & filters (P1/P2/P4/P6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "proj_select_columns",
+    "SELECT p_partkey, p_brand, p_retailprice FROM part",
+)
+def proj_select_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 — column pruning reaches the parquet scan (ReadSchema shows 3 cols).
+    return load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
+
+
+@register(
+    "filter_conjunctive",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_returnflag = 'R'
+    """,
+)
+def filter_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2 — conjunctive predicate (text_curator.py:129-133 mask chain).
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & F.col("l_discount").between(0.02, 0.08)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filter_isin",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 — isin (qa_utils.py:72-73).
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "filter_anti_isin",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def filter_anti_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 — anti-isin exclusion (kpi_inference_curator.py:617-620).
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@register(
+    "filter_dropna",
+    """
+    SELECT event_id, user_id, value, props FROM events
+    WHERE value IS NOT NULL AND props IS NOT NULL
+    """,
+)
+def filter_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 — na.drop on a subset (qa_utils.py:62-69, table_curator.py:229-240).
+    return (
+        load(spark, sf_dir, "events")
+        .na.drop("any", subset=["value", "props"])
+        .select("event_id", "user_id", "value", "props")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup (P8/A1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def dedup_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8 — whole-row drop_duplicates (farm_trainer.py:73).
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "dedup_keep_first_per_key",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8/A1 — subset dedup with a deterministic winner (groupby().first()).
+    df = dedup_keep_first(
+        load(spark, sf_dir, "orders"), subset=["o_custkey"], order_by=["o_orderdate", "o_orderkey"]
+    )
+    return df.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Joins (J1/J2/J3/J8/J9)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_left_orders_customer",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1 — the demo1 CTAS left join (demo1-join-tables.ipynb cells 7-9); the
+    # duplicate-key-column surgery disappears with join(on=key).
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast_dims",
+    """
+    SELECT c.c_custkey, n.n_name, r.r_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J2 — the KPI-dictionary lookup join (kpi_mapping.py:4-31): explicit
+    # broadcast of the dimension side; plan must show BroadcastHashJoin.
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'O')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J9 — left semi (pdf_text_extractor.py:166-187 annotated-PDFs-only).
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J8 — anti-join negatives (kpi_inference_curator.py:594-643).
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_cross_small",
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 — cartesian fan-out (relevance_infer.py:196-231 questions ×
+    # paragraphs); the small side is broadcast so the "cross" is a
+    # BroadcastNestedLoopJoin, never a shuffled CartesianProduct.
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "join_multiway_revenue_by_nation",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape — the flagship multi-join: fact-fact joins shuffle on
+    # their keys, all dimensions broadcast, aggregate gets partial combine.
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_top_unshipped_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def join_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape + O1 LIMIT with deterministic tiebreak.
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W1/W2/W3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 — top-k per group (text_kpi_infer.py:267-274, top_k=4).
+    return top_k_per_group(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        F.col("o_totalprice"),
+        3,
+        tiebreak=["o_orderkey"],
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "window_rank_within_group",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(RANK() OVER (PARTITION BY l_orderkey
+                             ORDER BY l_extendedprice DESC) AS INT) AS price_rank
+    FROM lineitem
+    """,
+)
+def window_rank_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2 — per-question answer ranking, kept long (text_kpi_infer.py:197-243).
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc())
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.rank().over(w).alias("price_rank")
+    )
+
+
+@register(
+    "window_argmax_per_group",
+    """
+    SELECT c_nationkey, c_custkey AS best_custkey, c_acctbal AS best_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def window_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W3 — argmax within group (table_curator.py:191).
+    best = top_k_per_group(
+        load(spark, sf_dir, "customer"),
+        ["c_nationkey"],
+        F.col("c_acctbal"),
+        1,
+        tiebreak=["c_custkey"],
+    )
+    return best.select(
+        "c_nationkey",
+        F.col("c_custkey").alias("best_custkey"),
+        F.col("c_acctbal").alias("best_acctbal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops & reshapes (U1/U2/U3/U4/U5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1 — unionByName concat (text_curator.py:76-81).
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return o.filter(F.col("o_orderpriority") == "1-URGENT").unionByName(
+        o.filter(F.col("o_orderpriority") == "5-LOW")
+    )
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U2 — set difference (pdf_text_extractor.py:187).
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U3 — set intersection (relevance_infer.py:40-46 sector ∩ config).
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )
+
+
+@register(
+    "reshape_melt",
+    """
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS metric_value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS metric_value FROM part
+    """,
+)
+def reshape_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U4 — melt wide→long via stack (text_kpi_infer.py:235-243).
+    p = load(spark, sf_dir, "part").withColumn("p_size", F.col("p_size").cast("double"))
+    return melt(
+        p, id_vars=["p_partkey"], value_vars=["p_size", "p_retailprice"],
+        var_name="metric", value_name="metric_value",
+    )
+
+
+@register(
+    "reshape_struct_unpack",
+    """
+    SELECT o_orderkey, o_totalprice AS price, o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def reshape_struct_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U5 — tuple column → flat columns (text_kpi_infer.py:246-249): pack a
+    # struct then unpack with select("s.*").
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"), F.col("o_orderpriority").alias("priority")
+        ).alias("s"),
+    )
+    return o.select("o_orderkey", "s.*")
+
+
+# --------------------------------------------------------------------------
+# Ordering / limits / sampling (O1/O2/O3) and P10
+# --------------------------------------------------------------------------
+
+
+@register(
+    "order_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+)
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O1/O5 — ordered LIMIT (demo1-create-tables.ipynb cells 20-21).
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "sample_deterministic_shuffle",
+    """
+    SELECT o_orderkey, shuffle_key FROM (
+      SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS shuffle_key
+      FROM orders
+    ) ORDER BY shuffle_key LIMIT 100
+    """,
+)
+def sample_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2/O4 — seeded-shuffle replacement: content-hash ordering is
+    # deterministic under ANY partitioning (farm_trainer.py:74 shuffle).
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", md5_hex(F.col("o_orderkey")).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+@register(
+    "sample_train_split",
+    # 0.8 * 65536 = 52428 = 0xcccc; fixed-width lowercase hex compares
+    # lexicographically in numeric order, so the oracle needs no hex→int cast.
+    """
+    SELECT o_orderkey FROM orders
+    WHERE substr(md5('split' || CAST(o_orderkey AS VARCHAR)), 1, 4) < 'cccc'
+    """,
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O3 — hash-based 80/20 train split (farm_trainer.py:75-77).
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(deterministic_split_flag(F.col("o_orderkey"), 0.8, "split"))
+        .select("o_orderkey")
+    )
+
+
+@register(
+    "incremental_skip_processed",
+    """
+    SELECT e.event_id, e.event_type FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events p WHERE p.event_id = e.event_id AND p.event_id < 5000
+    )
+    """,
+)
+def incremental_skip_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10 — skip-processed-files as an anti-join against the sink ledger
+    # (pdf_text_extractor.py:129-139).  The "ledger" here is the already-
+    # processed id range.
+    from ..operators.relational import skip_processed
+
+    e = load(spark, sf_dir, "events")
+    ledger = e.filter(F.col("event_id") < 5000).select("event_id")
+    return skip_processed(e, ledger, on=["event_id"]).select("event_id", "event_type")

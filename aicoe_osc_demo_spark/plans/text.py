@@ -1,0 +1,346 @@
+"""Text-operator queries (SURVEY.md §2.8 F1-F20 + P6/P7) over the
+``documents``/``events``/``part`` test tables.
+
+Where a reference function needs dirty input the test tables don't have
+(curly quotes, broken filenames, stringified lists), the query CONSTRUCTS the
+dirty value deterministically from table columns first, then applies the
+operator — both sides of the oracle see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import doc_fingerprint, lang_id, quality_score, stopword_ratio
+from ..functions.schema import snakify
+from ..functions.text import (
+    clean_page,
+    clean_text,
+    clean_text_kpi,
+    get_pdf_name_right,
+    get_text_section,
+    is_not_short,
+    parse_string_list,
+    remove_html_tags,
+    str_w_spaces_to_numeric,
+    token_count,
+    year_in_question,
+)
+from . import load, register
+
+
+@register(
+    "text_clean_curator",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace('“' || text || '”' || chr(9) || chr(10), '[“”„‟″‶]', '"', 'g'),
+                 '[‘’‚‛′‵]', '''', 'g'),
+               '[\\n\\t]', ' ', 'g'),
+             '\\s{2,}', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean_curator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 — curator clean_text (base_curator.py:33-49) over a deliberately
+    # dirtied input (curly quotes + tab + newline appended).
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("“"), F.col("text"), F.lit("”\t\n"))
+    return d.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
+@register(
+    "text_clean_kpi",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+             translate(
+               regexp_replace(
+                 lower(trim(regexp_replace(text || ' [sic] ... (note)', '\\s{2,}', ' ', 'g'))),
+                 '\\.{2,}', ' ', 'g'),
+               '[]{}()*+?\\^$|<>', ''),
+             '\\s{2,}', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2 — KPI clean_text (base_kpi_inference_curator.py:16-58): lowercase,
+    # strip regex metachars, drop ellipsis runs.
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(F.col("text"), F.lit(" [sic] ... (note)"))
+    return d.select("doc_id", clean_text_kpi(dirty).alias("cleaned"))
+
+
+@register(
+    "text_remove_html",
+    """
+    SELECT doc_id,
+           regexp_replace('<b>' || source || '</b> <i>' || text || '</i>', '<[^>]+>\\s?', '', 'g') AS stripped
+    FROM documents
+    """,
+)
+def text_remove_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F13 (nq_utils.py:19-21).
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<b>"), F.col("source"), F.lit("</b> <i>"), F.col("text"), F.lit("</i>"))
+    return d.select("doc_id", remove_html_tags(html).alias("stripped"))
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           len(string_split(text, ' ')) > 10 AS long_enough,
+           array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') AS head_section
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F12/F14/P6 — token count, length predicate, token slice.
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        is_not_short(F.col("text"), 10).alias("long_enough"),
+        get_text_section(F.col("text"), 0, 10).alias("head_section"),
+    )
+
+
+@register(
+    "text_regex_filter",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE regexp_matches(text, 'spark [a-z]+ table')
+    """,
+)
+def text_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7 — regex predicate (nq_utils.py:11-16 contains_table shape).
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("spark [a-z]+ table"))
+        .select("doc_id", "n_chars")
+    )
+
+
+@register(
+    "text_numeric_repair",
+    """
+    SELECT doc_id,
+           CAST(replace(replace(CAST(doc_id AS VARCHAR) || ' ' || CAST(n_chars AS VARCHAR) || ',5', ' ', ''), ',', '.') AS DOUBLE) AS parsed_value
+    FROM documents
+    """,
+)
+def text_numeric_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5 — "1 234,5" → 1234.5 (demo1-create-tables.ipynb cells 9, 11).
+    d = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("doc_id").cast("string"), F.lit(" "), F.col("n_chars").cast("string"), F.lit(",5")
+    )
+    return d.select("doc_id", str_w_spaces_to_numeric(dirty).alias("parsed_value"))
+
+
+@register(
+    "text_filename_repair",
+    """
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(fixed1, '\\.pdf$') THEN fixed1
+        ELSE fixed1 || '.pdf'
+      END AS pdf_name
+    FROM (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(trim(raw), ',pdf$', '.pdf'), '(\\.pdf)+$', '.pdf') AS fixed1
+      FROM (
+        SELECT doc_id,
+          CASE doc_id % 4
+            WHEN 0 THEN source || ',pdf'
+            WHEN 1 THEN source || '.pdf.pdf'
+            WHEN 2 THEN ' ' || source || ' '
+            ELSE source || '.pdf'
+          END AS raw
+        FROM documents
+      )
+    )
+    """,
+)
+def text_filename_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F6 — get_pdf_name_right (qa_utils.py:76-87) over the four failure modes.
+    d = load(spark, sf_dir, "documents")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("source"), F.lit(",pdf")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("source"), F.lit(".pdf.pdf")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit(" "), F.col("source"), F.lit(" ")))
+        .otherwise(F.concat(F.col("source"), F.lit(".pdf")))
+    )
+    return d.select("doc_id", get_pdf_name_right(raw).alias("pdf_name"))
+
+
+@register(
+    "text_clean_page",
+    """
+    SELECT doc_id,
+           CAST(('[' || CAST(doc_id % 10 AS VARCHAR) || ', ' || CAST(doc_id % 7 AS VARCHAR) || ']') AS INT[])[1] AS first_page,
+           CAST(len(CAST(('[' || CAST(doc_id % 10 AS VARCHAR) || ', ' || CAST(doc_id % 7 AS VARCHAR) || ']') AS INT[])) AS INT) AS n_pages
+    FROM documents
+    """,
+)
+def text_clean_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7 — clean_page "[1, 2]" → [1, 2] (qa_utils.py:93-98).
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("["),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(", "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("]"),
+    )
+    pages = clean_page(raw)
+    return d.select(
+        "doc_id",
+        F.element_at(pages, 1).alias("first_page"),
+        F.size(pages).alias("n_pages"),
+    )
+
+
+@register(
+    "text_parse_string_list",
+    """
+    SELECT doc_id,
+           CAST(json_array_length(CAST(replace(raw, '''', '"') AS JSON)) AS INT) AS n_items,
+           json_extract_string(CAST(replace(raw, '''', '"') AS JSON), '$[0]') AS first_item
+    FROM (
+      SELECT doc_id, '[''' || source || ''', ''' || lang || ''']' AS raw FROM documents
+    )
+    """,
+)
+def text_parse_string_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8 — literal_eval of a single-quoted stringified list → from_json
+    # (text_curator.py:260-299).
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("['"), F.col("source"), F.lit("', '"), F.col("lang"), F.lit("']"))
+    parsed = parse_string_list(raw)
+    return d.select(
+        "doc_id",
+        F.size(parsed).alias("n_items"),
+        F.element_at(parsed, 1).alias("first_item"),
+    )
+
+
+@register(
+    "text_year_in_question",
+    """
+    SELECT p_partkey,
+      CASE WHEN p_size % 2 = 0
+           THEN string_split(q, '?')[1] || ' in year ' || CAST(2020 + p_size % 5 AS VARCHAR) || '?'
+           ELSE q
+      END AS question
+    FROM (SELECT p_partkey, p_size, 'What is the total ' || p_type || '?' AS q FROM part)
+    """,
+)
+def text_year_in_question(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F17 — year-suffix question rewrite (kpi_inference_curator.py:121-125).
+    p = load(spark, sf_dir, "part")
+    q = F.concat(F.lit("What is the total "), F.col("p_type"), F.lit("?"))
+    year = F.lit(2020) + F.col("p_size") % 5
+    add_year = F.col("p_size") % 2 == 0
+    return p.select("p_partkey", year_in_question(q, year, add_year).alias("question"))
+
+
+@register(
+    "text_page_shift",
+    """
+    SELECT event_id, CAST(user_id AS INT) + 1 AS page_1based, CAST(user_id AS INT) - 1 AS page_0based
+    FROM events
+    """,
+)
+def text_page_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F18 — the ±1 page-convention shift, preserved exactly
+    # (text_curator.py:217,330).
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("user_id").cast("int") + 1).alias("page_1based"),
+        (F.col("user_id").cast("int") - 1).alias("page_0based"),
+    )
+
+
+@register(
+    "text_snakify_columns",
+    "SELECT p_partkey AS part_key_id, p_retailprice AS avg_retail_price FROM part",
+)
+def text_snakify_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3 — snakify normalization of ugly BI column names
+    # (demo1-create-tables.ipynb cell 9): the Spark side renames through
+    # snakify(); the oracle states the expected canonical names.
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("Part  Key: ID"),
+        F.col("p_retailprice").alias("Average Retail Price!"),
+    )
+    renamed = p.toDF(*[snakify(c) for c in p.columns])
+    assert renamed.columns == ["part_key_id", "avg_retail_price"]
+    return renamed
+
+
+# --------------------------------------------------------------------------
+# Text-analysis operators (LLM-pipeline surface)
+# --------------------------------------------------------------------------
+
+_SW_SQL = "('the','a','an','and','of','to','in','is','for','on')"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, lang,
+           ROUND(CAST(len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL})) AS DOUBLE)
+                 / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE), 6) AS sw_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '), w -> w IN {_SW_SQL})) AS DOUBLE)
+                     / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Language-ID heuristic: stopword-hit ratio (pure column expression).
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(stopword_ratio(F.col("text")), 6).alias("sw_ratio"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+      ROUND((least(CAST(greatest(len(string_split(text,' ')),1) AS DOUBLE) / 100.0, 1.0)
+        + (CASE WHEN CAST(greatest(length(text),1) AS DOUBLE) / CAST(greatest(len(string_split(text,' ')),1) AS DOUBLE) BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+        + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text),1) AS DOUBLE) <= 0.1 THEN 1.0
+                ELSE greatest(0.0, 1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text),1) AS DOUBLE)) END)
+      ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pretraining-corpus quality filter score.
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Document fingerprinting — md5 of normalized text.
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))

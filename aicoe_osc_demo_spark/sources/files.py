@@ -1,0 +1,118 @@
+"""Format readers/writers (S1, S2, S5-S11 of SURVEY.md §2.1).
+
+Reference behavior being re-expressed (WHAT, not HOW):
+
+- S5 JSON sink/source per PDF  → ``spark.read/write.json``
+  (ref: /root/reference/src/components/preprocessing/pdf_text_extractor.py:146-148)
+- S6 Excel annotation source with column checks + ``annotator`` provenance
+  (ref: /root/reference/src/components/preprocessing/text_curator.py:124-126,
+  /root/reference/src/components/utils/qa_utils.py:10-42) → spark-excel is not
+  available in this container, so workbooks are accepted as CSV exports; the
+  provenance column comes from ``input_file_name()``.
+- S7 CSV source/sink (ref: text_curator.py:103-108) → header+schema readers.
+- S8/S9 Parquet/ORC sink + external SQL table (ref:
+  notebooks/demo1[depracated]/demo1-create-tables.ipynb cells 14-19,
+  notebooks/demo2/create_results_table.ipynb cells 10-15) → ``write_table``.
+- S1/S2 binary PDF folder scan (ref: pdf_text_extractor.py:152-191) →
+  ``binaryFile`` format; the per-file pdfminer decode is a mapInPandas stage
+  in operators.inference (stubbed — pdfminer absent here).
+- S11 NQ JSONL chunked scan (ref:
+  /root/reference/src/components/preprocessing/nq_extractor.py:51-135) →
+  line-json reader; "chunking" is partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    path: str | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """CTAS equivalent of the reference's Trino ``CREATE TABLE ... WITH
+    (format='parquet'|'ORC', external_location=...)`` (S8/S9).
+
+    ORC row-batched ``TrinoBatchInsert`` disappears — Spark writers are
+    parallel by partition.
+    """
+    writer = df.write.mode(mode).format(fmt)
+    if path:
+        writer = writer.option("path", path)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def read_binary_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """S1/S2 folder scan: one row per document with its raw bytes.
+
+    Returns (path, modificationTime, length, content: binary).  At 100 TB the
+    scan parallelizes by file; downstream decode runs as mapInPandas so no
+    bytes ever hit the driver.
+    """
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def read_jsonl_chunked(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """S11: newline-delimited JSON; the reference's 10k-row CSV chunking
+    (nq_extractor.py:75-135) is replaced by Spark partitioning."""
+    return read_json(spark, path, schema)
+
+
+def read_annotation_workbooks(
+    spark: SparkSession,
+    path: str,
+    columns_to_read: list[str],
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """S6: multi-workbook annotation ingest with required-column validation and
+    per-file ``annotator`` provenance (qa_utils.py:10-42 semantics)."""
+    df = read_csv(spark, path, schema)
+    missing = [c for c in columns_to_read if c not in df.columns]
+    if missing:
+        raise ValueError(f"annotation source missing required columns: {missing}")
+    return df.select(*columns_to_read).withColumn(
+        "annotator", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
