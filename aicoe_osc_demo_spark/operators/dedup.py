@@ -45,33 +45,93 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def word_ngrams(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column.  N-grams (not
+    unigrams) are what make MinHash discriminative on corpora with small
+    vocabularies — unigram sets collapse to the vocabulary itself and LSH
+    candidates go quadratic."""
+    words = F.split(text_col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (long form)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("w"),
+    )
+
+
+# Affine MinHash family: h_i(x) = (A_i * x + B_i) mod 2^32 over the 32-bit
+# md5-prefix token hash.  One md5 per token; the 8 signature values are cheap
+# integer ops folded into ONE wide aggregate (no seed-explosion).  Odd 31-bit
+# multipliers keep A_i * x < 2^63 (no BIGINT overflow in Spark or DuckDB).
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (1, 0),
+    (1431655765, 1000003),
+    (858993459, 49979687),
+    (1717986917, 1299709),
+    (1252698795, 15485863),
+    (1076902265, 32452843),
+    (2021161081, 67867967),
+    (1840700269, 86028121),
+]
+_MOD = 2**32
+
+
+def _token_hash():
+    return F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures_wide(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Wide MinHash signature: (doc_id, mh0..mh{n-1}) in one shuffle with
+    map-side partial mins, over word n-gram shingles."""
+    toks = _shingles(df, text_col, id_col, shingle_n).withColumn("h", _token_hash())
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
-    """MinHash signature: for seed i, sig_i(doc) = min over shingles w of
-    md5(i || ':' || w).  The lexicographic min of the hex digest is a valid
-    min-wise hash; per-(doc, seed) min gets a map-side partial aggregate.
-
-    Returns (doc_id, i, mh).
-    """
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
-    toks = _tokens(df, text_col, id_col).select("doc_id", "w", seeds)
-    return toks.groupBy("doc_id", "i").agg(
-        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w")))).alias("mh")
+    """Long-form MinHash signature (doc_id, i, mh) — stacked from the wide
+    aggregate (the wide form is the execution shape; this is the exchange
+    format)."""
+    wide = minhash_signatures_wide(df, text_col, id_col, n_hashes)
+    pairs = ", ".join(f"{i}, mh{i}" for i in range(n_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_hashes}, {pairs}) as (i, mh)")
     )
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_hashes: int = 8, bands: int = 4
+    sigs_wide: DataFrame, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows_per_band = n_hashes/bands) and equi-join on
-    (band, band_key).  Returns candidate pairs (d1 < d2), distinct."""
+    """Band the wide signature (rows_per_band = n_hashes/bands): band key =
+    md5 of the concatenated signature slice; candidates come from an
+    equi-join on (band, bkey).  Returns candidate pairs (d1 < d2), distinct."""
     rows_per_band = n_hashes // bands
-    banded = (
-        sigs.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .withColumn("tagged", F.concat(F.col("i").cast("string"), F.lit(":"), F.col("mh")))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("tagged")))).alias("bkey"))
+    band_rows = []
+    for band in range(bands):
+        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(f"{band}, md5(concat_ws('|', {', '.join(cols)}))")
+    stacked = ", ".join(band_rows)
+    banded = sigs_wide.select(
+        "doc_id", F.expr(f"stack({bands}, {stacked}) as (band, bkey)")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -96,11 +156,10 @@ def minhash_dedup_pairs(
 
     Output: (d1, d2, jaccard) for pairs above the threshold.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes)
+    sigs = minhash_signatures_wide(df, text_col, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
     toksets = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("ws"),
+        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), 3).alias("ws")
     )
     return (
         cands.join(toksets.withColumnRenamed("doc_id", "d1").withColumnRenamed("ws", "ws1"), "d1")
@@ -119,10 +178,11 @@ def minhash_dedup_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """32-bit SimHash: each distinct token hashes to a 32-bit int (md5
-    prefix); bit j of the fingerprint is the sign of the sum of (+1/-1) votes
-    across tokens.  Pure aggregates — one shuffle on doc_id."""
-    toks = _tokens(df, text_col, id_col).withColumn(
+    """32-bit SimHash over word-3-gram shingles: each distinct shingle hashes
+    to a 32-bit int (md5 prefix); bit j of the fingerprint is the sign of the
+    sum of (+1/-1) votes across shingles.  Pure aggregates — one shuffle on
+    doc_id."""
+    toks = _shingles(df, text_col, id_col, 3).withColumn(
         "h", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
     )
     votes = [

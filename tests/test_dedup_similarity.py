@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_dedup_pairs,
+)
+from aicoe_osc_demo_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base + " extra"
+    other = "completely different words about spark partitions and shuffle joins here"
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_canon = {r.canonical_id: r.n_copies for r in out}
+    assert by_canon[0] == 2  # docs 0 and 1 identical
+    assert by_canon[2] == 1 and by_canon[3] == 1
+
+
+def test_minhash_finds_near_dups_without_cartesian(spark):
+    df = _docs(spark)
+    pairs = minhash_dedup_pairs(df, n_hashes=8, bands=4, jaccard_threshold=0.5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert (0, 1) in got  # identical pair always collides
+    assert (0, 2) in got or (1, 2) in got  # near-dup found via banding
+    assert all(d2 != 3 for _, d2 in got) or (3, 3) not in got  # unrelated doc not paired
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark)
+    fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert fp[0] == fp[1]  # identical docs → identical fingerprint
+    assert 0 <= fp[0] < 2**32
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_banded(spark):
+    pairs = simhash_dedup_pairs(_docs(spark), max_hamming=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.d1, r.d2): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+
+
+def _embeddings(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(30):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(8)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    out = cosine_topk(emb, queries, k=3)
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in out.collect()}
+
+    data = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for q in (0, 1):
+        expected = sorted(
+            ((round(cos(data[q], data[n]), 6), n) for n in data if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        got_q = sorted(((s, n) for (qq, n), s in got.items() if qq == q), key=lambda t: (-t[0], t[1]))
+        assert [n for _, n in expected] == [n for _, n in got_q]
+
+
+def test_lsh_ann_no_cartesian_and_reasonable_recall(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 2)
+    ann = lsh_ann_topk(emb, queries, k=3, n_planes=3, dim=8)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    exact = cosine_topk(emb, queries, k=3)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    # approximate: expect at least one true neighbor per query recovered
+    for q in (0, 1):
+        assert any(p in ann_pairs for p in exact_pairs if p[0] == q)

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.relational import (
+    dedup_keep_first,
+    deterministic_sample,
+    melt,
+    skip_processed,
+    top_k_per_group,
+    train_dev_split,
+)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        ["g", "id", "score"],
+    )
+    out = top_k_per_group(df, ["g"], F.col("score"), 2, tiebreak=["id"])
+    rows = {(r.g, r.id) for r in out.collect()}
+    assert rows == {("a", 2), ("a", 3), ("b", 4)}
+
+
+def test_top_k_tiebreak_deterministic(spark):
+    df = spark.createDataFrame([("a", i, 1.0) for i in range(10)], ["g", "id", "score"])
+    out = top_k_per_group(df, ["g"], F.col("score"), 3, tiebreak=["id"])
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "b"), ("k1", 1, "a"), ("k2", 5, "c")], ["k", "ord", "v"]
+    )
+    out = dedup_keep_first(df, subset=["k"], order_by=["ord"])
+    assert {(r.k, r.v) for r in out.collect()} == {("k1", "a"), ("k2", "c")}
+
+
+def test_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], ["id", "x", "y"])
+    out = melt(df, ["id"], ["x", "y"], "var", "val").collect()
+    assert {(r.var, r.val) for r in out} == {("x", 10.0), ("y", 20.0)}
+
+
+def test_train_dev_split_deterministic_and_disjoint(spark):
+    df = spark.range(1000)
+    t1, d1 = train_dev_split(df, F.col("id"), 0.8)
+    t2, d2 = train_dev_split(df.repartition(7), F.col("id"), 0.8)
+    ids_t1 = {r.id for r in t1.collect()}
+    ids_d1 = {r.id for r in d1.collect()}
+    # stable under repartitioning
+    assert ids_t1 == {r.id for r in t2.collect()}
+    # disjoint and complete
+    assert ids_t1.isdisjoint(ids_d1)
+    assert len(ids_t1) + len(ids_d1) == 1000
+    # roughly 80/20
+    assert 0.75 < len(ids_t1) / 1000 < 0.85
+
+
+def test_deterministic_sample_stable(spark):
+    df = spark.range(500)
+    s1 = [r.id for r in deterministic_sample(df, ["id"], 50).collect()]
+    s2 = [r.id for r in deterministic_sample(df.repartition(13), ["id"], 50).collect()]
+    assert s1 == s2
+    assert len(s1) == 50
+
+
+def test_skip_processed(spark):
+    all_files = spark.createDataFrame([(f"f{i}",) for i in range(10)], ["name"])
+    done = spark.createDataFrame([("f0",), ("f5",)], ["name"])
+    out = {r.name for r in skip_processed(all_files, done, ["name"]).collect()}
+    assert out == {f"f{i}" for i in range(10)} - {"f0", "f5"}

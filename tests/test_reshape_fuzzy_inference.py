@@ -1,0 +1,111 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.fuzzy import fuzzy_best_match_join, jaccard_best_match_join
+from aicoe_osc_demo_spark.operators.inference import qa_pipeline, relevance_pipeline
+from aicoe_osc_demo_spark.operators.reshape import (
+    explode_paragraphs,
+    gather_table_text,
+    nest_to_squad,
+)
+
+
+def test_explode_paragraphs_zip_and_broadcast(spark):
+    # kpi_inference_curator.py:149-192: N pages zip with N paragraphs; a
+    # single page broadcasts to all paragraphs.
+    df = spark.createDataFrame(
+        [
+            ("a.pdf", [1, 2], ["p1", "p2"]),
+            ("b.pdf", [7], ["q1", "q2", "q3"]),
+        ],
+        ["pdf", "source_page", "relevant_paragraphs"],
+    )
+    out = {(r.pdf, r.source_page, r.relevant_paragraph) for r in explode_paragraphs(df).collect()}
+    assert out == {
+        ("a.pdf", 1, "p1"),
+        ("a.pdf", 2, "p2"),
+        ("b.pdf", 7, "q1"),
+        ("b.pdf", 7, "q2"),
+        ("b.pdf", 7, "q3"),
+    }
+
+
+def test_nest_to_squad_structure(spark):
+    df = spark.createDataFrame(
+        [
+            ("f1", "ctx1", "q1", "id1", "ans1", [3]),
+            ("f1", "ctx1", "q2", "id2", "", []),
+            ("f1", "ctx2", "q3", "id3", "ans3", [0, 7]),
+        ],
+        ["source_file", "context", "question", "example_id", "answer", "answer_start"],
+    )
+    rows = nest_to_squad(df).collect()
+    assert len(rows) == 1
+    doc = rows[0]
+    assert doc.title == "f1"
+    paras = {p.context: p.qas for p in doc.paragraphs}
+    assert set(paras) == {"ctx1", "ctx2"}
+    qas1 = {q.id: q for q in paras["ctx1"]}
+    assert qas1["id2"].is_impossible is True
+    assert qas1["id1"].answers.text == "ans1"
+    assert list(paras["ctx2"][0].answers.answer_start) == [0, 7]
+
+
+def test_gather_table_text(spark):
+    # farm_trainer.py:82-93: numeric-only cells dropped, text joined with ', '
+    df = spark.createDataFrame(
+        [(1, [["Revenue", "1 234"], ["2020", "Scope 1 emissions", "  "]])], ["id", "cells"]
+    )
+    out = gather_table_text(df).first().table_text
+    assert out == "Revenue, Scope 1 emissions"
+
+
+def test_jaccard_best_match_join_picks_best(spark):
+    left = spark.createDataFrame([(1, "alpha beta gamma", "en")], ["qid", "qtext", "lang"])
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta", "en"),
+            (11, "alpha zzz yyy", "en"),
+            (12, "alpha beta gamma", "fr"),  # better text but wrong block
+        ],
+        ["cid", "ctext", "lang"],
+    )
+    out = jaccard_best_match_join(left, right, ["lang"], "qtext", "ctext", ["qid"]).collect()
+    assert len(out) == 1 and out[0].cid == 10
+
+
+def test_fuzzy_ratio_join_picks_best(spark):
+    left = spark.createDataFrame([(1, "total scope one emissions", "en")], ["qid", "qtext", "lang"])
+    right = spark.createDataFrame(
+        [(10, "total scope one emissions for 2020", "en"), (11, "unrelated words entirely", "en")],
+        ["cid", "ctext", "lang"],
+    )
+    out = fuzzy_best_match_join(left, right, ["lang"], "qtext", "ctext", ["qid"]).collect()
+    assert len(out) == 1 and out[0].cid == 10
+
+
+def test_relevance_pipeline_stub_scores(spark):
+    paragraphs = spark.createDataFrame([(1, "some paragraph text")], ["doc_id", "text"])
+    questions = spark.createDataFrame([("k1", "What is X?")], ["kpi_id", "question"])
+    out = relevance_pipeline(paragraphs, questions, threshold=0.0).collect()
+    assert len(out) == 1
+    expected = ((31 * len("some paragraph text") + 17 * len("What is X?")) % 1000) / 1000.0
+    assert out[0].score == expected
+
+
+def test_qa_pipeline_no_answer_logic(spark):
+    # craft a text where the boosted no-answer score wins
+    pairs = spark.createDataFrame(
+        [(1, "k1", "What?", "word " * 20)], ["doc_id", "kpi_id", "question", "text"]
+    )
+    out = qa_pipeline(pairs, ["kpi_id"], top_k=1, tiebreak=["doc_id"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    text = "word " * 20
+    score = ((31 * len(text) + 17 * len("What?")) % 1000) / 1000.0
+    no_ans = ((13 * len(text)) % 1000) / 1000.0 - 0.015
+    if no_ans > score:
+        assert r.final_answer == "no_answer"
+    else:
+        assert r.final_answer == " ".join(text.split(" ")[:8])

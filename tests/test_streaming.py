@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.streaming.incremental import (
+    incremental_file_pipeline,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+def test_incremental_exactly_once_per_file(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    spark.range(5).write.parquet(inp + "/f1.parquet")
+
+    seen: list[int] = []
+
+    def batch_fn(df, epoch_id):
+        seen.extend(r.id for r in df.collect())
+
+    q = incremental_file_pipeline(spark, inp, ckpt, batch_fn, schema="id long")
+    q.awaitTermination(60)
+    assert sorted(seen) == [0, 1, 2, 3, 4]
+
+    # second run with a new file: only the new file is processed
+    spark.range(5, 8).write.parquet(inp + "/f2.parquet")
+    q2 = incremental_file_pipeline(spark, inp, ckpt, batch_fn, schema="id long")
+    q2.awaitTermination(60)
+    assert sorted(seen) == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_windowed_event_counts_batch(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:05:00", "click", 1.0),
+            ("2024-01-01 10:55:00", "click", 2.0),
+            ("2024-01-01 11:05:00", "click", 4.0),
+        ],
+        ["ts", "event_type", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r.window_start): (r.n_events, r.sum_value) for r in windowed_event_counts(df).collect()}
+    assert out["2024-01-01 10:00:00"] == (2, 3.0)
+    assert out["2024-01-01 11:00:00"] == (1, 4.0)
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),  # same session
+            (1, "2024-01-01 12:00:00"),  # gap > 30 min → new session
+            (2, "2024-01-01 09:00:00"),
+        ],
+        ["user_id", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap_minutes=30)
+    per_user = (
+        out.groupBy("user_id").agg(F.max("session_id").alias("n")).collect()
+    )
+    d = {r.user_id: r.n for r in per_user}
+    assert d == {1: 2, 2: 1}

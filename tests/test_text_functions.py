@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.functions import (
+    clean_page,
+    clean_text,
+    clean_text_kpi,
+    doc_fingerprint,
+    get_pdf_name_right,
+    get_text_section,
+    lang_id,
+    numeric_only_cell,
+    parse_string_list,
+    remove_html_tags,
+    snakify,
+    str_w_spaces_to_numeric,
+    token_count,
+    year_in_question,
+)
+
+
+def one(spark, col, value: str | None = "x"):
+    df = spark.createDataFrame([(value,)], ["c"])
+    return df.select(col.alias("out")).first().out
+
+
+def test_clean_text_golden(spark):
+    # base_curator.py:33-49 semantics: quotes normalized, whitespace collapsed
+    assert (
+        one(spark, clean_text(F.col("c")), "“quoted” \t text\n  here")
+        == '"quoted" text here'
+    )
+    assert one(spark, clean_text(F.col("c")), "  a  b  ") == "a b"
+
+
+def test_clean_text_kpi_golden(spark):
+    # base_kpi_inference_curator.py:16-58: lowercase, metachars stripped, '...' removed
+    assert one(spark, clean_text_kpi(F.col("c")), "Total [CO2] ... (Scope 1)?") == "total co2 scope 1"
+
+
+def test_clean_text_idempotent(spark):
+    s = "“Mixed”  \t TEXT with  spaces"
+    once = one(spark, clean_text(F.col("c")), s)
+    twice = one(spark, clean_text(clean_text(F.col("c"))), s)
+    assert once == twice
+
+
+def test_remove_html(spark):
+    # nq_utils.py:19-21: the regex eats ONE space following each tag — the
+    # reference quirk is part of the contract.
+    assert one(spark, remove_html_tags(F.col("c")), "<b>bold</b> and <i>it</i>") == "boldand it"
+    assert one(spark, remove_html_tags(F.col("c")), "a <br>b") == "a b"
+
+
+def test_token_count_and_section(spark):
+    assert one(spark, token_count(F.col("c")), "a b c d") == 4
+    assert one(spark, get_text_section(F.col("c"), 1, 3), "a b c d") == "b c"
+
+
+def test_str_w_spaces_to_numeric(spark):
+    assert one(spark, str_w_spaces_to_numeric(F.col("c")), "1 234,5") == 1234.5
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("report,pdf", "report.pdf"),
+        ("report.pdf.pdf", "report.pdf"),
+        (" report ", "report.pdf"),
+        ("report.pdf", "report.pdf"),
+        ("report", "report.pdf"),
+    ],
+)
+def test_get_pdf_name_right(spark, raw, expected):
+    # qa_utils.py:76-87 failure modes
+    assert one(spark, get_pdf_name_right(F.col("c")), raw) == expected
+
+
+def test_clean_page(spark):
+    assert one(spark, clean_page(F.col("c")), "[1, 2]") == [1, 2]
+    assert one(spark, clean_page(F.col("c")), "not pages") is None
+
+
+def test_parse_string_list_tolerant(spark):
+    assert one(spark, parse_string_list(F.col("c")), "['a', 'b']") == ["a", "b"]
+    # malformed → null, not an exception (text_curator.py:260-299)
+    assert one(spark, parse_string_list(F.col("c")), "garbage[") is None
+
+
+def test_year_in_question(spark):
+    df = spark.createDataFrame([("What is X?", 2020, True), ("What is X?", 2020, False)],
+                               ["q", "y", "add"])
+    out = df.select(
+        year_in_question(F.col("q"), F.col("y"), F.col("add")).alias("out")
+    ).collect()
+    assert out[0].out == "What is X in year 2020?"
+    assert out[1].out == "What is X?"
+
+
+def test_numeric_only_cell(spark):
+    # farm_trainer.py:88-91: matches up to two digit groups — "1 234,5"
+    # (three groups) is deliberately NOT matched, same as the reference.
+    assert one(spark, numeric_only_cell(F.col("c")), " 1 234 ") is True
+    assert one(spark, numeric_only_cell(F.col("c")), "42") is True
+    assert one(spark, numeric_only_cell(F.col("c")), "1 234,5") is False
+    assert one(spark, numeric_only_cell(F.col("c")), "revenue 2020") is False
+
+
+def test_snakify():
+    # demo1-create-tables.ipynb cell 9 semantics
+    assert snakify("Average Retail Price!") == "avg_retail_price"
+    assert snakify("  Maximum  VALUE ") == "max_value"
+    assert snakify("a" * 100) == "a" * 63
+
+
+def test_lang_id_and_fingerprint(spark):
+    assert one(spark, lang_id(F.col("c")), "the cat sat on the mat") == "en"
+    assert one(spark, lang_id(F.col("c")), "xyzzy qwerty asdf") == "unknown"
+    f1 = one(spark, doc_fingerprint(F.col("c")), "Hello   World")
+    f2 = one(spark, doc_fingerprint(F.col("c")), "hello world")
+    assert f1 == f2 and len(f1) == 32
