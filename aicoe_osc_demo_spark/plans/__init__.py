@@ -39,3 +39,5 @@ from . import text  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import events  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
+from . import advanced  # noqa: E402,F401

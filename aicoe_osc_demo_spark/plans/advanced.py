@@ -1,0 +1,155 @@
+"""Advanced relational queries: rollup/grouping sets, frame-spec windows,
+exact percentiles, multimodal metadata.
+
+The reference never needed these (single-process pandas), but they complete
+the SQL surface a BI layer (Superset) expects from the engine, and the
+multimodal queries exercise the opaque-binary column path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_features, media_from_text, media_metadata
+from . import load, register
+
+
+@register(
+    "agg_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP hierarchy totals — free from Catalyst (SURVEY §2.4 note).
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame-spec window: cumulative customer spend in event order.  The
+    # deterministic ORDER BY makes the float accumulation order identical on
+    # both engines.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+             AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lag/lead analytics over the event stream.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta")
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 — describe() quartiles as exact interpolated percentiles (both
+    # engines use linear interpolation; approx sketches would not hash-match).
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        )
+    )
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Opaque-binary metadata path: byte length + content hash, JVM-side only
+    # (no decode, no Python) — what a 100 TB media-manifest scan looks like.
+    media = media_from_text(load(spark, sf_dir, "documents"))
+    return media_metadata(media)
+
+
+@register("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decode + feature-extract via Arrow-batched mapInPandas with the stub
+    # decoder (real codecs absent in this container).  Rows-only check; the
+    # schema/batching/partitioning are the real production shape.
+    media = media_from_text(load(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@register("ml_relevance_training_metrics")
+def ml_relevance_training_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M5/M9 — MLlib baseline relevance trainer (Tokenizer → HashingTF → IDF
+    # → LogisticRegression) on a deterministic hash split, evaluated with the
+    # confusion aggregate.  Rows-only check (model floats are not
+    # oracle-hashable); always exactly 1 metrics row.
+    from ..operators.relational import train_dev_split
+    from ..training import confusion_metrics, prepare_pairs, train_relevance
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("Does this mention spark?").alias("question"),
+        F.col("text"),
+        F.when(F.col("text").rlike("\\bspark\\b"), 1).otherwise(0).alias("label"),
+    )
+    pairs = prepare_pairs(d, "question", "text", "label").withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    train, test = train_dev_split(pairs, F.col("doc_id"), 0.8, "train")
+    model = train_relevance(train.drop("doc_id"), max_iter=5)
+    return confusion_metrics(model.transform(test.drop("doc_id")))

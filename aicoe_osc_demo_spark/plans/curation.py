@@ -1,0 +1,233 @@
+"""Curation-pipeline queries (P9, J6, J7, J11, U7, U8, U9 of SURVEY.md §2).
+
+The reference's curators join annotations against extracted paragraphs; here
+the ``documents`` table plays both roles (``source`` is the "pdf name",
+``doc_id`` the "page"), with answers constructed deterministically from the
+text so both oracle sides see identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import get_text_section
+from ..operators.curation import (
+    answer_containment_join,
+    extra_answerable_join,
+    find_answer_start_udf,
+    negative_sample,
+    valid_pair_filter,
+)
+from ..operators.reshape import gather_table_text, nest_to_squad
+from . import load, register
+
+
+@register(
+    "curation_valid_pairs",
+    """
+    SELECT o_orderkey, o_orderpriority, o_orderstatus FROM (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN ['O', 'P'] ELSE ['F'] END AS allowed
+      FROM orders
+    ) WHERE list_contains(allowed, o_orderstatus)
+    """,
+)
+def curation_valid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P9 — valid (kpi_id, data_type) pair check (table_curator.py:311-323):
+    # the KPI-category dictionary becomes a broadcast dimension with an
+    # allowed-list column; the check is array_contains after the map join.
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn(
+            "allowed",
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                F.array(F.lit("O"), F.lit("P")),
+            ).otherwise(F.array(F.lit("F"))),
+        )
+    )
+    return valid_pair_filter(o, dim, "o_orderpriority", "o_orderstatus").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+
+
+@register(
+    "curation_answer_containment",
+    """
+    WITH ann AS (
+      SELECT doc_id AS qid, lang,
+             array_to_string(list_slice(string_split(text, ' '), 3, 5), ' ') AS answer
+      FROM documents WHERE doc_id < 50
+    ),
+    par AS (SELECT doc_id AS cid, lang, text FROM documents WHERE doc_id >= 100)
+    SELECT qid, cid, answer, CAST(strpos(text, answer) AS INT) AS first_pos
+    FROM ann JOIN par USING (lang)
+    WHERE strpos(text, answer) > 0
+    """,
+)
+def curation_answer_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6 (SQL-checkable form) — candidate equi-join on the blocking key, keep
+    # pairs whose paragraph contains the answer; offset via instr.
+    d = load(spark, sf_dir, "documents")
+    ann = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("qid"),
+        "lang",
+        get_text_section(F.col("text"), 2, 5).alias("answer"),
+    )
+    par = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("cid"), "lang", "text"
+    )
+    joined = ann.join(par, on="lang").withColumn(
+        "first_pos", F.expr("instr(text, answer)").cast("int")
+    )
+    return joined.filter(F.col("first_pos") > 0).select("qid", "cid", "answer", "first_pos")
+
+
+@register("curation_answer_offsets")
+def curation_answer_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J6/F10/F11 exact reference semantics — regex-escaped literal search,
+    # numeric-boundary guard, 0-offset shift — via the pandas UDF
+    # (base_kpi_inference_curator.py:129-156).  Rows-only check.
+    d = load(spark, sf_dir, "documents")
+    ann = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("qid"),
+        "lang",
+        get_text_section(F.col("text"), 2, 5).alias("answer"),
+    )
+    par = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("cid"), "lang", "text"
+    )
+    out = answer_containment_join(ann, par, on=["lang"])
+    return out.select("qid", "cid", F.size("answer_start").alias("n_matches"))
+
+
+@register(
+    "curation_extra_answerable",
+    """
+    WITH ann AS (
+      SELECT doc_id AS ann_id, source,
+             array_to_string(list_slice(string_split(text, ' '), 2, 4), ' ') AS answer
+      FROM documents WHERE doc_id < 30
+    ),
+    par AS (SELECT doc_id AS page_id, source, text FROM documents)
+    SELECT ann_id, COUNT(*) AS n_extra
+    FROM ann JOIN par USING (source)
+    WHERE page_id != ann_id AND strpos(text, answer) > 0
+    GROUP BY ann_id
+    """,
+)
+def curation_extra_answerable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J7 — synthetic-positive discovery on OTHER pages of the same document
+    # (kpi_inference_curator.py:468-529): equi-join on the document key
+    # (source), exclude the annotated page, containment predicate, count.
+    d = load(spark, sf_dir, "documents")
+    ann = d.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("ann_id"),
+        "source",
+        get_text_section(F.col("text"), 1, 4).alias("answer"),
+    )
+    par = d.select(F.col("doc_id").alias("page_id"), "source", "text")
+    joined = (
+        ann.join(par, on="source")
+        .filter(F.col("page_id") != F.col("ann_id"))
+        .filter(F.expr("instr(text, answer)") > 0)
+    )
+    return joined.groupBy("ann_id").agg(F.count(F.lit(1)).alias("n_extra"))
+
+
+@register(
+    "curation_negative_sample",
+    """
+    WITH q AS (SELECT DISTINCT p_brand AS kpi_id FROM part),
+    pool AS (SELECT doc_id FROM documents WHERE doc_id >= 250),
+    ranked AS (
+      SELECT kpi_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY kpi_id
+               ORDER BY md5('neg' || '|' || kpi_id || '|' || CAST(doc_id AS VARCHAR)) ASC
+             ) AS rn
+      FROM q CROSS JOIN pool
+    )
+    SELECT kpi_id, doc_id FROM ranked WHERE rn <= 3
+    """,
+)
+def curation_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J11 — deterministic negative pairing: hash-ranked pick of 3 negatives
+    # per question (text_curator.py:190-258 rejection loops, made
+    # shuffle-stable).
+    positives = load(spark, sf_dir, "part").select(F.col("p_brand").alias("kpi_id")).distinct()
+    pool = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250).select("doc_id")
+    out = negative_sample(positives, pool, ["kpi_id"], "doc_id", k=3, salt="neg")
+    return out.select("kpi_id", "doc_id")
+
+
+@register(
+    "reshape_flatten",
+    """
+    SELECT doc_id,
+           array_to_string(
+             flatten([list_slice(string_split(text, ' '), 1, 3),
+                      list_slice(string_split(text, ' '), 4, 6)]), ' ') AS joined
+    FROM documents
+    """,
+)
+def reshape_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U7 — flatten list-of-lists (text_curator.py:331-334).
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nested = F.array(F.slice(words, 1, 3), F.slice(words, 4, 3))
+    return d.select("doc_id", F.array_join(F.flatten(nested), " ").alias("joined"))
+
+
+@register(
+    "reshape_gather_table_text",
+    """
+    SELECT doc_id,
+      array_to_string(
+        list_filter(
+          flatten([
+            [string_split(text, ' ')[1], '1 234'],
+            ['2020', array_to_string(list_slice(string_split(text, ' '), 2, 3), ' '), '  ']
+          ]),
+          c -> NOT regexp_matches(c, '^\\W*[0-9]*\\W?[0-9]*?\\W*$') AND length(trim(c)) > 0
+        ), ', ') AS table_text
+    FROM documents
+    """,
+)
+def reshape_gather_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U9/F15 — per-table text gathering: drop numeric-only cells, join the
+    # rest with ', ' (farm_trainer.py:82-93).
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    cells = F.array(
+        F.array(F.element_at(words, 1), F.lit("1 234")),
+        F.array(F.lit("2020"), F.array_join(F.slice(words, 2, 2), " "), F.lit("  ")),
+    )
+    return gather_table_text(d.select("doc_id", cells.alias("cells"))).select(
+        "doc_id", "table_text"
+    )
+
+
+@register("reshape_nest_squad")
+def reshape_nest_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U8 — SQuAD v2 nesting via two-level sorted collect_list(struct)
+    # (base_kpi_inference_curator.py:60-127).  Rows-only check: DuckDB can
+    # build the nesting but struct-array hashing is not comparable.
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    flat = d.select(
+        F.col("source").alias("source_file"),
+        get_text_section(F.col("text"), 0, 12).alias("context"),
+        F.concat(F.lit("What is in doc "), F.col("doc_id").cast("string"), F.lit("?")).alias(
+            "question"
+        ),
+        F.col("doc_id").cast("string").alias("example_id"),
+        get_text_section(F.col("text"), 1, 3).alias("answer"),
+        F.when(F.col("doc_id") % 5 == 0, F.array().cast("array<int>"))
+        .otherwise(F.array(F.lit(2)))
+        .alias("answer_start"),
+    )
+    return nest_to_squad(flat)

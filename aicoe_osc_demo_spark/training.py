@@ -1,0 +1,144 @@
+"""Training surface (SURVEY.md §2.9, M5-M9) — the Spark-idiomatic option A
+from the survey: an MLlib pipeline for the relevance text-pair classifier,
+hash-based cross-validation, and the evaluation metrics.
+
+The reference trains FARM/transformer models on a GPU
+(ref: /root/reference/src/models/farm_trainer.py:26-432,
+qa_farm_trainer.py:21-200); those weights are unavailable here, and a faithful
+re-implementation would be TorchDistributor-driven.  What IS in-scope for the
+engine — and what this module provides — is:
+
+- data prep as DataFrame ops (dedup, seeded-deterministic shuffle/split:
+  farm_trainer.py:73-77);
+- a trainable relevance baseline: Tokenizer → HashingTF → IDF →
+  LogisticRegression (the MLlib analogue of the TextPairClassification head);
+- k-fold cross-validation with hash-assigned folds (M7,
+  farm_trainer.py:262-348) — fold membership is a pure function of the row
+  key, so folds are reproducible under any partitioning;
+- eval metrics (M9): accuracy / precision / recall / F1 from a confusion
+  aggregate, plus the relaxed span-overlap F1 used by the QA evaluation
+  (ref: src/components/utils/qa_metrics.py:8-81).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from .functions.hashing import bucket_of
+
+
+def make_relevance_pipeline(num_features: int = 1 << 14, max_iter: int = 20):
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    return Pipeline(
+        stages=[
+            Tokenizer(inputCol="pair_text", outputCol="tokens"),
+            HashingTF(inputCol="tokens", outputCol="tf", numFeatures=num_features),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=max_iter, labelCol="label", featuresCol="features"),
+        ]
+    )
+
+
+def prepare_pairs(df: DataFrame, question_col: str, text_col: str, label_col: str) -> DataFrame:
+    """Text-pair input prep: the FARM processor concatenates the pair with a
+    separator (max_seq_len truncation is the tokenizer's job downstream)."""
+    return df.select(
+        F.concat_ws(" [SEP] ", F.col(question_col), F.col(text_col)).alias("pair_text"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+
+
+def train_relevance(train_df: DataFrame, **kwargs):
+    """M5 — fit the baseline relevance classifier."""
+    return make_relevance_pipeline(**kwargs).fit(train_df)
+
+
+def confusion_metrics(scored: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> DataFrame:
+    """M9 — accuracy/precision/recall/F1 from one confusion aggregate."""
+    agg = scored.agg(
+        F.count(F.when((F.col(pred_col) == 1) & (F.col(label_col) == 1), 1)).alias("tp"),
+        F.count(F.when((F.col(pred_col) == 1) & (F.col(label_col) == 0), 1)).alias("fp"),
+        F.count(F.when((F.col(pred_col) == 0) & (F.col(label_col) == 1), 1)).alias("fn"),
+        F.count(F.when((F.col(pred_col) == 0) & (F.col(label_col) == 0), 1)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    precision = tp / F.greatest(tp + fp, F.lit(1))
+    recall = tp / F.greatest(tp + fn, F.lit(1))
+    return agg.select(
+        ((tp + tn) / F.greatest(tp + fp + fn + tn, F.lit(1))).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        (2 * precision * recall / F.greatest(precision + recall, F.lit(1e-9))).alias("f1"),
+    )
+
+
+def cross_validate(
+    df: DataFrame, key_col: str, n_folds: int = 3, **pipeline_kwargs
+) -> list[dict]:
+    """M7 — k-fold CV with hash-assigned folds (reproducible under any
+    partitioning; the reference's DataSiloForCrossVal becomes a bucket
+    column + two filters per fold)."""
+    folded = df.withColumn("fold", bucket_of(F.col(key_col), n_folds, salt="cv"))
+    results = []
+    for fold in range(n_folds):
+        train = folded.filter(F.col("fold") != fold).drop("fold")
+        test = folded.filter(F.col("fold") == fold).drop("fold")
+        model = train_relevance(train, **pipeline_kwargs)
+        metrics = confusion_metrics(model.transform(test)).first().asDict()
+        metrics["fold"] = fold
+        results.append(metrics)
+    return results
+
+
+def span_overlap_f1(pred: str, gold: str) -> float:
+    """M9 — relaxed span-overlap F1 between a predicted and gold answer
+    (token-level overlap, the SQuAD metric core; qa_metrics.py:8-81)."""
+    p_toks = pred.split() if pred else []
+    g_toks = gold.split() if gold else []
+    if not p_toks and not g_toks:
+        return 1.0
+    if not p_toks or not g_toks:
+        return 0.0
+    common = 0
+    g_counts: dict[str, int] = {}
+    for t in g_toks:
+        g_counts[t] = g_counts.get(t, 0) + 1
+    for t in p_toks:
+        if g_counts.get(t, 0) > 0:
+            common += 1
+            g_counts[t] -= 1
+    if common == 0:
+        return 0.0
+    precision = common / len(p_toks)
+    recall = common / len(g_toks)
+    return 2 * precision * recall / (precision + recall)
+
+
+@F.pandas_udf(DoubleType())
+def span_f1_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    return pd.Series([span_overlap_f1(p, g) for p, g in zip(pred, gold)])
+
+
+def qa_eval(scored: DataFrame, pred_col: str = "final_answer", gold_col: str = "gold_answer") -> DataFrame:
+    """M9 — corpus-level QA evaluation: exact match + mean span-overlap F1,
+    with the answerable/unanswerable breakdown
+    (qa_metrics.py:44-81 shape).  Span F1 runs as a pandas UDF."""
+    em = (F.col(pred_col) == F.col(gold_col)).cast("double")
+    answerable = (F.col(gold_col) != "no_answer").alias("answerable")
+    return (
+        scored.withColumn("em", em)
+        .withColumn("span_f1", span_f1_udf(F.col(pred_col), F.col(gold_col)))
+        .withColumn("answerable", answerable)
+        .groupBy("answerable")
+        .agg(
+            F.round(F.avg("em"), 6).alias("exact_match"),
+            F.round(F.avg("span_f1"), 6).alias("mean_f1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

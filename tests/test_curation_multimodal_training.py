@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.curation import (
+    answer_containment_join,
+    extra_answerable_join,
+    find_answer_start_udf,
+    negative_sample,
+    valid_pair_filter,
+)
+from aicoe_osc_demo_spark.operators.multimodal import (
+    extract_features,
+    media_from_text,
+    media_metadata,
+)
+from aicoe_osc_demo_spark.training import (
+    confusion_metrics,
+    cross_validate,
+    prepare_pairs,
+    qa_eval,
+    span_overlap_f1,
+    train_relevance,
+)
+
+
+def test_find_answer_start_semantics(spark):
+    # base_kpi_inference_curator.py:129-156 golden cases
+    df = spark.createDataFrame(
+        [
+            ("cat", "the cat sat cat"),        # two matches
+            ("0", "year 2016 had 0 incidents"),  # numeric boundary: not in 2016
+            ("cat", "cat at offset zero"),     # 0-offset shifted to 1
+            ("dog", "no match here"),
+        ],
+        ["answer", "text"],
+    )
+    out = df.select(find_answer_start_udf("answer", "text").alias("s")).collect()
+    assert out[0].s == [4, 12]
+    assert out[1].s == [14]          # only the standalone 0
+    assert out[2].s == [1]           # FARM workaround: 0 → 1
+    assert out[3].s == []
+
+
+def test_valid_pair_filter(spark):
+    df = spark.createDataFrame([(1, "k1", "TEXT"), (2, "k1", "TABLE"), (3, "k2", "TEXT")],
+                               ["id", "kpi", "dt"])
+    dim = spark.createDataFrame([("k1", ["TEXT"]), ("k2", ["TEXT", "TABLE"])],
+                                ["kpi", "allowed"])
+    out = {r.id for r in valid_pair_filter(df, dim, "kpi", "dt").collect()}
+    assert out == {1, 3}
+
+
+def test_answer_containment_and_extra_answerable(spark):
+    ann = spark.createDataFrame([(1, "p1", "green energy")], ["qid", "pdf", "answer"])
+    par = spark.createDataFrame(
+        [(10, "p1", "we invest in green energy daily"), (11, "p1", "nothing relevant")],
+        ["cid", "pdf", "text"],
+    )
+    out = answer_containment_join(ann, par, on=["pdf"]).collect()
+    assert len(out) == 1 and out[0].cid == 10
+
+    ann2 = spark.createDataFrame([(1, "p1", 1, "solar")], ["ann_id", "source", "page", "answer"])
+    par2 = spark.createDataFrame(
+        [("p1", 1, "solar on same page"), ("p1", 2, "solar on another page"), ("p1", 3, "none")],
+        ["source", "page", "text"],
+    )
+    extra = extra_answerable_join(
+        ann2.select("ann_id", "source", "page", "answer"),
+        par2, doc_key="source", page_col="page",
+    ).collect()
+    assert len(extra) == 1 and extra[0]["text"] == "solar on another page"
+
+
+def test_negative_sample_deterministic(spark):
+    pos = spark.createDataFrame([("q1",), ("q2",)], ["q"])
+    pool = spark.range(100).withColumnRenamed("id", "doc_id")
+    s1 = sorted((r.q, r.doc_id) for r in negative_sample(pos, pool, ["q"], "doc_id", 3).collect())
+    s2 = sorted(
+        (r.q, r.doc_id)
+        for r in negative_sample(pos, pool.repartition(9), ["q"], "doc_id", 3).collect()
+    )
+    assert s1 == s2
+    assert len(s1) == 6
+    # different groups get different negatives (hash includes the group)
+    assert {d for q, d in s1 if q == "q1"} != {d for q, d in s1 if q == "q2"}
+
+
+def test_multimodal_pipeline(spark):
+    docs = spark.createDataFrame([(0, "some text"), (1, "other bytes")], ["doc_id", "text"])
+    media = media_from_text(docs)
+    assert dict(media.dtypes)["content"] == "binary"
+    meta = {r.media_id: r for r in media_metadata(media).collect()}
+    assert meta[0].n_bytes == len("some text")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[0].content_md5 == meta[0].content_md5
+    assert 64 <= feats[0].width < 256 and 0.0 <= feats[0].mean_intensity <= 1.0
+    # deterministic stub: same bytes → same features
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert again[0].width == feats[0].width
+
+
+def test_training_pipeline_and_cv(spark):
+    rows = [(i, "has spark word" if i % 2 else "plain text only", i % 2) for i in range(80)]
+    df = spark.createDataFrame(rows, ["id", "text", "label"])
+    pairs = prepare_pairs(
+        df.withColumn("q", F.lit("mentions spark?")), "q", "text", "label"
+    )
+    model = train_relevance(pairs, max_iter=10)
+    m = confusion_metrics(model.transform(pairs)).first()
+    assert m.accuracy > 0.9  # separable toy task
+    folds = cross_validate(df.withColumn("q", F.lit("q")).select(
+        "id", F.concat_ws(" [SEP] ", "q", "text").alias("pair_text"),
+        F.col("label").cast("double").alias("label")), "id", n_folds=2, max_iter=10)
+    assert len(folds) == 2 and all(0 <= f["f1"] <= 1 for f in folds)
+
+
+def test_span_overlap_f1_and_qa_eval(spark):
+    assert span_overlap_f1("scope one emissions", "scope one emissions") == 1.0
+    assert span_overlap_f1("scope one", "scope one emissions") > 0.5
+    assert span_overlap_f1("unrelated", "scope one emissions") == 0.0
+    assert span_overlap_f1("", "") == 1.0
+    scored = spark.createDataFrame(
+        [("a b c", "a b c"), ("a b", "a b c"), ("no_answer", "no_answer")],
+        ["final_answer", "gold_answer"],
+    )
+    out = {r.answerable: r for r in qa_eval(scored).collect()}
+    assert out[False].exact_match == 1.0
+    assert 0 < out[True].mean_f1 <= 1.0
