@@ -1,0 +1,204 @@
+"""Document-extraction stages (S1-S4 of SURVEY.md §2.1) over the binaryFile
+source.
+
+Reference semantics being re-expressed:
+
+- S1 ``extract_pdf_by_page``: pdfminer per-page text, paragraphs split on
+  blank lines, paragraphs with fewer than ``min_paragraph_length`` (30)
+  alphabetic chars dropped
+  (ref: /root/reference/src/components/preprocessing/pdf_text_extractor.py:54-117;
+  threshold notebooks/demo2/settings.yaml:13).
+- S2 ``run_folder``: rglob *.pdf, optional semi-join against the annotation
+  workbooks' source_file column, skip-already-processed
+  (ref: pdf_text_extractor.py:129-191).
+- S3 table-detector scan: per-page bbox inference at threshold 0.85
+  (ref: pdf_table_extractor.py:149-213, config notebooks/demo2/config.py:46-52).
+- S4 table-area extraction: per-bbox cell grid; the reference's
+  multiprocessing.Pool disappears — Spark partitioning IS the pool
+  (ref: pdf_table_extractor.py:97-147,215-260).
+
+pdfminer / CascadeTabNet / tabula are NOT in this container, so the decoders
+are deterministic stubs behind try-imports: bytes are decoded as utf-8 with
+pages split on form-feed and paragraphs on blank lines, and the bbox
+"model" derives pseudo-boxes from a content hash.  The Spark plumbing —
+binaryFile scan, mapInPandas batching, schema, candidate-pruned joins — is
+the production shape; swapping in the real libraries changes only the
+``_decode_*`` internals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real extractor if the container has it
+    from pdfminer.high_level import extract_text as _pdfminer_extract  # type: ignore
+
+    HAVE_PDFMINER = True
+except Exception:  # pragma: no cover
+    HAVE_PDFMINER = False
+
+PARAGRAPH_SCHEMA = StructType(
+    [
+        StructField("pdf_name", StringType()),
+        StructField("page", IntegerType()),
+        StructField("paragraph", StringType()),
+    ]
+)
+
+BBOX_SCHEMA = StructType(
+    [
+        StructField("pdf_name", StringType()),
+        StructField("page", IntegerType()),
+        StructField("table_index", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+CELLS_SCHEMA = StructType(
+    [
+        StructField("pdf_name", StringType()),
+        StructField("page", IntegerType()),
+        StructField("table_index", IntegerType()),
+        StructField("cells", ArrayType(ArrayType(StringType()))),
+    ]
+)
+
+
+def _decode_pages(content: bytes) -> list[str]:
+    """STUB pdfminer: utf-8 decode, pages on form-feed.  Real impl would call
+    pdfminer per page (S1)."""
+    if HAVE_PDFMINER:  # pragma: no cover - not in this container
+        return _pdfminer_extract(content).split("\f")
+    return content.decode("utf-8", errors="replace").split("\f")
+
+
+def _alpha_len(s: str) -> int:
+    return sum(1 for ch in s if ch.isalpha())
+
+
+def extract_text(
+    binary_df: DataFrame, min_paragraph_length: int = 30
+) -> DataFrame:
+    """S1 — binary documents → long (pdf_name, page, paragraph) DataFrame.
+
+    Paragraphs split on blank lines; paragraphs with fewer than
+    ``min_paragraph_length`` alphabetic characters dropped — exactly the
+    reference filter (pdf_text_extractor.py:72-77).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            names, pages, paras = [], [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path.rsplit("/", 1)[-1]
+                for pno, page_text in enumerate(_decode_pages(bytes(content))):
+                    for para in page_text.split("\n\n"):
+                        para = para.strip()
+                        if _alpha_len(para) >= min_paragraph_length:
+                            names.append(name)
+                            pages.append(pno)
+                            paras.append(para)
+            yield pd.DataFrame({"pdf_name": names, "page": pages, "paragraph": paras})
+
+    return binary_df.select("path", "content").mapInPandas(batches, schema=PARAGRAPH_SCHEMA)
+
+
+def detect_tables(
+    paragraphs: DataFrame, score_threshold: float = 0.85
+) -> DataFrame:
+    """S3 — table-detector scan.  The CascadeTabNet model is stubbed with a
+    deterministic content-hash pseudo-detector (same interface: per-page
+    candidate boxes with confidence, thresholded at 0.85)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in BBOX_SCHEMA.fields}
+            for name, page, para in zip(pdf["pdf_name"], pdf["page"], pdf["paragraph"]):
+                digest = hashlib.md5(f"{name}|{page}|{para}".encode()).digest()
+                score = digest[0] / 255.0
+                rows["pdf_name"].append(name)
+                rows["page"].append(page)
+                rows["table_index"].append(digest[1] % 3)
+                rows["x0"].append(float(digest[2]))
+                rows["y0"].append(float(digest[3]))
+                rows["x1"].append(float(digest[2]) + 100.0)
+                rows["y1"].append(float(digest[3]) + 50.0)
+                rows["score"].append(score)
+            yield pd.DataFrame(rows)
+
+    boxes = (
+        paragraphs.groupBy("pdf_name", "page")
+        .agg(F.concat_ws("\n\n", F.collect_list("paragraph")).alias("paragraph"))
+        .mapInPandas(batches, schema=BBOX_SCHEMA)
+    )
+    return boxes.filter(F.col("score") >= score_threshold)
+
+
+def extract_table_cells(paragraphs: DataFrame, bboxes: DataFrame) -> DataFrame:
+    """S4 — per-bbox table-area extraction (tabula stub): the candidate join
+    on (pdf_name, page) prunes the work; the cell grid is a deterministic
+    2-column reshape of the page tokens.  The reference's
+    multiprocessing.Pool(cpu_count()-1) is replaced by partitioning."""
+    pages = paragraphs.groupBy("pdf_name", "page").agg(
+        F.concat_ws(" ", F.collect_list("paragraph")).alias("page_text")
+    )
+    cand = bboxes.join(pages, on=["pdf_name", "page"])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in CELLS_SCHEMA.fields}
+            for name, page, ti, text in zip(
+                pdf["pdf_name"], pdf["page"], pdf["table_index"], pdf["page_text"]
+            ):
+                toks = text.split(" ")[:8]
+                cells = [toks[i : i + 2] for i in range(0, len(toks), 2)]
+                out["pdf_name"].append(name)
+                out["page"].append(page)
+                out["table_index"].append(ti)
+                out["cells"].append(cells)
+            yield pd.DataFrame(out)
+
+    return cand.select("pdf_name", "page", "table_index", "page_text").mapInPandas(
+        batches, schema=CELLS_SCHEMA
+    )
+
+
+def run_folder(
+    spark: SparkSession,
+    input_dir: str,
+    annotated_names: DataFrame | None = None,
+    processed: DataFrame | None = None,
+    min_paragraph_length: int = 30,
+    glob: str = "*.pdf",
+) -> DataFrame:
+    """S2 + P10 — the folder-scan driver: binaryFile scan, optional left-semi
+    join against annotation source_file names, anti-join against the
+    processed ledger, then S1 extraction (pdf_text_extractor.py:129-191)."""
+    from .files import read_binary_docs
+
+    docs = read_binary_docs(spark, input_dir, glob).withColumn(
+        "pdf_name", F.element_at(F.split(F.col("path"), "/"), -1)
+    )
+    if annotated_names is not None:
+        docs = docs.join(F.broadcast(annotated_names), on="pdf_name", how="left_semi")
+    if processed is not None:
+        docs = docs.join(processed.select("pdf_name").distinct(), on="pdf_name", how="left_anti")
+    return extract_text(docs, min_paragraph_length)

@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the properties that decide whether a plan
+survives a 100 TB scale-up: filters/projections pushed into the parquet scan,
+dimension joins broadcast, no CartesianProduct anywhere, window top-k not
+degenerating into a global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aicoe_osc_demo_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def explain(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_projection_pruned_to_scan(spark):
+    plan = explain(QUERIES["proj_select_columns"](spark, SF_DIR))
+    # only the 3 selected columns reach the parquet reader
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read_schema and "p_brand" in read_schema
+    assert "p_name" not in read_schema and "p_type" not in read_schema
+
+
+def test_filter_pushed_down(spark):
+    plan = explain(QUERIES["filter_conjunctive"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_broadcast_dim_joins(spark):
+    plan = explain(QUERIES["join_broadcast_dims"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    plan = explain(QUERIES["join_multiway_revenue_by_nation"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_join_is_broadcast_not_cartesian(spark):
+    plan = explain(QUERIES["join_cross_small"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "llm_minhash_lsh_pairs",
+        "llm_ngram_jaccard_pairs",
+        "llm_cosine_topk",
+        "llm_ann_lsh_topk",
+        "llm_simhash_pairs",
+        "llm_fuzzy_jaccard_join",
+        "curation_negative_sample",
+        "ml_relevance_inference",
+    ],
+)
+def test_no_cartesian_product(spark, name):
+    # candidate generation must be an equi-join (band/bucket/block key) or an
+    # explicit broadcast fan-out — never a shuffled all-pairs product
+    plan = explain(QUERIES[name](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregates_have_partial_combine(spark):
+    # map-side partial aggregation: two HashAggregate levels around the
+    # exchange (Catalyst's partial/final split)
+    plan = explain(QUERIES["agg_pricing_summary"](spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_on_core_path(spark):
+    df = QUERIES["agg_pricing_summary"](spark, SF_DIR)
+    df.count()  # finalize the AQE plan so codegen spans are visible
+    plan = explain(df, "formatted")
+    assert "WholeStageCodegen" in plan
