@@ -84,7 +84,12 @@ def test_aggregates_have_partial_combine(spark):
 
 
 def test_whole_stage_codegen_on_core_path(spark):
-    df = QUERIES["agg_pricing_summary"](spark, SF_DIR)
-    df.count()  # finalize the AQE plan so codegen spans are visible
-    plan = explain(df, "formatted")
-    assert "WholeStageCodegen" in plan
+    # AQE wraps the plan until runtime; disable it for this assertion so the
+    # codegen spans are visible in the static plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain(QUERIES["agg_pricing_summary"](spark, SF_DIR), "formatted")
+        # whole-stage codegen spans show as "[codegen id : N]" in formatted mode
+        assert "codegen id" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
