@@ -104,6 +104,39 @@ def stub_qa_answers(pairs: DataFrame, question_col: str = "question", text_col: 
     return pairs.mapInPandas(score_batches, schema=out_schema)
 
 
+def infer_single_pair(spark, text: str, question: str) -> dict:
+    """M3 — single-pair ad-hoc inference (ref: relevance_infer.py:240-246
+    run_text / text_kpi_infer.py:70-82 infer_on_dict): the same scoring stage
+    applied to a 1-row DataFrame."""
+    df = spark.createDataFrame([(question, text)], ["question", "text"])
+    row = stub_qa_answers(df).first()
+    return {
+        "answer": row.answer,
+        "score": row.score,
+        "no_ans_score": row.no_ans_score,
+    }
+
+
+def infer_from_squad(squad: DataFrame, top_k: int = 4) -> DataFrame:
+    """M4 — SQuAD-file inference (ref: text_kpi_infer.py:84-105): flatten the
+    nested SQuAD structure back to (context, question, id) rows, run the QA
+    stage, rank per question id."""
+    flat = (
+        squad.select(F.col("title"), F.explode("paragraphs").alias("p"))
+        .select("title", F.col("p.context").alias("text"), F.explode("p.qas").alias("qa"))
+        .select(
+            "title",
+            "text",
+            F.col("qa.question").alias("question"),
+            F.col("qa.id").alias("example_id"),
+        )
+    )
+    answered = stub_qa_answers(flat)
+    return top_k_per_group(
+        answered, ["example_id"], F.col("score"), top_k, tiebreak=["text"]
+    ).select("example_id", "question", "answer", F.round("score", 6).alias("score"))
+
+
 def relevance_pipeline(
     paragraphs: DataFrame, questions: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

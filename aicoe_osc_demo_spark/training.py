@@ -96,6 +96,31 @@ def cross_validate(
     return results
 
 
+def grid_search(
+    df: DataFrame,
+    key_col: str,
+    param_grid: list[dict] | None = None,
+    n_folds: int = 2,
+) -> dict:
+    """M8 — hyperparameter tuning (ref: src/models/trainer_optuna.py:14-120):
+    the Optuna trial loop becomes a deterministic grid over the MLlib
+    estimator params, each trial evaluated with hash-fold CV; best trial by
+    mean F1.  (Optuna-style pruning is a driver-side concern — each trial is
+    already a Spark job.)"""
+    param_grid = param_grid or [
+        {"num_features": 1 << 12, "max_iter": 10},
+        {"num_features": 1 << 14, "max_iter": 10},
+    ]
+    best = None
+    for params in param_grid:
+        folds = cross_validate(df, key_col, n_folds=n_folds, **params)
+        mean_f1 = sum(f["f1"] for f in folds) / len(folds)
+        trial = {"params": params, "mean_f1": mean_f1, "folds": folds}
+        if best is None or mean_f1 > best["mean_f1"]:
+            best = trial
+    return best
+
+
 def span_overlap_f1(pred: str, gold: str) -> float:
     """M9 — relaxed span-overlap F1 between a predicted and gold answer
     (token-level overlap, the SQuAD metric core; qa_metrics.py:8-81)."""

@@ -36,6 +36,12 @@ HEADLINE = [
     # stub-model inference dataflow
     "ml_relevance_inference",
     "ml_qa_inference_topk",
+    # curation + advanced relational
+    "curation_negative_sample",
+    "curation_answer_containment",
+    "agg_rollup_revenue",
+    "window_running_sum",
+    "multimodal_metadata",
 ]
 
 

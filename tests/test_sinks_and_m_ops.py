@@ -1,0 +1,85 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.functions.schema import schema_ddl
+from aicoe_osc_demo_spark.operators.inference import infer_from_squad, infer_single_pair
+from aicoe_osc_demo_spark.operators.reshape import nest_to_squad
+from aicoe_osc_demo_spark.sources.files import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_table,
+)
+from aicoe_osc_demo_spark.training import grid_search
+
+
+def test_csv_json_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["id", "s", "v"])
+    for writer, reader, sub in [
+        (write_csv, lambda s, p: read_csv(s, p, "id long, s string, v double"), "csv"),
+        (write_json, lambda s, p: read_json(s, p, "id long, s string, v double"), "json"),
+        (write_parquet, read_parquet, "parquet"),
+    ]:
+        path = str(tmp_path / sub)
+        writer(df, path)
+        back = reader(spark, path)
+        assert sorted((r.id, r.s, r.v) for r in back.collect()) == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_write_table_parquet_and_orc(spark, tmp_path):
+    # S8/S9 — CTAS table sinks (the Trino CREATE TABLE ... WITH(format=...)
+    # + batched INSERT path collapses into saveAsTable)
+    df = spark.createDataFrame([(1, "x")], ["id", "name"])
+    for fmt in ("parquet", "orc"):
+        name = f"t_{fmt}"
+        write_table(df, name, fmt=fmt, path=str(tmp_path / name))
+        back = spark.table(name)
+        assert back.collect()[0].name == "x"
+        prov = back._jdf.queryExecution().optimizedPlan().toString()
+        spark.sql(f"DROP TABLE {name}")
+
+
+def test_schema_ddl(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], ["id", "s", "v"])
+    ddl = schema_ddl(df)
+    assert "id BIGINT" in ddl and "s STRING" in ddl and "v DOUBLE" in ddl
+
+
+def test_infer_single_pair(spark):
+    out = infer_single_pair(spark, "some paragraph about climate", "What is X?")
+    assert out["answer"] == "some paragraph about climate"  # first 8 tokens
+    expected = ((31 * len("some paragraph about climate") + 17 * len("What is X?")) % 1000) / 1000.0
+    assert out["score"] == expected
+
+
+def test_infer_from_squad_roundtrip(spark):
+    flat = spark.createDataFrame(
+        [
+            ("f1", "context alpha beta gamma delta", "What is alpha?", "id1", "alpha", [8]),
+            ("f1", "context epsilon zeta eta theta", "What is zeta?", "id2", "zeta", [16]),
+        ],
+        ["source_file", "context", "question", "example_id", "answer", "answer_start"],
+    )
+    squad = nest_to_squad(flat)
+    preds = infer_from_squad(squad, top_k=1).collect()
+    assert {r.example_id for r in preds} == {"id1", "id2"}
+    assert all(r.answer for r in preds)
+
+
+def test_grid_search_picks_best(spark):
+    rows = [(i, ("spark " * 5 if i % 2 else "plain words here"), i % 2) for i in range(60)]
+    df = (
+        spark.createDataFrame(rows, ["id", "text", "label"])
+        .select(
+            "id",
+            F.concat_ws(" [SEP] ", F.lit("q"), "text").alias("pair_text"),
+            F.col("label").cast("double").alias("label"),
+        )
+    )
+    best = grid_search(df, "id", param_grid=[{"max_iter": 5}, {"max_iter": 10}], n_folds=2)
+    assert 0.5 < best["mean_f1"] <= 1.0
+    assert "params" in best and len(best["folds"]) == 2
