@@ -142,8 +142,15 @@ def relevance_pipeline(
 ) -> DataFrame:
     """M1 end-to-end (ref: relevance_infer.py:95-143,196-231): cartesian
     fan-out of questions × paragraphs (question side broadcast — it is a
-    KPI-dictionary-sized dimension), score, keep positives."""
-    pairs = paragraphs.crossJoin(F.broadcast(questions))
+    KPI-dictionary-sized dimension), score, keep positives.
+
+    The paragraph side is repartitioned to the cluster's parallelism before
+    the Python scoring stage: a single parquet file otherwise yields one
+    partition and the model stage runs on one core — the shuffle of (id,
+    text) rows is orders of magnitude cheaper than serializing inference.
+    """
+    sc = paragraphs.sparkSession.sparkContext
+    pairs = paragraphs.repartition(sc.defaultParallelism).crossJoin(F.broadcast(questions))
     scored = stub_relevance_scores(pairs)
     return scored.filter(F.col("score") >= threshold)
 

@@ -91,6 +91,72 @@ def lsh_bucket(vec, planes: list[list[float]]):
     return bucket.cast("int")
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: the corpus is pre-bucketed by a coarse quantizer (here
+    the ``label`` column stands in for a k-means assignment — at 100 TB you
+    train centroids offline and persist the assignment as a partition
+    column).  Centroids are computed per bucket, each query probes its
+    ``nprobe`` nearest centroids, and exact cosine runs only within the
+    probed buckets.
+
+    Scale shape: the corpus scan is pruned to nprobe/nlist of the data when
+    the bucket is a partition column; centroids are a tiny broadcast.
+    """
+    from .relational import top_k_per_group
+
+    # centroid per bucket: element-wise mean via posexplode + groupBy(label, pos)
+    exploded = corpus.select(
+        F.col(label_col).alias("bucket"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    cent = (
+        exploded.groupBy("bucket", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("bucket", F.transform("s", lambda x: x["cv"]).alias("centroid"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # assign each query to its nprobe nearest centroids (tiny cross: queries
+    # and centroid table are both broadcast-sized)
+    probe = top_k_per_group(
+        q.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "bucket",
+            (_dot(F.col("qv"), F.col("centroid"))
+             / (_norm(F.col("qv")) * _norm(F.col("centroid")))).alias("csim"),
+        ),
+        ["query_id"],
+        F.col("csim"),
+        nprobe,
+        tiebreak=["bucket"],
+    ).select("query_id", "qv", "bucket")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("bucket"),
+    )
+    cand = c.join(F.broadcast(probe), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6).alias(
+            "cosine"
+        ),
+    )
+    return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

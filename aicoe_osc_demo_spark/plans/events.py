@@ -74,6 +74,40 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    # Islands formulation of Spark's session_window merge rule: a new session
+    # starts when the microsecond gap to the previous event is >= the 30-min
+    # gap duration (Spark merges while next.ts < prev.ts + gap).
+    """
+    WITH d AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id, ts, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session windows (gap 30 min) — the streaming-compatible form of
+    # sessionization; identical semantics on batch.
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@register(
     "events_daily_type_matrix",
     """
     SELECT date_trunc('day', ts) AS day, event_type,

@@ -223,6 +223,18 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+@register("llm_ivf_topk")
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-style ANN: label column as the coarse quantizer bucket, centroid
+    # probe (nprobe=2), exact cosine within probed buckets only.  Rows-only
+    # check; recall vs brute force asserted in tests.
+    from ..operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, nprobe=2)
+
+
 @register("llm_ann_lsh_topk")
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane-LSH approximate ANN: bucket equi-join + 1-bit-flip probes,

@@ -334,6 +334,28 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[^A-Za-z\\s]')) AS INT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token counting for data budgeting: whitespace tokens + a BPE-ish regex
+    # estimate (greedy <=4-letter chunks + non-letter symbols) — the cheap
+    # proxy pipelines use before a real tokenizer pass.
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]{1,4}|[^A-Za-z\s]"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+@register(
     "text_fingerprint",
     """
     SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
