@@ -69,7 +69,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     would use ``session_window``/``applyInPandasWithState``; batch form is a
     lag + running-sum window — one shuffle on user_id."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # ts may be TIMESTAMP or TIMESTAMP_NTZ; route through timestamp so the
+    # epoch-seconds cast works for both (session TZ is pinned UTC upstream)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     return (
         events.withColumn("new_session", new_session)
