@@ -18,6 +18,8 @@ from .text import (
     get_pdf_name_right,
     add_pdf_extension,
     clean_page,
+    clean_paragraph,
+    clean_paragraph_py,
     parse_string_list,
     year_in_question,
     page_shift,
@@ -45,6 +47,8 @@ __all__ = [
     "get_pdf_name_right",
     "add_pdf_extension",
     "clean_page",
+    "clean_paragraph",
+    "clean_paragraph_py",
     "parse_string_list",
     "year_in_question",
     "page_shift",

@@ -72,13 +72,21 @@ def str_w_spaces_to_numeric(c: Column) -> Column:
 
 
 def get_pdf_name_right(c: Column) -> Column:
-    """F6 — repair messy pdf filenames: ``,pdf`` typo, doubled extension,
-    missing extension, stray whitespace
-    (ref: /root/reference/src/components/utils/qa_utils.py:76-87)."""
-    c = F.trim(c)
-    c = F.regexp_replace(c, ",pdf$", ".pdf")
-    c = F.regexp_replace(c, "(\\.pdf)+$", ".pdf")
-    return F.when(c.rlike("\\.pdf$"), c).otherwise(F.concat(c, F.lit(".pdf")))
+    """F6 — repair messy pdf filenames, replicating
+    /root/reference/src/components/utils/qa_utils.py:76-87 EXACTLY:
+
+    - endswith ".pdf"  → everything before the FIRST ".pdf", trimmed, + ".pdf"
+      (so "a.pdf.pdf" → "a.pdf", and "a.pdfX.pdf" → "a.pdf" — quirk kept);
+    - endswith ",pdf"  → before the FIRST ",pdf", trimmed, + ".pdf";
+    - otherwise        → trimmed + ".pdf" (so " x.pdf " → "x.pdf.pdf",
+      because the reference tests endswith on the UNtrimmed name — quirk
+      kept).
+    """
+    return (
+        F.when(c.rlike("\\.pdf$"), F.concat(F.trim(F.substring_index(c, ".pdf", 1)), F.lit(".pdf")))
+        .when(c.rlike(",pdf$"), F.concat(F.trim(F.substring_index(c, ",pdf", 1)), F.lit(".pdf")))
+        .otherwise(F.concat(F.trim(c), F.lit(".pdf")))
+    )
 
 
 def add_pdf_extension(c: Column) -> Column:
@@ -88,8 +96,64 @@ def add_pdf_extension(c: Column) -> Column:
 
 def clean_page(c: Column) -> Column:
     """F7 — ``"[1, 02]"`` → ``[1, 2]``; null if not bracketed
-    (ref: qa_utils.py:93-98)."""
-    return F.when(c.rlike("^\\[.*\\]$"), F.from_json(c, "array<int>")).otherwise(F.lit(None))
+    (ref: qa_utils.py:93-98 — the reference int-normalizes each
+    comma-separated element, which also fixes zero-padded pages like '02'
+    that strict JSON parsing would reject)."""
+    inner = F.regexp_replace(c, "^\\[|\\]$", "")
+    parsed = F.transform(F.split(inner, ","), lambda x: F.trim(x).cast("int"))
+    return F.when(c.rlike("^\\[.*\\]$"), parsed).otherwise(F.lit(None))
+
+
+def clean_paragraph_py(r: str | None) -> list[str] | None:
+    """F9 — the KPI curator's quirky relevant-paragraphs parser
+    (ref: kpi_inference_curator.py:194-271), reimplemented to its intent:
+
+    - strip; repair single bracket/brace typos ('{'/']' opener → '[',
+      '}'/'[' closer → ']');
+    - reject (None) anything still not '[...]'-delimited;
+    - drop the '["' / '"]' framing and split the body on BOTH paragraph
+      delimiters '", "' and '","' in position order.
+
+    The reference merges the two delimiter streams with a two-pointer loop
+    (which crashes when one stream exhausts first — a latent bug); the
+    position-ordered regex alternation produces the same segments on every
+    input the reference survives.
+    """
+    if r is None:
+        return None
+    strp = r.strip()
+    if not strp:
+        return None
+    if strp[0] in "{]":
+        strp = "[" + strp[1:]
+    elif strp[-1] in "}[":
+        strp = strp[:-1] + "]"
+    if not (strp.startswith("[") and strp.endswith("]")):
+        return None
+    import re as _re
+
+    return _re.split('", "|","', strp[2:-2])
+
+
+def clean_paragraph(c: Column) -> Column:
+    """F9 as a pure Column expression (same semantics as
+    ``clean_paragraph_py``).  The bracket-typo repair mirrors the
+    reference's if/elif: the closer is only repaired when the opener was
+    already fine."""
+    strp = F.trim(c)
+    head = F.substring(strp, 1, 1)
+    tail = strp.substr(F.length(strp), F.lit(1))
+    opener_bad = head.isin("{", "]")
+    closer_bad = tail.isin("}", "[")
+    fixed = (
+        F.when(opener_bad, F.concat(F.lit("["), strp.substr(F.lit(2), F.length(strp))))
+        .when(closer_bad, F.concat(strp.substr(F.lit(1), F.length(strp) - 1), F.lit("]")))
+        .otherwise(strp)
+    )
+    valid = fixed.rlike("^\\[") & fixed.rlike("\\]$")
+    body = fixed.substr(F.lit(3), F.greatest(F.length(fixed) - 4, F.lit(0)))
+    parts = F.split(body, '", "|","')
+    return F.when(valid & (F.length(strp) > 0), parts).otherwise(F.lit(None))
 
 
 def parse_string_list(c: Column) -> Column:

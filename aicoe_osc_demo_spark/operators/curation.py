@@ -37,33 +37,55 @@ def valid_pair_filter(
     )
 
 
+def find_answer_start(answer: str, text: str) -> list[int]:
+    """F11/J6 — all match offsets of answer in text, replicating
+    base_kpi_inference_curator.py:129-156 EXACTLY:
+
+    - only dots are escaped (the reference escapes '.' char-by-char, not
+      re.escape — other metacharacters pass through);
+    - purely numeric answers are guarded by a non-digit on EITHER side
+      (union of '[^0-9]ans' shifted +1 and 'ans[^0-9]'), so "0" does not
+      match inside "2016" but DOES match in "10a" (digit before, non-digit
+      after — the reference accepts one-sided boundaries);
+    - offsets are returned unshifted; the FARM 0-offset workaround lives in
+      ``farm_zero_shift`` (the reference applies it in the callers,
+      kpi_inference_curator.py:355-360, shifting ALL offsets).
+
+    The reference returns ``list(set(...))`` (arbitrary order); this sorts
+    for determinism.
+    """
+    if not answer or text is None:
+        return []
+    escaped = "".join("\\." if c == "." else c for c in answer)
+    try:
+        if answer.isnumeric():
+            m1 = [m.start() + 1 for m in re.finditer("[^0-9]" + escaped, text)]
+            m2 = [m.start() for m in re.finditer(escaped + "[^0-9]", text)]
+            return sorted(set(m1 + m2))
+        return sorted(m.start() for m in re.finditer(escaped, text))
+    except re.error:
+        # un-escaped metacharacters crash the reference; degrade to no-match
+        return []
+
+
 @F.pandas_udf(ArrayType(IntegerType()))
 def find_answer_start_udf(answer: pd.Series, text: pd.Series) -> pd.Series:
-    """F11/J6 — all match offsets of answer in text, replicating
-    base_kpi_inference_curator.py:129-156:
+    return pd.Series([find_answer_start(a, t) for a, t in zip(answer, text)])
 
-    - the answer is regex-escaped (F10) for literal matching;
-    - purely numeric answers are guarded by non-digit context so "0" does
-      not match inside "2016";
-    - a match at offset 0 is shifted to 1 by prepending a space upstream in
-      the reference (FARM bug workaround) — represented here by mapping
-      offset 0 → 1 exactly as the reference's downstream sees it.
-    """
 
-    def offsets(ans: str, txt: str) -> list[int]:
-        if not ans or txt is None:
-            return []
-        if ans.strip().isdigit():
-            pat = r"(?<![0-9])" + re.escape(ans) + r"(?![0-9])"
-        else:
-            pat = re.escape(ans)
-        out = []
-        for m in re.finditer(pat, txt):
-            start = m.start()
-            out.append(1 if start == 0 else start)
-        return out
-
-    return pd.Series([offsets(a, t) for a, t in zip(answer, text)])
+def farm_zero_shift(df: DataFrame, text_col: str, starts_col: str) -> DataFrame:
+    """The FARM-bug workaround (kpi_inference_curator.py:355-360): if any
+    offset is 0, prepend a space to the paragraph and shift ALL offsets +1.
+    Pure column expressions."""
+    has_zero = F.array_contains(F.col(starts_col), 0)
+    return df.withColumn(
+        text_col, F.when(has_zero, F.concat(F.lit(" "), F.col(text_col))).otherwise(F.col(text_col))
+    ).withColumn(
+        starts_col,
+        F.when(has_zero, F.transform(F.col(starts_col), lambda x: x + 1)).otherwise(
+            F.col(starts_col)
+        ),
+    )
 
 
 def answer_containment_join(

@@ -145,25 +145,24 @@ def text_numeric_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_filename_repair",
+    # Reference semantics exactly (qa_utils.py:76-87): first-".pdf" split for
+    # names already ending in .pdf; ",pdf" typo; otherwise trim + append.
     """
     SELECT doc_id,
       CASE
-        WHEN regexp_matches(fixed1, '\\.pdf$') THEN fixed1
-        ELSE fixed1 || '.pdf'
+        WHEN raw LIKE '%.pdf' THEN trim(split_part(raw, '.pdf', 1)) || '.pdf'
+        WHEN raw LIKE '%,pdf' THEN trim(split_part(raw, ',pdf', 1)) || '.pdf'
+        ELSE trim(raw) || '.pdf'
       END AS pdf_name
     FROM (
       SELECT doc_id,
-        regexp_replace(regexp_replace(trim(raw), ',pdf$', '.pdf'), '(\\.pdf)+$', '.pdf') AS fixed1
-      FROM (
-        SELECT doc_id,
-          CASE doc_id % 4
-            WHEN 0 THEN source || ',pdf'
-            WHEN 1 THEN source || '.pdf.pdf'
-            WHEN 2 THEN ' ' || source || ' '
-            ELSE source || '.pdf'
-          END AS raw
-        FROM documents
-      )
+        CASE doc_id % 4
+          WHEN 0 THEN source || ',pdf'
+          WHEN 1 THEN source || '.pdf.pdf'
+          WHEN 2 THEN ' ' || source || ' '
+          ELSE source || '.pdf'
+        END AS raw
+      FROM documents
     )
     """,
 )
@@ -181,20 +180,33 @@ def text_filename_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_clean_page",
+    # Includes the reference's zero-padded case ('[1, 02]') that strict JSON
+    # parsing would reject — each element is int-normalized (qa_utils.py:93-98).
     """
     SELECT doc_id,
-           CAST(('[' || CAST(doc_id % 10 AS VARCHAR) || ', ' || CAST(doc_id % 7 AS VARCHAR) || ']') AS INT[])[1] AS first_page,
-           CAST(len(CAST(('[' || CAST(doc_id % 10 AS VARCHAR) || ', ' || CAST(doc_id % 7 AS VARCHAR) || ']') AS INT[])) AS INT) AS n_pages
-    FROM documents
+           l[1] AS first_page,
+           l[2] AS second_page,
+           CAST(len(l) AS INT) AS n_pages
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               string_split(regexp_replace(raw, '^\\[|\\]$', '', 'g'), ','),
+               x -> CAST(trim(x) AS INT)) AS l
+      FROM (
+        SELECT doc_id,
+               '[' || CAST(doc_id % 10 AS VARCHAR) || ', 0' || CAST(doc_id % 7 AS VARCHAR) || ']' AS raw
+        FROM documents
+      )
+    )
     """,
 )
 def text_clean_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F7 — clean_page "[1, 2]" → [1, 2] (qa_utils.py:93-98).
+    # F7 — clean_page "[1, 02]" → [1, 2] (qa_utils.py:93-98).
     d = load(spark, sf_dir, "documents")
     raw = F.concat(
         F.lit("["),
         (F.col("doc_id") % 10).cast("string"),
-        F.lit(", "),
+        F.lit(", 0"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit("]"),
     )
@@ -202,6 +214,7 @@ def text_clean_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.element_at(pages, 1).alias("first_page"),
+        F.element_at(pages, 2).alias("second_page"),
         F.size(pages).alias("n_pages"),
     )
 
@@ -227,6 +240,74 @@ def text_parse_string_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(parsed).alias("n_items"),
         F.element_at(parsed, 1).alias("first_item"),
+    )
+
+
+@register(
+    "text_clean_paragraph",
+    # F9 — the KPI curator's quirky paragraph-list parser: bracket-typo
+    # repair (opener first, closer only if opener was fine), reject
+    # unparseable, drop the '["' '"]' framing, split the body on BOTH
+    # delimiters '", "' and '","' in position order.
+    """
+    SELECT doc_id,
+           CASE WHEN valid THEN CAST(len(parts) AS INT) ELSE NULL END AS n_parts,
+           CASE WHEN valid THEN parts[1] ELSE NULL END AS first_part
+    FROM (
+      SELECT doc_id, valid,
+             string_split_regex(substr(fixed, 3, greatest(length(fixed) - 4, 0)), '", "|","') AS parts
+      FROM (
+        SELECT doc_id,
+               fixed LIKE '[%' AND fixed LIKE '%]' AS valid,
+               fixed
+        FROM (
+          SELECT doc_id,
+            CASE
+              WHEN substr(raw, 1, 1) IN ('{', ']') THEN '[' || substr(raw, 2)
+              WHEN substr(raw, length(raw), 1) IN ('}', '[') THEN substr(raw, 1, length(raw) - 1) || ']'
+              ELSE raw
+            END AS fixed
+          FROM (
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN '["' || s1 || '", "' || s2 || '"]'
+                WHEN 1 THEN '{"' || s1 || '","' || s2 || '"]'
+                WHEN 2 THEN '["' || s1 || '", "' || s2 || '","' || s1 || '"['
+                ELSE 'garbage ' || s1
+              END AS raw
+            FROM (
+              SELECT doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS s1,
+                     array_to_string(list_slice(string_split(text, ' '), 3, 4), ' ') AS s2
+              FROM documents
+            )
+          )
+        )
+      )
+    )
+    """,
+)
+def text_clean_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_paragraph
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    s1 = F.array_join(F.slice(words, 1, 2), " ")
+    s2 = F.array_join(F.slice(words, 3, 2), " ")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit('["'), s1, F.lit('", "'), s2, F.lit('"]')))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit('{"'), s1, F.lit('","'), s2, F.lit('"]')))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit('["'), s1, F.lit('", "'), s2, F.lit('","'), s1, F.lit('"[')),
+        )
+        .otherwise(F.concat(F.lit("garbage "), s1))
+    )
+    parts = clean_paragraph(raw)
+    return d.select(
+        "doc_id",
+        F.size(parts).alias("n_parts"),
+        F.element_at(parts, 1).alias("first_part"),
     )
 
 

@@ -25,21 +25,34 @@ from aicoe_osc_demo_spark.training import (
 
 
 def test_find_answer_start_semantics(spark):
-    # base_kpi_inference_curator.py:129-156 golden cases
+    # base_kpi_inference_curator.py:129-156 golden cases, exact reference
+    # semantics: dot-only escaping, EITHER-side numeric boundary, no shift
+    from aicoe_osc_demo_spark.operators.curation import find_answer_start
+
+    assert find_answer_start("cat", "the cat sat cat") == [4, 12]
+    assert find_answer_start("0", "year 2016 had 0 incidents") == [14]
+    assert find_answer_start("0", "2016") == []          # inside a number
+    assert find_answer_start("0", "10a") == [1]          # one-sided boundary OK
+    assert find_answer_start("cat", "cat at offset zero") == [0]  # unshifted
+    assert find_answer_start("dog", "no match here") == []
+    assert find_answer_start("1.5", "rate 1.5 not 125") == [5]  # dot escaped
+
     df = spark.createDataFrame(
-        [
-            ("cat", "the cat sat cat"),        # two matches
-            ("0", "year 2016 had 0 incidents"),  # numeric boundary: not in 2016
-            ("cat", "cat at offset zero"),     # 0-offset shifted to 1
-            ("dog", "no match here"),
-        ],
-        ["answer", "text"],
+        [("cat", "cat sat cat", [0])], ["answer", "text", "ignored"]
+    ).select("answer", "text", find_answer_start_udf("answer", "text").alias("answer_start"))
+    assert df.first().answer_start == [0, 8]
+
+
+def test_farm_zero_shift(spark):
+    from aicoe_osc_demo_spark.operators.curation import farm_zero_shift
+
+    df = spark.createDataFrame(
+        [("cat sat", [0, 4]), ("x cat", [2])], ["text", "answer_start"]
     )
-    out = df.select(find_answer_start_udf("answer", "text").alias("s")).collect()
-    assert out[0].s == [4, 12]
-    assert out[1].s == [14]          # only the standalone 0
-    assert out[2].s == [1]           # FARM workaround: 0 → 1
-    assert out[3].s == []
+    out = {r.text: r.answer_start for r in farm_zero_shift(df, "text", "answer_start").collect()}
+    # kpi_inference_curator.py:355-360: space prepended, ALL offsets +1
+    assert out[" cat sat"] == [1, 5]
+    assert out["x cat"] == [2]  # untouched when no 0 offset
 
 
 def test_valid_pair_filter(spark):

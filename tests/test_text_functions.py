@@ -71,6 +71,9 @@ def test_str_w_spaces_to_numeric(spark):
         (" report ", "report.pdf"),
         ("report.pdf", "report.pdf"),
         ("report", "report.pdf"),
+        # reference quirks kept verbatim (qa_utils.py:76-87):
+        ("a.pdfX.pdf", "a.pdf"),        # first-".pdf" split discards the middle
+        (" x.pdf ", "x.pdf.pdf"),       # endswith tested before trimming
     ],
 )
 def test_get_pdf_name_right(spark, raw, expected):
@@ -80,7 +83,26 @@ def test_get_pdf_name_right(spark, raw, expected):
 
 def test_clean_page(spark):
     assert one(spark, clean_page(F.col("c")), "[1, 2]") == [1, 2]
+    assert one(spark, clean_page(F.col("c")), "[1, 02]") == [1, 2]  # zero-pad fix
     assert one(spark, clean_page(F.col("c")), "not pages") is None
+
+
+def test_clean_paragraph_reference_semantics(spark):
+    # kpi_inference_curator.py:194-271 golden cases
+    from aicoe_osc_demo_spark.functions import clean_paragraph, clean_paragraph_py
+
+    cases = {
+        '["p one", "p two"]': ["p one", "p two"],        # first delimiter
+        '["p one","p two"]': ["p one", "p two"],          # second delimiter
+        '["a", "b","c"]': ["a", "b", "c"],                # mixed, position order
+        '{"a","b"]': ["a", "b"],                          # opener typo repaired
+        '["a","b"}': ["a", "b"],                          # closer typo repaired
+        '["single para"]': ["single para"],
+        "not a list": None,
+    }
+    for raw, expected in cases.items():
+        assert clean_paragraph_py(raw) == expected, raw
+        assert one(spark, clean_paragraph(F.col("c")), raw) == expected, raw
 
 
 def test_parse_string_list_tolerant(spark):
