@@ -85,6 +85,29 @@ def write_table(
     writer.saveAsTable(name)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table sink — the co-located-join layout for 100 TB
+    fact tables: two tables bucketed on the same key with the same bucket
+    count join with NO exchange (and no sort when sort_col matches).  This
+    is the Spark answer to the reference's repeated Trino joins over the
+    same keys."""
+    writer = df.write.mode(mode).format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def read_binary_docs(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
     """S1/S2 folder scan: one row per document with its raw bytes.
 
