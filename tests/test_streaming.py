@@ -47,6 +47,57 @@ def test_windowed_event_counts_batch(spark):
     assert out["2024-01-01 11:00:00"] == (1, 4.0)
 
 
+def test_windowed_counts_on_real_stream(spark, tmp_path):
+    # the same windowed_event_counts plan running as a Structured Streaming
+    # query with a watermark, fed by the file source
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:45:00", "click", 2.0),
+        ("2024-01-01 11:10:00", "view", 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(inp + "/f1.parquet")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(inp)
+    )
+    agg = windowed_event_counts(stream, "1 hour", watermark="2 hours")
+    assert agg.isStreaming
+
+    seen: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda bdf, _e: seen.extend(bdf.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r.window_start), r.event_type): (r.n_events, r.sum_value) for r in seen}
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (1, 4.0)
+
+
+def test_annotation_source_missing_columns_raises(spark, tmp_path):
+    import os as _os
+
+    import pytest
+
+    from aicoe_osc_demo_spark.sources.files import read_annotation_workbooks
+
+    d = tmp_path / "ann2"
+    _os.makedirs(d)
+    (d / "a.csv").write_text("company,kpi_id\nAcme,1\n")
+    with pytest.raises(ValueError, match="missing required columns.*source_file"):
+        read_annotation_workbooks(spark, str(d), ["company", "kpi_id", "source_file"])
+
+
 def test_sessionize_gap(spark):
     df = spark.createDataFrame(
         [
