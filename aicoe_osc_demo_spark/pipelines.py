@@ -19,7 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.schema import snakify_columns
+from .functions.text import (
+    clean_paragraph,
+    clean_text,
+    get_pdf_name_right,
+    year_in_question,
+)
+from .operators.curation import farm_zero_shift, find_answer_start_udf, negative_sample
 from .operators.inference import qa_pipeline, relevance_pipeline
+from .operators.relational import dedup_keep_first, train_dev_split
+from .operators.reshape import explode_paragraphs, nest_to_squad
 from .sources.extraction import run_folder
 from .sources.files import write_table
 
@@ -40,6 +49,107 @@ def demo1_pipeline(
     if joined_table:
         write_table(joined, joined_table)
     return joined
+
+
+def text_curation_pipeline(
+    spark: SparkSession,
+    annotations: DataFrame,
+    paragraphs: DataFrame,
+    kpi_mapping: DataFrame,
+    excluded_companies: list[str] | None = None,
+    neg_pos_ratio: int = 1,
+) -> DataFrame:
+    """§3.3 step 2 — the TEXT curator
+    (ref: /root/reference/src/components/preprocessing/text_curator.py:62-108)
+    as one DataFrame DAG:
+
+    P2 filter → F6 filename repair → F9 paragraph-list parse → U6 explode
+    (with F18 page shift) → F1 clean → J2 broadcast KPI-question join (+F17
+    year rewrite) → positives; J8 anti-join + J11 hash-ranked negative
+    sampling → negatives; A1 dedup.
+
+    ``annotations`` columns: company, source_file, kpi_id, year, data_type,
+    source_page (array<int>, 1-based), relevant_paragraphs (raw string).
+    ``paragraphs``: (pdf_name, page, paragraph) from extraction (0-based).
+    ``kpi_mapping``: (kpi_id, question, add_year).
+    Output: (question, context, label) with label 1/0.
+    """
+    excluded = excluded_companies or []
+    ann = annotations.filter(
+        (F.col("data_type") == "TEXT")
+        & F.col("relevant_paragraphs").isNotNull()
+        & ~F.col("company").isin(excluded)
+    )
+    ann = ann.withColumn("source_file", get_pdf_name_right(F.col("source_file")))
+    # annotation pages are 1-based, extraction 0-based (F18 — exact)
+    ann = ann.withColumn(
+        "source_page", F.transform(F.col("source_page"), lambda p: p.cast("int") - 1)
+    )
+    ann = ann.withColumn("relevant_paragraphs", clean_paragraph(F.col("relevant_paragraphs")))
+    ann = ann.filter(F.col("relevant_paragraphs").isNotNull())
+    exploded = explode_paragraphs(ann, "source_page", "relevant_paragraphs")
+    exploded = exploded.withColumn("context", clean_text(F.col("relevant_paragraph")))
+
+    with_q = exploded.join(F.broadcast(kpi_mapping), on="kpi_id").withColumn(
+        "question",
+        year_in_question(F.col("question"), F.col("year"), F.col("add_year")),
+    ).filter(F.col("question").isNotNull())
+
+    positives = with_q.select(
+        "source_file", F.col("source_page").alias("page"), "question", "context"
+    ).withColumn("label", F.lit(1))
+
+    # negative pool: extracted paragraphs not on any positive (pdf, page) — J8
+    pos_pages = positives.select(
+        F.col("source_file").alias("pdf_name"), F.col("page")
+    ).distinct()
+    pool = (
+        paragraphs.join(pos_pages, on=["pdf_name", "page"], how="left_anti")
+        .withColumn("context", clean_text(F.col("paragraph")))
+        .withColumn("pool_id", F.concat_ws(":", "pdf_name", "page", "context"))
+    )
+    k = neg_pos_ratio
+    negatives = (
+        negative_sample(
+            positives.select("question").distinct(),
+            pool.select("pool_id", "context"),
+            group_cols=["question"],
+            pool_id="pool_id",
+            k=k,
+            salt="textneg",
+        )
+        .select("question", "context")
+        .withColumn("label", F.lit(0))
+    )
+
+    dataset = positives.select("question", "context", "label").unionByName(negatives)
+    # A1 — dedup on (question, context), deterministic winner (keep positive)
+    return dedup_keep_first(dataset, subset=["question", "context"], order_by=["label"]).select(
+        "question", "context", F.when(F.col("label") == 1, 1).otherwise(0).alias("label")
+    )
+
+
+def squad_curation_pipeline(
+    spark: SparkSession,
+    examples: DataFrame,
+    train_frac: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """§3.3 step 5 — the KPI/SQuAD curator tail
+    (ref: kpi_inference_curator.py:353-420, base_kpi_inference_curator.py:60-186):
+    J6 answer-offset search → FARM 0-shift → answerable filter → U8 SQuAD
+    nesting → O3 paragraph-granularity hash split.
+
+    ``examples``: (source_file, context, question, example_id, answer).
+    Returns (train_squad, dev_squad) nested DataFrames.
+    """
+    with_offsets = examples.withColumn(
+        "answer_start", find_answer_start_udf(F.col("answer"), F.col("context"))
+    )
+    shifted = farm_zero_shift(with_offsets, "context", "answer_start")
+    answerable = shifted.filter(F.size("answer_start") > 0)
+    # split at paragraph granularity: hash the context key, then nest
+    train, dev = train_dev_split(answerable, F.col("context"), train_frac, salt="squad")
+    return nest_to_squad(train), nest_to_squad(dev)
 
 
 def inference_pipeline(

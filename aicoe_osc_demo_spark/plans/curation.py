@@ -212,6 +212,52 @@ def reshape_gather_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pipeline_text_curation")
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §3.3 — the full TEXT-curator DAG (filter → filename/page repair →
+    # paragraph parse → explode → clean → broadcast KPI join → negative
+    # sampling → dedup) over annotation-shaped rows derived from the test
+    # tables.  Rows-only check; every stage is individually oracle-checked
+    # elsewhere, and determinism under repartitioning is asserted in tests.
+    from ..pipelines import text_curation_pipeline
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    s1 = F.array_join(F.slice(words, 3, 3), " ")
+    s2 = F.array_join(F.slice(words, 6, 3), " ")
+    annotations = d.filter(F.col("doc_id") < 50).select(
+        F.col("source").alias("company"),
+        F.concat(F.col("source"), F.lit(".pdf")).alias("source_file"),
+        F.concat(F.lit("Brand#"), ((F.col("doc_id") % 5) * 10 + 11).cast("string")).alias(
+            "kpi_id"
+        ),
+        (F.lit(2018) + F.col("doc_id") % 5).cast("int").alias("year"),
+        F.when(F.col("doc_id") % 7 == 0, "TABLE").otherwise("TEXT").alias("data_type"),
+        F.array((F.col("doc_id") % 3 + 1).cast("int"), (F.col("doc_id") % 3 + 2).cast("int")).alias(
+            "source_page"
+        ),
+        F.concat(F.lit('["'), s1, F.lit('", "'), s2, F.lit('"]')).alias("relevant_paragraphs"),
+    )
+    paragraphs = d.select(
+        F.concat(F.col("source"), F.lit(".pdf")).alias("pdf_name"),
+        (F.col("doc_id") % 10).cast("int").alias("page"),
+        F.col("text").alias("paragraph"),
+    )
+    kpi = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_brand").alias("kpi_id"))
+        .distinct()
+        .select(
+            "kpi_id",
+            F.concat(F.lit("What is the exposure of "), F.col("kpi_id"), F.lit("?")).alias(
+                "question"
+            ),
+            (F.length("kpi_id") % 2 == 0).alias("add_year"),
+        )
+    )
+    return text_curation_pipeline(spark, annotations, paragraphs, kpi, neg_pos_ratio=2)
+
+
 @register("reshape_nest_squad")
 def reshape_nest_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U8 — SQuAD v2 nesting via two-level sorted collect_list(struct)
