@@ -35,6 +35,11 @@ def get_spark(app_name: str = "aicoe-osc-demo-spark", cpus: str | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # NOTE: the local test parquet files are single-row-group, so scans
+        # cannot parallelize below one task regardless of
+        # spark.sql.files.maxPartitionBytes (measured: lowering it only adds
+        # empty tasks).  On a real cluster the default 128 MB split applies
+        # across many files/row-groups.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
