@@ -132,6 +132,113 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+@register(
+    "agg_cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE over both dimensions — all 2^k grouping sets in one pass.
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT c.c_custkey, c.c_name, o.n_orders FROM customer c
+    FULL OUTER JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      WHERE o_orderstatus = 'P' GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+@register(
+    "set_union_missing_cols",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS c_name FROM orders WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT NULL AS o_orderkey, NULL AS o_totalprice, c_name FROM customer WHERE c_custkey < 100
+    """,
+)
+def set_union_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unionByName(allowMissingColumns=True) — schema-evolving concat
+    # (the reference concatenates per-Excel frames with drifting columns).
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice")
+    )
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select("c_name")
+    return o.unionByName(c, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@register(
+    "text_levenshtein_match",
+    """
+    SELECT s.source AS s1, t.source AS s2, CAST(levenshtein(s.source, t.source) AS INT) AS dist
+    FROM (SELECT DISTINCT source FROM documents) s
+    JOIN (SELECT DISTINCT source FROM documents) t ON s.source < t.source
+    WHERE levenshtein(s.source, t.source) <= 2
+    """,
+)
+def text_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F16 adjunct — the built-in edit-distance scorer over a small distinct
+    # key set (blocked by the < ordering), e.g. near-identical source names.
+    s = load(spark, sf_dir, "documents").select("source").distinct()
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.levenshtein(F.col("a.source"), F.col("b.source")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@register(
+    "agg_filtered_counts",
+    """
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 50) AS n_high,
+           COUNT(*) FILTER (WHERE value <= 50) AS n_low,
+           ROUND(SUM(value) FILTER (WHERE value > 50), 2) AS sum_high
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTER-ed aggregates — the conditional-count idiom Superset generates.
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_high"),
+        F.count(F.when(F.col("value") <= 50, 1)).alias("n_low"),
+        F.round(F.sum(F.when(F.col("value") > 50, F.col("value"))), 2).alias("sum_high"),
+    )
+
+
 @register("ml_relevance_training_metrics")
 def ml_relevance_training_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M5/M9 — MLlib baseline relevance trainer (Tokenizer → HashingTF → IDF
