@@ -19,12 +19,11 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
 from ..functions.hashing import md5_hex
-from .relational import top_k_per_group
 
 
 def valid_pair_filter(

@@ -12,13 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import get_text_section
-from ..operators.curation import (
-    answer_containment_join,
-    extra_answerable_join,
-    find_answer_start_udf,
-    negative_sample,
-    valid_pair_filter,
-)
+from ..operators.curation import answer_containment_join, negative_sample, valid_pair_filter
 from ..operators.reshape import gather_table_text, nest_to_squad
 from . import load, register
 

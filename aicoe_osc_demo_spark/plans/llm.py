@@ -18,11 +18,10 @@ from ..operators.dedup import (
     minhash_dedup_pairs,
     minhash_signatures,
     minhash_signatures_wide,
-    ngram_jaccard_pairs,
     simhash,
     simhash_dedup_pairs,
 )
-from ..operators.fuzzy import fuzzy_best_match_join, jaccard_best_match_join, token_jaccard
+from ..operators.fuzzy import fuzzy_best_match_join, token_jaccard
 from ..operators.relational import argmax_per_group
 from ..operators.similarity import cosine_topk, lsh_ann_topk
 from . import load, register

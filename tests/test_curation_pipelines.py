@@ -1,7 +1,5 @@
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from aicoe_osc_demo_spark.pipelines import squad_curation_pipeline, text_curation_pipeline
 
 

@@ -1,7 +1,5 @@
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from aicoe_osc_demo_spark.operators.fuzzy import fuzzy_best_match_join, jaccard_best_match_join
 from aicoe_osc_demo_spark.operators.inference import qa_pipeline, relevance_pipeline
 from aicoe_osc_demo_spark.operators.reshape import (
