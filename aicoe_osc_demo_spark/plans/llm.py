@@ -222,6 +222,73 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+@register(
+    "llm_vocab_topk",
+    """
+    SELECT w, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w ORDER BY n DESC, w ASC LIMIT 20
+    """,
+)
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus vocabulary statistics: token frequencies, top 20.  The classic
+    # word-count — partial-combine aggregate over exploded tokens.
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "llm_length_histogram",
+    """
+    SELECT n_chars // 100 AS bucket, COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens
+    FROM documents GROUP BY n_chars // 100
+    """,
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Document-length histogram — the data-budgeting profile every corpus
+    # build starts with.
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy((F.col("n_chars") / 100).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split("text", " "))), 6).alias("avg_tokens"),
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)) ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic stratified sampling: 10 docs per language, picked by
+    # content hash — reproducible under any partitioning, per-stratum quota
+    # exact (sample_fraction approaches are neither).
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))).asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
 @register("llm_ivf_topk")
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-style ANN: label column as the coarse quantizer bucket, centroid
