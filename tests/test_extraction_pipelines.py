@@ -80,6 +80,25 @@ def test_inference_pipeline_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
 
 
+def test_inference_results_published_as_table(spark, tmp_path):
+    # §3.1 step 5 (create_results_table.ipynb): per-PDF results land as an
+    # ORC SQL table; the demo2 Superset slice (count by answer) runs on it.
+    pdf_dir = _write_fake_pdfs(tmp_path)
+    questions = spark.createDataFrame([("k1", "What is exposure?")], ["kpi_id", "question"])
+    out = inference_pipeline(spark, pdf_dir, questions, relevance_threshold=0.0, top_k=2)
+    from aicoe_osc_demo_spark.sources.files import write_table
+
+    write_table(out, "infer_kpi_results", fmt="orc", path=str(tmp_path / "results"))
+    try:
+        slice_df = spark.sql(
+            "SELECT final_answer, COUNT(*) AS n FROM infer_kpi_results GROUP BY final_answer"
+        )
+        assert slice_df.count() > 0
+        assert spark.table("infer_kpi_results").count() == out.count()
+    finally:
+        spark.sql("DROP TABLE infer_kpi_results")
+
+
 def test_demo1_pipeline_join(spark):
     e1 = spark.createDataFrame(
         [("X1", 10.0), ("X2", 20.0)], ["ISIN Code", "Coverage S1!"]
