@@ -152,6 +152,128 @@ def squad_curation_pipeline(
     return nest_to_squad(train), nest_to_squad(dev)
 
 
+def table_curation_pipeline(
+    spark: SparkSession,
+    annotations: DataFrame,
+    tables: DataFrame,
+    neg_pos_ratio: int = 1,
+) -> DataFrame:
+    """§3.3 — the TABLE curator
+    (ref: /root/reference/src/components/preprocessing/table_curator.py:128-191,229-277):
+    filter TABLE annotations → repair filenames → candidate-prune table
+    candidates to the annotated (pdf, page) → fuzzy-score table text against
+    the answer → keep the argmax per annotation (J4) → hash-ranked negative
+    tables (J11).
+
+    ``annotations``: (company, source_file, source_page (1-based int),
+    kpi_id, answer, data_type).  ``tables``: (pdf_name, page, table_index,
+    cells array<array<string>>).
+    Output: (source_file, kpi_id, answer, table_text, label).
+    """
+    from .operators.fuzzy import fuzzy_ratio_udf
+    from .operators.relational import argmax_per_group
+    from .operators.reshape import gather_table_text
+
+    ann = (
+        annotations.filter(F.col("data_type") == "TABLE")
+        .withColumn("source_file", get_pdf_name_right(F.col("source_file")))
+        .withColumn("page", F.col("source_page").cast("int") - 1)
+    )
+    tbl = gather_table_text(tables, "cells").withColumnRenamed("pdf_name", "source_file")
+    cand = ann.join(tbl, on=["source_file", "page"]).withColumn(
+        "match_score", fuzzy_ratio_udf(F.col("table_text"), F.col("answer"))
+    )
+    positives = argmax_per_group(
+        cand, ["source_file", "kpi_id", "answer"], F.col("match_score"), tiebreak=["table_index"]
+    ).select("source_file", "kpi_id", "answer", "table_text", F.lit(1).alias("label"))
+
+    pos_tables = positives.select("source_file", "table_text").distinct()
+    pool = (
+        tbl.join(pos_tables, on=["source_file", "table_text"], how="left_anti")
+        .withColumn("pool_id", F.concat_ws(":", "source_file", "page", "table_index"))
+    )
+    negatives = (
+        negative_sample(
+            positives.select("source_file", "kpi_id", "answer").distinct(),
+            pool.select("pool_id", "table_text"),
+            group_cols=["source_file", "kpi_id", "answer"],
+            pool_id="pool_id",
+            k=neg_pos_ratio,
+            salt="tabneg",
+        )
+        .select("source_file", "kpi_id", "answer", "table_text")
+        .withColumn("label", F.lit(0))
+    )
+    return positives.unionByName(negatives)
+
+
+def nq_curation_pipeline(
+    spark: SparkSession,
+    nq: DataFrame,
+    text_section: tuple[int, int] = (0, 60),
+    min_tokens: int = 10,
+) -> DataFrame:
+    """§3.3 — the NQ curator
+    (ref: /root/reference/src/components/preprocessing/nq_extractor.py:51-135,
+    nq_curator.py:153-196, src/components/utils/nq_utils.py): drop
+    table-containing documents (F14), strip HTML (F13), slice the answer
+    section (F12), length-gate (P6), then balance: keep only questions with
+    both labels present (A3 HAVING) after pairing each positive with a
+    hash-shuffled negative from another question (J11-NQ).
+
+    ``nq``: (question, doc, label) line-JSON rows (label 1 = has long
+    answer).  Output: (question, context, label) balanced.
+    """
+    from .functions.text import contains_table, get_text_section, is_not_short, remove_html_tags
+    from .operators.relational import dedup_keep_first
+
+    cleaned = (
+        nq.filter(~contains_table(F.col("doc")))
+        .withColumn("context", remove_html_tags(F.col("doc")))
+        .withColumn("context", get_text_section(F.col("context"), *text_section))
+        .filter(is_not_short(F.col("context"), min_tokens))
+    )
+    positives = cleaned.filter(F.col("label") == 1).select("question", "context").withColumn(
+        "label", F.lit(1)
+    )
+    # negatives: re-key contexts to a DIFFERENT question, hash-shuffled
+    pool = cleaned.select(F.col("question").alias("src_q"), "context")
+    negatives = (
+        negative_sample(
+            positives.select("question").distinct(),
+            pool,
+            group_cols=["question"],
+            pool_id="context",
+            k=1,
+            salt="nqneg",
+        )
+        .filter(F.col("src_q") != F.col("question"))
+        .select("question", "context")
+        .withColumn("label", F.lit(0))
+    )
+    data = positives.unionByName(negatives)
+    # A3 — keep question groups containing BOTH labels
+    both = (
+        data.groupBy("question")
+        .agg(F.countDistinct("label").alias("nl"))
+        .filter(F.col("nl") == 2)
+        .select("question")
+    )
+    balanced = data.join(F.broadcast(both), on="question", how="left_semi")
+    return dedup_keep_first(balanced, subset=["question", "context"], order_by=["label"])
+
+
+# Dispatch registries — the Spark mirror of the reference's
+# NAME_CLASS_MAPPING extractor dispatch (extractor.py:8-67) and Curator
+# dispatch (curator.py:13-57): callers select stages by name.
+CURATORS = {
+    "text": text_curation_pipeline,
+    "table": table_curation_pipeline,
+    "squad": squad_curation_pipeline,
+    "nq": nq_curation_pipeline,
+}
+
+
 def inference_pipeline(
     spark: SparkSession,
     pdf_dir: str,

@@ -73,6 +73,65 @@ def test_text_curation_pipeline(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_table_curation_pipeline(spark):
+    from aicoe_osc_demo_spark.pipelines import table_curation_pipeline
+
+    annotations = spark.createDataFrame(
+        [("Acme", "acme.pdf", 1, "k1", "total emissions 500", "TABLE"),
+         ("Acme", "acme.pdf", 1, "k2", "text answer", "TEXT")],  # filtered out
+        ["company", "source_file", "source_page", "kpi_id", "answer", "data_type"],
+    )
+    tables = spark.createDataFrame(
+        [
+            ("acme.pdf", 0, 0, [["total emissions", "500"], ["2020", "400"]]),
+            ("acme.pdf", 0, 1, [["unrelated", "content"]]),
+            ("acme.pdf", 3, 0, [["other page", "table"]]),
+        ],
+        ["pdf_name", "page", "table_index", "cells"],
+    )
+    out = table_curation_pipeline(spark, annotations, tables, neg_pos_ratio=1).collect()
+    pos = [r for r in out if r.label == 1]
+    neg = [r for r in out if r.label == 0]
+    # argmax fuzzy match picked the emissions table on the annotated page
+    assert len(pos) == 1 and "total emissions" in pos[0].table_text
+    # one hash-picked negative from the non-positive pool
+    assert len(neg) == 1 and "total emissions" not in neg[0].table_text
+
+
+def test_nq_curation_pipeline(spark):
+    from aicoe_osc_demo_spark.pipelines import nq_curation_pipeline
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    nq = spark.createDataFrame(
+        [
+            ("q1", f"<p>answer one {filler}</p>", 1),
+            ("q2", f"<p>answer two {filler}</p>", 1),
+            ("q3", f"<Table>skip</Table> {filler}", 1),  # table doc dropped
+            ("q4", "too short", 1),                       # length-gated
+        ],
+        ["question", "doc", "label"],
+    )
+    out = nq_curation_pipeline(spark, nq).collect()
+    qs = {r.question for r in out}
+    assert "q3" not in qs and "q4" not in qs
+    # balanced: every surviving question has both labels
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.question, set()).add(r.label)
+    assert all(labels == {0, 1} for labels in by_q.values())
+    assert len(by_q) >= 1
+    # negatives are re-keyed from a different question's context
+    for r in out:
+        if r.label == 0:
+            assert not r.context.startswith("answer " + r.question[-1])
+
+
+def test_curator_dispatch_registry():
+    from aicoe_osc_demo_spark.pipelines import CURATORS
+
+    assert set(CURATORS) == {"text", "table", "squad", "nq"}
+
+
 def test_squad_curation_pipeline(spark):
     examples = spark.createDataFrame(
         [
