@@ -73,7 +73,6 @@ def stub_relevance_scores(pairs: DataFrame, question_col: str = "question", text
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model()
         for pdf in batches:
-            pdf = pdf.copy()
             pdf["score"] = model.predict_relevance(pdf[question_col], pdf[text_col])
             yield pdf[cols + ["score"]]
 
@@ -95,7 +94,6 @@ def stub_qa_answers(pairs: DataFrame, question_col: str = "question", text_col: 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = _get_model()
         for pdf in batches:
-            pdf = pdf.copy()
             preds = model.predict_qa(pdf[question_col], pdf[text_col])
             for c in preds.columns:
                 pdf[c] = preds[c]
