@@ -123,11 +123,28 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media)
 
 
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    # The stub decoder derives pseudo-dimensions from the md5 digest bytes of
+    # the content — reproducible in SQL, so even the mapInPandas decode path
+    # is oracle-checked end-to-end.
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 192 AS INT) AS width,
+           CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 192 AS INT) AS height,
+           CAST('0x' || substr(md5(text), 5, 2) AS INT) / 255.0 AS mean_intensity
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decode + feature-extract via Arrow-batched mapInPandas with the stub
-    # decoder (real codecs absent in this container).  Rows-only check; the
-    # schema/batching/partitioning are the real production shape.
+    # decoder (real codecs absent in this container); the deterministic stub
+    # makes the full Python decode path oracle-checkable.
     media = media_from_text(load(spark, sf_dir, "documents"))
     return extract_features(media)
 

@@ -81,11 +81,28 @@ def curation_answer_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("first_pos") > 0).select("qid", "cid", "answer", "first_pos")
 
 
-@register("curation_answer_offsets")
+@register(
+    "curation_answer_offsets",
+    # Constructed answers are word tokens (non-numeric), so the reference's
+    # offset search reduces to non-overlapping literal occurrence counting —
+    # replace-based counting reproduces finditer's non-overlap semantics.
+    """
+    WITH ann AS (
+      SELECT doc_id AS qid, lang,
+             array_to_string(list_slice(string_split(text, ' '), 3, 5), ' ') AS answer
+      FROM documents WHERE doc_id < 50
+    ),
+    par AS (SELECT doc_id AS cid, lang, text FROM documents WHERE doc_id >= 100)
+    SELECT qid, cid,
+           CAST((length(text) - length(replace(text, answer, ''))) / length(answer) AS INT)
+             AS n_matches
+    FROM ann JOIN par USING (lang)
+    WHERE length(replace(text, answer, '')) < length(text)
+    """,
+)
 def curation_answer_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J6/F10/F11 exact reference semantics — regex-escaped literal search,
-    # numeric-boundary guard, 0-offset shift — via the pandas UDF
-    # (base_kpi_inference_curator.py:129-156).  Rows-only check.
+    # J6/F10/F11 exact reference semantics — dot-escaped literal search via
+    # the pandas UDF (base_kpi_inference_curator.py:129-156).
     d = load(spark, sf_dir, "documents")
     ann = d.filter(F.col("doc_id") < 50).select(
         F.col("doc_id").alias("qid"),

@@ -114,37 +114,54 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_simhash_fingerprints",
-    # Bit j votes +1 if set in the token's 32-bit md5-prefix hash else -1;
-    # fingerprint bit j = (vote sum > 0).  CAST('0x'||hex AS BIGINT) parses
-    # the hex in DuckDB; Spark uses conv().
-    f"""
-    WITH toks AS (
-      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
-      FROM (SELECT doc_id, unnest({_GRAMS_SQL}) AS w FROM documents)
-    ),
-    votes AS (
-      SELECT doc_id, j,
-             SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) != 0 THEN 1 ELSE -1 END) AS v
-      FROM toks, generate_series(0, 31) AS s(j)
-      GROUP BY doc_id, j
-    )
+_SIMHASH_SQL = f"""
     SELECT doc_id,
            CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+    FROM (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << j)) != 0 THEN 1 ELSE -1 END) AS v
+      FROM (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest({_GRAMS_SQL}) AS w FROM documents)
+      ), generate_series(0, 31) AS s(j)
+      GROUP BY doc_id, j
+    ) GROUP BY doc_id
+"""
+
+
+@register(
+    "llm_simhash_fingerprints",
+    # Bit j votes +1 if set in the shingle's 32-bit md5-prefix hash else -1;
+    # fingerprint bit j = (vote sum > 0).  CAST('0x'||hex AS BIGINT) parses
+    # the hex in DuckDB; Spark uses conv().
+    _SIMHASH_SQL,
 )
 def llm_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-bit SimHash fingerprints — one aggregate pass, shuffle on doc_id.
     return simhash(load(spark, sf_dir, "documents"))
 
 
-@register("llm_simhash_pairs")
+@register(
+    "llm_simhash_pairs",
+    f"""
+    WITH fps AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, g.band,
+             (simhash >> (g.band * 8)) & 255 AS bkey
+      FROM fps, generate_series(0, 3) AS g(band)
+    )
+    SELECT d1, d2, hamming FROM (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SimHash near-dup pairs: byte-banded equi-join (pigeonhole over hamming
-    # ≤ 3) then exact hamming check.  Rows-only check — the nested band
-    # union + bit_count isn't worth hand-writing in the oracle dialect.
+    # SimHash near-dup pairs: byte-banded equi-join (pigeonhole: any pair
+    # within hamming <= 3 of a 32-bit fingerprint shares one exact byte)
+    # then exact hamming check.
     return simhash_dedup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -289,11 +306,49 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("llm_ivf_topk")
+@register(
+    "llm_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT bucket, list(av ORDER BY i) AS centroid FROM (
+        SELECT label AS bucket, s.i, AVG(CAST(embedding[s.i] AS DOUBLE)) AS av
+        FROM embeddings, generate_series(1, 64) AS s(i)
+        GROUP BY label, s.i
+      ) GROUP BY bucket
+    ),
+    q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, bucket FROM (
+        SELECT q0.query_id, q0.qv, cent.bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY list_dot_product(qv, centroid)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid)))
+                          DESC, cent.bucket ASC) AS rn
+        FROM q0 CROSS JOIN cent
+      ) WHERE rn <= 2
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS bucket
+          FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c JOIN probe USING (bucket) WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """,
+)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-style ANN: label column as the coarse quantizer bucket, centroid
-    # probe (nprobe=2), exact cosine within probed buckets only.  Rows-only
-    # check; recall vs brute force asserted in tests.
+    # probe (nprobe=2), exact cosine within probed buckets only.  The
+    # centroids are per-position averages, so even this path has a value
+    # oracle; recall vs brute force asserted in tests.
     from ..operators.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -301,11 +356,59 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, nprobe=2)
 
 
-@register("llm_ann_lsh_topk")
+def _ann_lsh_oracle_sql() -> str:
+    # The hyperplanes are deterministic md5-derived constants — inline them
+    # into the oracle so even the ANN path is value-checked end-to-end.
+    from ..operators.similarity import _planes
+
+    planes = _planes(4, 64)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for j, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(v) for v in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, CAST({lit} AS DOUBLE[])) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+             {bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+      FROM embeddings
+    ),
+    q0 AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             {bucket('CAST(embedding AS DOUBLE[])')} AS qb
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+      SELECT DISTINCT query_id, qv, unnest([qb, xor(qb, 1), xor(qb, 2), xor(qb, 4), xor(qb, 8)]) AS bucket
+      FROM q0
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c JOIN probes USING (bucket)
+      WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """
+
+
+@register("llm_ann_lsh_topk", _ann_lsh_oracle_sql())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane-LSH approximate ANN: bucket equi-join + 1-bit-flip probes,
-    # exact cosine re-rank within candidates.  Rows-only check (the
-    # deterministic plane constants make it reproducible run-to-run).
+    # exact cosine re-rank within candidates.  The md5-derived plane
+    # constants are inlined into the oracle SQL, so the approximate path is
+    # value-checked, not just row-counted.
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_ann_topk(emb, queries, k=5, n_planes=4, dim=64)
