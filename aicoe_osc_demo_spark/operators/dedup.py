@@ -60,9 +60,13 @@ def word_ngrams(text_col, n: int = 3):
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (long form)."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    """Distinct word n-gram shingles per document (long form).  The input is
+    spread to cluster parallelism first — shingling is the compute-heavy
+    stage and must not be serialized by a single-file input."""
+    from .relational import ensure_parallelism
+
+    return ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         F.explode(word_ngrams(F.col(text_col), n)).alias("w"),
     )
 
@@ -165,10 +169,12 @@ def minhash_dedup_pairs(
 
     Output: (d1, d2, jaccard) for pairs above the threshold.
     """
+    from .relational import ensure_parallelism
+
     sigs = minhash_signatures_wide(df, text_col, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
-    toksets = df.select(
-        F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), 3).alias("ws")
+    toksets = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", word_ngrams(F.col(text_col), 3).alias("ws")
     )
     return (
         cands.join(toksets.withColumnRenamed("doc_id", "d1").withColumnRenamed("ws", "ws1"), "d1")
@@ -192,8 +198,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sum of (+1/-1) votes across shingles.  Computed map-side per row (one
     hash array, per-bit votes via aggregate over the array) — no explode, no
     shuffle."""
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
+    from .relational import ensure_parallelism
+
+    hashed = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         F.transform(
             word_ngrams(F.col(text_col), 3),
             lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),

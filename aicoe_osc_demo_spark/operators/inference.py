@@ -147,8 +147,9 @@ def relevance_pipeline(
     partition and the model stage runs on one core — the shuffle of (id,
     text) rows is orders of magnitude cheaper than serializing inference.
     """
-    sc = paragraphs.sparkSession.sparkContext
-    pairs = paragraphs.repartition(sc.defaultParallelism).crossJoin(F.broadcast(questions))
+    from .relational import ensure_parallelism
+
+    pairs = ensure_parallelism(paragraphs).crossJoin(F.broadcast(questions))
     scored = stub_relevance_scores(pairs)
     return scored.filter(F.col("score") >= threshold)
 

@@ -12,6 +12,18 @@ from pyspark.sql import functions as F
 from ..functions.hashing import deterministic_split_flag, md5_hex
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than the
+    cluster's parallelism — protects compute-heavy stages (shingling, model
+    scoring) from single-file/single-row-group inputs without adding a
+    shuffle on already-parallel data.  At 100 TB inputs arrive with
+    thousands of partitions and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_col: Column, k: int, tiebreak: list[str] | None = None
 ) -> DataFrame:
