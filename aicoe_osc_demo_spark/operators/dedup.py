@@ -192,6 +192,45 @@ def minhash_dedup_pairs(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: keep only new documents whose normalized
+    fingerprint is not in the historical corpus.  The ledger side is a
+    fingerprint column (32 hex chars/doc) — at 10⁹ known docs that is a
+    ~40 GB bloom-filterable anti-join, never a text comparison."""
+    fp = new_docs.select(
+        F.col(id_col), F.col(text_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return fp.join(
+        known_fingerprints.select("fingerprint").distinct(), on="fingerprint", how="left_anti"
+    ).select(id_col, text_col)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark set.  The benchmark side is tiny (broadcast);
+    the corpus side is scanned once with arrays_overlap — no explode of the
+    100 TB side."""
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"), word_ngrams(F.col(text_col), n).alias("bgs")
+    )
+    docs = corpus.select(F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("gs"))
+    hits = docs.join(F.broadcast(bench), F.arrays_overlap("gs", "bgs"))
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").cast("long").alias("n_benchmarks_hit")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over word-3-gram shingles: each distinct shingle hashes
     to a 32-bit int (md5 prefix); bit j of the fingerprint is the sign of the

@@ -240,6 +240,53 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_incremental_dedup",
+    """
+    WITH known AS (
+      SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+      FROM documents WHERE doc_id >= 400
+    ) n
+    WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fingerprint = n.fingerprint)
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental exact dedup: new docs (id>=400) against the historical
+    # corpus's fingerprint ledger — anti-join on 32-hex keys.
+    from ..operators.dedup import incremental_dedup
+
+    d = load(spark, sf_dir, "documents")
+    known = exact_dedup(d.filter(F.col("doc_id") < 400)).select("fingerprint")
+    return incremental_dedup(d.filter(F.col("doc_id") >= 400), known).select("doc_id")
+
+
+@register(
+    "llm_contamination_check",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, {_GRAMS_SQL} AS bgs FROM documents WHERE doc_id < 5
+    ),
+    corpus AS (
+      SELECT doc_id, {_GRAMS_SQL} AS gs FROM documents WHERE doc_id >= 5
+    )
+    SELECT doc_id, COUNT(DISTINCT bench_id) AS n_benchmarks_hit
+    FROM corpus JOIN bench ON len(list_intersect(gs, bgs)) > 0
+    GROUP BY doc_id
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination: corpus docs sharing any word 3-gram with the
+    # benchmark set (broadcast) — arrays_overlap, no corpus-side explode.
+    from ..operators.dedup import contamination_check
+
+    d = load(spark, sf_dir, "documents")
+    return contamination_check(d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5))
+
+
+@register(
     "llm_vocab_topk",
     """
     SELECT w, COUNT(*) AS n FROM (

@@ -40,6 +40,30 @@ def test_minhash_finds_near_dups_without_cartesian(spark):
     assert all(d2 != 3 for _, d2 in got) or (3, 3) not in got  # unrelated doc not paired
 
 
+def test_incremental_dedup_and_contamination(spark):
+    from aicoe_osc_demo_spark.operators.dedup import contamination_check, incremental_dedup
+
+    known_docs = _docs(spark).filter("doc_id < 2")  # contains the base text
+    from aicoe_osc_demo_spark.operators.dedup import exact_dedup
+
+    known = exact_dedup(known_docs).select("fingerprint")
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog near the river bank today"),
+         (11, "a genuinely new document with fresh content")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id for r in incremental_dedup(new, known).collect()}
+    assert out == {11}  # exact clone of a known doc dropped
+
+    bench = spark.createDataFrame([(0, "quick brown fox appears here")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox ran"), (2, "completely unrelated words here now")],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_benchmarks_hit for r in contamination_check(corpus, bench).collect()}
+    assert hits == {1: 1}  # shares the 'quick brown fox' 3-gram
+
+
 def test_simhash_properties(spark):
     df = _docs(spark)
     fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
