@@ -39,7 +39,6 @@ def test_write_table_parquet_and_orc(spark, tmp_path):
         write_table(df, name, fmt=fmt, path=str(tmp_path / name))
         back = spark.table(name)
         assert back.collect()[0].name == "x"
-        prov = back._jdf.queryExecution().optimizedPlan().toString()
         spark.sql(f"DROP TABLE {name}")
 
 
