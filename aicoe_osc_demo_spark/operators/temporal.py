@@ -1,0 +1,92 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+The reference has neither (SURVEY §2.3 note), but they are core operators
+for event-stream feature engineering, so the engine provides them
+Spark-first:
+
+- ``asof_join`` — for each left row, the latest right row at-or-before its
+  timestamp per key.  Implemented with the union + keyed-window
+  last(ignorenulls) pattern: ONE shuffle on (key), no range explosion, no
+  per-row lookups.  This is the standard scalable Spark formulation — a
+  windowed scan over the merged stream — and matches DuckDB's native
+  ``ASOF JOIN`` semantics exactly.
+- ``range_join_broadcast`` — interval-containment join against a SMALL
+  interval dimension (broadcast); Spark plans it as a
+  BroadcastNestedLoopJoin which is the right physical choice when one side
+  fits in memory.  For large×large range joins, bucket both sides by
+  interval-aligned time buckets first (the bucketing reduces it to an
+  equi-join + residual predicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: attach to each left row the ``value_cols`` of the
+    most recent right row with right_ts <= left_ts, per ``on`` key.
+
+    Ties (equal timestamps) prefer the right row, matching ASOF JOIN's
+    at-or-before contract.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt_cols = on + [right_ts] + value_cols
+    rt = (
+        right.select(*rt_cols)
+        .withColumn("_side", F.lit(0))
+        .withColumn("_ts", F.col(right_ts))
+    )
+    # align schemas: left gets null value placeholders, right gets null left cols
+    for c in value_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    rt = rt.select(
+        *on,
+        "_side",
+        "_ts",
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    left_only_cols = [c for c in lt.columns if c not in rt.columns]
+    for c in left_only_cols:
+        rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    merged = lt.select(rt.columns).unionByName(rt)
+
+    # right rows (side 0) sort before left rows at the same _ts → a left row
+    # at time t sees a right row at exactly t (at-or-before)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    for c in value_cols:
+        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"_f_{c}", f"{c}{suffix}")
+    return out.drop("_side", "_ts")
+
+
+def range_join_broadcast(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point: Column,
+    start: Column,
+    end: Column,
+) -> DataFrame:
+    """Interval-containment join: fact rows matched to broadcast intervals
+    with start <= point < end."""
+    return fact.join(F.broadcast(intervals), (point >= start) & (point < end))

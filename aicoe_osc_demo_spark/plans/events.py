@@ -108,6 +108,72 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_join",
+    # DuckDB's native ASOF JOIN is the oracle for the engine's union+window
+    # formulation — for each purchase, the latest at-or-before view per user.
+    """
+    SELECT t.event_id, t.user_id, q.value AS view_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join (custom operator — Spark has no builtin): one shuffle on
+    # the key, windowed last(ignorenulls) over the merged stream.
+    from ..operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views.withColumnRenamed("ts", "view_ts"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        value_cols=["view_value"],
+    )
+    return out.select("event_id", "user_id", "view_value_asof")
+
+
+@register(
+    "events_range_join",
+    """
+    SELECT p.period, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (
+      SELECT y AS period,
+             CAST(CAST(y AS VARCHAR) || '-01-01' AS TIMESTAMP) AS pstart,
+             CAST(CAST(y + 1 AS VARCHAR) || '-01-01' AS TIMESTAMP) AS pend
+      FROM generate_series(1995, 2001) AS s(y)
+    ) p ON o.o_orderdate >= p.pstart AND o.o_orderdate < p.pend
+    GROUP BY p.period
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Range join against a broadcast interval dimension (year periods) —
+    # BroadcastNestedLoopJoin is the right physical plan for a tiny dim.
+    from ..operators.temporal import range_join_broadcast
+
+    o = load(spark, sf_dir, "orders")
+    periods = spark.range(1995, 2002).select(
+        F.col("id").cast("int").alias("period"),
+        F.to_timestamp(F.concat(F.col("id").cast("string"), F.lit("-01-01"))).alias("pstart"),
+        F.to_timestamp(F.concat((F.col("id") + 1).cast("string"), F.lit("-01-01"))).alias("pend"),
+    )
+    joined = range_join_broadcast(
+        o, periods, F.col("o_orderdate"), F.col("pstart"), F.col("pend")
+    )
+    return joined.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "events_daily_type_matrix",
     """
     SELECT date_trunc('day', ts) AS day, event_type,
