@@ -415,6 +415,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_group_concat",
+    # listagg/string_agg with deterministic ordering — the "gather paragraphs
+    # per page" shape (pdf_text_extractor page dict) as a portable aggregate.
+    """
+    SELECT lang,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def text_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "text_bpe_token_count",
     """
     SELECT doc_id,
