@@ -38,9 +38,15 @@ except Exception:  # pragma: no cover - depends on container contents
     from difflib import SequenceMatcher
 
     def _ratio(a: str, b: str) -> float:
-        ta = " ".join(sorted(set(a.split())))
-        tb = " ".join(sorted(set(b.split())))
-        return 100.0 * SequenceMatcher(None, ta, tb).ratio()
+        """True token_set_ratio algorithm (fuzzywuzzy semantics) on the
+        stdlib SequenceMatcher: compare the sorted token intersection
+        against intersection+remainder strings and take the max."""
+        sa, sb = set(a.split()), set(b.split())
+        inter = " ".join(sorted(sa & sb))
+        t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
+        t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
+        pairs = [(inter, t1), (inter, t2), (t1, t2)]
+        return 100.0 * max(SequenceMatcher(None, x, y).ratio() for x, y in pairs)
 
 
 @F.pandas_udf(DoubleType())
