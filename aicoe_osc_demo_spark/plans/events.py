@@ -108,6 +108,43 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hypertable_rollup",
+    # Continuous-aggregate shape: one pass produces BOTH hourly and daily
+    # granularities via GROUPING SETS (grain 'hour' rows carry the hour
+    # bucket, grain 'day' rows the day bucket).
+    """
+    SELECT grain, bucket, event_type, n, sum_value FROM (
+      SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+             COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style multi-granularity rollup in ONE scan via GROUPING
+    # SETS (the UNION ALL oracle states the semantics; Catalyst's Expand
+    # computes both grains in a single pass over the fact table).
+    load(spark, sf_dir, "events").createOrReplaceTempView("_events_rollup_src")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(hour_b, day_b) AS bucket, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        FROM (
+          SELECT date_trunc('hour', ts) AS hour_b, date_trunc('day', ts) AS day_b,
+                 event_type, value
+          FROM _events_rollup_src
+        )
+        GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type))
+        """
+    )
+
+
+@register(
     "events_asof_join",
     # DuckDB's native ASOF JOIN is the oracle for the engine's union+window
     # formulation — for each purchase, the latest at-or-before view per user.

@@ -287,6 +287,27 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_heavy_hitters_sketch",
+    # The exact top-k is the oracle; the engine computes it through the
+    # Misra-Gries sketch path (bounded-memory partials → candidate set →
+    # exact recount), which must agree whenever the top-k clears the n/cap
+    # frequency floor.
+    """
+    SELECT w AS item, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w ORDER BY n DESC, w ASC LIMIT 15
+    """,
+)
+def llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import heavy_hitters
+
+    tokens = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return heavy_hitters(tokens, "w", k=15, capacity=256)
+
+
+@register(
     "llm_vocab_topk",
     """
     SELECT w, COUNT(*) AS n FROM (

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.sketch import _misra_gries, heavy_hitters
+
+
+def test_misra_gries_guarantee():
+    # any item with frequency > n/capacity survives
+    stream = ["hot"] * 50 + [f"cold{i}" for i in range(100)]
+    counters = _misra_gries(stream, capacity=8)
+    assert "hot" in counters
+    assert len(counters) <= 8  # bounded memory
+
+
+def test_heavy_hitters_matches_exact_topk(spark):
+    rows = [("a",)] * 100 + [("b",)] * 60 + [("c",)] * 30 + [(f"x{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(8)
+    out = heavy_hitters(df, "w", k=3, capacity=64).collect()
+    assert [(r.item, r.n) for r in out] == [("a", 100), ("b", 60), ("c", 30)]
+
+
+def test_heavy_hitters_bounded_candidates(spark):
+    # vocabulary far larger than capacity: result still exact for the heavy
+    # head because every partial keeps at most `capacity` counters
+    rows = [("hh",)] * 500 + [(f"t{i % 1000}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(4)
+    out = heavy_hitters(df, "w", k=1, capacity=128).collect()
+    assert out[0].item == "hh" and out[0].n == 500
