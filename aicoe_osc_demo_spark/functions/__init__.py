@@ -9,6 +9,7 @@ whole-stage-codegen friendly, no Python in the hot path.
 from .text import (
     clean_text,
     clean_text_kpi,
+    normalize_text,
     remove_html_tags,
     contains_table,
     is_not_short,
@@ -38,6 +39,7 @@ from .analysis import (
 __all__ = [
     "clean_text",
     "clean_text_kpi",
+    "normalize_text",
     "remove_html_tags",
     "contains_table",
     "is_not_short",

@@ -11,29 +11,68 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def clean_text(c: Column) -> Column:
-    """F1 — curator-flavor clean_text
-    (ref: /root/reference/src/components/preprocessing/base_curator.py:33-49).
+# The 13 regex metacharacters the KPI curator deletes one-by-one
+# (base_kpi_inference_curator.py:35-50).  NOTE: no '<', '>', and no '.'.
+_KPI_SPECIAL_CHARS = "()^+*$|\\?[]{}"
 
-    Normalize curly quotes to straight, strip newline/tab, strip control and
-    non-ascii bytes, collapse runs of whitespace, trim.
+
+def clean_text(c: Column) -> Column:
+    """F1 — curator-flavor clean_text, replicating
+    /root/reference/src/components/preprocessing/base_curator.py:33-49
+    sub-by-sub:
+
+    1. ``(?<=\\[)“`` → ``"``  (curly open straightened only right after ``[``)
+    2. ``”(?=\\])`` → ``"``   (curly close straightened only right before ``]``)
+    3. remaining ``“``/``”`` are DELETED (not straightened)
+    4. ``\\n|\\t`` → space
+    5. control + U+007F–U+00FF chars deleted
+    6. whitespace runs collapsed to one space
+
+    Single quotes are untouched and the result is NOT trimmed — both quirks
+    are part of the contract (a trailing ``\\t`` leaves one trailing space).
     """
+    c = F.regexp_replace(c, "(?<=\\[)“", '"')
+    c = F.regexp_replace(c, "”(?=\\])", '"')
+    c = F.regexp_replace(c, "“|”", "")
+    c = F.regexp_replace(c, "\\n|\\t", " ")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]", "")
+    c = F.regexp_replace(c, "\\s{2,}", " ")
+    return c
+
+
+def clean_text_kpi(c: Column) -> Column:
+    """F2 — KPI-flavor clean_text, replicating
+    base_kpi_inference_curator.py:16-58 sub-by-sub.  Differences from F1,
+    kept exactly:
+
+    - step 4 substitutes ``\\n`` ONLY (tabs survive into the ``\\s{2,}``
+      collapse, so a lone tab stays a tab);
+    - after the F1-style chain: delete the 13 regex metacharacters
+      ``()^+*$|\\?[]{}`` (NOT ``<``/``>``), then lowercase, then DELETE
+      ``\\.{2,}`` runs (no space substituted, no re-collapse, no trim —
+      deleting ``...`` between two spaces leaves a double space).
+    """
+    c = F.regexp_replace(c, "(?<=\\[)“", '"')
+    c = F.regexp_replace(c, "”(?=\\])", '"')
+    c = F.regexp_replace(c, "“|”", "")
+    c = F.regexp_replace(c, "\\n", " ")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]", "")
+    c = F.regexp_replace(c, "\\s{2,}", " ")
+    c = F.translate(c, _KPI_SPECIAL_CHARS, "")
+    c = F.lower(c)
+    c = F.regexp_replace(c, "\\.{2,}", "")
+    return c
+
+
+def normalize_text(c: Column) -> Column:
+    """Extended curator-style normalizer (NOT the reference function —
+    ``clean_text`` is the faithful one).  Straightens the full curly-quote
+    families, maps single-quote variants, and trims; useful as a modern
+    pretraining-corpus normalizer."""
     c = F.regexp_replace(c, "[“”„‟″‶]", '"')
     c = F.regexp_replace(c, "[‘’‚‛′‵]", "'")
     c = F.regexp_replace(c, "[\\n\\t]", " ")
     c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]", "")
-    c = F.regexp_replace(c, "\\s{2,}", " ")
-    return F.trim(c)
-
-
-def clean_text_kpi(c: Column) -> Column:
-    """F2 — KPI-flavor clean_text: F1 plus strip regex metacharacters,
-    lowercase, and remove ellipsis runs
-    (ref: base_kpi_inference_curator.py:16-58)."""
-    c = clean_text(c)
-    c = F.lower(c)
-    c = F.regexp_replace(c, "\\.{2,}", " ")
-    c = F.translate(c, "[]{}()*+?\\^$|<>", "")
     c = F.regexp_replace(c, "\\s{2,}", " ")
     return F.trim(c)
 

@@ -32,45 +32,73 @@ from . import load, register
 
 @register(
     "text_clean_curator",
+    # Reference chain exactly (base_curator.py:41-48).  DuckDB's RE2 has no
+    # lookarounds, so the two gated subs are expressed as literal-context
+    # replaces ('[“'→'["', '”]'→'"]') — equivalent because the lookaround
+    # only asserts a literal bracket that the replacement restores.
     """
     SELECT doc_id,
-           trim(regexp_replace(
+           regexp_replace(
              regexp_replace(
                regexp_replace(
-                 regexp_replace('“' || text || '”' || chr(9) || chr(10), '[“”„‟″‶]', '"', 'g'),
-                 '[‘’‚‛′‵]', '''', 'g'),
-               '[\\n\\t]', ' ', 'g'),
-             '\\s{2,}', ' ', 'g')) AS cleaned
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       '[“' || text || '”] “mid”' || chr(9) || chr(7) || chr(10),
+                       '\\[“', '["', 'g'),
+                     '”\\]', '"]', 'g'),
+                   '“|”', '', 'g'),
+                 '\\n|\\t', ' ', 'g'),
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\xff]', '', 'g'),
+             '\\s{2,}', ' ', 'g') AS cleaned
     FROM documents
     """,
 )
 def text_clean_curator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F1 — curator clean_text (base_curator.py:33-49) over a deliberately
-    # dirtied input (curly quotes + tab + newline appended).
+    # F1 — curator clean_text (base_curator.py:33-49) over a dirty input that
+    # exercises every sub: lookaround-gated '[“'/'”]' straightening, deletion
+    # of ungated curls ('“mid”' → 'mid'), tab/newline → space, control-char
+    # (BEL) deletion, whitespace collapse, and the no-trim quirk (result
+    # keeps one trailing space).
     d = load(spark, sf_dir, "documents")
-    dirty = F.concat(F.lit("“"), F.col("text"), F.lit("”\t\n"))
+    dirty = F.concat(F.lit("[“"), F.col("text"), F.lit("”] “mid”\t\x07\n"))
     return d.select("doc_id", clean_text(dirty).alias("cleaned"))
 
 
 @register(
     "text_clean_kpi",
+    # Reference chain exactly (base_kpi_inference_curator.py:24-58): the
+    # F1-style quote/newline/collapse steps (note: '\n' only — tabs are NOT
+    # substituted), then per-char deletion of the 13 regex metachars
+    # ()^+*$|\\?[]{} (no '<'/'>'), then lowercase, then '\\.{2,}' runs are
+    # DELETED (no space, no re-collapse, no trim).
     """
     SELECT doc_id,
-           trim(regexp_replace(
-             translate(
-               regexp_replace(
-                 lower(trim(regexp_replace(text || ' [sic] ... (note)', '\\s{2,}', ' ', 'g'))),
-                 '\\.{2,}', ' ', 'g'),
-               '[]{}()*+?\\^$|<>', ''),
-             '\\s{2,}', ' ', 'g')) AS cleaned
+           regexp_replace(
+             lower(
+               translate(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           text || ' [“CO2”] (A+B)* ... {x|y}? $5 ^2',
+                           '\\[“', '["', 'g'),
+                         '”\\]', '"]', 'g'),
+                       '“|”', '', 'g'),
+                     '\\n', ' ', 'g'),
+                   '\\s{2,}', ' ', 'g'),
+                 '()^+*$|\\?[]{}', '')),
+             '\\.{2,}', '', 'g') AS cleaned
     FROM documents
     """,
 )
 def text_clean_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F2 — KPI clean_text (base_kpi_inference_curator.py:16-58): lowercase,
-    # strip regex metachars, drop ellipsis runs.
+    # F2 — KPI clean_text over a dirty input exercising the gated-quote subs,
+    # metachar deletion ('(A+B)*' → 'AB'), lowercasing, and the
+    # dots-deleted-after-collapse quirk (' ... ' → '  ', a double space).
     d = load(spark, sf_dir, "documents")
-    dirty = F.concat(F.col("text"), F.lit(" [sic] ... (note)"))
+    dirty = F.concat(F.col("text"), F.lit(" [“CO2”] (A+B)* ... {x|y}? $5 ^2"))
     return d.select("doc_id", clean_text_kpi(dirty).alias("cleaned"))
 
 

@@ -75,15 +75,19 @@ def test_clean_text_column_matches_python_batch(spark):
         "trail  ",
         "\t\tlead",
         'quotes "stay"',
+        "[“gated”]",
+        "“mixed [“inner”] outer”",
     ]
 
     def py_clean(s: str) -> str:
-        s = re.sub("[“”„‟″‶]", '"', s)
-        s = re.sub("[‘’‚‛′‵]", "'", s)
-        s = re.sub("[\n\t]", " ", s)
+        # base_curator.py:41-48 verbatim
+        s = re.sub("(?<=\\[)“", '"', s)
+        s = re.sub("”(?=\\])", '"', s)
+        s = re.sub("“|”", "", s)
+        s = re.sub("\n|\t", " ", s)
         s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\xff]", "", s)
         s = re.sub("\\s{2,}", " ", s)
-        return s.strip()
+        return s
 
     from aicoe_osc_demo_spark.functions import clean_text
 
