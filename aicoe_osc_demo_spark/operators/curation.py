@@ -124,6 +124,17 @@ def extra_answerable_join(
     ).filter(F.size("answer_start") > 0)
 
 
+def rank_prefilter_threshold(k: int, n_pool: int, oversample: int = 16) -> str | None:
+    """First-8-hex-digit md5 threshold that keeps an expected
+    ``oversample * k`` candidates out of ``n_pool`` per group.  Returns None
+    when the filter would not prune (small pools), so callers can skip it."""
+    if n_pool <= 0 or oversample * k >= n_pool:
+        return None
+    frac = (oversample * k) / n_pool
+    thr = min(16**8 - 1, max(1, int(frac * 16**8) + 1))
+    return format(thr, "08x")
+
+
 def negative_sample(
     positives: DataFrame,
     pool: DataFrame,
@@ -131,6 +142,8 @@ def negative_sample(
     pool_id: str,
     k: int,
     salt: str = "neg",
+    pool_count: int | None = None,
+    oversample: int = 16,
 ) -> DataFrame:
     """J11 — deterministic negative pairing: for each group (question), rank
     the candidate pool by a content hash of (salt, group, candidate id) and
@@ -138,12 +151,47 @@ def negative_sample(
     (text_curator.py:190-258) with a reproducible, shuffle-stable pick.
 
     ``pool`` must already exclude known positives (anti-join upstream, J8).
+
+    Scale: the naive shape materializes |groups| x |pool| candidate rows and
+    fully sorts each group just to keep k.  Because the rank key is a uniform
+    md5, the k smallest ranks of a group land below a static hash threshold
+    t ~ oversample*k/|pool| with overwhelming probability, so we prefilter
+    candidates to ``md5 < t`` BEFORE the window — per-group candidates become
+    O(k*oversample) — and fall back to a full scan only for groups the
+    prefilter under-filled (< k survivors).  The pick is hash-identical to
+    the naive ranking: if a group has >= k survivors below t, the k smallest
+    overall are all below t.
     """
     from pyspark.sql import Window
 
     keys = positives.select(*group_cols).distinct()
     shared = [c for c in group_cols if c in pool.columns]
-    cand = keys.join(pool, on=shared) if shared else keys.crossJoin(pool)
+
+    def candidates(g: DataFrame) -> DataFrame:
+        return g.join(pool, on=shared) if shared else g.crossJoin(pool)
+
     rank_key = md5_hex(F.lit(salt), *[F.col(c) for c in group_cols], F.col(pool_id))
     w = Window.partitionBy(*group_cols).orderBy(rank_key.asc())
-    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+    if pool_count is None:
+        # one column-pruned count job; pass pool_count to skip it
+        pool_count = pool.select(pool_id).count()
+    thr = rank_prefilter_threshold(k, pool_count, oversample)
+    if thr is None:
+        cand = candidates(keys)
+        return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+    pref = candidates(keys).filter(F.substring(rank_key, 1, 8) < thr)
+    ranked = pref.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grp_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    )
+    filled = ranked.filter((F.col("grp_n") >= k) & (F.col("rn") <= k)).drop("rn", "grp_n")
+
+    # groups with < k survivors (including zero-survivor groups) rescan the
+    # full pool — expected to be a vanishing fraction at oversample >= 16
+    satisfied = filled.select(*group_cols).distinct()
+    under = keys.join(satisfied, on=group_cols, how="left_anti")
+    fallback = (
+        candidates(under).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    )
+    return filled.unionByName(fallback)

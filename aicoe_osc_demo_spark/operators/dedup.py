@@ -218,14 +218,27 @@ def contamination_check(
     n: int = 3,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
-    n-gram with a benchmark set.  The benchmark side is tiny (broadcast);
-    the corpus side is scanned once with arrays_overlap — no explode of the
-    100 TB side."""
-    bench = benchmark.select(
-        F.col(id_col).alias("bench_id"), word_ngrams(F.col(text_col), n).alias("bgs")
+    n-gram with a benchmark set.
+
+    Shape: inverted-index equi-join, NOT a nested loop.  The benchmark side
+    explodes to (gram, bench_id) — tiny — and is broadcast; the corpus side
+    explodes map-side to (doc_id, gram) and probes the broadcast hash table
+    at O(1) per gram.  Only actual (doc, benchmark) hits survive into the
+    groupBy, so the shuffle carries contaminated docs only.  This replaces
+    an earlier BroadcastNestedLoopJoin over arrays_overlap that evaluated
+    every (doc, benchmark-row) pair — at 1e9 docs x 1e4 benchmark rows that
+    was 1e13 array comparisons; the equi-join does corpus-grams hash probes
+    total."""
+    bench_grams = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
     )
-    docs = corpus.select(F.col(id_col).alias("doc_id"), word_ngrams(F.col(text_col), n).alias("gs"))
-    hits = docs.join(F.broadcast(bench), F.arrays_overlap("gs", "bgs"))
+    doc_grams = corpus.select(
+        F.col(id_col).alias("doc_id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    hits = doc_grams.join(F.broadcast(bench_grams), on="g")
     return hits.groupBy("doc_id").agg(
         F.countDistinct("bench_id").cast("long").alias("n_benchmarks_hit")
     )
@@ -234,30 +247,33 @@ def contamination_check(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """32-bit SimHash over word-3-gram shingles: each distinct shingle hashes
     to a 32-bit int (md5 prefix); bit j of the fingerprint is the sign of the
-    sum of (+1/-1) votes across shingles.  Computed map-side per row (one
-    hash array, per-bit votes via aggregate over the array) — no explode, no
-    shuffle."""
-    from .relational import ensure_parallelism
+    sum of (+1/-1) votes across shingles.
 
-    hashed = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
-        "doc_id",
-        F.transform(
-            word_ngrams(F.col(text_col), 3),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-        ).alias("hs"),
-    )
-    def voter(j: int):
-        mask = F.lit(1 << j)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-
+    Shape: ONE pass — explode (doc, shingle-hash) and take all 32 bit-vote
+    sums in a single codegen'd groupBy(doc_id) with map-side partial combine
+    (the same shape as the MinHash signature aggregate; the shuffle carries
+    one 32-int row per doc per partition).  An earlier version chained 32
+    interpreted ``F.aggregate`` higher-order passes per row — HOFs get no
+    codegen and no common-subexpression elimination, so every document's
+    hash array was walked 32 times.  At sf0.1 the two forms measure at
+    parity (the per-shingle md5 dominates both); the exploded form is kept
+    because its vote arithmetic stays inside whole-stage codegen and the
+    partial aggregate combines map-side — the properties that hold up when
+    documents are pages, not sentences."""
+    toks = _shingles(df, text_col, id_col, 3).withColumn("h", _token_hash())
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
     fp = None
     for j in range(bits):
-        vote = F.aggregate(F.col("hs"), F.lit(0), voter(j))
-        term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return hashed.select("doc_id", fp.cast("long").alias("simhash"))
+    return (
+        toks.groupBy("doc_id").agg(*votes).select("doc_id", fp.cast("long").alias("simhash"))
+    )
 
 
 def simhash_dedup_pairs(
@@ -308,10 +324,22 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_col: str | None = None,
     threshold: float = 0.3,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Word n-gram Jaccard similarity between documents sharing a blocking
-    key (e.g. language) — candidate pruning via equi-join, never all-pairs.
+    key (e.g. language, length bucket) — candidate pruning via equi-join.
+
+    ``block_col`` is required: without it the self-join degrades to an
+    all-pairs comparison (a single block holding the whole corpus), which is
+    quadratic and must never run at scale.  Pass ``allow_all_pairs=True``
+    explicitly for small, bounded inputs (tests, spot checks).
     """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is an all-pairs self-join; "
+            "pass a blocking column (e.g. language or a length bucket) or set "
+            "allow_all_pairs=True for small bounded inputs"
+        )
     words = F.split(F.col(text_col), " ")
     grams = F.array_distinct(
         F.transform(

@@ -279,7 +279,9 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benchmark decontamination: corpus docs sharing any word 3-gram with the
-    # benchmark set (broadcast) — arrays_overlap, no corpus-side explode.
+    # benchmark set — inverted-index equi-join against the broadcast exploded
+    # benchmark grams (the oracle states the arrays_overlap semantics; the
+    # engine's equi-join computes the identical result without a nested loop).
     from ..operators.dedup import contamination_check
 
     d = load(spark, sf_dir, "documents")

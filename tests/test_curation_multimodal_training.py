@@ -99,6 +99,43 @@ def test_negative_sample_deterministic(spark):
     assert {d for q, d in s1 if q == "q1"} != {d for q, d in s1 if q == "q2"}
 
 
+def test_negative_sample_prefilter_bounds_candidates(spark):
+    # the md5-threshold prefilter keeps the pre-window candidate set at
+    # O(k*oversample) per group instead of |pool|, and the pick is
+    # hash-identical to the naive full ranking
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.functions.hashing import md5_hex
+    from aicoe_osc_demo_spark.operators.curation import rank_prefilter_threshold
+
+    pos = spark.createDataFrame([("q1",), ("q2",), ("q3",)], ["q"])
+    pool = spark.range(5000).withColumnRenamed("id", "doc_id")
+    k, oversample = 3, 16
+
+    got = sorted(
+        (r.q, r.doc_id)
+        for r in negative_sample(pos, pool, ["q"], "doc_id", k, oversample=oversample).collect()
+    )
+
+    rank_key = md5_hex(F.lit("neg"), F.col("q"), F.col("doc_id"))
+    cand = pos.select("q").distinct().crossJoin(pool)
+    naive = (
+        cand.withColumn("rn", F.row_number().over(Window.partitionBy("q").orderBy(rank_key.asc())))
+        .filter(F.col("rn") <= k)
+    )
+    assert got == sorted((r.q, r.doc_id) for r in naive.collect())
+
+    # pre-window row bound: expected oversample*k survivors per group; assert
+    # a generous 4x margin, far below the 5000-row pool
+    thr = rank_prefilter_threshold(k, 5000, oversample)
+    assert thr is not None
+    survivors = cand.filter(F.substring(rank_key, 1, 8) < thr).groupBy("q").count().collect()
+    assert len(survivors) == 3
+    assert all(r["count"] <= 4 * oversample * k for r in survivors)
+    assert all(r["count"] >= k for r in survivors)
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame([(0, "some text"), (1, "other bytes")], ["doc_id", "text"])
     media = media_from_text(docs)

@@ -64,6 +64,34 @@ def test_incremental_dedup_and_contamination(spark):
     assert hits == {1: 1}  # shares the 'quick brown fox' 3-gram
 
 
+def test_contamination_check_no_nested_loop(spark):
+    from aicoe_osc_demo_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame([(0, "quick brown fox appears here")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox ran"), (2, "unrelated words entirely here now")],
+        ["doc_id", "text"],
+    )
+    out = contamination_check(corpus, bench)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # inverted-index equi-join: hash probes, never a per-pair nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_requires_blocking(spark):
+    import pytest
+
+    from aicoe_osc_demo_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(0, "a b c d e"), (1, "a b c d f")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(docs)
+    # explicit opt-in works for bounded inputs
+    got = ngram_jaccard_pairs(docs, threshold=0.0, allow_all_pairs=True).collect()
+    assert {(r.d1, r.d2) for r in got} == {(0, 1)}
+
+
 def test_simhash_properties(spark):
     df = _docs(spark)
     fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
