@@ -30,23 +30,42 @@ from .relational import argmax_per_group
 
 try:  # optional fast path
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
+    from rapidfuzz.utils import default_process as _rf_process  # type: ignore
 
     def _ratio(a: str, b: str) -> float:
-        return float(_rf_fuzz.token_set_ratio(a, b))
+        # processor= replicates fuzzywuzzy's default full_process (lowercase,
+        # non-alphanumerics -> space, trim) that the reference gets for free
+        # from fuzz.token_set_ratio (table_curator.py:186); rounding matches
+        # fuzzywuzzy's utils.intr int scores
+        return float(round(_rf_fuzz.token_set_ratio(a, b, processor=_rf_process)))
 
 except Exception:  # pragma: no cover - depends on container contents
+    import re as _re
     from difflib import SequenceMatcher
+
+    _non_word = _re.compile(r"(?u)\W")
+
+    def _full_process(s: str) -> str:
+        """fuzzywuzzy utils.full_process: non-word chars -> space, lowercase,
+        trim — applied by fuzz.token_set_ratio before tokenizing, so scores
+        are case- and punctuation-insensitive."""
+        return _non_word.sub(" ", s).lower().strip()
 
     def _ratio(a: str, b: str) -> float:
         """True token_set_ratio algorithm (fuzzywuzzy semantics) on the
-        stdlib SequenceMatcher: compare the sorted token intersection
-        against intersection+remainder strings and take the max."""
+        stdlib SequenceMatcher: full_process both sides, then compare the
+        sorted token intersection against intersection+remainder strings and
+        take the max.  Rounded to integer scores like fuzzywuzzy's intr
+        (round commutes with max, so one final round is equivalent)."""
+        a, b = _full_process(a), _full_process(b)
+        if not a or not b:  # fuzzywuzzy's empty-string guard returns 0
+            return 0.0
         sa, sb = set(a.split()), set(b.split())
         inter = " ".join(sorted(sa & sb))
         t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
         t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
         pairs = [(inter, t1), (inter, t2), (t1, t2)]
-        return 100.0 * max(SequenceMatcher(None, x, y).ratio() for x, y in pairs)
+        return float(round(100.0 * max(SequenceMatcher(None, x, y).ratio() for x, y in pairs)))
 
 
 @F.pandas_udf(DoubleType())

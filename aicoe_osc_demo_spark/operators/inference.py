@@ -16,7 +16,13 @@ Transformer weights are not available in this container, so the default
 scorer is a DETERMINISTIC STUB — a pure arithmetic function of the input
 lengths.  It exercises the exact production dataflow (schema, batching,
 singleton lifecycle) while making every downstream stage oracle-checkable in
-SQL.  Swapping in a real model is replacing ``_StubModel.predict``.
+SQL.  The REAL loading path exists too: pass ``model="/path/to/checkpoint"``
+to any scoring stage/pipeline and the executor-local ``_get_model`` loads a
+HuggingFace checkpoint (tokenizer + task head) through
+``load_hf_checkpoint`` — the Spark analogue of FARM's
+``Inferencer.load(model_dir)`` (relevance_infer.py:54-60) — caching one
+instance per worker process, with the stub only as the named ``"stub"``
+spec, mirroring how ``sources/extraction.py`` treats pdfminer.
 """
 
 from __future__ import annotations
@@ -54,14 +60,123 @@ class _StubModel:
         return pd.DataFrame({"answer": answer, "score": score, "no_ans_score": no_ans})
 
 
-def _get_model(name: str = "stub"):
-    if name not in _MODEL_CACHE:
-        _MODEL_CACHE[name] = _StubModel()  # real impl: load weights from a path
-    return _MODEL_CACHE[name]
+class ModelLoadError(RuntimeError):
+    """A checkpoint path was given but no runtime can load it."""
 
 
-def stub_relevance_scores(pairs: DataFrame, question_col: str = "question", text_col: str = "text") -> DataFrame:
-    """M1 scoring stage: mapInPandas over (question, text) pairs → + score."""
+class HFCheckpointModel:
+    """Real inference backend: a HuggingFace checkpoint directory loaded
+    once per executor process (S12).  Exposes the same predict_relevance /
+    predict_qa surface as the stub so every pipeline stage is
+    backend-agnostic.
+
+    Mirrors the reference's FARM usage: sequence-classification head for
+    relevance (relevance_infer.py:95-143), QA head with a CLS no-answer
+    score for span extraction (text_kpi_infer.py:180-232).  Minibatches of
+    ``batch_size`` inside each Arrow batch replicate FARM's GPU batch 16.
+    """
+
+    def __init__(self, path: str, batch_size: int = 16):
+        import torch  # noqa: F401 — required by transformers inference
+        from transformers import (
+            AutoConfig,
+            AutoModelForQuestionAnswering,
+            AutoModelForSequenceClassification,
+            AutoTokenizer,
+        )
+
+        self.tokenizer = AutoTokenizer.from_pretrained(path)
+        config = AutoConfig.from_pretrained(path)
+        archs = config.architectures or []
+        self.is_qa = any("QuestionAnswering" in a for a in archs)
+        cls = AutoModelForQuestionAnswering if self.is_qa else AutoModelForSequenceClassification
+        self.model = cls.from_pretrained(path)
+        self.model.eval()
+        self.batch_size = batch_size
+
+    def _minibatches(self, question: pd.Series, text: pd.Series):
+        for lo in range(0, len(question), self.batch_size):
+            yield question.iloc[lo : lo + self.batch_size], text.iloc[lo : lo + self.batch_size]
+
+    def predict_relevance(self, question: pd.Series, text: pd.Series) -> pd.Series:
+        import torch
+
+        out = []
+        with torch.no_grad():
+            for q, t in self._minibatches(question, text):
+                enc = self.tokenizer(
+                    list(q), list(t), truncation=True, padding=True, return_tensors="pt"
+                )
+                logits = self.model(**enc).logits
+                # positive-class probability (FARM relevance label order)
+                out.extend(torch.softmax(logits, dim=-1)[:, -1].tolist())
+        return pd.Series(out, index=question.index)
+
+    def predict_qa(self, question: pd.Series, text: pd.Series) -> pd.DataFrame:
+        import torch
+
+        answers, scores, no_ans = [], [], []
+        with torch.no_grad():
+            for q, t in self._minibatches(question, text):
+                enc = self.tokenizer(
+                    list(q), list(t), truncation=True, padding=True, return_tensors="pt"
+                )
+                res = self.model(**enc)
+                start, end = res.start_logits, res.end_logits
+                for i in range(start.shape[0]):
+                    s_idx = int(start[i].argmax())
+                    e_idx = int(end[i, s_idx:].argmax()) + s_idx
+                    toks = enc["input_ids"][i][s_idx : e_idx + 1]
+                    answers.append(self.tokenizer.decode(toks, skip_special_tokens=True))
+                    scores.append(float(start[i, s_idx] + end[i, e_idx]))
+                    # CLS-position logits = FARM's no-answer score
+                    no_ans.append(float(start[i, 0] + end[i, 0]))
+        idx = question.index
+        return pd.DataFrame(
+            {
+                "answer": pd.Series(answers, index=idx),
+                "score": pd.Series(scores, index=idx),
+                "no_ans_score": pd.Series(no_ans, index=idx),
+            }
+        )
+
+
+def load_hf_checkpoint(path: str):
+    """The real model-loading path (try-import gated like S1's pdfminer):
+    resolve a checkpoint directory into a scoring backend.  Raises
+    ModelLoadError with the actionable cause when the transformer runtime is
+    absent (this container) — callers fall back to ``"stub"`` explicitly,
+    never silently."""
+    try:
+        import transformers  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - runtime-dependent
+        raise ModelLoadError(
+            f"cannot load checkpoint {path!r}: the 'transformers' runtime is "
+            "not installed in this environment; install transformers+torch "
+            "on the executors or use model='stub'"
+        ) from exc
+    return HFCheckpointModel(path)
+
+
+def _get_model(spec: str = "stub"):
+    """Executor-local model singleton (S12).  ``spec`` is either the literal
+    ``"stub"`` (deterministic arithmetic scorer, oracle-checkable) or a
+    checkpoint path loaded through ``load_hf_checkpoint`` — one instance per
+    spec per worker process, reused across Arrow batches."""
+    if spec not in _MODEL_CACHE:
+        _MODEL_CACHE[spec] = _StubModel() if spec == "stub" else load_hf_checkpoint(spec)
+    return _MODEL_CACHE[spec]
+
+
+def stub_relevance_scores(
+    pairs: DataFrame,
+    question_col: str = "question",
+    text_col: str = "text",
+    model: str = "stub",
+) -> DataFrame:
+    """M1 scoring stage: mapInPandas over (question, text) pairs → + score.
+    ``model`` is the backend spec resolved executor-side by ``_get_model``
+    ("stub" or a checkpoint path)."""
     cols = pairs.columns
     # Build the output schema without mutating pairs.schema (StructType.add
     # mutates in place and DataFrame.schema is cached).
@@ -71,15 +186,20 @@ def stub_relevance_scores(pairs: DataFrame, question_col: str = "question", text
     )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_model()
+        backend = _get_model(model)
         for pdf in batches:
-            pdf["score"] = model.predict_relevance(pdf[question_col], pdf[text_col])
+            pdf["score"] = backend.predict_relevance(pdf[question_col], pdf[text_col])
             yield pdf[cols + ["score"]]
 
     return pairs.mapInPandas(score_batches, schema=out_schema)
 
 
-def stub_qa_answers(pairs: DataFrame, question_col: str = "question", text_col: str = "text") -> DataFrame:
+def stub_qa_answers(
+    pairs: DataFrame,
+    question_col: str = "question",
+    text_col: str = "text",
+    model: str = "stub",
+) -> DataFrame:
     """M2 scoring stage: mapInPandas → (answer, score, no_ans_score)."""
     cols = pairs.columns
     out_schema = StructType(
@@ -92,9 +212,9 @@ def stub_qa_answers(pairs: DataFrame, question_col: str = "question", text_col: 
     )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_model()
+        backend = _get_model(model)
         for pdf in batches:
-            preds = model.predict_qa(pdf[question_col], pdf[text_col])
+            preds = backend.predict_qa(pdf[question_col], pdf[text_col])
             for c in preds.columns:
                 pdf[c] = preds[c]
             yield pdf[cols + ["answer", "score", "no_ans_score"]]
@@ -136,7 +256,7 @@ def infer_from_squad(squad: DataFrame, top_k: int = 4) -> DataFrame:
 
 
 def relevance_pipeline(
-    paragraphs: DataFrame, questions: DataFrame, threshold: float = 0.5
+    paragraphs: DataFrame, questions: DataFrame, threshold: float = 0.5, model: str = "stub"
 ) -> DataFrame:
     """M1 end-to-end (ref: relevance_infer.py:95-143,196-231): cartesian
     fan-out of questions × paragraphs (question side broadcast — it is a
@@ -150,7 +270,7 @@ def relevance_pipeline(
     from .relational import ensure_parallelism
 
     pairs = ensure_parallelism(paragraphs).crossJoin(F.broadcast(questions))
-    scored = stub_relevance_scores(pairs)
+    scored = stub_relevance_scores(pairs, model=model)
     return scored.filter(F.col("score") >= threshold)
 
 
@@ -160,12 +280,13 @@ def qa_pipeline(
     top_k: int = 4,
     no_ans_boost: float = -0.015,
     tiebreak: list[str] | None = None,
+    model: str = "stub",
 ) -> DataFrame:
     """M2 end-to-end (ref: text_kpi_infer.py:180-274): QA-score each
     (question, paragraph), apply the no-answer boost (F19), rank answers per
     (doc-group, question) and keep top-k (W1), plus the per-group
     all-no-answer aggregate (A2)."""
-    answered = stub_qa_answers(relevant)
+    answered = stub_qa_answers(relevant, model=model)
     answered = answered.withColumn(
         "pure_no_ans_score", F.col("no_ans_score") + F.lit(no_ans_boost)
     ).withColumn(

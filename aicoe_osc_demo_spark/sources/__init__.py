@@ -21,6 +21,7 @@ from .files import (
     read_jsonl_chunked,
     read_annotation_workbooks,
 )
+from .excel import parse_workbook, read_excel_workbooks
 
 __all__ = [
     "TPCH_TABLES",
@@ -37,4 +38,6 @@ __all__ = [
     "read_binary_docs",
     "read_jsonl_chunked",
     "read_annotation_workbooks",
+    "parse_workbook",
+    "read_excel_workbooks",
 ]

@@ -129,9 +129,19 @@ def read_annotation_workbooks(
     path: str,
     columns_to_read: list[str],
     schema: StructType | str | None = None,
+    sheet_name: str | None = None,
 ) -> DataFrame:
     """S6: multi-workbook annotation ingest with required-column validation and
-    per-file ``annotator`` provenance (qa_utils.py:10-42 semantics)."""
+    per-file ``annotator`` provenance (qa_utils.py:10-42 semantics).
+
+    Native .xlsx paths (the reference's actual ``data/annotations/`` files,
+    text_curator.py:124-126) route through ``sources.excel`` — binaryFile +
+    executor-side SpreadsheetML parse; anything else is read as CSV-exported
+    workbooks."""
+    if path.endswith(".xlsx") or sheet_name is not None:
+        from .excel import read_excel_workbooks
+
+        return read_excel_workbooks(spark, path, columns_to_read, sheet_name)
     df = read_csv(spark, path, schema)
     missing = [c for c in columns_to_read if c not in df.columns]
     if missing:

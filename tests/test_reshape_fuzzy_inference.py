@@ -83,6 +83,21 @@ def test_fuzzy_ratio_join_picks_best(spark):
     assert len(out) == 1 and out[0].cid == 10
 
 
+def test_fuzzy_ratio_fuzzywuzzy_semantics():
+    # the scorer must replicate fuzz.token_set_ratio WITH its default
+    # full_process (table_curator.py:186): case/punctuation-insensitive,
+    # token-subset pairs score 100, empty-after-processing scores 0
+    from aicoe_osc_demo_spark.operators.fuzzy import _ratio
+
+    assert _ratio("Total CO2, Emissions!", "total co2 emissions") == 100.0
+    assert _ratio("scope one", "SCOPE one emissions 2020") == 100.0  # subset hallmark
+    assert _ratio("...", "anything") == 0.0  # processes to empty
+    assert _ratio("", "x") == 0.0
+    assert _ratio("alpha beta", "alpha beta") == 100.0
+    assert 0.0 <= _ratio("alpha beta", "gamma delta") < 50.0
+    assert _ratio("a-b c", "a b c") == 100.0  # punctuation -> whitespace
+
+
 def test_relevance_pipeline_stub_scores(spark):
     paragraphs = spark.createDataFrame([(1, "some paragraph text")], ["doc_id", "text"])
     questions = spark.createDataFrame([("k1", "What is X?")], ["kpi_id", "question"])

@@ -69,6 +69,58 @@ def test_infer_from_squad_roundtrip(spark):
     assert all(r.answer for r in preds)
 
 
+def test_model_loading_path(monkeypatch):
+    # the REAL loading path (S12/M1/M2): a non-"stub" spec routes through
+    # load_hf_checkpoint and is cached once per spec; the stub never does
+    import pandas as pd
+
+    from aicoe_osc_demo_spark.operators import inference as inf
+
+    class FakeModel:
+        def __init__(self, path):
+            self.path = path
+
+        def predict_relevance(self, question, text):
+            return pd.Series([0.9] * len(text), index=text.index)
+
+    loaded = []
+
+    def fake_loader(path):
+        loaded.append(path)
+        return FakeModel(path)
+
+    monkeypatch.setattr(inf, "load_hf_checkpoint", fake_loader)
+    inf._MODEL_CACHE.clear()
+    try:
+        m1 = inf._get_model("/ckpt/relevance-roberta")
+        m2 = inf._get_model("/ckpt/relevance-roberta")
+        assert isinstance(m1, FakeModel) and m1 is m2  # executor-local singleton
+        assert loaded == ["/ckpt/relevance-roberta"]  # loaded exactly once
+        assert isinstance(inf._get_model("stub"), inf._StubModel)
+        scores = m1.predict_relevance(pd.Series(["q"]), pd.Series(["t"]))
+        assert scores.iloc[0] == 0.9
+    finally:
+        inf._MODEL_CACHE.clear()
+
+
+def test_model_loading_without_runtime_raises():
+    # in a transformers-less container the real path fails loud, not silent
+    import pytest
+
+    from aicoe_osc_demo_spark.operators import inference as inf
+
+    try:
+        import transformers  # noqa: F401
+
+        pytest.skip("transformers installed; failure path not reachable")
+    except ImportError:
+        pass
+    inf._MODEL_CACHE.clear()
+    with pytest.raises(inf.ModelLoadError, match="transformers"):
+        inf._get_model("/ckpt/does-not-matter")
+    inf._MODEL_CACHE.clear()
+
+
 def test_grid_search_picks_best(spark):
     rows = [(i, ("spark " * 5 if i % 2 else "plain words here"), i % 2) for i in range(60)]
     df = (
