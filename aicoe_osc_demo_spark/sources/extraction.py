@@ -17,18 +17,27 @@ Reference semantics being re-expressed:
   multiprocessing.Pool disappears — Spark partitioning IS the pool
   (ref: pdf_table_extractor.py:97-147,215-260).
 
-pdfminer / CascadeTabNet / tabula are NOT in this container, so the decoders
-are deterministic stubs behind try-imports: bytes are decoded as utf-8 with
-pages split on form-feed and paragraphs on blank lines, and the bbox
-"model" derives pseudo-boxes from a content hash.  The Spark plumbing —
-binaryFile scan, mapInPandas batching, schema, candidate-pruned joins — is
-the production shape; swapping in the real libraries changes only the
-``_decode_*`` internals.
+Decoder ladder for S1 (per executor, chosen at import time / by content):
+
+1. **pdfminer.six** when importable — full-fidelity layout analysis.
+2. **stdlib PDF reader** for genuine ``%PDF`` bytes — parses content
+   streams (uncompressed or FlateDecode via zlib), extracts Tj/TJ/' text
+   operators per BT..ET block.  Covers the simple text PDFs the test suite
+   generates, so the non-stub path is exercised in CI even without
+   pdfminer.
+3. **utf-8 stub** for anything else — pages on form-feed; keeps plumbing
+   tests hermetic.
+
+CascadeTabNet / tabula (S3/S4) remain deterministic stubs (no model
+weights in scope); the Spark plumbing — binaryFile scan, mapInPandas
+batching, schema, candidate-pruned joins — is the production shape.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -81,11 +90,82 @@ CELLS_SCHEMA = StructType(
 )
 
 
+# PDF literal string: ( ... ) with \-escapes; text-showing operators Tj, ',
+# and array form TJ
+_PDF_STR = r"\((?:\\.|[^\\()])*\)"
+_PDF_TEXT_OP = re.compile(rf"({_PDF_STR})\s*(?:Tj|')|\[((?:{_PDF_STR}|[^\]])*)\]\s*TJ")
+_PDF_STR_RE = re.compile(_PDF_STR)
+_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_PDF_ESCAPES = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f", "(": "(", ")": ")", "\\": "\\"}
+
+
+def _pdf_unescape(lit: str) -> str:
+    """Decode a PDF literal string body (between parens)."""
+    out, i = [], 0
+    while i < len(lit):
+        ch = lit[i]
+        if ch == "\\" and i + 1 < len(lit):
+            nxt = lit[i + 1]
+            if nxt in _PDF_ESCAPES:
+                out.append(_PDF_ESCAPES[nxt])
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                oct_digits = lit[i + 1 : i + 4]
+                span = 1
+                while span < 3 and span < len(oct_digits) and oct_digits[:span + 1].isdigit():
+                    span += 1
+                out.append(chr(int(lit[i + 1 : i + 1 + span], 8)))
+                i += 1 + span
+                continue
+            i += 1  # line continuation / unknown escape: drop the backslash
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _pdf_stream_text(ops: str) -> str:
+    """Text of one content stream: each Tj/' emits a line; a TJ array's
+    strings concatenate into one line.  Lines join with newline, so an empty
+    ``() Tj`` produces the blank-line paragraph separator."""
+    lines = []
+    for m in _PDF_TEXT_OP.finditer(ops):
+        if m.group(1) is not None:
+            lines.append(_pdf_unescape(m.group(1)[1:-1]))
+        else:
+            parts = [_pdf_unescape(s[1:-1]) for s in _PDF_STR_RE.findall(m.group(2))]
+            lines.append("".join(parts))
+    return "\n".join(lines)
+
+
+def _decode_pdf_stdlib(content: bytes) -> list[str]:
+    """Minimal PDF text extraction (S1 fallback between pdfminer and the
+    utf-8 stub): every content stream containing a BT..ET text block is one
+    page, in object order; FlateDecode streams inflate through zlib.  Real
+    simple text PDFs only — layout analysis is pdfminer's job."""
+    pages = []
+    for dict_part, raw in _PDF_STREAM_RE.findall(content):
+        if b"FlateDecode" in dict_part:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        ops = raw.decode("latin-1", errors="replace")
+        if "BT" in ops and "ET" in ops:
+            text = _pdf_stream_text(ops)
+            if text:
+                pages.append(text)
+    return pages or [""]
+
+
 def _decode_pages(content: bytes) -> list[str]:
-    """STUB pdfminer: utf-8 decode, pages on form-feed.  Real impl would call
-    pdfminer per page (S1)."""
+    """S1 decode ladder: pdfminer → stdlib PDF reader (for %PDF bytes) →
+    utf-8 stub (pages on form-feed)."""
     if HAVE_PDFMINER:  # pragma: no cover - not in this container
         return _pdfminer_extract(content).split("\f")
+    if content.startswith(b"%PDF"):
+        return _decode_pdf_stdlib(content)
     return content.decode("utf-8", errors="replace").split("\f")
 
 

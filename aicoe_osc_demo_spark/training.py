@@ -121,6 +121,77 @@ def grid_search(
     return best
 
 
+def successive_halving_search(
+    df: DataFrame,
+    key_col: str,
+    param_grid: list[dict] | None = None,
+    n_folds: int = 2,
+    eta: int = 2,
+    start_fraction: float = 0.25,
+) -> dict:
+    """M8 with pruning — the Optuna-trial-pruning semantics the reference
+    uses (trainer_optuna.py:14-120: trials that look bad on dev accuracy are
+    stopped early) expressed as successive halving:
+
+    - every trial first trains on a small deterministic data slice
+      (hash-bucketed on ``key_col`` — reproducible under any partitioning);
+    - only the top ``1/eta`` of trials survive each rung; the data slice
+      grows by ``eta`` per rung;
+    - only the surviving trials are ever evaluated at full resource.
+
+    So, like Optuna's pruner, most of the grid never pays full training
+    cost.  Returns the best trial plus the rung history and the pruned
+    params (observable by tests/telemetry).
+    """
+    import math
+
+    param_grid = param_grid or [
+        {"num_features": 1 << 10, "max_iter": 5},
+        {"num_features": 1 << 12, "max_iter": 5},
+        {"num_features": 1 << 12, "max_iter": 10},
+        {"num_features": 1 << 14, "max_iter": 10},
+    ]
+    survivors = [{"params": p} for p in param_grid]
+    pruned: list[dict] = []
+    rungs: list[dict] = []
+    fraction = start_fraction
+
+    def evaluate(trials: list[dict], frac: float) -> None:
+        sliced = (
+            df
+            if frac >= 1.0
+            else df.filter(bucket_of(F.col(key_col), 1000, salt="shalving") < int(frac * 1000))
+        )
+        for t in trials:
+            folds = cross_validate(sliced, key_col, n_folds=n_folds, **t["params"])
+            t["mean_f1"] = sum(f["f1"] for f in folds) / len(folds)
+            t["folds"] = folds
+
+    rung = 0
+    while len(survivors) > 1 and fraction < 1.0:
+        evaluate(survivors, fraction)
+        rungs.append({"rung": rung, "fraction": fraction, "n_trials": len(survivors)})
+        survivors.sort(key=lambda t: -t["mean_f1"])
+        keep = max(1, math.ceil(len(survivors) / eta))
+        pruned.extend(t["params"] for t in survivors[keep:])
+        survivors = survivors[:keep]
+        fraction = min(1.0, fraction * eta)
+        rung += 1
+
+    evaluate(survivors, 1.0)  # full-resource evaluation on survivors only
+    rungs.append({"rung": rung, "fraction": 1.0, "n_trials": len(survivors)})
+    best = max(survivors, key=lambda t: t["mean_f1"])
+    return {
+        "params": best["params"],
+        "mean_f1": best["mean_f1"],
+        "folds": best["folds"],
+        "rungs": rungs,
+        "n_trials": len(param_grid),
+        "n_full_evaluations": len(survivors),
+        "pruned": pruned,
+    }
+
+
 def span_overlap_f1(pred: str, gold: str) -> float:
     """M9 — relaxed span-overlap F1 between a predicted and gold answer
     (token-level overlap, the SQuAD metric core; qa_metrics.py:8-81)."""

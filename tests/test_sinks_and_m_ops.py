@@ -134,3 +134,23 @@ def test_grid_search_picks_best(spark):
     best = grid_search(df, "id", param_grid=[{"max_iter": 5}, {"max_iter": 10}], n_folds=2)
     assert 0.5 < best["mean_f1"] <= 1.0
     assert "params" in best and len(best["folds"]) == 2
+
+
+def test_successive_halving_prunes(spark):
+    # Optuna-pruning semantics (trainer_optuna.py:14-120): most of the grid
+    # never reaches full-resource evaluation
+    from aicoe_osc_demo_spark.training import successive_halving_search
+
+    rows = [(i, ("spark " * 5 if i % 2 else "plain words here"), i % 2) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "text", "label"]).select(
+        "id",
+        F.concat_ws(" [SEP] ", F.lit("q"), "text").alias("pair_text"),
+        F.col("label").cast("double").alias("label"),
+    )
+    grid = [{"max_iter": 2}, {"max_iter": 4}, {"max_iter": 6}, {"max_iter": 8}]
+    out = successive_halving_search(df, "id", param_grid=grid, n_folds=2, eta=2)
+    assert out["n_full_evaluations"] < len(grid)  # pruned trials < full grid
+    assert len(out["pruned"]) + out["n_full_evaluations"] == len(grid)
+    assert 0.5 < out["mean_f1"] <= 1.0
+    assert out["rungs"][-1]["fraction"] == 1.0
+    assert out["rungs"][0]["n_trials"] == len(grid)
