@@ -25,11 +25,88 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_multiway_revenue_by_nation"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-verification scheduling: the per-round correctness gate checks the
+# FIRST 50 registry entries, so the catalog is ordered round-robin by
+# family with the queries that lack a prior driver-green CORRECTNESS row
+# first (round 2 verified the 50 relational/text entries; this round fronts
+# the dedup/similarity/ML/events/curation/multimodal families so every
+# §2 family lands inside the window).  Oracle-checked entries precede
+# rows-only ones.  Names absent from this list follow in registry order.
+_DRIVER_CHECK_PRIORITY = [
+    # judge's must-verify set
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_pairs",
+    "curation_negative_sample",
+    "curation_answer_offsets",
+    "events_asof_join",
+    "ml_relevance_inference",
+    "multimodal_features",
+    # dedup family
+    "llm_exact_dedup",
+    "llm_minhash_signatures",
+    "llm_simhash_fingerprints",
+    "llm_ngram_jaccard_pairs",
+    "llm_lsh_candidate_count",
+    "llm_incremental_dedup",
+    "llm_contamination_check",
+    "text_fingerprint",
+    # similarity / sketch / corpus stats
+    "llm_cosine_topk",
+    "llm_ivf_topk",
+    "llm_ann_lsh_topk",
+    "llm_heavy_hitters_sketch",
+    "llm_vocab_topk",
+    "llm_length_histogram",
+    "llm_stratified_sample",
+    "llm_fuzzy_jaccard_join",
+    # ML pipeline
+    "ml_qa_inference_topk",
+    "ml_no_answer_aggregate",
+    "ml_group_metrics",
+    "ml_train_dev_split_sizes",
+    # events / streaming-equivalent
+    "events_windowed_counts",
+    "events_sessionize",
+    "events_json_extract",
+    "events_session_window",
+    "events_hypertable_rollup",
+    "events_range_join",
+    "events_daily_type_matrix",
+    # curation
+    "curation_valid_pairs",
+    "curation_answer_containment",
+    "curation_extra_answerable",
+    # reshape / advanced aggregates
+    "reshape_flatten",
+    "reshape_gather_table_text",
+    "agg_rollup_revenue",
+    "agg_cube_revenue",
+    "agg_exact_percentiles",
+    "agg_filtered_counts",
+    "window_running_sum",
+    "window_lag_delta",
+    "join_full_outer",
+    "set_union_missing_cols",
+    "text_levenshtein_match",
+    # multimodal
+    "multimodal_metadata",
+    # rows-only (no oracle — weaker check; keep at the window edge)
+    "llm_fuzzy_ratio_join",
+    "pipeline_text_curation",
+    "reshape_nest_squad",
+    "ml_relevance_training_metrics",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's 50-entry correctness window covers the families not yet
+    driver-verified (see _DRIVER_CHECK_PRIORITY)."""
     from aicoe_osc_demo_spark.plans import QUERIES
 
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _DRIVER_CHECK_PRIORITY if n in QUERIES}
+    ordered.update((n, fn) for n, fn in QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
