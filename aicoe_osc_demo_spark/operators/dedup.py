@@ -261,18 +261,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     partial aggregate combines map-side — the properties that hold up when
     documents are pages, not sentences."""
     toks = _shingles(df, text_col, id_col, 3).withColumn("h", _token_hash())
+    # branchless bit-votes: sum_j = popcount of bit j over shingles; the
+    # +1/-1 vote sum is 2*sum_j - n, so bit j is set iff 2*sum_j > n
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{j}")
+        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
         for j in range(bits)
     ]
+    n = F.count(F.lit(1)).alias("n")
     fp = None
     for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return (
-        toks.groupBy("doc_id").agg(*votes).select("doc_id", fp.cast("long").alias("simhash"))
+        toks.groupBy("doc_id")
+        .agg(*votes, n)
+        .select("doc_id", fp.cast("long").alias("simhash"))
     )
 
 
