@@ -49,7 +49,8 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_lsh_candidate_count",
     "llm_incremental_dedup",
     "llm_contamination_check",
-    "text_fingerprint",
+    "llm_embedding_near_dup",
+    "text_winnow_fingerprint",
     # similarity / sketch / corpus stats
     "llm_cosine_topk",
     "llm_ivf_topk",

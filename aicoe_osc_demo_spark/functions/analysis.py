@@ -59,3 +59,10 @@ def doc_fingerprint(c: Column) -> Column:
     Spark/DuckDB/Python)."""
     norm = F.lower(F.trim(F.regexp_replace(c, "\\s+", " ")))
     return F.md5(norm).alias("fingerprint")
+
+
+# NOTE: winnowing fingerprints live in operators/dedup.py as a
+# DataFrame-level operator (winnow_fingerprints).  A pure-Column nested-HOF
+# version was measured 20x slower: higher-order functions get no common-
+# subexpression elimination, so the inner hash array was recomputed for
+# every sliding window.

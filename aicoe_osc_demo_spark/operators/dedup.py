@@ -320,6 +320,57 @@ def simhash_dedup_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et al.
+    SIGMOD'03): positional word k-gram hashes → sliding-window minima →
+    distinct minima per document.  Any shared run of ``window + k - 1``
+    tokens between two documents is guaranteed to share a fingerprint, at
+    ~2/(window+1) the storage of full shingling.
+
+    Shape: posexplode grams (md5 computed ONCE per gram, codegen'd), one
+    keyed window for the sliding min, groupBy(doc_id) reusing the same
+    partitioning — one shuffle total.  A nested-HOF Column version
+    (transform over slice over transform) measured ~20x slower at sf0.01
+    because HOFs get no CSE: the hash array was re-evaluated per window.
+
+    Returns (doc_id, fingerprints: array<long> sorted).
+    """
+    from pyspark.sql import Window
+
+    from .relational import ensure_parallelism
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    g = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), grams.alias("grams")))
+    hashed = g.select("doc_id", F.posexplode("grams").alias("pos", "gram")).select(
+        "doc_id", "pos", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    by_doc = Window.partitionBy("doc_id")
+    sliding = by_doc.orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(sliding).alias("m"),
+            F.count(F.lit(1)).over(by_doc).alias("cnt"),
+        )
+        # valid window starts only (0-based): pos <= cnt-window, or the
+        # single truncated window at pos 0 for docs shorter than `window`
+        .filter((F.col("pos") <= F.col("cnt") - window) | (F.col("pos") == 0))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("m")).alias("fingerprints"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -157,6 +157,53 @@ def ivf_topk(
     return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analogue of
+    MinHash-LSH dedup: hyperplane-LSH bucket self-join (one side multiprobes
+    its 1-bit-flip neighbor buckets for recall), exact cosine only within
+    candidate buckets, keep pairs above ``threshold``.
+
+    Scale shape: never all-pairs — candidates come from an equi-join on the
+    bucket key; near-identical vectors agree on every sign bit, so recall at
+    high thresholds is driven by the multiprobe radius.  The shuffle carries
+    (bucket, id, vector) rows, 1+n_planes replicas on the probing side only.
+    """
+    from .relational import ensure_parallelism
+
+    planes = _planes(n_planes, dim)
+    base = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    ).select("vid", "v", lsh_bucket(F.col("v"), planes).alias("b0"))
+    probes = F.array_distinct(
+        F.array(F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+    )
+    left = base.withColumn("bucket", F.explode(probes)).select(
+        F.col("vid").alias("d1"), F.col("v").alias("v1"), "bucket"
+    )
+    right = base.select(F.col("vid").alias("d2"), F.col("v").alias("v2"), F.col("b0").alias("bucket"))
+    scored = (
+        left.join(right, on="bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # multiprobe replicas of the same (d1, d2) collapse here
+    )
+    return scored
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -473,6 +473,50 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+@register(
+    "llm_embedding_near_dup",
+    # Ground-truth oracle: brute-force all-pairs cosine over the same
+    # clone-augmented corpus.  The engine must find EXACTLY these pairs via
+    # the LSH bucket join — a value-checked recall assertion, not a
+    # rows-only smoke test.  (Halving a float is exact, so clone cosines
+    # are exactly 1.0 on both engines.)
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    clones AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+      FROM base WHERE vec_id < 25
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Embedding-cosine near-dup pairs via hyperplane-LSH bucket self-join
+    # (multiprobe radius 1) — the vector member of the dedup family.  The
+    # query plants scaled clones (cosine exactly 1.0, bucket-identical since
+    # sign bits are scale-invariant) so recall is checked against the
+    # brute-force oracle.
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    return embedding_near_dup_pairs(corpus, threshold=0.99, n_planes=4, dim=64)
+
+
 @register("llm_ann_lsh_topk", _ann_lsh_oracle_sql())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hyperplane-LSH approximate ANN: bucket equi-join + 1-bit-flip probes,

@@ -494,3 +494,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Document fingerprinting — md5 of normalized text.
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "text_winnow_fingerprint",
+    # Winnowing (MOSS): positional 3-gram 32-bit hashes → minima over a
+    # 4-hash sliding window → distinct sorted minima.  The oracle replays
+    # the identical rolling scheme in DuckDB (md5-prefix hashes are
+    # bit-identical across engines).
+    """
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fps,
+           fps[1] AS min_fp,
+           fps[len(fps)] AS max_fp
+    FROM (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hashes) - 3, 1) + 1),
+               i -> list_aggregate(list_slice(hashes, i, i + 3), 'min')
+             ))) AS fps
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                 ),
+                 g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)
+               ) AS hashes
+        FROM documents
+      )
+    )
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03) —
+    # the near-dup fingerprint family beyond plain md5 (text_fingerprint).
+    # Exploded + sliding-window-min shape; see operators/dedup.py.
+    from ..operators.dedup import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(d, "text", "doc_id", k=3, window=4)
+    f = F.col("fingerprints")
+    return fps.select(
+        "doc_id",
+        F.size(f).alias("n_fps"),
+        F.element_at(f, 1).alias("min_fp"),
+        F.element_at(f, -1).alias("max_fp"),
+    )

@@ -41,8 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     df = QUERIES[args.query](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+    # show() executes once with its own limit pushdown; no second full
+    # execution just to print a count
     df.show(args.limit, truncate=80)
-    print(f"({df.count()} rows)")
     return 0
 
 

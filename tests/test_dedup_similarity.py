@@ -109,6 +109,48 @@ def test_simhash_pairs_banded(spark):
     assert got[(0, 1)] == 0
 
 
+def test_winnow_fingerprints_guarantee(spark):
+    # MOSS guarantee: documents sharing a run of window+k-1 = 6 tokens share
+    # at least one fingerprint; disjoint docs share none
+    from aicoe_osc_demo_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro words {shared} trailing bits here"),
+            (1, f"{shared} completely other ending tokens now"),
+            (2, "nothing in common with either document at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs, k=3, window=4).collect()}
+    assert fps[0] & fps[1]  # shared 6-token run → shared fingerprint
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # short doc (< window grams) still fingerprints via the truncated window
+    short = spark.createDataFrame([(9, "just four tokens")], ["doc_id", "text"])
+    out = winnow_fingerprints(short).collect()
+    assert len(out) == 1 and len(out[0].fingerprints) == 1
+
+
+def test_embedding_near_dup_pairs(spark):
+    from aicoe_osc_demo_spark.operators.similarity import embedding_near_dup_pairs
+
+    import random
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    # plant two exact-scale clones (cosine 1.0, same LSH bucket)
+    rows.append((100, [0.5 * x for x in rows[3][1]]))
+    rows.append((101, [2.0 * x for x in rows[7][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, n_planes=4, dim=16)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # bucketed equi-join, never all-pairs
+    got = {(r.d1, r.d2): r.cosine for r in pairs.collect()}
+    assert set(got) == {(3, 100), (7, 101)}
+    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+
+
 def _embeddings(spark):
     import random
 
