@@ -89,8 +89,9 @@ _DRIVER_CHECK_PRIORITY = [
     "join_full_outer",
     "set_union_missing_cols",
     "text_levenshtein_match",
-    # multimodal
-    "multimodal_metadata",
+    # multimodal (frame sampling exercises the 1:N mapInPandas fan-out;
+    # plain metadata stays local-harness-checked just outside the window)
+    "multimodal_frame_sample",
     # rows-only (no oracle — weaker check; keep at the window edge)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -103,6 +103,101 @@ def extract_features(
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_md5", StringType()),
+        StructField("n_frame_bytes", IntegerType()),
+    ]
+)
+
+
+def stub_resize(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic FAKE resampler — stands in for PIL.Image.resize /
+    ffmpeg scale (absent here).  Emits a stable width*height-proportional
+    byte string derived from the content so downstream stages see genuinely
+    resized payload sizes.  Replace with a real codec in prod."""
+    target = max(1, (width * height) // 64)
+    reps = (target // max(len(content), 1)) + 1
+    return (content * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] = stub_resize,
+) -> DataFrame:
+    """Resize/resample stage: one decoder call per row inside an Arrow
+    batch, bytes in → bytes out, executor-side only.  The output schema is
+    fixed regardless of decoder; ``resize_fn`` is the single swap point for
+    PIL/ffmpeg."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": [resize_fn(bytes(c), width, height) for c in pdf["content"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 2,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame-sampling stage (video → frames): each input row fans out to up
+    to ``max_frames`` frame rows at positions 0, stride, 2*stride, ... —
+    the 1:N mapInPandas shape a real ffmpeg keyframe sampler uses, with the
+    frame decode stubbed as fixed-size byte windows (deterministic, so the
+    fan-out is oracle-checkable).  Bytes never leave the executors; only
+    frame fingerprints and sizes come back."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, md5s, sizes = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                for j in range(max_frames):
+                    pos = j * stride
+                    if pos * frame_bytes >= len(data):
+                        break
+                    chunk = data[pos * frame_bytes : (pos + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(pos)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "frame_md5": md5s,
+                    "n_frame_bytes": sizes,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-column metadata over the opaque binary (no decode): byte length
     and content hash — JVM-side, no Python."""

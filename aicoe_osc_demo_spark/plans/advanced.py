@@ -150,6 +150,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    # The stub "keyframe sampler" takes 64-byte windows at stride-2 frame
+    # positions (max 8) — deterministic byte math, so the 1:N fan-out of the
+    # mapInPandas stage is fully value-checked (documents text is ASCII:
+    # char positions == byte positions).
+    """
+    SELECT doc_id AS media_id,
+           CAST(j * 2 AS INT) AS frame_index,
+           md5(substr(text, j * 2 * 64 + 1, 64)) AS frame_md5,
+           CAST(least(octet_length(encode(text)) - j * 2 * 64, 64) AS INT) AS n_frame_bytes
+    FROM documents, generate_series(0, 7) AS s(j)
+    WHERE j * 2 * 64 < octet_length(encode(text))
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame sampling (video → frames): each media row fans out to up to 8
+    # stride-2 frame rows inside one Arrow batch; bytes stay executor-side,
+    # only fingerprints and sizes return.
+    from ..operators.multimodal import sample_frames
+
+    media = media_from_text(load(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, stride=2, max_frames=8)
+
+
+@register(
     "agg_cube_revenue",
     """
     SELECT l_returnflag, l_linestatus,

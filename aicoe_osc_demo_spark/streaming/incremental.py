@@ -63,6 +63,34 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Streaming member of the dedup family: exact content dedup across
+    micro-batches via ``dropDuplicates`` on the md5 fingerprint — Structured
+    Streaming keeps the seen-fingerprint set in checkpointed state, so a
+    document arriving twice (any batch, any order) is emitted once.  This is
+    the continuous form of ``operators/dedup.py:incremental_dedup``: the
+    state store IS the ledger, no hand-rolled anti-join.
+
+    At scale, pass ``watermark=(event_time_col, delay)`` so the state
+    evicts fingerprints older than the late-data horizon (unbounded state
+    is the classic streaming-dedup failure mode).  Works on batch frames
+    too (plain dropDuplicates), so the same code runs in backfill.
+    """
+    from ..functions.analysis import doc_fingerprint
+
+    src = docs.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    if src.isStreaming and watermark is not None:
+        col, delay = watermark
+        src = src.withWatermark(col, delay)
+        return src.dropDuplicatesWithinWatermark(["fingerprint"])
+    return src.dropDuplicates(["fingerprint"])
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (batch form): a new session starts
     when the gap to the previous event exceeds the threshold.  Streaming form

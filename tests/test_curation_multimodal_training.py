@@ -136,6 +136,38 @@ def test_negative_sample_prefilter_bounds_candidates(spark):
     assert all(r["count"] >= k for r in survivors)
 
 
+def test_multimodal_resize_and_frames(spark):
+    from aicoe_osc_demo_spark.operators.multimodal import (
+        media_from_text,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 300), (1, "short"), (2, "y" * 1500)], ["doc_id", "text"]
+    )
+    media = media_from_text(docs)
+
+    resized = resize_media(media, width=32, height=32).collect()
+    assert all(r.width == 32 and r.height == 32 for r in resized)
+    assert all(len(r.content) == (32 * 32) // 64 for r in resized)  # stub target size
+
+    frames = sample_frames(media, frame_bytes=64, stride=2, max_frames=8).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 300 bytes → positions 0,2,4 (pos*64 < 300); 5 bytes → only pos 0;
+    # 1500 bytes → capped at max_frames=8
+    assert sorted(r.frame_index for r in by_id[0]) == [0, 2, 4]
+    assert [r.frame_index for r in by_id[1]] == [0]
+    assert len(by_id[2]) == 8
+    assert all(r.n_frame_bytes <= 64 for r in frames)
+    import hashlib as _h
+
+    first = next(r for r in by_id[0] if r.frame_index == 0)
+    assert first.frame_md5 == _h.md5(b"x" * 64).hexdigest()
+
+
 def test_multimodal_pipeline(spark):
     docs = spark.createDataFrame([(0, "some text"), (1, "other bytes")], ["doc_id", "text"])
     media = media_from_text(docs)

@@ -33,6 +33,51 @@ def test_incremental_exactly_once_per_file(spark, tmp_path):
     assert sorted(seen) == [0, 1, 2, 3, 4, 5, 6, 7]
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    # exact-dedup state survives across micro-batches and restarts: a clone
+    # arriving in a later batch (or on re-run) is never re-emitted
+    from aicoe_osc_demo_spark.streaming.incremental import streaming_dedup
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
+    ).write.parquet(inp + "/b1.parquet")
+
+    emitted: list[tuple[int, str]] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(inp)
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.foreachBatch(
+                lambda df, _e: emitted.extend((r.doc_id, r.text) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run()
+    assert sorted(t for _, t in emitted) == ["alpha beta", "gamma delta"]
+
+    # batch 2: one clone of an already-seen doc + one new doc
+    spark.createDataFrame(
+        [(2, "alpha beta"), (3, "epsilon zeta")], ["doc_id", "text"]
+    ).write.parquet(inp + "/b2.parquet")
+    run()
+    assert sorted(t for _, t in emitted) == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+    # batch form: same function, plain dropDuplicates
+    b = spark.createDataFrame([(0, "x y"), (1, "x y")], ["doc_id", "text"])
+    assert streaming_dedup(b).count() == 1
+
+
 def test_windowed_event_counts_batch(spark):
     df = spark.createDataFrame(
         [
