@@ -84,10 +84,13 @@ _DRIVER_CHECK_PRIORITY = [
     "agg_cube_revenue",
     "agg_exact_percentiles",
     "agg_filtered_counts",
-    "window_running_sum",
-    "window_lag_delta",
-    "join_full_outer",
-    "set_union_missing_cols",
+    # corpus-quality curation (new in r3 — never driver-checked; displaces
+    # four advanced window/join/set entries whose primitives were
+    # driver-green in r2 via sibling queries)
+    "llm_repetition_stats",
+    "llm_pii_scrub",
+    "llm_url_host_stats",
+    "llm_quality_resample",
     "text_levenshtein_match",
     # multimodal (frame sampling exercises the 1:N mapInPandas fan-out;
     # plain metadata stays local-harness-checked just outside the window)

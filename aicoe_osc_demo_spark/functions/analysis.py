@@ -66,3 +66,59 @@ def doc_fingerprint(c: Column) -> Column:
 # version was measured 20x slower: higher-order functions get no common-
 # subexpression elimination, so the inner hash array was recomputed for
 # every sliding window.
+
+
+# --- PII detection / redaction -------------------------------------------
+# Training-data pipelines scrub personally identifying strings before text
+# reaches a model.  The patterns are deliberately simple RE2-compatible
+# regexes (identical semantics in Java regex and DuckDB/RE2) so the scrub is
+# oracle-verifiable; production pipelines swap in richer pattern sets
+# through the same two entry points.
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+def pii_counts(c: Column) -> list[Column]:
+    """Per-document PII hit counts (emails, IPv4 addresses, phone numbers).
+    Pure Column expressions — the regex scan stays inside whole-stage
+    codegen, no Python boundary."""
+    return [
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(c, F.lit(IPV4_RE)).cast("int").alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+    ]
+
+
+def pii_redact(c: Column) -> Column:
+    """Replace PII matches with typed placeholder tokens.  Emails first:
+    an address can embed digit runs that would otherwise half-match the
+    phone pattern after partial rewriting."""
+    out = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_RE, "[IP]")
+    out = F.regexp_replace(out, PHONE_RE, "[PHONE]")
+    return out.alias("redacted")
+
+
+# --- URL normalization ----------------------------------------------------
+
+_TRACKING_PARAM_RE = "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def url_host(c: Column) -> Column:
+    """Lowercased registrable host of a URL (regex form rather than
+    parse_url so the exact same expression runs in the DuckDB oracle)."""
+    return F.lower(F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)).alias("host")
+
+
+def url_normalize(c: Column) -> Column:
+    """Canonical URL for dedup keys: strip the fragment, tracking query
+    parameters (utm_*, fbclid, gclid), and any dangling '?'/'&' the
+    parameter removal leaves behind.  Both engines' regexp_replace is
+    replace-all, so mid-query-string tracking params (with their trailing
+    '&') vanish cleanly: ``a?utm_x=1&b=2`` → ``a?b=2``."""
+    out = F.regexp_replace(c, "#.*$", "")
+    out = F.regexp_replace(out, _TRACKING_PARAM_RE, "")
+    out = F.regexp_replace(out, "[?&]$", "")
+    return out.alias("url_norm")

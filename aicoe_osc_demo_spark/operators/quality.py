@@ -1,0 +1,111 @@
+"""Corpus-quality operators for training-data curation: repetition
+statistics (Gopher-style filters) and deterministic quality-bucket
+resampling.
+
+These extend the reference's paragraph-quality gates (alpha-char minimum in
+pdf_text_extractor.py:72-77, token-count floor in farm_trainer.py:116-117)
+to the document-repetition and importance-resampling filters a web-scale
+pretraining pipeline applies before training.
+
+Scale notes
+-----------
+``repetition_stats`` is the exploded-aggregate shape: (doc_id, ngram) rows
+flow through a codegen'd two-level groupBy with map-side partial combine —
+the shuffle carries one (doc_id, gram, count) row per distinct gram per
+partition, never document text.  No higher-order-function array walks (HOFs
+get no codegen and no common-subexpression elimination — measured on the
+SimHash and winnowing operators).
+
+``resample_by_quality`` is embarrassingly parallel: a pure-Column md5
+threshold per row, no shuffle at all before the caller's aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import ensure_parallelism
+
+
+def _all_ngrams(text_col: Column, n: int) -> Column:
+    """ALL word n-grams (with multiplicity — unlike dedup.word_ngrams, which
+    deduplicates for MinHash shingling).  Multiplicity is the point here:
+    repetition filters measure how often the same n-gram recurs."""
+    words = F.split(text_col, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", ngram_n: int = 2
+) -> DataFrame:
+    """Per-document repetition metrics (the Gopher repetition-filter family):
+
+    - ``n_words``            whitespace token count
+    - ``dup_word_frac``      1 - distinct_words / n_words
+    - ``dup_ngram_frac``     1 - distinct_ngrams / n_ngrams
+    - ``top_ngram_frac``     occurrences of the most frequent n-gram / n_ngrams
+
+    A document dominated by one repeated phrase scores high on
+    ``top_ngram_frac``; boilerplate-heavy documents score high on
+    ``dup_ngram_frac`` — both are standard pretraining-corpus drop signals.
+    """
+    grams = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+        F.size(F.array_distinct(F.split(F.col(text_col), " "))).alias("n_distinct_words"),
+        F.explode(_all_ngrams(F.col(text_col), ngram_n)).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_words", "n_distinct_words", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id", "n_words", "n_distinct_words").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct_ngrams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    nw = F.col("n_words").cast("double")
+    ng = F.col("n_ngrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.round(F.lit(1.0) - F.col("n_distinct_words") / nw, 6).alias("dup_word_frac"),
+        F.round(F.lit(1.0) - F.col("n_distinct_ngrams") / ng, 6).alias("dup_ngram_frac"),
+        F.round(F.col("top_cnt") / ng, 6).alias("top_ngram_frac"),
+    )
+
+
+def resample_by_quality(
+    df: DataFrame,
+    quality_col: Column,
+    id_col: str = "doc_id",
+    n_buckets: int = 5,
+    salt: str = "resample",
+) -> DataFrame:
+    """Deterministic importance resampling: bucket documents by a quality
+    score in [0, 1], keep each row with per-bucket probability
+    (bucket+1)/n_buckets via an md5 threshold on (salt | id) — higher-quality
+    buckets survive at higher rates, the standard quality-weighted
+    subsampling applied before pretraining.
+
+    The keep decision is a pure Column expression (no shuffle, no RNG state):
+    the first 8 md5 hex chars are uniform over [0, 2^32), and fixed-width
+    lowercase hex compares lexicographically as numerically, so
+    ``hex8 < format(rate * 2^32)`` keeps exactly that fraction in
+    expectation and is bit-reproducible across Spark, DuckDB, and Python.
+
+    Returns the input rows with ``bucket`` and ``kept`` columns appended
+    (callers filter or aggregate as needed).
+    """
+    bucket = F.least(
+        F.floor(quality_col * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    ).alias("bucket")
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8)
+    thresholds = [format(((b + 1) * (1 << 32)) // n_buckets - 1, "08x") for b in range(n_buckets)]
+    thr = F.lit(thresholds[-1])
+    for b in range(n_buckets - 1, -1, -1):
+        thr = F.when(F.col("bucket") == b, F.lit(thresholds[b])).otherwise(thr)
+    return df.withColumn("bucket", bucket).withColumn("kept", hex8 <= thr)

@@ -1,0 +1,110 @@
+"""Corpus-quality operators: repetition stats, PII scrub, URL
+normalization, quality-weighted resampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.functions.analysis import (
+    pii_counts,
+    pii_redact,
+    url_host,
+    url_normalize,
+)
+from aicoe_osc_demo_spark.operators.quality import repetition_stats, resample_by_quality
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # 1 distinct word / 4; 2-grams: "a a" x3
+            (2, "x y z w"),  # all distinct; 2-grams all distinct
+            (3, "p q p q p"),  # 2 distinct / 5; grams: pq,qp,pq,qp -> top 2/4
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].n_words == 4
+    assert rows[1].dup_word_frac == 0.75
+    assert rows[1].top_ngram_frac == 1.0
+    assert rows[1].dup_ngram_frac == pytest.approx(2 / 3)
+    assert rows[2].dup_word_frac == 0.0
+    assert rows[2].dup_ngram_frac == 0.0
+    assert rows[2].top_ngram_frac == pytest.approx(1 / 3)
+    assert rows[3].top_ngram_frac == 0.5
+    assert rows[3].dup_ngram_frac == 0.5
+
+
+def test_repetition_single_word_doc(spark):
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    # one word -> one degenerate 1-gram "solo"; no division by zero
+    assert r.n_words == 1 and r.dup_word_frac == 0.0 and r.top_ngram_frac == 1.0
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 192.168.0.1 call 555-123-4567 end")],
+        "id long, t string",
+    )
+    out = df.select(pii_redact(F.col("t")), *pii_counts(F.col("t"))).collect()[0]
+    assert out.redacted == "mail [EMAIL] or [IP] call [PHONE] end"
+    assert (out.n_emails, out.n_ipv4, out.n_phones) == (1, 1, 1)
+
+
+def test_pii_email_redacted_before_phone(spark):
+    # digits inside an address must not survive as a half-matched phone
+    df = spark.createDataFrame([(1, "a 555-123-4567@x.co b")], "id long, t string")
+    assert df.select(pii_redact(F.col("t"))).collect()[0].redacted == "a [EMAIL] b"
+
+
+@pytest.mark.parametrize(
+    "url,norm",
+    [
+        ("https://A.com/p?utm_source=x&k=1#f", "https://A.com/p?k=1"),
+        ("https://a.com/p?k=1&utm_medium=m", "https://a.com/p?k=1"),
+        ("https://a.com/p?utm_campaign=c", "https://a.com/p"),
+        ("https://a.com/p?gclid=99&fbclid=7&k=2", "https://a.com/p?k=2"),
+        ("https://a.com/p", "https://a.com/p"),
+    ],
+)
+def test_url_normalize(spark, url, norm):
+    df = spark.createDataFrame([(url,)], "u string")
+    assert df.select(url_normalize(F.col("u"))).collect()[0].url_norm == norm
+
+
+def test_url_host(spark):
+    df = spark.createDataFrame(
+        [("https://WWW.Example.COM/path?q=1",), ("http://sub.host.io/x",)], "u string"
+    )
+    hosts = [r.host for r in df.select(url_host(F.col("u"))).collect()]
+    assert hosts == ["www.example.com", "sub.host.io"]
+
+
+def test_resample_deterministic_and_rate(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 10 / 10.0).alias("q")
+    )
+    out = resample_by_quality(df, F.col("q"), n_buckets=5)
+    agg = {
+        r.bucket: (r.total, r.kept)
+        for r in out.groupBy("bucket")
+        .agg(F.count("*").alias("total"), F.sum(F.col("kept").cast("int")).alias("kept"))
+        .collect()
+    }
+    assert set(agg) == {0, 1, 2, 3, 4}
+    for b, (total, kept) in agg.items():
+        rate = (b + 1) / 5
+        assert kept / total == pytest.approx(rate, abs=0.06)
+    # top bucket keeps everything (threshold ffffffff)
+    assert agg[4][0] == agg[4][1]
+    # deterministic: identical rerun
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_repetition_plan_is_pure_jvm(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
