@@ -80,10 +80,12 @@ _DRIVER_CHECK_PRIORITY = [
     # reshape / advanced aggregates
     "reshape_flatten",
     "reshape_gather_table_text",
-    "agg_rollup_revenue",
-    "agg_cube_revenue",
     "agg_exact_percentiles",
-    "agg_filtered_counts",
+    # retrieval / training-prep (new in r3; displace the rollup/cube/
+    # filtered-count GROUPING SETS variants of the driver-green agg family)
+    "llm_bm25_topk",
+    "llm_pack_offset_bins",
+    "llm_chunk_documents",
     # corpus-quality curation (new in r3 — never driver-checked; displaces
     # four advanced window/join/set entries whose primitives were
     # driver-green in r2 via sibling queries)

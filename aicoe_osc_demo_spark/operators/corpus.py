@@ -1,0 +1,149 @@
+"""Corpus-scale retrieval and training-prep operators: BM25 lexical top-k,
+offset-based sequence packing, sliding-window document chunking.
+
+These are the lexical/packing counterparts of the vector operators in
+``operators/similarity.py``: BM25 is the retrieval baseline a RAG or
+data-selection pipeline runs before (or alongside) embedding ANN; packing
+and chunking turn a cleaned document corpus into fixed-budget training
+sequences.
+
+Scale notes
+-----------
+``bm25_topk`` never materializes an all-pairs (doc x query) product: doc
+postings are an exploded (doc_id, term, tf) aggregate (map-side combine)
+and only terms present in the *broadcast* query set survive the equi-join,
+so the shuffle carries (doc, query, partial score) for matching terms only.
+Corpus statistics (N, avgdl) ride along as a broadcast single-row join.
+
+``pack_offset_bins`` is one window cumsum per shard — the packing decision
+for 100 TB is distributed per shard and each shard's window is a single
+pass.  ``chunk_documents`` is explode + slice, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .relational import ensure_parallelism
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_text_col: str = "q_text",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Okapi BM25 top-k documents per query.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)); score(d, q) =
+    sum over query terms of idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Scores are rounded to 6 decimals before ranking and ties break on
+    doc_id, so the result is deterministic and engine-portable.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.size(words).alias("dl"), F.explode(words).alias("term")
+    )
+    postings = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("term"),
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_query = scored.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum(idf * tfn), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pack_offset_bins(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shard_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-based sequence packing: documents are laid end-to-end in
+    deterministic id order (per shard) and each document is assigned to the
+    fixed-``budget`` training bin its start offset falls in — the standard
+    streaming concat-and-slice packing used to build pretraining batches
+    (documents may straddle a bin boundary; the trainer's loader handles
+    the split, the engine's job is the deterministic global layout).
+
+    Returns (shard, doc_id, n_tokens, start_offset, bin).  One window
+    cumsum per shard — no shuffle beyond the shard partitioning.
+    """
+    shard = F.col(shard_col) if shard_col else F.lit("all")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    out = (
+        df.select(
+            shard.alias("shard"), F.col(id_col), F.col(token_col).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn("bin", F.floor(F.col("start_offset") / budget).cast("long"))
+    )
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping word-window chunks (the
+    context-window preparation step for embedding / retrieval indexing).
+
+    Chunk i covers words [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short.  Output:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text).  Explode + slice —
+    embarrassingly parallel, no shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.col(text_col), " ")
+    # number of chunks so every word is covered: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((F.size(words) - F.lit(overlap)).cast("double") / stride), F.lit(1)
+    ).cast("int")
+    chunks = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        words.alias("w"),
+    )
+    piece = F.slice(F.col("w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

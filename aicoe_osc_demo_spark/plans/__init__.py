@@ -42,3 +42,4 @@ from . import events  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import quality  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401

@@ -1,0 +1,91 @@
+"""BM25 retrieval, sequence packing, document chunking."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aicoe_osc_demo_spark.operators.corpus import bm25_topk, chunk_documents, pack_offset_bins
+
+
+def test_bm25_ranks_matching_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple apple"),
+            (3, "dog cat fish"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame([(10, "apple banana")], "q_id long, q_text string")
+    rows = bm25_topk(docs, qs, k=3).orderBy("rank").collect()
+    # doc 3 shares no terms -> absent; doc 1 matches both query terms
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].score > rows[1].score
+    assert [r.rank for r in rows] == [1, 2]
+
+
+def test_bm25_score_formula(spark):
+    # single doc, single term: score = idf * tf(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    docs = spark.createDataFrame([(1, "x y"), (2, "z w")], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "x")], "q_id long, q_text string")
+    got = bm25_topk(docs, qs, k=5, k1=1.5, b=0.75).collect()[0]
+    idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    expect = idf * (1 * 2.5) / (1 + 1.5 * (0.25 + 0.75 * 2 / 2))
+    assert got.score == pytest.approx(round(expect, 6))
+    assert got.doc_id == 1
+
+
+def test_bm25_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "a")], "q_id long, q_text string")
+    plan = bm25_topk(docs, qs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_offset_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 300), (2, "s", 300), (3, "s", 300), (4, "t", 100)],
+        "doc_id long, src string, n long",
+    )
+    rows = {
+        (r.shard, r.doc_id): (r.start_offset, r.bin)
+        for r in pack_offset_bins(df, token_col="n", budget=512, shard_col="src").collect()
+    }
+    # shard s: offsets 0, 300, 600 -> bins 0, 0, 1; shard t restarts at 0
+    assert rows[("s", 1)] == (0, 0)
+    assert rows[("s", 2)] == (300, 0)
+    assert rows[("s", 3)] == (600, 1)
+    assert rows[("t", 4)] == (0, 0)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    words = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=32, overlap=8).collect(), key=lambda r: r.chunk_id
+    )
+    # 40 words, stride 24 -> ceil((40-8)/24)=2 chunks
+    assert [r.chunk_id for r in rows] == [0, 1]
+    assert rows[0].n_chunk_tokens == 32
+    assert rows[0].chunk_text.split(" ")[0] == "w0"
+    # second chunk starts at word 24 (8-word overlap with chunk 0)
+    assert rows[1].chunk_text.split(" ")[0] == "w24"
+    assert rows[1].n_chunk_tokens == 16
+    # every word covered
+    covered = {w for r in rows for w in r.chunk_text.split(" ")}
+    assert covered == set(words.split(" "))
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "a b c" and rows[0].n_chunk_tokens == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
