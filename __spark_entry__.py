@@ -60,15 +60,14 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_length_histogram",
     "llm_stratified_sample",
     "llm_fuzzy_jaccard_join",
-    # ML pipeline
+    # ML pipeline (split-sizes displaced: sample_train_split was
+    # driver-green in r2 and covers the same md5-split machinery)
     "ml_qa_inference_topk",
     "ml_no_answer_aggregate",
     "ml_group_metrics",
-    "ml_train_dev_split_sizes",
     # events / streaming-equivalent
     "events_windowed_counts",
     "events_sessionize",
-    "events_json_extract",
     "events_session_window",
     "events_hypertable_rollup",
     "events_range_join",
@@ -86,6 +85,11 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_bm25_topk",
     "llm_pack_offset_bins",
     "llm_chunk_documents",
+    # round-3 curation additions (displace events_json_extract and
+    # text_levenshtein_match — single-builtin queries, local-green)
+    "llm_containment_pairs",
+    "llm_per_host_cap",
+    "llm_mixture_sample",
     # corpus-quality curation (new in r3 — never driver-checked; displaces
     # four advanced window/join/set entries whose primitives were
     # driver-green in r2 via sibling queries)
@@ -93,7 +97,6 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_pii_scrub",
     "llm_url_host_stats",
     "llm_quality_resample",
-    "text_levenshtein_match",
     # multimodal (frame sampling exercises the 1:N mapInPandas fan-out;
     # plain metadata stays local-harness-checked just outside the window)
     "multimodal_frame_sample",

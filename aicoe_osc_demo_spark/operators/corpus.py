@@ -55,13 +55,19 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("term"),
     )
+    # Restrict postings to query terms FIRST (broadcast semi-join), then
+    # compute document frequency over the survivors only: df is needed for
+    # query terms alone, and a full-vocabulary dfreq would be an
+    # unbroadcastable 10^8-row dictionary at web scale.
+    matched = postings.join(F.broadcast(qterms.select("term").distinct()), on="term")
+    # postings are unique on (doc_id, term), so a plain count per term IS df
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
-        postings.join(F.broadcast(qterms), on="term")
+        matched.join(F.broadcast(qterms), on="term")
         .join(F.broadcast(dfreq), on="term")
         .join(F.broadcast(stats))
     )

@@ -418,3 +418,55 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    block_col: str | None = None,
+    threshold: float = 0.3,
+    allow_all_pairs: bool = False,
+) -> DataFrame:
+    """Asymmetric n-gram containment between documents sharing a blocking
+    key: c(A in B) = |grams(A) ∩ grams(B)| / |grams(A)|.
+
+    Containment catches subset duplication (one document quoting or
+    wholly embedding another) that symmetric Jaccard under-scores when the
+    two documents differ greatly in length — the MinHash/Jaccard blind
+    spot in quote-heavy web corpora.  Same blocking contract as
+    ``ngram_jaccard_pairs``: ``block_col`` required unless
+    ``allow_all_pairs=True``; pairs survive when either direction reaches
+    ``threshold``.
+    """
+    if block_col is None and not allow_all_pairs:
+        raise ValueError(
+            "containment_pairs without block_col is an all-pairs self-join; "
+            "pass a blocking column or set allow_all_pairs=True for small "
+            "bounded inputs"
+        )
+    words = F.split(F.col(text_col), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    block = F.col(block_col) if block_col else F.lit(1)
+    docs = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), grams.alias("gs"))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
+    c12 = F.round(inter / F.size("a.gs").cast("double"), 6)
+    c21 = F.round(inter / F.size("b.gs").cast("double"), 6)
+    return (
+        a.join(b, on=["blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            c12.alias("c_d1_in_d2"),
+            c21.alias("c_d2_in_d1"),
+        )
+        .filter(F.greatest(F.col("c_d1_in_d2"), F.col("c_d2_in_d1")) >= threshold)
+    )

@@ -22,7 +22,7 @@ threshold per row, no shuffle at all before the caller's aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import ensure_parallelism
@@ -109,3 +109,69 @@ def resample_by_quality(
     for b in range(n_buckets - 1, -1, -1):
         thr = F.when(F.col("bucket") == b, F.lit(thresholds[b])).otherwise(thr)
     return df.withColumn("bucket", bucket).withColumn("kept", hex8 <= thr)
+
+
+def cap_per_group(
+    df: DataFrame, group_cols: list[str], n: int, id_col: str = "doc_id", salt: str = "cap"
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, selected deterministically by
+    md5(salt|id) rank — the per-domain / per-source document cap applied to
+    web corpora so no single host dominates the training mixture.
+
+    One window per group partition; the rank key is content-independent so
+    re-runs and retries keep the identical subset.
+    """
+    rank_key = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(rank_key, F.col(id_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= n).drop("_rk")
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling across sources: target group
+    share ∝ n_s^alpha (alpha < 1 flattens the source distribution — the
+    standard multilingual/source-rebalancing scheme), realized as a
+    deterministic per-row md5 keep decision with per-group rate
+    rate_s = min(1, budget_frac * N * n_s^(alpha-1) / Σ_t n_t^alpha),
+    rounded to 6dp.
+
+    Two passes: a tiny per-group count aggregate (broadcast back), then a
+    shuffle-free per-row threshold — no RNG state, reproducible under
+    retries.  Returns input rows plus (rate, kept).
+    """
+    if alpha != 0.5:
+        raise ValueError("alpha=0.5 (sqrt temperature) is the supported portable setting")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+    )
+    rates = counts.join(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("n_total")
+                * F.sqrt(F.col("n_s").cast("double"))
+                / F.col("z")
+                / F.col("n_s").cast("double"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return df.join(F.broadcast(rates), on=group_col).withColumn("kept", u < F.col("rate"))

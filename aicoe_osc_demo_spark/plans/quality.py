@@ -23,7 +23,13 @@ from ..functions.analysis import (
     url_host,
     url_normalize,
 )
-from ..operators.quality import repetition_stats, resample_by_quality
+from ..operators.dedup import containment_pairs
+from ..operators.quality import (
+    cap_per_group,
+    mixture_sample,
+    repetition_stats,
+    resample_by_quality,
+)
 from . import load, register
 
 _REP_SQL = """
@@ -186,6 +192,122 @@ _RESAMPLE_SQL = f"""
            CAST(SUM(CASE WHEN hex8 <= {_THRESH_CASE} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM b GROUP BY bucket
 """
+
+
+_CAP_SQL = f"""
+    WITH u AS (
+      SELECT doc_id,
+             lower(regexp_extract({_URL_DUCK}, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+      FROM documents
+    ), r AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (
+               PARTITION BY host
+               ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM u
+    )
+    SELECT host, doc_id FROM r WHERE rk <= 20
+"""
+
+
+@register("llm_per_host_cap", _CAP_SQL)
+def llm_per_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-domain document cap (no host dominates the mixture): at most 20
+    # docs per host, hash-rank selected — deterministic under retries.
+    d = load(spark, sf_dir, "documents").withColumn("url", _URL_SPARK())
+    capped = cap_per_group(
+        d.select("doc_id", url_host(F.col("url"))), ["host"], n=20
+    )
+    return capped.select("host", "doc_id")
+
+
+_MIX_SQL = """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+             SUM(sqrt(CAST(n_s AS DOUBLE))) AS z
+      FROM c
+    ), r AS (
+      SELECT source,
+             ROUND(least(1.0, 0.5 * t.n_total * sqrt(CAST(n_s AS DOUBLE)) / t.z
+                              / CAST(n_s AS DOUBLE)), 6) AS rate
+      FROM c CROSS JOIN t
+    ), k AS (
+      SELECT d.source, r.rate,
+             CASE WHEN CAST('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       / 4294967296.0 < r.rate
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN r ON d.source = r.source
+    )
+    SELECT source, rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept
+    FROM k GROUP BY source, rate
+"""
+
+
+@register("llm_mixture_sample", _MIX_SQL)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature (alpha=0.5) source rebalancing at half budget: rare
+    # sources keep a larger fraction, dominant sources are downsampled.
+    d = load(spark, sf_dir, "documents")
+    out = mixture_sample(d, "source", alpha=0.5, budget_frac=0.5)
+    return out.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
+    )
+
+
+# Containment fixture: snippet docs (first 12 words of docs 0-49, ids
+# +10000) unioned with the corpus — snippet⊂parent pairs score
+# containment ≈ 1.0 while their symmetric Jaccard stays low, which is
+# exactly the asymmetry this operator exists to catch.
+_CONTAIN_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id < 200
+    ), snip AS (
+      SELECT doc_id + 10000 AS doc_id, lang,
+             array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS text
+      FROM base WHERE doc_id < 50
+    ), corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM snip
+    ), grams AS (
+      SELECT doc_id, lang AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS gs
+      FROM corpus
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                   / CAST(len(a.gs) AS DOUBLE), 6) AS c_d1_in_d2,
+             ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                   / CAST(len(b.gs) AS DOUBLE), 6) AS c_d2_in_d1
+      FROM grams a JOIN grams b ON a.blk = b.blk
+      WHERE a.doc_id < b.doc_id
+    ) WHERE greatest(c_d1_in_d2, c_d2_in_d1) >= 0.5
+"""
+
+
+@register("llm_containment_pairs", _CONTAIN_SQL)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric containment pairs (quote/subset duplication) — the
+    # MinHash/Jaccard blind spot for length-skewed duplicates.  Blocked on
+    # language; snippet fixtures guarantee true positives.
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", "text")
+    )
+    snip = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias("text"),
+    )
+    return containment_pairs(base.unionByName(snip), block_col="lang", threshold=0.5)
 
 
 @register("llm_quality_resample", _RESAMPLE_SQL)

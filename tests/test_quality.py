@@ -108,3 +108,63 @@ def test_repetition_plan_is_pure_jvm(spark):
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cap_per_group_deterministic(spark):
+    from aicoe_osc_demo_spark.operators.quality import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "doc_id long, grp string"
+    )
+    out = cap_per_group(df, ["grp"], n=10)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 10, "g1": 10, "g2": 10}
+    # deterministic subset across reruns
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in out.collect())
+    # small groups pass through whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, grp string")
+    assert cap_per_group(small, ["grp"], n=10).count() == 2
+
+
+def test_mixture_sample_flattens_distribution(spark):
+    from aicoe_osc_demo_spark.operators.quality import mixture_sample
+
+    rows = [(i, "big") for i in range(3000)] + [(10000 + i, "small") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, "source", alpha=0.5, budget_frac=0.5)
+    agg = {
+        r.source: (r.rate, r.kept / r.n)
+        for r in out.groupBy("source", "rate")
+        .agg(F.sum(F.col("kept").cast("int")).alias("kept"), F.count("*").alias("n"))
+        .collect()
+    }
+    # sqrt temperature: rare source keeps a larger fraction than dominant one
+    assert agg["small"][0] > agg["big"][0]
+    # realized keep fraction tracks the target rate
+    for rate, frac in agg.values():
+        assert frac == pytest.approx(min(rate, 1.0), abs=0.05)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from aicoe_osc_demo_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    snippet = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, snippet), (3, "entirely different words here now")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(df, threshold=0.9, allow_all_pairs=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.d1, r.d2) == (1, 2)
+    # snippet fully contained in the long doc; reverse direction small
+    assert r.c_d2_in_d1 == 1.0 and r.c_d1_in_d2 < 0.2
+
+
+def test_containment_requires_blocking(spark):
+    from aicoe_osc_demo_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_pairs(df)
