@@ -28,9 +28,13 @@ Decoder ladder for S1 (per executor, chosen at import time / by content):
 3. **utf-8 stub** for anything else — pages on form-feed; keeps plumbing
    tests hermetic.
 
-CascadeTabNet / tabula (S3/S4) remain deterministic stubs (no model
-weights in scope); the Spark plumbing — binaryFile scan, mapInPandas
-batching, schema, candidate-pruned joins — is the production shape.
+The S3 table detector mirrors M1/M2's backend design: ``model="stub"``
+(deterministic content-hash pseudo-detector, oracle-checkable) or a
+TorchScript checkpoint path loaded once per executor through
+``load_detector_checkpoint`` (try-import gated; fails loud without torch).
+Tabula-style cell extraction (S4) remains a deterministic stub; the Spark
+plumbing — binaryFile scan, mapInPandas batching, schema, candidate-pruned
+joins — is the production shape.
 """
 
 from __future__ import annotations
@@ -200,27 +204,105 @@ def extract_text(
     return binary_df.select("path", "content").mapInPandas(batches, schema=PARAGRAPH_SCHEMA)
 
 
+class DetectorLoadError(RuntimeError):
+    """A detector checkpoint path was given but no runtime can load it."""
+
+
+class _StubDetector:
+    """Deterministic content-hash pseudo-detector: same interface as the
+    real backend (per-page candidate boxes with confidence), output a pure
+    function of the page content so the stage is oracle-checkable."""
+
+    def detect(self, name: str, page: int, payload: str) -> list[tuple]:
+        digest = hashlib.md5(f"{name}|{page}|{payload}".encode()).digest()
+        score = digest[0] / 255.0
+        return [
+            (
+                digest[1] % 3,
+                float(digest[2]),
+                float(digest[3]),
+                float(digest[2]) + 100.0,
+                float(digest[3]) + 50.0,
+                score,
+            )
+        ]
+
+
+class TorchScriptDetector:
+    """Real detector backend: a TorchScript detection module (the public
+    export format for CascadeTabNet-class models,
+    pdf_table_extractor.py:149-186 analogue) loaded once per executor.
+    Module contract: takes a 1-D uint8 tensor of the page payload (a
+    production deployment rasterizes the page first) and returns an (N, 6)
+    tensor of (table_index, x0, y0, x1, y1, score) rows."""
+
+    def __init__(self, path: str):
+        import torch
+
+        self.torch = torch
+        self.model = torch.jit.load(path)
+        self.model.eval()
+
+    def detect(self, name: str, page: int, payload: str) -> list[tuple]:
+        x = self.torch.frombuffer(bytearray(payload.encode()), dtype=self.torch.uint8)
+        with self.torch.no_grad():
+            boxes = self.model(x)
+        return [
+            (int(b[0]), float(b[1]), float(b[2]), float(b[3]), float(b[4]), float(b[5]))
+            for b in boxes
+        ]
+
+
+def load_detector_checkpoint(path: str):
+    """Real table-detector loading path (try-import gated like S1's
+    pdfminer and M1's transformers): raises DetectorLoadError with the
+    actionable cause when torch is absent — callers fall back to ``"stub"``
+    explicitly, never silently."""
+    try:
+        import torch  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - runtime-dependent
+        raise DetectorLoadError(
+            f"cannot load detector {path!r}: the 'torch' runtime is not "
+            "installed in this environment; install torch on the executors "
+            "or use model='stub'"
+        ) from exc
+    return TorchScriptDetector(path)
+
+
+_DETECTOR_CACHE: dict = {}
+
+
+def _get_detector(spec: str = "stub"):
+    """Executor-local detector singleton: ``"stub"`` or a TorchScript
+    checkpoint path — one instance per spec per worker, reused across
+    Arrow batches."""
+    if spec not in _DETECTOR_CACHE:
+        _DETECTOR_CACHE[spec] = _StubDetector() if spec == "stub" else load_detector_checkpoint(spec)
+    return _DETECTOR_CACHE[spec]
+
+
 def detect_tables(
-    paragraphs: DataFrame, score_threshold: float = 0.85
+    paragraphs: DataFrame, score_threshold: float = 0.85, model: str = "stub"
 ) -> DataFrame:
-    """S3 — table-detector scan.  The CascadeTabNet model is stubbed with a
-    deterministic content-hash pseudo-detector (same interface: per-page
-    candidate boxes with confidence, thresholded at 0.85)."""
+    """S3 — table-detector scan: per-page candidate boxes with confidence,
+    thresholded at 0.85 (pdf_table_extractor.py analogue).  ``model`` is
+    the backend spec resolved executor-side by ``_get_detector`` ("stub" or
+    a TorchScript checkpoint path)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = _get_detector(model)
         for pdf in it:
             rows: dict[str, list] = {k.name: [] for k in BBOX_SCHEMA.fields}
             for name, page, para in zip(pdf["pdf_name"], pdf["page"], pdf["paragraph"]):
-                digest = hashlib.md5(f"{name}|{page}|{para}".encode()).digest()
-                score = digest[0] / 255.0
-                rows["pdf_name"].append(name)
-                rows["page"].append(page)
-                rows["table_index"].append(digest[1] % 3)
-                rows["x0"].append(float(digest[2]))
-                rows["y0"].append(float(digest[3]))
-                rows["x1"].append(float(digest[2]) + 100.0)
-                rows["y1"].append(float(digest[3]) + 50.0)
-                rows["score"].append(score)
+                for idx, x0, y0, x1, y1, score in backend.detect(name, page, para):
+                    rows["pdf_name"].append(name)
+                    rows["page"].append(page)
+                    rows["table_index"].append(idx)
+                    rows["x0"].append(x0)
+                    rows["y0"].append(y0)
+                    rows["x1"].append(x1)
+                    rows["y1"].append(y1)
+                    rows["score"].append(score)
             yield pd.DataFrame(rows)
 
     boxes = (

@@ -129,3 +129,50 @@ def test_annotation_workbooks_and_jsonl(spark, tmp_path):
     nq = read_jsonl_chunked(spark, str(jl))
     assert nq.count() == 2
     assert nq.filter(F.col("doc").rlike("<Table>.*</Table>")).count() == 1
+
+
+def test_detector_loading_path(monkeypatch):
+    # the REAL loading path (S3): a non-"stub" spec routes through
+    # load_detector_checkpoint and is cached once per spec
+    from aicoe_osc_demo_spark.sources import extraction as ext
+
+    class FakeDetector:
+        def __init__(self, path):
+            self.path = path
+
+        def detect(self, name, page, payload):
+            return [(0, 1.0, 2.0, 3.0, 4.0, 0.99)]
+
+    loaded = []
+
+    def fake_loader(path):
+        loaded.append(path)
+        return FakeDetector(path)
+
+    monkeypatch.setattr(ext, "load_detector_checkpoint", fake_loader)
+    ext._DETECTOR_CACHE.clear()
+    try:
+        d1 = ext._get_detector("/ckpt/cascadetabnet.ts")
+        d2 = ext._get_detector("/ckpt/cascadetabnet.ts")
+        assert isinstance(d1, FakeDetector) and d1 is d2
+        assert loaded == ["/ckpt/cascadetabnet.ts"]
+        assert isinstance(ext._get_detector("stub"), ext._StubDetector)
+        assert d1.detect("a.pdf", 0, "x")[0][5] == 0.99
+    finally:
+        ext._DETECTOR_CACHE.clear()
+
+
+def test_detector_loading_without_runtime_raises():
+    # in a torch-less container the real path fails loud, not silent
+    import pytest as _pytest
+
+    from aicoe_osc_demo_spark.sources import extraction as ext
+
+    try:
+        import torch  # noqa: F401
+
+        _pytest.skip("torch installed; loud-failure branch not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(ext.DetectorLoadError, match="torch"):
+        ext.load_detector_checkpoint("/ckpt/cascadetabnet.ts")
