@@ -227,3 +227,105 @@ def events_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
     )
+
+
+@register(
+    "events_funnel_counts",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ), per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+           CAST(COUNT(t3) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered funnel view -> click -> purchase: each step's timestamp is the
+    # first qualifying event AFTER the previous step.  Three chained window
+    # passes over ONE user_id partitioning (single shuffle), then a rollup.
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    d = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = d.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(wu),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+            )
+        ).over(wu),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("user_id").cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_view_click"),
+        F.count("t3").cast("long").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+    ), j AS (
+      SELECT d.user_id, c.cohort_day, d.day - c.cohort_day AS off
+      FROM d JOIN c ON d.user_id = c.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN off = 1 THEN user_id END) AS BIGINT) AS retained_d1,
+           CAST(COUNT(DISTINCT CASE WHEN off = 7 THEN user_id END) AS BIGINT) AS retained_d7
+    FROM j GROUP BY cohort_day
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention: users grouped by first-activity day; day+1 / day+7
+    # return rates.  (user, day) distinct first -- the shuffle carries one
+    # row per user-day, not per event.  Output day as string (DATE dtype
+    # mismatches pandas in the compare harness).
+    e = load(spark, sf_dir, "events")
+    d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = d.join(c, on="user_id").withColumn("off", F.datediff("day", "cohort_day"))
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.when(F.col("off") == 1, F.col("user_id"))).alias("retained_d1"),
+        F.countDistinct(F.when(F.col("off") == 7, F.col("user_id"))).alias("retained_d7"),
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "n_users",
+        "retained_d1",
+        "retained_d7",
+    )

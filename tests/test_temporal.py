@@ -45,3 +45,49 @@ def test_range_join_broadcast(spark):
     out = range_join_broadcast(facts, intervals, F.col("x"), F.col("s"), F.col("e"))
     got = {r.id: r.bucket for r in out.collect()}
     assert got == {1: "low", 2: "mid"}  # 25 matches nothing
+
+
+def test_funnel_requires_step_order(spark):
+    # click BEFORE the first view must not count as view->click
+    from datetime import datetime
+
+    import aicoe_osc_demo_spark.plans as plans
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        # user 1: proper view -> click -> purchase
+        (1, "view", datetime(2024, 1, 1, 10)),
+        (1, "click", datetime(2024, 1, 1, 11)),
+        (1, "purchase", datetime(2024, 1, 1, 12)),
+        # user 2: click precedes the only view -> funnel stops at view
+        (2, "click", datetime(2024, 1, 1, 9)),
+        (2, "view", datetime(2024, 1, 1, 10)),
+        # user 3: never views
+        (3, "purchase", datetime(2024, 1, 1, 8)),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    wu = Window.partitionBy("user_id")
+    d = e.withColumn("t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu))
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(wu),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+            )
+        ).over(wu),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    got = per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full"),
+    ).collect()[0]
+    assert (got.n_view, got.n_view_click, got.n_full) == (2, 1, 1)
