@@ -56,7 +56,9 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_ivf_topk",
     "llm_ann_lsh_topk",
     "llm_heavy_hitters_sketch",
-    "llm_vocab_topk",
+    # cluster formation (displaces llm_vocab_topk — explode+count+limit,
+    # same shape as the heavy-hitters recount that stays in the window)
+    "llm_dedup_clusters",
     "llm_length_histogram",
     "llm_stratified_sample",
     "llm_fuzzy_jaccard_join",

@@ -470,3 +470,69 @@ def containment_pairs(
         )
         .filter(F.greatest(F.col("c_d1_in_d2"), F.col("c_d2_in_d1")) >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, d1: str = "d1", d2: str = "d2", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every document in a
+    transitively-connected group gets ``cluster_id`` = the minimum doc id in
+    its component (the canonical survivor a dedup pipeline keeps).
+
+    Iterative min-label propagation with pointer jumping: each round a
+    node takes the minimum of its own label, its neighbors' labels, and its
+    label's label (path halving) — convergence in O(log diameter) rounds,
+    bounded by ``max_iter``.  Each round is two self-equi-joins on ids (no
+    text moves) and ``localCheckpoint`` truncates the lineage so plans stay
+    O(1) per round.  This is the alternating-star construction from the
+    MapReduce connected-components literature, expressed as DataFrame
+    joins; near-dup clusters have tiny diameters in practice, so rounds
+    stay in single digits.
+    """
+    edges = pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        jump = labels.join(
+            labels.select(F.col("node").alias("l_node"), F.col("label").alias("jump_label")),
+            F.col("label") == F.col("l_node"),
+            "left",
+        )
+        merged = (
+            jump.join(neigh, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("jump_label"), F.col("label")),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            merged.alias("m")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("m.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -23,7 +23,7 @@ from ..functions.analysis import (
     url_host,
     url_normalize,
 )
-from ..operators.dedup import containment_pairs
+from ..operators.dedup import containment_pairs, dedup_clusters, ngram_jaccard_pairs
 from ..operators.quality import (
     cap_per_group,
     mixture_sample,
@@ -308,6 +308,73 @@ def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias("text"),
     )
     return containment_pairs(base.unionByName(snip), block_col="lang", threshold=0.5)
+
+
+# Cluster fixture: each parent doc (0-49) gets a prefix variant (words
+# 1-20, id+10000) and a mid variant (words 9-28, id+20000).  A and B
+# overlap the parent and each other, so {parent, A, B} form one transitive
+# component — including pairs the threshold may drop, which is exactly what
+# cluster formation must recover.
+_CLUSTER_SQL = """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id < 50
+    ), va AS (
+      SELECT doc_id + 10000 AS doc_id, lang,
+             array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS text
+      FROM base
+    ), vb AS (
+      SELECT doc_id + 20000 AS doc_id, lang,
+             array_to_string(list_slice(string_split(text, ' '), 9, 28), ' ') AS text
+      FROM base
+    ), corpus AS (
+      SELECT * FROM base UNION ALL SELECT * FROM va UNION ALL SELECT * FROM vb
+    ), grams AS (
+      SELECT doc_id, lang AS blk,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+             )) AS gs
+      FROM corpus
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM grams a JOIN grams b ON a.blk = b.blk
+      WHERE a.doc_id < b.doc_id
+        AND ROUND(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE), 6) >= 0.2
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register("llm_dedup_clusters", _CLUSTER_SQL)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup cluster formation: jaccard pairs (blocked on lang) →
+    # connected components → canonical id = min doc id per component.
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "lang", "text")
+    )
+    words = F.split(F.col("text"), " ")
+    va = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(words, 1, 20), " ").alias("text"),
+    )
+    vb = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        "lang",
+        F.array_join(F.slice(words, 9, 20), " ").alias("text"),
+    )
+    corpus = base.unionByName(va).unionByName(vb)
+    pairs = ngram_jaccard_pairs(corpus, block_col="lang", threshold=0.2)
+    return dedup_clusters(pairs)
 
 
 @register("llm_quality_resample", _RESAMPLE_SQL)

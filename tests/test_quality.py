@@ -168,3 +168,23 @@ def test_containment_requires_blocking(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         containment_pairs(df)
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from aicoe_osc_demo_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "d1 long, d2 long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_path_pointer_jumping(spark):
+    from aicoe_osc_demo_spark.operators.dedup import dedup_clusters
+
+    # a 40-node path converges well inside max_iter only because of the
+    # label-jump step (plain neighbor propagation needs 40 rounds)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "d1 long, d2 long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
