@@ -67,6 +67,10 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_fuzzy_jaccard_join",
         "curation_negative_sample",
         "ml_relevance_inference",
+        "llm_bm25_topk",
+        "llm_containment_pairs",
+        "llm_mixture_sample",
+        "llm_dedup_clusters",
     ],
 )
 def test_no_cartesian_product(spark, name):
@@ -93,3 +97,25 @@ def test_whole_stage_codegen_on_core_path(spark):
         assert "codegen id" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_funnel_windows_share_one_shuffle(spark):
+    # three chained MIN-CASE windows all partition on user_id: the plan must
+    # reuse one Exchange for them (the only other exchange is the final
+    # single-row rollup)
+    plan = explain(QUERIES["events_funnel_counts"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") <= 2
+
+
+def test_pack_and_cap_are_single_shuffle(spark):
+    for name in ("llm_pack_offset_bins", "llm_per_host_cap"):
+        plan = explain(QUERIES[name](spark, SF_DIR), "simple")
+        assert plan.count("Exchange") == 1, name
+
+
+def test_bm25_joins_all_broadcast(spark):
+    # postings x query-terms / dfreq / corpus-stats: all broadcast at this
+    # scale; never a shuffled all-pairs product
+    plan = explain(QUERIES["llm_bm25_topk"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
