@@ -94,3 +94,84 @@ def test_clean_text_column_matches_python_batch(spark):
     df = spark.createDataFrame([(s,) for s in samples], ["c"])
     got = [r.out for r in df.select(clean_text(F.col("c")).alias("out")).collect()]
     assert got == [py_clean(s) for s in samples]
+
+
+# --- round-3 curation ops: pure-Python mirrors of the Column regex chains ---
+
+_TRACK = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def url_norm_py(u: str) -> str:
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(_TRACK, "", u)
+    u = re.sub(r"[?&]$", "", u)
+    return u
+
+
+_param_key = st.sampled_from(["k", "page", "id", "utm_source", "utm_medium", "gclid", "fbclid"])
+_param = st.tuples(_param_key, st.text(alphabet=st.sampled_from("abc123"), max_size=4))
+
+
+@given(
+    st.text(alphabet=st.sampled_from("abcz."), min_size=1, max_size=12),
+    st.lists(_param, max_size=4),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_normalize_strips_all_tracking_and_is_idempotent(host, params, frag):
+    url = "https://" + host + "/p"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        url += "#frag"
+    got = url_norm_py(url)
+    # no tracking parameter survives
+    assert not re.search(r"[?&](utm_[a-z]+|fbclid|gclid)=", got)
+    # every non-tracking param value survives
+    for k, v in params:
+        if not k.startswith(("utm_", "gclid", "fbclid")):
+            assert f"{k}={v}" in got
+    # no dangling separators, no fragment
+    assert not got.endswith(("?", "&")) and "#" not in got
+    assert url_norm_py(got) == got  # idempotent
+
+
+def test_url_normalize_column_matches_mirror(spark):
+    urls = [
+        "https://a.com/p?utm_source=x&k=1#f",
+        "https://b.io/?gclid=2",
+        "https://c.de/p?k=1&utm_medium=m&j=2",
+        "https://d.org/p#only-frag",
+        "https://e.net/p?utm_campaign=",
+    ]
+    from aicoe_osc_demo_spark.functions.analysis import url_normalize
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.url_norm for r in df.select(url_normalize(F.col("u"))).collect()]
+    assert got == [url_norm_py(u) for u in urls]
+
+
+@given(st.integers(1, 200), st.integers(2, 40), st.integers(0, 20))
+@settings(max_examples=200, deadline=None)
+def test_chunk_layout_covers_every_word(n_words, chunk, overlap):
+    # mirror of chunk_documents' layout arithmetic: full coverage, bounded
+    # chunk count, exact overlap between consecutive full chunks
+    if overlap >= chunk:
+        return
+    stride = chunk - overlap
+    import math
+
+    n_chunks = max(math.ceil(max(n_words - overlap, 1) / stride), 1)
+    covered = set()
+    prev = None
+    for c in range(n_chunks):
+        lo = c * stride
+        hi = min(lo + chunk, n_words)
+        cur = set(range(lo, min(hi, n_words)))
+        covered |= cur
+        if prev is not None and hi - lo == chunk and len(prev) == chunk:
+            assert len(prev & cur) == overlap
+        prev = cur
+    assert covered == set(range(n_words))
+    # no chunk beyond the doc except the mandatory first
+    assert (n_chunks - 1) * stride < n_words or n_chunks == 1

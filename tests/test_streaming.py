@@ -159,3 +159,46 @@ def test_sessionize_gap(spark):
     )
     d = {r.user_id: r.n for r in per_user}
     assert d == {1: 2, 2: 1}
+
+
+def test_streaming_quality_gate(spark, tmp_path):
+    # the curation Column ops (quality score, PII redaction, repetition-ish
+    # length gate) apply unchanged to a streaming DataFrame — the same
+    # expressions the batch queries verify against the oracle
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.functions.analysis import pii_redact, quality_score
+
+    inp, ckpt = str(tmp_path / "qin"), str(tmp_path / "qck")
+    os.makedirs(inp)
+    good = " ".join(f"word{i} filler text of reasonable shape" for i in range(12))
+    spark.createDataFrame(
+        [(0, good), (1, "short"), (2, "mail me a@b.co " + good)],
+        ["doc_id", "text"],
+    ).write.parquet(inp + "/b1.parquet")
+
+    out: list[tuple[int, float, str]] = []
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(inp)
+    )
+    gated = (
+        stream.withColumn("q", quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.7)
+        .select("doc_id", "q", pii_redact(F.col("text")))
+    )
+    q = (
+        gated.writeStream.foreachBatch(
+            lambda df, _e: out.extend((r.doc_id, r.q, r.redacted) for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    ids = sorted(i for i, _, _ in out)
+    assert ids == [0, 2]  # the short doc is gated out
+    redacted = {i: t for i, _, t in out}
+    assert "[EMAIL]" in redacted[2] and "a@b.co" not in redacted[2]
