@@ -48,6 +48,9 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_ngram_jaccard_pairs",
     "llm_lsh_candidate_count",
     "llm_incremental_dedup",
+    # near-dup ledger screening (displaces llm_length_histogram — a
+    # width-bucket agg shaped like the driver-green agg family)
+    "llm_incremental_near_dedup",
     "llm_contamination_check",
     "llm_embedding_near_dup",
     "text_winnow_fingerprint",
@@ -59,7 +62,6 @@ _DRIVER_CHECK_PRIORITY = [
     # cluster formation (displaces llm_vocab_topk — explode+count+limit,
     # same shape as the heavy-hitters recount that stays in the window)
     "llm_dedup_clusters",
-    "llm_length_histogram",
     "llm_stratified_sample",
     "llm_fuzzy_jaccard_join",
     # ML pipeline (split-sizes displaced: sample_train_split was

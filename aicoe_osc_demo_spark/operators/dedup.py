@@ -131,21 +131,24 @@ def minhash_signatures(
     )
 
 
+def _band_stack_expr(n_hashes: int, bands: int) -> str:
+    """stack() expression banding a wide signature into (band, bkey) rows;
+    bkey = md5 of the band's signature slice."""
+    rows_per_band = n_hashes // bands
+    band_rows = []
+    for band in range(bands):
+        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
+        band_rows.append(f"{band}, md5(concat_ws('|', {', '.join(cols)}))")
+    return f"stack({bands}, {', '.join(band_rows)}) as (band, bkey)"
+
+
 def lsh_candidate_pairs(
     sigs_wide: DataFrame, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Band the wide signature (rows_per_band = n_hashes/bands): band key =
     md5 of the concatenated signature slice; candidates come from an
     equi-join on (band, bkey).  Returns candidate pairs (d1 < d2), distinct."""
-    rows_per_band = n_hashes // bands
-    band_rows = []
-    for band in range(bands):
-        cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
-        band_rows.append(f"{band}, md5(concat_ws('|', {', '.join(cols)}))")
-    stacked = ", ".join(band_rows)
-    banded = sigs_wide.select(
-        "doc_id", F.expr(f"stack({bands}, {stacked}) as (band, bkey)")
-    )
+    banded = sigs_wide.select("doc_id", F.expr(_band_stack_expr(n_hashes, bands)))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -208,6 +211,71 @@ def incremental_dedup(
     return fp.join(
         known_fingerprints.select("fingerprint").distinct(), on="fingerprint", how="left_anti"
     ).select(id_col, text_col)
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    ledger_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental MinHash NEAR-dedup against a signature ledger (the
+    near-dup counterpart of ``incremental_dedup``'s exact anti-join).
+
+    ``ledger_sigs`` holds wide signatures (doc_id, mh0..mh{n-1}) of the
+    accepted corpus — 8 longs per document, never text.  A new document is
+    rejected when its estimated Jaccard (fraction of equal signature
+    components, the unbiased MinHash estimator) against any banded LSH
+    candidate reaches ``threshold`` — either a ledger doc or an
+    earlier-id accepted doc in the same batch (greedy by id, the standard
+    streaming-dedup approximation).
+
+    Returns the accepted documents' signatures (the rows the caller appends
+    to the ledger); join back on id for the full rows.  Candidate volume is
+    band-bounded: the shuffle carries (band, 32-hex key) rows, so the shape
+    is the same banded equi-join that scales in ``minhash_dedup_pairs``.
+    """
+    sigs = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
+    band_expr = _band_stack_expr(n_hashes, bands)
+    mh_cols = [f"mh{i}" for i in range(n_hashes)]
+
+    def est_jac(a: str, b: str):
+        eq = sum(
+            F.when(F.col(f"{a}.mh{i}") == F.col(f"{b}.mh{i}"), 1).otherwise(0)
+            for i in range(n_hashes)
+        )
+        return eq.cast("double") / F.lit(float(n_hashes))
+
+    new_banded = sigs.select("doc_id", *mh_cols, F.expr(band_expr))
+    led_banded = ledger_sigs.select(
+        F.col("doc_id").alias("led_id"),
+        *[F.col(c).alias(f"led_{c}") for c in mh_cols],
+        F.expr(band_expr),
+    )
+    cand = new_banded.alias("n").join(led_banded.alias("l"), on=["band", "bkey"])
+    eq = sum(
+        F.when(F.col(f"n.mh{i}") == F.col(f"l.led_mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    dup_vs_ledger = (
+        cand.filter(eq.cast("double") / F.lit(float(n_hashes)) >= threshold)
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # within-batch: banded self-join, drop the larger id of any near pair
+    a, b = new_banded.alias("a"), new_banded.alias("b")
+    within = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(est_jac("a", "b") >= threshold)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rejected = dup_vs_ledger.unionByName(within).distinct()
+    return sigs.join(rejected, on="doc_id", how="left_anti")
 
 
 def contamination_check(

@@ -602,3 +602,53 @@ def llm_lsh_candidate_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_wide(load(spark, sf_dir, "documents"), n_hashes=8)
     cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
     return cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+
+
+# Incremental near-dedup oracle: the same signature/band CTEs, split into a
+# ledger (doc_id < 250) and an arriving batch (doc_id >= 250); a new doc is
+# rejected when its component-equality MinHash estimate reaches 0.5 against
+# any banded candidate (ledger doc or smaller-id batch doc).
+_EST8 = lambda a, b: "(" + " + ".join(  # noqa: E731
+    f"CASE WHEN {a}.mh{i} = {b}.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+) + ") / 8.0"
+
+_INC_NEAR_SQL = f"""
+    WITH sigs AS ({_SIG_WIDE_SQL}),
+    bands AS ({_BANDS_SQL}),
+    newb AS (SELECT * FROM bands WHERE doc_id >= 250),
+    ledb AS (SELECT * FROM bands WHERE doc_id < 250),
+    cand_led AS (
+      SELECT DISTINCT n.doc_id AS nid, l.doc_id AS lid
+      FROM newb n JOIN ledb l ON n.band = l.band AND n.bkey = l.bkey
+    ),
+    cand_new AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM newb a JOIN newb b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    ),
+    rejected AS (
+      SELECT c.nid FROM cand_led c
+      JOIN sigs sn ON c.nid = sn.doc_id JOIN sigs sl ON c.lid = sl.doc_id
+      WHERE {_EST8('sn', 'sl')} >= 0.5
+      UNION
+      SELECT c.d2 AS nid FROM cand_new c
+      JOIN sigs sa ON c.d1 = sa.doc_id JOIN sigs sb ON c.d2 = sb.doc_id
+      WHERE {_EST8('sa', 'sb')} >= 0.5
+    )
+    SELECT s.doc_id, {', '.join(f'CAST(s.mh{i} AS BIGINT) AS mh{i}' for i in range(8))}
+    FROM sigs s
+    WHERE s.doc_id >= 250 AND s.doc_id NOT IN (SELECT nid FROM rejected)
+"""
+
+
+@register("llm_incremental_near_dedup", _INC_NEAR_SQL)
+def llm_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup counterpart of the exact incremental anti-join: arriving
+    # batch (doc_id >= 250) screened against a signature ledger
+    # (doc_id < 250) — banded equi-join candidates, estimator verify,
+    # signatures-only state.
+    from ..operators.dedup import incremental_near_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    ledger = minhash_signatures_wide(docs.filter(F.col("doc_id") < 250))
+    return incremental_near_dedup(docs.filter(F.col("doc_id") >= 250), ledger)

@@ -194,3 +194,30 @@ def test_lsh_ann_no_cartesian_and_reasonable_recall(spark):
     # approximate: expect at least one true neighbor per query recovered
     for q in (0, 1):
         assert any(p in ann_pairs for p in exact_pairs if p[0] == q)
+
+
+def test_incremental_near_dedup_ledger_and_within_batch(spark):
+    from aicoe_osc_demo_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_signatures_wide,
+    )
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(30))
+    other = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    batch1 = spark.createDataFrame([(1, base), (2, other)], "doc_id long, text string")
+    ledger = minhash_signatures_wide(batch1)
+
+    near_copy = base.replace("tok3", "changed3").replace("word7", "edited7")
+    fresh = " ".join(f"delta{i} eps{i} zeta{i}" for i in range(30))
+    # 20 is a near-copy of ledger doc 1; 21 is fresh; 22 is an exact
+    # within-batch copy of 21 (greedy keeps the smaller id)
+    batch2 = spark.createDataFrame(
+        [(20, near_copy), (21, fresh), (22, fresh)], "doc_id long, text string"
+    )
+    accepted = incremental_near_dedup(batch2, ledger)
+    assert [r.doc_id for r in accepted.select("doc_id").collect()] == [21]
+
+    # appending accepted signatures to the ledger blocks a later re-arrival
+    ledger2 = ledger.unionByName(accepted)
+    batch3 = spark.createDataFrame([(30, fresh)], "doc_id long, text string")
+    assert incremental_near_dedup(batch3, ledger2).count() == 0
