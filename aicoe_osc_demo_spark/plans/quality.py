@@ -17,6 +17,8 @@ from ..functions.analysis import (
     EMAIL_RE,
     IPV4_RE,
     PHONE_RE,
+    doc_fingerprint,
+    lang_id,
     pii_counts,
     pii_redact,
     quality_score,
@@ -390,3 +392,91 @@ def llm_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.col("kept").cast("int")).cast("long").alias("n_kept"),
     )
+
+
+_SW = "('the','a','an','and','of','to','in','is','for','on')"
+
+# End-to-end curation pipeline, every stage the oracle can replay:
+# lang gate -> quality gate -> repetition gate -> PII redact -> exact dedup
+# (keep min id per fingerprint) -> temperature mixture sample.
+_PIPE_SQL = f"""
+    WITH l AS (
+      SELECT doc_id, source, text, {_Q_DUCK} AS q
+      FROM documents
+      WHERE CAST(len(list_filter(string_split(text, ' '), w -> w IN {_SW})) AS DOUBLE)
+            / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 0.05
+    ), ql AS (
+      SELECT * FROM l WHERE q >= 0.6
+    ), per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                 i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+               )) AS g
+        FROM ql
+      ) GROUP BY doc_id, g
+    ), rep AS (
+      SELECT doc_id, ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_f
+      FROM per_gram GROUP BY doc_id
+    ), rq AS (
+      SELECT ql.* FROM ql JOIN rep USING (doc_id) WHERE rep.top_f <= 0.3
+    ), fp AS (
+      SELECT doc_id, source, q,
+             md5(lower(trim(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{IPV4_RE}', '[IP]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+               '\\s+', ' ', 'g')))) AS fingerprint
+      FROM rq
+    ), dd AS (
+      SELECT * FROM fp
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    ), c AS (
+      SELECT source, COUNT(*) AS n_s FROM dd GROUP BY source
+    ), t AS (
+      SELECT CAST(SUM(n_s) AS DOUBLE) AS n_total,
+             SUM(sqrt(CAST(n_s AS DOUBLE))) AS z
+      FROM c
+    ), r AS (
+      SELECT source,
+             ROUND(least(1.0, 0.5 * t.n_total * sqrt(CAST(n_s AS DOUBLE)) / t.z
+                              / CAST(n_s AS DOUBLE)), 6) AS rate
+      FROM c CROSS JOIN t
+    )
+    SELECT dd.doc_id, dd.source, dd.q, dd.fingerprint
+    FROM dd JOIN r ON dd.source = r.source
+    WHERE CAST('0x' || substr(md5('mix|' || CAST(dd.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < r.rate
+"""
+
+
+@register("pipeline_llm_curation", _PIPE_SQL)
+def pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The whole curation funnel as one plan: the narrow gates (lang,
+    # quality, PII) fuse into the scan stage; the only shuffles are the
+    # repetition aggregate, the fingerprint window, and the tiny mixture
+    # rate broadcast.
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    gated = (
+        d.filter(lang_id(F.col("text")) == "en")
+        .withColumn("q", F.round(quality_score(F.col("text")), 6))
+        .filter(F.col("q") >= 0.6)
+    )
+    rep = repetition_stats(gated.select("doc_id", "text"))
+    gated = gated.join(rep.select("doc_id", "top_ngram_frac"), on="doc_id").filter(
+        F.col("top_ngram_frac") <= 0.3
+    )
+    gated = gated.withColumn("redacted", pii_redact(F.col("text"))).withColumn(
+        "fingerprint", doc_fingerprint(F.col("redacted"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    )
+    sampled = mixture_sample(deduped, "source").filter(F.col("kept"))
+    return sampled.select("doc_id", "source", "q", "fingerprint")

@@ -54,6 +54,7 @@ HEADLINE_R3 = [
     "llm_bm25_topk",
     "llm_pack_offset_bins",
     "llm_chunk_documents",
+    "pipeline_llm_curation",
 ]
 
 
