@@ -94,3 +94,24 @@ def skip_processed(df: DataFrame, processed: DataFrame, on: list[str]) -> DataFr
     checks; relevance_infer.py:79-92).  At scale the ledger is a parquet
     listing, broadcast when small."""
     return df.join(processed.select(*on).distinct(), on=on, how="left_anti")
+
+
+def upsert_latest(
+    existing: DataFrame, updates: DataFrame, key_cols: list[str], version_col: str
+) -> DataFrame:
+    """CDC-style latest-wins merge: union the current table with an update
+    batch and keep the highest-``version_col`` row per key (updates win
+    version ties).  One window over the key partitioning — the lakehouse
+    MERGE shape without a table-format dependency; at scale the union sides
+    co-partition on the key and the window is the only shuffle."""
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_src")
+    )

@@ -678,3 +678,46 @@ def incremental_skip_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     ledger = e.filter(F.col("event_id") < 5000).select("event_id")
     return skip_processed(e, ledger, on=["event_id"]).select("event_id", "event_type")
+
+
+@register(
+    "incremental_upsert_latest",
+    """
+    WITH tagged AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version, 0 AS src
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0, 2, 1
+      FROM orders WHERE o_orderkey % 7 = 0
+    ), merged AS (
+      SELECT * FROM tagged
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC, src DESC) = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def incremental_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC latest-wins merge (lakehouse MERGE shape without a table format):
+    # an update batch re-prices every 7th order (+10.00 — an exact double
+    # op; a *1.1 reprice rounds differently across engines on .005
+    # boundaries); highest version wins.
+    from ..operators.relational import upsert_latest
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    existing = o.withColumn("version", F.lit(1))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("version", F.lit(2))
+    )
+    merged = upsert_latest(existing, updates, ["o_orderkey"], "version")
+    # exact integer-cent checksum: double SUM order differs between engines
+    # at the last cents on a 1e9-scale total
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+    )

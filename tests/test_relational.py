@@ -70,3 +70,22 @@ def test_skip_processed(spark):
     done = spark.createDataFrame([("f0",), ("f5",)], ["name"])
     out = {r.name for r in skip_processed(all_files, done, ["name"]).collect()}
     assert out == {f"f{i}" for i in range(10)} - {"f0", "f5"}
+
+
+def test_upsert_latest_wins_and_ties_prefer_updates(spark):
+    from aicoe_osc_demo_spark.operators.relational import upsert_latest
+
+    existing = spark.createDataFrame(
+        [(1, "old-a", 1), (2, "old-b", 5), (3, "old-c", 2)], "k long, v string, version long"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new-a", 2), (2, "stale-b", 3), (4, "new-d", 1), (3, "tie-c", 2)],
+        "k long, v string, version long",
+    )
+    got = {r.k: r.v for r in upsert_latest(existing, updates, ["k"], "version").collect()}
+    assert got == {
+        1: "new-a",  # higher version wins
+        2: "old-b",  # stale update loses to newer existing row
+        3: "tie-c",  # version tie -> update wins
+        4: "new-d",  # brand-new key inserted
+    }
