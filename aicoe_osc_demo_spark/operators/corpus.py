@@ -50,7 +50,6 @@ def bm25_topk(
     toks = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", F.size(words).alias("dl"), F.explode(words).alias("term")
     )
-    postings = toks.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     stats = docs.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
@@ -59,12 +58,17 @@ def bm25_topk(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("term"),
     )
-    # Restrict postings to query terms FIRST (broadcast semi-join), then
-    # compute document frequency over the survivors only: df is needed for
-    # query terms alone, and a full-vocabulary dfreq would be an
-    # unbroadcastable 10^8-row dictionary at web scale.
-    matched = postings.join(F.broadcast(qterms.select("term").distinct()), on="term")
-    # postings are unique on (doc_id, term), so a plain count per term IS df
+    # Restrict the token stream to query terms BEFORE the postings
+    # aggregation (broadcast semi-join below the groupBy): the tf aggregate
+    # then only processes matching tokens, and document frequency is
+    # computed over the survivors only — a full-vocabulary dfreq would be
+    # an unbroadcastable 10^8-row dictionary at web scale.  (The join key
+    # contains the group key, so filtering before or after the groupBy is
+    # value-identical.)
+    matched = toks.join(F.broadcast(qterms.select("term").distinct()), on="term").groupBy(
+        "doc_id", "dl", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    # matched rows are unique on (doc_id, term), so a count per term IS df
     dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     scored = (
         matched.join(F.broadcast(qterms), on="term")
