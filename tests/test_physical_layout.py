@@ -51,3 +51,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "event_type" in pf[0]  # pruned at the scan, not post-filter
     assert back.count() == 50
+
+
+def test_bm25_postings_bucketed_reuse(spark, tmp_path):
+    # the BM25 scale path: persist the (term, doc_id, dl, tf) postings
+    # bucketed by term once, then later query batches aggregate per term
+    # with NO exchange on the postings side
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7 + 3))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    words = F.split(F.col("text"), " ")
+    toks = docs.select("doc_id", F.size(words).alias("dl"), F.explode(words).alias("term"))
+    postings = toks.groupBy("term", "doc_id", "dl").agg(F.count(F.lit(1)).alias("tf"))
+    write_bucketed_table(
+        postings, "b_postings", "term", 8, sort_col="term", path=str(tmp_path / "p")
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dfreq = spark.table("b_postings").groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        plan = _explain(dfreq)
+        # per-term aggregation rides the bucketing — no shuffle
+        assert "Exchange hashpartitioning" not in plan
+        assert dfreq.count() == 9  # w0..w8 (max 7+3-1 = 9 distinct words... w0-w8)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE b_postings")
