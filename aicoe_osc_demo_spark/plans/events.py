@@ -329,3 +329,67 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retained_d1",
         "retained_d7",
     )
+
+
+@register(
+    "events_pivot_type_columns",
+    # conditional-aggregation formulation of PIVOT — identical output to
+    # Spark's .pivot() with a pinned column list
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot_type_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # True relational pivot: one row per day, one column per event type.
+    # The pinned values list keeps the plan single-pass (no distinct-values
+    # pre-query) — the form that scales.
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "events_trailing_hour_avg",
+    # time-RANGE window frame (not row-count): trailing 1-hour mean per
+    # user, expressed over integer epoch-seconds so the frame semantics are
+    # engine-portable
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS trailing_avg
+    FROM events
+    """,
+)
+def events_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling event-time aggregate: RANGE frame on epoch seconds — the
+    # time-series smoothing shape (one shuffle on user_id, ordered frame
+    # scan within partition).
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ; route through timestamp to integer epoch
+    # seconds (truncated — DuckDB's epoch() keeps fractions, so both sides
+    # floor to whole seconds for identical frame boundaries)
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+    )
