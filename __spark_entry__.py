@@ -51,6 +51,10 @@ _DRIVER_CHECK_PRIORITY = [
     # near-dup ledger screening (displaces llm_length_histogram — a
     # width-bucket agg shaped like the driver-green agg family)
     "llm_incremental_near_dedup",
+    # bloom prefilter for the ledger anti-join (displaces
+    # llm_stratified_sample — md5-threshold machinery driver-green via
+    # sample_* siblings in r2)
+    "llm_bloom_prefilter",
     "llm_contamination_check",
     "llm_embedding_near_dup",
     "text_winnow_fingerprint",
@@ -62,7 +66,6 @@ _DRIVER_CHECK_PRIORITY = [
     # cluster formation (displaces llm_vocab_topk — explode+count+limit,
     # same shape as the heavy-hitters recount that stays in the window)
     "llm_dedup_clusters",
-    "llm_stratified_sample",
     "llm_fuzzy_jaccard_join",
     # ML pipeline (split-sizes displaced: sample_train_split was
     # driver-green in r2 and covers the same md5-split machinery)

@@ -87,3 +87,66 @@ def heavy_hitters(
         .limit(k)
         .withColumnRenamed(item_col, "item")
     )
+
+
+# --- distributed Bloom filter ------------------------------------------------
+# The "bloom-filterable anti-join" primitive the incremental-dedup design
+# references: build a bit array from a key ledger as an exploded bit-position
+# aggregate (map-side bit_or combine, never a driver-side collect of keys),
+# broadcast the tiny word table, and probe keys with k hash lookups.  All
+# hashes are md5-derived, so build and probe are bit-identical in Spark,
+# DuckDB, and Python — the filter itself is oracle-checkable.
+
+BLOOM_M_BITS = 1024
+BLOOM_K = 4
+
+
+def _bloom_pos(key_col, i: int):
+    """Bit position i for a key: first 8 md5 hex chars of 'bloom{i}|key'
+    as an integer, mod m.  Uniform and engine-portable."""
+    h = F.md5(F.concat(F.lit(f"bloom{i}|"), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M_BITS
+
+
+def bloom_build_bits(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """Aggregate a key set into Bloom filter words: (widx, word) rows where
+    word = bit_or of 1<<(pos%32) for every key hashing into 32-bit word
+    widx (32-bit words keep every shift in checked-arithmetic range for
+    both engines).  Output is m/32 rows regardless of key count — the
+    broadcastable summary of an arbitrarily large ledger."""
+    pos_rows = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(key_col), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    return (
+        pos_rows.select(
+            (F.col("p") / 32).cast("long").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_probe(probe: DataFrame, bits: DataFrame, key_col: str = "key") -> DataFrame:
+    """Membership test against built Bloom words: a probe key is
+    ``maybe_member`` iff ALL k of its bit positions are set (no false
+    negatives; false-positive rate set by m/n and k).  The words join is a
+    broadcast of ≤ m/64 rows; the probe side never shuffles."""
+    pos = probe.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[_bloom_pos(F.col(key_col), i) for i in range(BLOOM_K)])
+        ).alias("i", "p"),
+    ).select(
+        key_col,
+        (F.col("p") / 32).cast("long").alias("widx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("mask"),
+    )
+    joined = pos.join(F.broadcast(bits), on="widx", how="left")
+    hit = (F.col("mask").bitwiseAND(F.coalesce(F.col("word"), F.lit(0))) != 0).cast("int")
+    return (
+        joined.groupBy(key_col)
+        .agg((F.min(hit) == 1).alias("maybe_member"))
+    )

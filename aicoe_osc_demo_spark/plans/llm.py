@@ -652,3 +652,56 @@ def llm_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ledger = minhash_signatures_wide(docs.filter(F.col("doc_id") < 250))
     return incremental_near_dedup(docs.filter(F.col("doc_id") >= 250), ledger)
+
+
+# Bloom prefilter oracle: same md5 positions, 16x64-bit words via bit_or,
+# probe = min over the 4 bit tests.
+_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+_BLOOM_SQL = f"""
+    WITH led AS (
+      SELECT {_FP} AS key FROM documents WHERE doc_id < 250
+    ), probe AS (
+      SELECT DISTINCT {_FP} AS fingerprint FROM documents WHERE doc_id >= 250
+    ), lpos AS (
+      SELECT CAST('0x' || substr(md5('bloom' || CAST(g.i AS VARCHAR) || '|' || key), 1, 8) AS BIGINT)
+             % 1024 AS p
+      FROM led, generate_series(0, 3) AS g(i)
+    ), bits AS (
+      SELECT p // 32 AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+      FROM lpos GROUP BY 1
+    ), ppos AS (
+      SELECT fingerprint,
+             CAST('0x' || substr(md5('bloom' || CAST(g.i AS VARCHAR) || '|' || fingerprint), 1, 8) AS BIGINT)
+             % 1024 AS p
+      FROM probe, generate_series(0, 3) AS g(i)
+    ), j AS (
+      SELECT fingerprint,
+             CASE WHEN ((CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) & COALESCE(b.word, 0)) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos LEFT JOIN bits b ON p // 32 = b.widx
+    )
+    SELECT fingerprint, MIN(hit) = 1 AS maybe_member FROM j GROUP BY fingerprint
+"""
+
+
+@register("llm_bloom_prefilter", _BLOOM_SQL)
+def llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bloom-filterable anti-join primitive: summarize the ledger's
+    # fingerprints into 16 broadcastable 64-bit words; probe fingerprints
+    # with 4 hash lookups — maybe_member=false rows SKIP the exact
+    # incremental-dedup anti-join entirely (no false negatives).
+    from ..functions.analysis import doc_fingerprint
+    from ..operators.sketch import bloom_build_bits, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    led = docs.filter(F.col("doc_id") < 250).select(
+        doc_fingerprint(F.col("text")).alias("key")
+    )
+    probe = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select(doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .distinct()
+    )
+    bits = bloom_build_bits(led, key_col="key")
+    return bloom_probe(probe, bits, key_col="fingerprint")

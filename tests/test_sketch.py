@@ -27,3 +27,23 @@ def test_heavy_hitters_bounded_candidates(spark):
     df = spark.createDataFrame(rows, ["w"]).repartition(4)
     out = heavy_hitters(df, "w", k=1, capacity=128).collect()
     assert out[0].item == "hh" and out[0].n == 500
+
+
+def test_bloom_no_false_negatives_bounded_fp(spark):
+    from aicoe_osc_demo_spark.operators.sketch import bloom_build_bits, bloom_probe
+
+    led = spark.createDataFrame([(f"member{i}",) for i in range(120)], "key string")
+    bits = bloom_build_bits(led)
+    # words table is tiny and broadcastable: at most m/32 rows
+    assert bits.count() <= 32
+    probe = spark.createDataFrame(
+        [(f"member{i}",) for i in range(100, 120)]
+        + [(f"absent{i}",) for i in range(200)],
+        "key string",
+    )
+    res = {r.key: r.maybe_member for r in bloom_probe(probe, bits).collect()}
+    # every true member flagged (no false negatives)
+    assert all(res[f"member{i}"] for i in range(100, 120))
+    # false-positive rate stays well under half at this load factor
+    fps = sum(res[f"absent{i}"] for i in range(200))
+    assert fps / 200 < 0.5
