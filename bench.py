@@ -71,6 +71,11 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query timings measure the
     # query, not session startup
     QUERIES["proj_select_columns"](spark, sf_dir).count()
+    # warm the Python worker pool (forked lazily on first Arrow stage) so
+    # mapInPandas queries measure the operator, not the fork
+    spark.range(0, int(cpus), 1, int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0
