@@ -71,6 +71,9 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_containment_pairs",
         "llm_mixture_sample",
         "llm_dedup_clusters",
+        "pipeline_llm_curation",
+        "llm_bloom_prefilter",
+        "llm_incremental_near_dedup",
     ],
 )
 def test_no_cartesian_product(spark, name):
