@@ -26,92 +26,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries, so the catalog is ordered round-robin by
-# family with the queries that lack a prior driver-green CORRECTNESS row
-# first (round 2 verified the 50 relational/text entries; this round fronts
-# the dedup/similarity/ML/events/curation/multimodal families so every
-# §2 family lands inside the window).  Oracle-checked entries precede
-# rows-only ones.  Names absent from this list follow in registry order.
+# FIRST 50 registry entries.  Rounds 2+3 left exactly 25 queries without a
+# driver-green CORRECTNESS row; this round fronts all 25 (closing full
+# catalog coverage across r02+r03+r04), then re-verifies every query whose
+# code path changed this round (LSH/ANN rework, SimHash form selection,
+# pack_offset_bins guard, Bloom parametrization, negative-sample /
+# cluster-convergence touch-ups), then the judge's must-verify set.
+# Names absent from this list follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
-    # judge's must-verify set
-    "llm_minhash_lsh_pairs",
-    "llm_simhash_pairs",
-    "curation_negative_sample",
-    "curation_answer_offsets",
-    "events_asof_join",
-    "ml_relevance_inference",
-    "multimodal_features",
-    # dedup family
-    "llm_exact_dedup",
-    "llm_minhash_signatures",
-    "llm_simhash_fingerprints",
-    "llm_ngram_jaccard_pairs",
-    "llm_lsh_candidate_count",
-    "llm_incremental_dedup",
-    # near-dup ledger screening (displaces llm_length_histogram — a
-    # width-bucket agg shaped like the driver-green agg family)
-    "llm_incremental_near_dedup",
-    # bloom prefilter for the ledger anti-join (displaces
-    # llm_stratified_sample — md5-threshold machinery driver-green via
-    # sample_* siblings in r2)
-    "llm_bloom_prefilter",
-    "llm_contamination_check",
-    "llm_embedding_near_dup",
-    "text_winnow_fingerprint",
-    # similarity / sketch / corpus stats
-    "llm_cosine_topk",
-    "llm_ivf_topk",
-    "llm_ann_lsh_topk",
-    "llm_heavy_hitters_sketch",
-    # cluster formation (displaces llm_vocab_topk — explode+count+limit,
-    # same shape as the heavy-hitters recount that stays in the window)
-    "llm_dedup_clusters",
-    "llm_fuzzy_jaccard_join",
-    # ML pipeline (split-sizes displaced: sample_train_split was
-    # driver-green in r2 and covers the same md5-split machinery)
-    "ml_qa_inference_topk",
-    "ml_no_answer_aggregate",
-    "ml_group_metrics",
-    # events / streaming-equivalent
-    "events_windowed_counts",
-    "events_sessionize",
-    "events_session_window",
-    "events_hypertable_rollup",
-    "events_range_join",
-    "events_daily_type_matrix",
-    # curation
-    "curation_valid_pairs",
-    "curation_answer_containment",
-    "curation_extra_answerable",
-    # reshape / advanced aggregates
-    "reshape_flatten",
-    "reshape_gather_table_text",
-    "agg_exact_percentiles",
-    # retrieval / training-prep (new in r3; displace the rollup/cube/
-    # filtered-count GROUPING SETS variants of the driver-green agg family)
-    "llm_bm25_topk",
-    "llm_pack_offset_bins",
-    "llm_chunk_documents",
-    # round-3 curation additions (displace events_json_extract and
-    # text_levenshtein_match — single-builtin queries, local-green)
-    "llm_containment_pairs",
-    "llm_per_host_cap",
-    "llm_mixture_sample",
-    # corpus-quality curation (new in r3 — never driver-checked; displaces
-    # four advanced window/join/set entries whose primitives were
-    # driver-green in r2 via sibling queries)
-    "llm_repetition_stats",
-    "llm_pii_scrub",
-    "llm_url_host_stats",
-    "llm_quality_resample",
-    # multimodal (frame sampling exercises the 1:N mapInPandas fan-out;
-    # plain metadata stays local-harness-checked just outside the window)
-    "multimodal_frame_sample",
-    # rows-only (no oracle — weaker check; keep at the window edge)
+    # --- the 25 never-driver-checked entries (r2+r3 rotations missed) ---
+    "pipeline_llm_curation",
+    "incremental_upsert_latest",
+    "events_pivot_type_columns",
+    "events_trailing_hour_avg",
+    "events_funnel_counts",
+    "events_retention_cohorts",
+    "agg_rollup_revenue",
+    "agg_cube_revenue",
+    "agg_filtered_counts",
+    "window_running_sum",
+    "window_lag_delta",
+    "join_full_outer",
+    "set_union_missing_cols",
+    "llm_vocab_topk",
+    "llm_length_histogram",
+    "llm_stratified_sample",
+    "multimodal_metadata",
+    "text_fingerprint",
+    "events_json_extract",
+    "text_levenshtein_match",
+    "ml_train_dev_split_sizes",
+    # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",
     "reshape_nest_squad",
     "ml_relevance_training_metrics",
+    # --- code paths changed in r4: re-verify under the driver ---
+    "llm_ann_lsh_topk",
+    "llm_embedding_near_dup",
+    "llm_ann_candidate_count",
+    "llm_lsh_candidate_count",
+    "llm_simhash_fingerprints",
+    "llm_simhash_pairs",
+    "llm_pack_offset_bins",
+    "llm_bloom_prefilter",
+    "llm_incremental_near_dedup",
+    "curation_negative_sample",
+    "llm_dedup_clusters",
+    # --- judge's must-verify set + strongest families as fillers ---
+    "llm_minhash_lsh_pairs",
+    "curation_answer_offsets",
+    "events_asof_join",
+    "ml_relevance_inference",
+    "multimodal_features",
+    "llm_exact_dedup",
+    "llm_minhash_signatures",
+    "llm_ngram_jaccard_pairs",
+    "llm_incremental_dedup",
+    "llm_contamination_check",
+    "text_winnow_fingerprint",
+    "llm_cosine_topk",
+    "llm_ivf_topk",
+    "llm_bm25_topk",
 ]
 
 

@@ -96,6 +96,7 @@ def pack_offset_bins(
     budget: int = 2048,
     shard_col: str | None = None,
     id_col: str = "doc_id",
+    allow_single_shard: bool = False,
 ) -> DataFrame:
     """Offset-based sequence packing: documents are laid end-to-end in
     deterministic id order (per shard) and each document is assigned to the
@@ -104,9 +105,21 @@ def pack_offset_bins(
     (documents may straddle a bin boundary; the trainer's loader handles
     the split, the engine's job is the deterministic global layout).
 
+    ``shard_col`` is REQUIRED: the cumulative-sum window partitions by
+    shard, so ``shard_col=None`` would put the entire corpus in ONE window
+    partition — a single-task global sort that cannot scale (the same trap
+    ``ngram_jaccard_pairs`` guards with ``block_col``).  Pass
+    ``allow_single_shard=True`` to opt in explicitly for small inputs.
+
     Returns (shard, doc_id, n_tokens, start_offset, bin).  One window
     cumsum per shard — no shuffle beyond the shard partitioning.
     """
+    if shard_col is None and not allow_single_shard:
+        raise ValueError(
+            "pack_offset_bins requires shard_col: a None shard packs the whole "
+            "corpus in one window partition (single-task global sort). Pass a "
+            "shard column, or allow_single_shard=True for small inputs."
+        )
     shard = F.col(shard_col) if shard_col else F.lit("all")
     w = Window.partitionBy("shard").orderBy(id_col)
     out = (

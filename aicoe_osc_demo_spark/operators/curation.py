@@ -161,6 +161,15 @@ def negative_sample(
     prefilter under-filled (< k survivors).  The pick is hash-identical to
     the naive ranking: if a group has >= k survivors below t, the k smallest
     overall are all below t.
+
+    NOTE: when ``pool_count`` is omitted, this transformation-shaped API
+    runs ONE eager Spark job at plan-construction time (a column-pruned
+    count of the pool) to size the threshold; pass ``pool_count`` to keep
+    plan construction fully lazy.  The under-filled-group fallback is a
+    second scan of the pool that unions into the plan; it reads zero rows
+    for groups the prefilter satisfied, but callers who know the prefilter
+    always fills (oversample >= 16 and |pool| >> k) can treat its cost as
+    the anti-join on group keys only.
     """
     from pyspark.sql import Window
 

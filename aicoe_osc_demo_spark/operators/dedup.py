@@ -229,9 +229,14 @@ def incremental_near_dedup(
     accepted corpus — 8 longs per document, never text.  A new document is
     rejected when its estimated Jaccard (fraction of equal signature
     components, the unbiased MinHash estimator) against any banded LSH
-    candidate reaches ``threshold`` — either a ledger doc or an
-    earlier-id accepted doc in the same batch (greedy by id, the standard
-    streaming-dedup approximation).
+    candidate reaches ``threshold`` — either a ledger doc or ANY
+    earlier-id doc in the same batch, including docs that are themselves
+    rejected (so rejection can over-propagate transitively: if A~B and
+    B~C but A!~C, both B and C are dropped).  This single-pass batch rule
+    is deliberately cheaper than true greedy acceptance, which would need
+    an iterative within-batch pass; at near-dup thresholds the transitive
+    over-rejection it adds is the conservative direction for corpus
+    cleaning.
 
     Returns the accepted documents' signatures (the rows the caller appends
     to the ledger); join back on id for the full rows.  Candidate volume is
@@ -569,7 +574,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
@@ -593,14 +598,19 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            merged.alias("m")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("m.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        prev = labels
         labels = merged
-        if changed == 0:
-            break
+        # convergence probe every 2nd round (and on the final one): halves
+        # the driver-side actions; the propagate+jump step is idempotent on
+        # a converged labeling, so the extra round is a no-op join pass
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                merged.alias("m")
+                .join(prev.alias("o"), on="node")
+                .filter(F.col("m.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -97,26 +97,34 @@ def heavy_hitters(
 # hashes are md5-derived, so build and probe are bit-identical in Spark,
 # DuckDB, and Python — the filter itself is oracle-checkable.
 
+# Defaults are oracle-checked; size the filter to the ledger at deploy time
+# (~10 bits/key at k=4 → ~1.2% false-positive rate: m_bits=1<<34 for 1e9
+# keys is 2 GiB of words — broadcastable — while the default 1024 bits
+# saturates beyond ~1k keys and then prunes nothing).
 BLOOM_M_BITS = 1024
 BLOOM_K = 4
 
 
-def _bloom_pos(key_col, i: int):
+def _bloom_pos(key_col, i: int, m_bits: int):
     """Bit position i for a key: first 8 md5 hex chars of 'bloom{i}|key'
     as an integer, mod m.  Uniform and engine-portable."""
     h = F.md5(F.concat(F.lit(f"bloom{i}|"), key_col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_M_BITS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m_bits
 
 
-def bloom_build_bits(keys: DataFrame, key_col: str = "key") -> DataFrame:
+def bloom_build_bits(
+    keys: DataFrame, key_col: str = "key", m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
     """Aggregate a key set into Bloom filter words: (widx, word) rows where
     word = bit_or of 1<<(pos%32) for every key hashing into 32-bit word
     widx (32-bit words keep every shift in checked-arithmetic range for
-    both engines).  Output is m/32 rows regardless of key count — the
-    broadcastable summary of an arbitrarily large ledger."""
+    both engines).  Output is m_bits/32 rows regardless of key count — the
+    broadcastable summary of an arbitrarily large ledger.  Size ``m_bits``
+    to ~10× the expected key count (see module note); the default is the
+    small oracle-checked configuration, not a deploy-scale one."""
     pos_rows = keys.select(
         F.explode(
-            F.array(*[_bloom_pos(F.col(key_col), i) for i in range(BLOOM_K)])
+            F.array(*[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)])
         ).alias("p")
     )
     return (
@@ -129,15 +137,22 @@ def bloom_build_bits(keys: DataFrame, key_col: str = "key") -> DataFrame:
     )
 
 
-def bloom_probe(probe: DataFrame, bits: DataFrame, key_col: str = "key") -> DataFrame:
+def bloom_probe(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_col: str = "key",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
     """Membership test against built Bloom words: a probe key is
     ``maybe_member`` iff ALL k of its bit positions are set (no false
-    negatives; false-positive rate set by m/n and k).  The words join is a
-    broadcast of ≤ m/64 rows; the probe side never shuffles."""
+    negatives; false-positive rate set by m/n and k).  ``m_bits``/``k``
+    must match the build call.  The words join is a broadcast of ≤
+    m_bits/32 rows; the probe side never shuffles."""
     pos = probe.select(
         F.col(key_col),
         F.posexplode(
-            F.array(*[_bloom_pos(F.col(key_col), i) for i in range(BLOOM_K)])
+            F.array(*[_bloom_pos(F.col(key_col), i, m_bits) for i in range(k)])
         ).alias("i", "p"),
     ).select(
         key_col,

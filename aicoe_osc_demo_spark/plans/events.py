@@ -377,11 +377,21 @@ def events_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan within partition).
     from pyspark.sql import Window
 
-    # ts is TIMESTAMP_NTZ; route through timestamp to integer epoch
-    # seconds (truncated — DuckDB's epoch() keeps fractions, so both sides
-    # floor to whole seconds for identical frame boundaries)
+    # ts is TIMESTAMP_NTZ; derive integer epoch seconds from its wall-clock
+    # FIELDS (datediff/hour/minute/second are timezone-independent on NTZ)
+    # rather than cast('timestamp').cast('long'), which would re-interpret
+    # the naive value in the session timezone and shift RANGE-frame
+    # membership under a non-UTC session with DST inside the data range.
+    # (Truncated to whole seconds — DuckDB's epoch() keeps fractions, so
+    # both sides floor for identical frame boundaries.)
     e = load(spark, sf_dir, "events").withColumn(
-        "epoch_s", F.col("ts").cast("timestamp").cast("long")
+        "epoch_s",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        ).cast("long"),
     )
     w = (
         Window.partitionBy("user_id")

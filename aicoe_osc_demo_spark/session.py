@@ -24,25 +24,59 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "aicoe-osc-demo-spark", cpus: str | None = None) -> SparkSession:
+def session_confs(
+    cpus: str | None = None,
+    gpus_per_task: float | None = None,
+    gpus_per_executor: int | None = None,
+) -> dict[str, str]:
+    """The full config map ``get_spark`` applies — exposed as a pure
+    function so tests can assert the exact confs (``getOrCreate`` against a
+    live session silently drops non-SQL confs, making post-hoc assertion
+    unreliable)."""
     cpus = cpus or DEFAULT_CPUS
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    confs = {
+        "spark.sql.shuffle.partitions": str(max(int(cpus), 8)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         # NOTE: the local test parquet files are single-row-group, so scans
         # cannot parallelize below one task regardless of
         # spark.sql.files.maxPartitionBytes (measured: lowering it only adds
         # empty tasks).  On a real cluster the default 128 MB split applies
         # across many files/row-groups.
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-    )
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    }
+    if gpus_per_task is not None:
+        confs["spark.task.resource.gpu.amount"] = str(gpus_per_task)
+    if gpus_per_executor is not None:
+        confs["spark.executor.resource.gpu.amount"] = str(gpus_per_executor)
+    return confs
+
+
+def get_spark(
+    app_name: str = "aicoe-osc-demo-spark",
+    cpus: str | None = None,
+    gpus_per_task: float | None = None,
+    gpus_per_executor: int | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession.
+
+    ``gpus_per_task`` / ``gpus_per_executor`` wire Spark's standard GPU
+    resource scheduling (``spark.task.resource.gpu.amount`` /
+    ``spark.executor.resource.gpu.amount``) for the ML inference stages:
+    with ``gpus_per_task=1`` Spark schedules one mapInPandas task per GPU
+    and the executor-singleton model loader (operators/inference.py) picks
+    up the assigned device via ``TaskContext.get().resources()["gpu"]``.
+    On local mode the configs are accepted but only enforced when a
+    resource-discovery script is configured, matching stock Spark behavior.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for key, value in session_confs(cpus, gpus_per_task, gpus_per_executor).items():
+        builder = builder.config(key, value)
     return builder.getOrCreate()

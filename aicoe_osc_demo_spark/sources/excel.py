@@ -141,17 +141,19 @@ def read_excel_workbooks(
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                frame = parse_workbook(bytes(row["content"]), sheet_name)
+            # one iteration per WORKBOOK (each input row is a whole binary
+            # file); zip the two columns directly rather than iterrows
+            for path, content in zip(pdf["path"], pdf["content"]):
+                frame = parse_workbook(bytes(content), sheet_name)
                 missing = [c for c in columns_to_read if c not in frame.columns]
                 if missing:
                     raise ValueError(
-                        f"annotation workbook {row['path']!r} missing required "
+                        f"annotation workbook {path!r} missing required "
                         f"columns: {missing}"
                     )
                 out = frame[columns_to_read].astype(object).where(frame[columns_to_read].notna(), None)
                 out = out.map(lambda v: None if v is None else str(v))
-                out["annotator"] = posixpath.basename(row["path"])
+                out["annotator"] = posixpath.basename(path)
                 yield out
 
     return binary.select("path", "content").mapInPandas(parse, schema=out_schema)

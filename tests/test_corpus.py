@@ -61,6 +61,15 @@ def test_pack_offset_bins(spark):
     assert rows[("t", 4)] == (0, 0)
 
 
+def test_pack_offset_bins_requires_shard_col(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n long")
+    with pytest.raises(ValueError, match="shard_col"):
+        pack_offset_bins(df, token_col="n")
+    # explicit opt-in keeps the old single-shard behavior for small inputs
+    rows = pack_offset_bins(df, token_col="n", allow_single_shard=True).collect()
+    assert rows[0].shard == "all" and rows[0].bin == 0
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     words = " ".join(f"w{i}" for i in range(40))
     df = spark.createDataFrame([(1, words)], "doc_id long, text string")

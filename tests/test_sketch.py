@@ -47,3 +47,30 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
     # false-positive rate stays well under half at this load factor
     fps = sum(res[f"absent{i}"] for i in range(200))
     assert fps / 200 < 0.5
+
+
+def test_bloom_sizing_parameters_control_fp_rate(spark):
+    # the deploy-scale path: m_bits sized ~10x the ledger keeps the FP rate
+    # low where the small oracle-checked default would saturate to all-ones
+    from aicoe_osc_demo_spark.operators.sketch import bloom_build_bits, bloom_probe
+
+    led = spark.createDataFrame([(f"member{i}",) for i in range(2000)], "key string")
+    probe = spark.createDataFrame(
+        [(f"member{i}",) for i in range(0, 2000, 40)]
+        + [(f"absent{i}",) for i in range(400)],
+        "key string",
+    )
+    # default 1024 bits: saturated — everything "maybe", still no false negatives
+    small = {r.key: r.maybe_member for r in bloom_probe(probe, bloom_build_bits(led)).collect()}
+    assert all(small[f"member{i}"] for i in range(0, 2000, 40))
+    # sized filter: 10 bits/key -> FP rate ~1%
+    m = 20_480
+    bits = bloom_build_bits(led, m_bits=m, k=4)
+    assert bits.count() <= m // 32
+    sized = {
+        r.key: r.maybe_member
+        for r in bloom_probe(probe, bits, m_bits=m, k=4).collect()
+    }
+    assert all(sized[f"member{i}"] for i in range(0, 2000, 40))
+    fps = sum(sized[f"absent{i}"] for i in range(400))
+    assert fps / 400 < 0.1
