@@ -18,7 +18,13 @@ from .dedup import (
     simhash_dedup_pairs,
     ngram_jaccard_pairs,
 )
-from .similarity import cosine_topk, lsh_ann_topk
+from .similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    embedding_lsh_candidates,
+    embedding_near_dup_pairs,
+    recommended_lsh_params,
+)
 from .fuzzy import fuzzy_best_match_join, jaccard_best_match_join
 from .reshape import explode_paragraphs, nest_to_squad, gather_table_text
 from .inference import (
@@ -45,6 +51,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "lsh_ann_topk",
+    "embedding_lsh_candidates",
+    "embedding_near_dup_pairs",
+    "recommended_lsh_params",
     "fuzzy_best_match_join",
     "jaccard_best_match_join",
     "explode_paragraphs",

@@ -322,34 +322,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     to a 32-bit int (md5 prefix); bit j of the fingerprint is the sign of the
     sum of (+1/-1) votes across shingles.
 
-    Shape: ONE pass — explode (doc, shingle-hash) and take all 32 bit-vote
-    sums in a single codegen'd groupBy(doc_id) with map-side partial combine
-    (the same shape as the MinHash signature aggregate; the shuffle carries
-    one 32-int row per doc per partition).  An earlier version chained 32
-    interpreted ``F.aggregate`` higher-order passes per row — HOFs get no
-    codegen and no common-subexpression elimination, so every document's
-    hash array was walked 32 times.  At sf0.1 the two forms measure at
-    parity (the per-shingle md5 dominates both); the exploded form is kept
-    because its vote arithmetic stays inside whole-stage codegen and the
-    partial aggregate combines map-side — the properties that hold up when
-    documents are pages, not sentences."""
-    toks = _shingles(df, text_col, id_col, 3).withColumn("h", _token_hash())
-    # branchless bit-votes: sum_j = popcount of bit j over shingles; the
-    # +1/-1 vote sum is 2*sum_j - n, so bit j is set iff 2*sum_j > n
-    votes = [
-        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"s{j}")
-        for j in range(bits)
-    ]
-    n = F.count(F.lit(1)).alias("n")
+    Shape: fully map-side — one per-row pass that hashes the distinct
+    shingle array once, then folds the 32 bit-votes over it with
+    ``F.aggregate``.  No explode, no shuffle, no aggregation state: the
+    fingerprint of a document is a pure function of its row.
+
+    Form adjudication (r4, tools/bench_simhash_forms.py, sf0.1 best-of-3):
+    an alternative exploded form (posexplode shingles → 32 popcount sums in
+    a codegen'd groupBy with map-side combine) measured 0.96 s vs 0.87 s
+    on the real ~300-char docs and 21.3 s vs 0.81 s on a ~6 KB-doc
+    fixture — the explode multiplies row count by shingle count and pushes
+    every row through a 33-buffer hash aggregate plus a shuffle of
+    partials, while the HOF form's cost stays one array walk per bit with
+    zero movement.  Both forms materialize the same distinct-shingle array
+    per row first, so the exploded form holds no peak-memory advantage
+    either; the r3 claim that the HOF form was the slow one was wrong (it
+    conflated this operator with the winnowing case, where the nested-HOF
+    sliding window genuinely loses).  Semantics of the two forms are
+    identical (vote > 0 ⟺ 2*popcount_j > n)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_ngrams(F.col(text_col), 3),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+
+    def voter(j: int):
+        mask = F.lit(1 << j)
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
     fp = None
     for j in range(bits):
-        term = F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
+        vote = F.aggregate(F.col("hs"), F.lit(0), voter(j))
+        term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return (
-        toks.groupBy("doc_id")
-        .agg(*votes, n)
-        .select("doc_id", fp.cast("long").alias("simhash"))
-    )
+    return hashed.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_dedup_pairs(

@@ -9,10 +9,24 @@ vector ANN.  Two tiers:
   evaluated JVM-side with ``zip_with``/``aggregate`` (no Python).  At 100 TB
   the corpus scan dominates and parallelizes perfectly; the window top-k
   shuffles only (query_id, score) pairs.
-- ``lsh_ann_topk``: random-hyperplane LSH — deterministic planes derived from
-  md5 so runs are reproducible; bucket equi-join prunes candidates, then
-  exact cosine re-ranks within buckets.  Probe both the bucket and its
-  single-bit-flip neighbors for recall.
+- ``lsh_ann_topk`` / ``embedding_near_dup_pairs``: random-hyperplane LSH
+  with the MinHash banding structure — ``n_tables`` INDEPENDENT hash tables
+  of ``planes_per_table`` sign bits each; candidates are pairs agreeing on
+  ALL bits of at least one table (an equi-join on (table, bucket)), then
+  exact cosine re-ranks candidates only.  Planes are deterministic
+  md5-derived constants, so runs are reproducible and the oracle can inline
+  them.
+
+Bucket-size arithmetic (why the banded form scales where a single short
+table cannot): one table of p planes has 2^p buckets, so at n vectors the
+expected bucket holds n/2^p and the per-bucket self-join is (n/2^p)^2
+pairs/bucket x 2^p buckets = n^2/2^p candidates.  Keeping candidates O(n)
+therefore needs p ≈ log2(n) — 30 planes at 1e9 vectors — and the recall a
+single long table loses (each extra plane halves the collision rate for
+non-identical pairs) is restored by OR-ing ``n_tables`` independent tables,
+exactly like MinHash bands: P(candidate) = 1 - (1 - s^p)^T for bit-agreement
+rate s.  ``recommended_lsh_params`` computes (p, T) from the corpus size;
+``embedding_lsh_candidates`` exposes the candidate volume for observability.
 """
 
 from __future__ import annotations
@@ -68,14 +82,17 @@ def cosine_topk(
     return top_k_per_group(scores, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
 
 
-def _planes(n_planes: int, dim: int) -> list[list[float]]:
+def _planes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible across
-    runs/machines with no RNG state."""
+    runs/machines with no RNG state.  ``table`` seeds independent plane sets
+    for the multi-table (banded) construction; table 0 reproduces the
+    original single-table planes."""
     planes = []
     for j in range(n_planes):
         row = []
         for k in range(dim):
-            h = hashlib.md5(f"plane:{j}:{k}".encode()).hexdigest()[:8]
+            key = f"plane:{j}:{k}" if table == 0 else f"plane:{table}:{j}:{k}"
+            h = hashlib.md5(key.encode()).hexdigest()[:8]
             row.append(int(h, 16) / 2**32 - 0.5)
         planes.append(row)
     return planes
@@ -89,6 +106,43 @@ def lsh_bucket(vec, planes: list[list[float]]):
         bit = F.when(_dot(vec, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
+
+
+def recommended_lsh_params(n_vectors: int, target_recall_at: float = 0.9) -> tuple[int, int]:
+    """(planes_per_table, n_tables) sized so expected candidate volume stays
+    O(n): p = max(8, ceil(log2(n))) makes the mean bucket size O(1); T is
+    the smallest table count whose OR-construction recall at bit-agreement
+    rate 0.95 (cosine ~0.99 pairs) reaches ``target_recall_at``.  Pure
+    arithmetic — call it with a known corpus size; no Spark job runs."""
+    import math
+
+    p = max(8, math.ceil(math.log2(max(n_vectors, 2))))
+    s = 0.95
+    single = s**p
+    t = 1
+    while 1 - (1 - single) ** t < target_recall_at and t < 64:
+        t += 1
+    return p, t
+
+
+def _table_buckets(vec, n_tables: int, planes_per_table: int, dim: int):
+    """Array of per-table bucket ids (one signed-bit bucket per independent
+    plane set) — the vector analogue of a MinHash banded signature."""
+    return F.array(
+        *[
+            lsh_bucket(vec, _planes(planes_per_table, dim, table=t)).cast("long")
+            for t in range(n_tables)
+        ]
+    )
+
+
+def _explode_tables(df: DataFrame, vec_col, n_tables: int, planes_per_table: int, dim: int):
+    """One (t, bucket) row per table per vector: posexplode of the per-table
+    bucket array.  The downstream candidate join is an equi-join on
+    (t, bucket) — collisions in DIFFERENT tables never meet."""
+    return df.withColumn(
+        "_tb", _table_buckets(vec_col, n_tables, planes_per_table, dim)
+    ).select("*", F.posexplode("_tb").alias("t", "bucket")).drop("_tb")
 
 
 def ivf_topk(
@@ -157,90 +211,150 @@ def ivf_topk(
     return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
 
 
+def embedding_lsh_candidates(
+    corpus: DataFrame,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded-LSH candidate generation: distinct (d1, d2, v1, v2) pairs that
+    agree on ALL ``planes_per_table`` sign bits of at least one of the
+    ``n_tables`` independent hash tables (one side additionally probes its
+    1-bit-flip buckets per table when ``multiprobe``).
+
+    This is the MinHash banding structure on hyperplane bits, so candidate
+    volume is n^2/2^p per table — size ``planes_per_table`` ≈ log2(n) (see
+    module docstring / ``recommended_lsh_params``) and the join stays an
+    equi-join on (t, bucket) with O(n) expected output.  Exposed separately
+    from the scoring stage so candidate volume is directly observable
+    (``llm_ann_candidate_count``).
+    """
+    from .relational import ensure_parallelism
+
+    base = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    )
+    right = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim).select(
+        F.col("vid").alias("d2"), F.col("v").alias("v2"), "t", "bucket"
+    )
+    left = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim)
+    if multiprobe:
+        flips = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
+            )
+        )
+        left = left.withColumn("bucket", F.explode(flips))
+    left = left.select(F.col("vid").alias("d1"), F.col("v").alias("v1"), "t", "bucket")
+    return (
+        left.join(right, on=["t", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "v1", "v2")
+        .distinct()  # collisions in several tables / probes collapse here
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector analogue of
-    MinHash-LSH dedup: hyperplane-LSH bucket self-join (one side multiprobes
-    its 1-bit-flip neighbor buckets for recall), exact cosine only within
-    candidate buckets, keep pairs above ``threshold``.
+    MinHash-LSH dedup: banded multi-table candidate generation
+    (``embedding_lsh_candidates``), then exact cosine computed ONCE per distinct
+    candidate pair, keep pairs above ``threshold``.
 
-    Scale shape: never all-pairs — candidates come from an equi-join on the
-    bucket key; near-identical vectors agree on every sign bit, so recall at
-    high thresholds is driven by the multiprobe radius.  The shuffle carries
-    (bucket, id, vector) rows, 1+n_planes replicas on the probing side only.
+    Scale shape: never all-pairs — candidates come from an equi-join on
+    (table, bucket) with planes_per_table ≈ log2(n) keeping expected bucket
+    size O(1) (~30 planes at 1e9 vectors; the old single-table n_planes=4
+    default left 16 buckets total and a ~10^15-pair bucket self-join at
+    that scale).  Near-identical vectors agree on every sign bit in every
+    table (sign is scale-invariant), so high-threshold recall survives the
+    longer bucket keys via the OR over independent tables + 1-bit
+    multiprobe.
     """
-    from .relational import ensure_parallelism
+    cand = embedding_lsh_candidates(
+        corpus, n_tables, planes_per_table, dim, True, vec_col, id_col
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.round(
+            _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
 
-    planes = _planes(n_planes, dim)
-    base = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    ).select("vid", "v", lsh_bucket(F.col("v"), planes).alias("b0"))
-    probes = F.array_distinct(
-        F.array(F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)])
+
+def lsh_ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distinct (query_id, qv, neighbor_id, cv) ANN candidates: corpus rows
+    sharing at least one (table, bucket) with a query (query side probes its
+    1-bit flips per table when ``multiprobe``).  Query side is broadcast —
+    the corpus never shuffles; it is scanned once with the n_tables bucket
+    keys computed JVM-side."""
+    c = _explode_tables(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        F.col("cv"),
+        n_tables,
+        planes_per_table,
+        dim,
     )
-    left = base.withColumn("bucket", F.explode(probes)).select(
-        F.col("vid").alias("d1"), F.col("v").alias("v1"), "bucket"
+    q = _explode_tables(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        F.col("qv"),
+        n_tables,
+        planes_per_table,
+        dim,
     )
-    right = base.select(F.col("vid").alias("d2"), F.col("v").alias("v2"), F.col("b0").alias("bucket"))
-    scored = (
-        left.join(right, on="bucket")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6
-            ).alias("cosine"),
+    if multiprobe:
+        flips = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
+            )
         )
-        .filter(F.col("cosine") >= threshold)
-        .distinct()  # multiprobe replicas of the same (d1, d2) collapse here
+        q = q.withColumn("bucket", F.explode(flips))
+    cand = c.join(F.broadcast(q), on=["t", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    return scored
+    return cand.select("query_id", "qv", "neighbor_id", "cv").distinct()
 
 
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket equi-join (+ 1-bit-flip probe
-    buckets on the query side) then exact cosine within candidates."""
+    """Approximate top-k: banded multi-table LSH candidates
+    (``lsh_ann_candidates``), exact cosine within candidates only, window
+    top-k.  Bucket-key length ≈ log2(corpus size) keeps expected per-query
+    candidates O(1) per table; table count + multiprobe set the recall."""
     from .relational import top_k_per_group
 
-    planes = _planes(n_planes, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    cand = lsh_ann_candidates(
+        corpus, queries, n_tables, planes_per_table, dim, True, vec_col, id_col
     )
-    probe_buckets = F.array_distinct(
-        F.flatten(
-            F.array(
-                F.array(F.col("qb")),
-                F.array(*[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]),
-            )
-        )
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            lsh_bucket(F.col(vec_col), planes).alias("qb"),
-        )
-        .withColumn("bucket", F.explode(probe_buckets))
-        .drop("qb")
-    )
-    cand = c.join(F.broadcast(q), on="bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",
         "neighbor_id",

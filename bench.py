@@ -77,13 +77,18 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     total = 0.0
     total_all = 0.0
     for name in HEADLINE + HEADLINE_R3:
         fn = QUERIES[name]
         best, n = None, 0
-        for _ in range(2):  # best-of-2: second run amortizes codegen/JIT noise
+        # best-of-3: amortizes codegen/JIT noise AND makes a one-off
+        # container-contention spike visible as (best vs others) spread —
+        # the r3 driver run recorded a +21% phantom regression from exactly
+        # such a spike
+        for _ in range(3):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             dt = time.time() - t0
@@ -108,6 +113,10 @@ def main() -> None:
                 "queries": timings,
                 "total_all_queries": round(total_all, 3),
                 "sf": sf,
+                # machine load context so a contended run is distinguishable
+                # from a real regression when comparing rounds
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

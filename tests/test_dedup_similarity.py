@@ -143,12 +143,43 @@ def test_embedding_near_dup_pairs(spark):
     rows.append((100, [0.5 * x for x in rows[3][1]]))
     rows.append((101, [2.0 * x for x in rows[7][1]]))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(df, threshold=0.99, n_planes=4, dim=16)
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, n_tables=2, planes_per_table=6, dim=16)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan  # bucketed equi-join, never all-pairs
+    assert "CartesianProduct" not in plan  # banded equi-join, never all-pairs
     got = {(r.d1, r.d2): r.cosine for r in pairs.collect()}
     assert set(got) == {(3, 100), (7, 101)}
     assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+
+
+def test_recommended_lsh_params_scale_with_corpus():
+    from aicoe_osc_demo_spark.operators.similarity import recommended_lsh_params
+
+    p9, t9 = recommended_lsh_params(10**9)
+    assert p9 == 30  # ceil(log2(1e9)) — expected bucket size stays O(1)
+    assert t9 >= 2  # single 30-bit table alone can't hold 0.9 recall
+    p_small, _ = recommended_lsh_params(100)
+    assert p_small == 8  # floor: never degenerate few-bucket tables
+    # recall model: 1 - (1 - s^p)^T >= target at s=0.95
+    assert 1 - (1 - 0.95**p9) ** t9 >= 0.9
+
+
+def test_banded_lsh_candidate_volume_bounded(spark):
+    # skewed-free random fixture: candidate volume must be a small fraction
+    # of all-pairs — the property the p ≈ log2(n) sizing rule guarantees
+    from aicoe_osc_demo_spark.operators.similarity import embedding_lsh_candidates
+
+    import random
+
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(32)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cand = embedding_lsh_candidates(df, n_tables=2, planes_per_table=8, dim=32)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n_cand = cand.count()
+    all_pairs = 200 * 199 // 2
+    # 2 tables x (1 + 8 flips)/256 buckets -> ~7% of pairs expected
+    assert 0 < n_cand < all_pairs * 0.3
 
 
 def _embeddings(spark):
@@ -185,7 +216,7 @@ def test_cosine_topk_matches_numpy(spark):
 def test_lsh_ann_no_cartesian_and_reasonable_recall(spark):
     emb = _embeddings(spark)
     queries = emb.filter(F.col("vec_id") < 2)
-    ann = lsh_ann_topk(emb, queries, k=3, n_planes=3, dim=8)
+    ann = lsh_ann_topk(emb, queries, k=3, n_tables=2, planes_per_table=4, dim=8)
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     exact = cosine_topk(emb, queries, k=3)
