@@ -56,6 +56,8 @@ _DRIVER_CHECK_PRIORITY = [
     "events_json_extract",
     "text_levenshtein_match",
     "ml_train_dev_split_sizes",
+    # new in r4: the M6 fine-tune loop with the exact-integer backend
+    "ml_qa_finetune_loss",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

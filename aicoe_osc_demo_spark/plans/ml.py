@@ -189,3 +189,54 @@ def ml_train_dev_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.select(F.lit(True).alias("is_train")).unionByName(
         dev.select(F.lit(False).alias("is_train"))
     ).groupBy("is_train").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ml_qa_finetune_loss",
+    # The M6 parameter-averaging fine-tune loop run with the exact-integer
+    # arithmetic backend: epoch-1 loss is Σ(sp*1000)² against the zero
+    # init, the averaged parameter becomes floor(mean(sp)*1000 + 0.5), and
+    # epoch-2 loss is the residual against it — every sum is integer, so
+    # the distributed loop is value-checked bit-for-bit, not rows-only.
+    """
+    WITH s AS (SELECT CAST(doc_id % 173 AS BIGINT) AS sp FROM documents),
+    stats AS (
+      SELECT CAST(SUM(sp) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM s
+    ),
+    w AS (
+      SELECT CAST(FLOOR(CAST(total AS DOUBLE) / n * 1000 + 0.5) AS BIGINT) AS w_milli, n
+      FROM stats
+    )
+    SELECT 1 AS epoch,
+           CAST(SUM(sp * 1000 * sp * 1000) AS BIGINT) AS loss_sum,
+           (SELECT n FROM w) AS n_examples
+    FROM s
+    UNION ALL
+    SELECT 2,
+           CAST(SUM((sp * 1000 - (SELECT w_milli FROM w))
+                    * (sp * 1000 - (SELECT w_milli FROM w))) AS BIGINT),
+           (SELECT n FROM w)
+    FROM s
+    """,
+)
+def ml_qa_finetune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M6 — the distributed QA fine-tune dataflow (training.py:finetune_qa):
+    # per-epoch broadcast → partition-local train_step over Arrow batches →
+    # example-weighted state averaging.  Run with the deterministic
+    # arithmetic backend so the loop itself (not a transformer) is what the
+    # oracle checks; hf_qa_finetune_backend drops into the same loop when
+    # transformers/torch exist (farm_trainer.py:188-214 semantics).
+    from ..training import arithmetic_qa_backend, finetune_qa
+
+    d = load(spark, sf_dir, "documents").select(
+        F.lit("q").alias("question"),
+        F.col("text").alias("context"),
+        (F.col("doc_id") % 173).cast("long").alias("start_position"),
+        (F.col("doc_id") % 173).cast("long").alias("end_position"),
+    )
+    result = finetune_qa(d, arithmetic_qa_backend(), epochs=2)
+    rows = [
+        (i + 1, int(loss_sum), int(result["n_examples"]))
+        for i, loss_sum in enumerate(result["loss_sums"])
+    ]
+    return spark.createDataFrame(rows, "epoch int, loss_sum bigint, n_examples bigint")

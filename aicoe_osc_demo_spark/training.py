@@ -192,6 +192,230 @@ def successive_halving_search(
     }
 
 
+# --- M6: transformer QA fine-tuning -----------------------------------------
+# The reference's largest component is a FARM/transformer fine-tune
+# (ref: /root/reference/src/models/farm_trainer.py:26-432 — AdamW + linear
+# warmup with ratio 0.1, farm_trainer.py:188-214; QA variant
+# qa_farm_trainer.py:21-200).  The Spark-native expression is data-parallel
+# parameter averaging (local SGD / FedAvg shape): each round the current
+# model state broadcasts to executors, every partition runs real
+# forward/backward steps over its Arrow batches, and the driver averages the
+# per-partition states weighted by example count.  The loop below is that
+# real path — it is backend-agnostic, so tests drive it end-to-end with a
+# deterministic arithmetic backend, and ``hf_qa_finetune_backend`` supplies
+# the transformers/torch implementation behind the same try-import gate as
+# operators/inference.py:load_hf_checkpoint.
+
+
+class FineTuneBackend:
+    """Contract for ``finetune_qa`` backends.
+
+    - ``init_state() -> bytes``: serialized initial model state.
+    - ``train_step(state: bytes, pdf: pandas.DataFrame) -> (bytes, float)``:
+      run optimizer steps over one Arrow batch, return (new state,
+      summed loss).  Executes executor-side; must be self-contained.
+    - ``average_states(states: list[bytes], weights: list[int]) -> bytes``:
+      example-count-weighted average of partition states (driver-side).
+    """
+
+
+def hf_qa_finetune_backend(
+    checkpoint: str, lr: float = 2e-5, modules: tuple | None = None
+):
+    """The real transformer backend (try-import gated like S1's pdfminer and
+    S12's ``load_hf_checkpoint``): AutoModelForQuestionAnswering + AdamW,
+    mirroring the reference's optimizer setup (farm_trainer.py:188-214).
+    Raises the inference module's ``ModelLoadError`` with the actionable
+    cause when transformers/torch are absent (this container); pass
+    ``modules=(transformers, torch)`` to inject stand-ins under test.
+    """
+    from .operators.inference import ModelLoadError
+
+    if modules is None:
+        try:
+            import torch
+            import transformers
+        except ImportError as exc:  # pragma: no cover - runtime-dependent
+            raise ModelLoadError(
+                f"cannot fine-tune from checkpoint {checkpoint!r}: the "
+                "'transformers'/'torch' runtime is not installed in this "
+                "environment; install them on the executors or use the "
+                "deterministic test backend"
+            ) from exc
+    else:
+        transformers, torch = modules
+
+    import io
+
+    class _HFBackend:
+        def _build(self):
+            tok = transformers.AutoTokenizer.from_pretrained(checkpoint)
+            model = transformers.AutoModelForQuestionAnswering.from_pretrained(checkpoint)
+            return tok, model
+
+        def init_state(self) -> bytes:
+            _, model = self._build()
+            buf = io.BytesIO()
+            torch.save(model.state_dict(), buf)
+            return buf.getvalue()
+
+        def train_step(self, state: bytes, pdf: pd.DataFrame) -> tuple[bytes, float]:
+            tok, model = self._build()
+            model.load_state_dict(torch.load(io.BytesIO(state)))
+            model.train()
+            opt = torch.optim.AdamW(model.parameters(), lr=lr)
+            enc = tok(
+                list(pdf["question"]),
+                list(pdf["context"]),
+                truncation=True,
+                padding=True,
+                return_tensors="pt",
+            )
+            out = model(
+                **enc,
+                start_positions=torch.tensor(list(pdf["start_position"])),
+                end_positions=torch.tensor(list(pdf["end_position"])),
+            )
+            out.loss.backward()
+            opt.step()
+            opt.zero_grad()
+            buf = io.BytesIO()
+            torch.save(model.state_dict(), buf)
+            return buf.getvalue(), float(out.loss)
+
+        def average_states(self, states: list[bytes], weights: list[int]) -> bytes:
+            dicts = [torch.load(io.BytesIO(s)) for s in states]
+            total = sum(weights)
+            avg = {
+                k: sum(d[k] * (w / total) for d, w in zip(dicts, weights))
+                for k in dicts[0]
+            }
+            buf = io.BytesIO()
+            torch.save(avg, buf)
+            return buf.getvalue()
+
+    return _HFBackend()
+
+
+def arithmetic_qa_backend():
+    """Deterministic single-parameter backend for exercising the
+    ``finetune_qa`` loop without a transformer runtime (the same role the
+    stub scorer plays for M1/M2 inference): the "model" is one integer
+    parameter ``w_milli`` fit to the mean of ``start_position`` by exact
+    per-partition sufficient statistics.
+
+    Every quantity is integer (loss = Σ (sp*1000 − w_milli)², the mean via
+    exact integer sums, w_milli = floor(mean*1000 + 0.5)), so the loop's
+    output is bit-identical under ANY partitioning and reproducible in
+    ANSI SQL — which is what lets the M6 dataflow be oracle-checked, not
+    just smoke-tested.  Weighted state averaging over exact partition sums
+    equals the global solution exactly, so partition boundaries cannot
+    leak into results.
+    """
+    import pickle
+
+    class _ArithmeticBackend:
+        def init_state(self) -> bytes:
+            return pickle.dumps({"w_milli": 0, "acc_sum": 0, "acc_n": 0})
+
+        def train_step(self, state: bytes, pdf: pd.DataFrame) -> tuple[bytes, float]:
+            s = pickle.loads(state)
+            sp = [int(v) for v in pdf["start_position"]]
+            w = s["w_milli"]
+            loss = sum((v * 1000 - w) ** 2 for v in sp)
+            s["acc_sum"] += sum(sp)
+            s["acc_n"] += len(sp)
+            return pickle.dumps(s), float(loss)
+
+        def average_states(self, states: list[bytes], weights: list[int]) -> bytes:
+            import math
+
+            dicts = [pickle.loads(s) for s in states]
+            total_sum = sum(d["acc_sum"] for d in dicts)
+            total_n = sum(d["acc_n"] for d in dicts)
+            w_milli = int(math.floor(total_sum / total_n * 1000 + 0.5)) if total_n else 0
+            return pickle.dumps({"w_milli": w_milli, "acc_sum": 0, "acc_n": 0})
+
+    return _ArithmeticBackend()
+
+
+def finetune_qa(
+    train_df: DataFrame,
+    backend,
+    epochs: int = 2,
+    feature_cols: list[str] | None = None,
+) -> dict:
+    """M6 — distributed QA fine-tune via per-epoch parameter averaging.
+
+    Each epoch: broadcast the current state into a ``mapInPandas`` stage
+    that runs ``backend.train_step`` over every Arrow batch of its
+    partition and emits ONE (state, n_examples, loss_sum) row per
+    partition; the driver averages the partition states weighted by
+    example count.  The driver-side collect is bounded at one small row
+    per partition per epoch (the parameter-server step — not a data
+    collect), so the loop scales with executor count, not data volume.
+
+    Returns {"state": bytes, "loss_history": [per-epoch mean loss],
+    "loss_sums": [per-epoch summed loss], "n_examples": int}.
+    Deterministic for deterministic backends: the epoch loop is sequential
+    and averaging is order-independent.
+    """
+    import pandas as pd_mod
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType as _D,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cols = feature_cols or ["question", "context", "start_position", "end_position"]
+    data = train_df.select(*cols)
+    schema = StructType(
+        [
+            StructField("state", BinaryType()),
+            StructField("n", LongType()),
+            StructField("loss_sum", _D()),
+        ]
+    )
+    state = backend.init_state()
+    history: list[float] = []
+    loss_sums: list[float] = []
+    n_total = 0
+    for _ in range(epochs):
+        current = state
+
+        def run_partition(batches, _state=current):
+            n = 0
+            loss = 0.0
+            s = _state
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                s, batch_loss = backend.train_step(s, pdf)
+                n += len(pdf)
+                loss += batch_loss
+            if n:
+                yield pd_mod.DataFrame({"state": [s], "n": [n], "loss_sum": [loss]})
+
+        rows = data.mapInPandas(run_partition, schema=schema).collect()
+        if not rows:
+            break
+        states = [bytes(r.state) for r in rows]
+        weights = [r.n for r in rows]
+        state = backend.average_states(states, weights)
+        n_total = sum(weights)
+        epoch_sum = sum(r.loss_sum for r in rows)
+        loss_sums.append(epoch_sum)
+        history.append(epoch_sum / max(n_total, 1))
+    return {
+        "state": state,
+        "loss_history": history,
+        "loss_sums": loss_sums,
+        "n_examples": n_total,
+    }
+
+
 def span_overlap_f1(pred: str, gold: str) -> float:
     """M9 — relaxed span-overlap F1 between a predicted and gold answer
     (token-level overlap, the SQuAD metric core; qa_metrics.py:8-81)."""
