@@ -24,6 +24,7 @@ from .similarity import (
     embedding_lsh_candidates,
     embedding_near_dup_pairs,
     recommended_lsh_params,
+    train_ivf_quantizer,
 )
 from .fuzzy import fuzzy_best_match_join, jaccard_best_match_join
 from .reshape import explode_paragraphs, nest_to_squad, gather_table_text
@@ -54,6 +55,7 @@ __all__ = [
     "embedding_lsh_candidates",
     "embedding_near_dup_pairs",
     "recommended_lsh_params",
+    "train_ivf_quantizer",
     "fuzzy_best_match_join",
     "jaccard_best_match_join",
     "explode_paragraphs",

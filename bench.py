@@ -57,6 +57,15 @@ HEADLINE_R3 = [
     "pipeline_llm_curation",
 ]
 
+# Added in round 4 — the reworked banded-LSH ANN paths and the M6 loop;
+# same treatment as HEADLINE_R3 (counted in total_all_queries only).
+HEADLINE_R4 = [
+    "llm_ann_lsh_topk",
+    "llm_embedding_near_dup",
+    "llm_ann_candidate_count",
+    "ml_qa_finetune_loss",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +90,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     total_all = 0.0
-    for name in HEADLINE + HEADLINE_R3:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off

@@ -227,6 +227,29 @@ def test_lsh_ann_no_cartesian_and_reasonable_recall(spark):
         assert any(p in ann_pairs for p in exact_pairs if p[0] == q)
 
 
+def test_train_ivf_quantizer_assignment_feeds_ivf_topk(spark):
+    from aicoe_osc_demo_spark.operators.similarity import ivf_topk, train_ivf_quantizer
+
+    import random
+
+    rnd = random.Random(3)
+    # two well-separated clusters so k-means assignment is unambiguous
+    rows = [(i, [rnd.uniform(9, 10) for _ in range(8)]) for i in range(15)]
+    rows += [(100 + i, [rnd.uniform(-10, -9) for _ in range(8)]) for i in range(15)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned = train_ivf_quantizer(df, n_lists=2, max_iter=5)
+    lists = {r.vec_id: r.ivf_list for r in assigned.collect()}
+    assert len(set(lists.values())) == 2
+    # cluster purity: every low-id vector in one list, every high-id in the other
+    assert len({lists[i] for i in range(15)}) == 1
+    assert len({lists[100 + i] for i in range(15)}) == 1
+    # the assignment drives the existing IVF search path end-to-end
+    queries = df.filter(F.col("vec_id") == 0)
+    out = ivf_topk(assigned, queries, k=3, nprobe=1, label_col="ivf_list")
+    got = {r.neighbor_id for r in out.collect()}
+    assert got and all(n < 100 for n in got)  # neighbors come from q's own cluster
+
+
 def test_incremental_near_dedup_ledger_and_within_batch(spark):
     from aicoe_osc_demo_spark.operators.dedup import (
         incremental_near_dedup,
