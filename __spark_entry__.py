@@ -56,8 +56,10 @@ _DRIVER_CHECK_PRIORITY = [
     "events_json_extract",
     "text_levenshtein_match",
     "ml_train_dev_split_sizes",
-    # new in r4: the M6 fine-tune loop with the exact-integer backend
+    # new in r4: M6 fine-tune loop, deterministic-HLL sketch, LM perplexity
     "ml_qa_finetune_loss",
+    "llm_hll_vocab_estimate",
+    "llm_lm_perplexity",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -175,3 +175,66 @@ def mixture_sample(
         / F.lit(4294967296.0)
     )
     return df.join(F.broadcast(rates), on=group_col).withColumn("kept", u < F.col("rate"))
+
+
+def lm_perplexity_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality score: mean log-probability of
+    each document under an add-k-smoothed bigram LM trained on the corpus
+    itself (the self-perplexity filter web-scale pipelines apply before
+    training — outlier docs score far below the corpus mode).
+
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k*V), V = distinct-token count.
+    Returns (doc_id, n_bigrams, avg_logp); perplexity = exp(-avg_logp).
+    Docs with fewer than two tokens have no bigrams and drop out, as in
+    the reference pipelines' length floor.
+
+    Scale shape: bigrams are built map-side from the split array (no
+    positional self-join); the LM tables are groupBy aggregates of the
+    same bigram stream joined back on their natural keys (w1,w2)/(w1) —
+    standard keyed shuffles with map-side combine; V rides along as a
+    broadcast single-row cross join.
+    """
+    words = F.split(F.col(text_col), " ")
+    bigr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.element_at(words, i).alias("w1"),
+            # try_: index size+1 on one-word docs must yield NULL (filtered
+            # below), not an ANSI out-of-bounds error
+            F.try_element_at(words, i + 1).alias("w2"),
+        ),
+    )
+    bg = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(bigr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("vs"))
+    )
+    k = float(k_smooth)
+    scored = (
+        bg.join(cb, on=["w1", "w2"])
+        .join(cu, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("nb").cast("double") + F.lit(k))
+                / (F.col("nu").cast("double") + F.lit(k) * F.col("vs").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )

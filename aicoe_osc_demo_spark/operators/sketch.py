@@ -89,6 +89,75 @@ def heavy_hitters(
     )
 
 
+# --- HyperLogLog distinct-count sketch ---------------------------------------
+# Deterministic HLL over md5 hashes: because the hash is md5 (not a seeded
+# runtime hash), the ENTIRE sketch — bucket assignments, per-bucket max
+# run lengths, and the harmonic numerator — is bit-identical in Spark,
+# DuckDB, and Python, so even the approximate estimator is value-checkable
+# by the oracle.  The one non-integer quantity (the alpha bias constant) is
+# combined in plain double arithmetic on identical inputs in both engines.
+
+HLL_B = 10  # 2^10 = 1024 buckets -> standard error 1.04/sqrt(1024) = 3.25%
+_HLL_M = 1 << HLL_B
+_HLL_WBITS = 50  # 60-bit md5 prefix minus 10 bucket bits
+
+
+def hll_sketch(items: DataFrame, item_col: str) -> DataFrame:
+    """Per-bucket HLL state: (bucket, max_rho) for the 2^HLL_B buckets that
+    saw at least one item.  One shuffle of at most m rows per partition
+    (map-side max combine); executor memory is O(m) regardless of
+    cardinality.  rho = 1 + number of leading zeros in the 50-bit suffix
+    (computed integer-exactly via the binary-digit count — no float log)."""
+    h = F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    bucket = (h % _HLL_M).alias("bucket")
+    # bit shift, NOT float division: h holds 60 bits, beyond double precision
+    w = F.shiftrightunsigned(h, HLL_B).cast("long")
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    rho = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - bitlen
+    )
+    return (
+        items.select(bucket, rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Fold the sketch into the HLL estimator.  The harmonic sum is kept
+    EXACT: sum 2^(-rho_j) = (sum 2^(51-rho_j)) / 2^51 with an integer
+    numerator < 2^61, so no float-summation order can leak in; the final
+    alpha*m^2/Z division is one double expression over identical inputs in
+    every engine.  Returns (n_buckets_nonzero, harmonic_numerator,
+    estimate).  Raw-estimator regime (n >> 2.5m); the zero-bucket count is
+    emitted so callers can apply linear counting when they are not."""
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    shift = _HLL_WBITS + 1
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_buckets_nonzero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - max_rho)")).alias("zsum"),
+    )
+    with_znum = agg.select(
+        F.col("n_buckets_nonzero").cast("long").alias("n_buckets_nonzero"),
+        (
+            (F.lit(_HLL_M) - F.col("n_buckets_nonzero")).cast("long")
+            * F.lit(1 << shift).cast("long")
+            + F.col("zsum")
+        ).alias("harmonic_numerator"),
+    )
+    return with_znum.select(
+        "n_buckets_nonzero",
+        "harmonic_numerator",
+        F.round(
+            F.lit(alpha * _HLL_M * _HLL_M * float(1 << shift))
+            / F.col("harmonic_numerator"),
+            2,
+        ).alias("estimate"),
+    )
+
+
 # --- distributed Bloom filter ------------------------------------------------
 # The "bloom-filterable anti-join" primitive the incremental-dedup design
 # references: build a bit array from a key ledger as an exploded bit-position

@@ -310,6 +310,52 @@ def llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hll_vocab_estimate",
+    # Full value-check of an APPROXIMATE estimator: the md5-based HLL is
+    # deterministic end-to-end (bucket = 60-bit md5 prefix mod 2^10,
+    # rho via integer binary-digit count, harmonic sum kept as an exact
+    # integer numerator), so Spark and DuckDB must agree bit-for-bit on
+    # the sketch AND the estimate — not just "close".
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS hv FROM toks),
+    st AS (
+      SELECT hv % 1024 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(hv >> 10)) END AS rho
+      FROM h
+    ),
+    sk AS (SELECT bucket, MAX(rho) AS max_rho FROM st GROUP BY bucket),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_nonzero,
+             CAST(SUM((CAST(1 AS BIGINT) << (51 - max_rho))) AS BIGINT) AS zsum
+      FROM sk
+    )
+    SELECT n_buckets_nonzero,
+           (1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum
+             AS harmonic_numerator,
+           ROUND(
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+               * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
+               / ((1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum),
+             2) AS estimate
+    FROM agg
+    """,
+)
+def llm_hll_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct-word cardinality via the deterministic HyperLogLog sketch:
+    # bounded O(2^b) state per partition, one max-combine shuffle — the
+    # sketch you run at 100 TB instead of COUNT(DISTINCT).  md5 hashing
+    # makes even the estimate oracle-checkable (see operators/sketch.py).
+    from ..operators.sketch import hll_estimate, hll_sketch
+
+    tokens = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return hll_estimate(hll_sketch(tokens, "w"))
+
+
+@register(
     "llm_vocab_topk",
     """
     SELECT w, COUNT(*) AS n FROM (

@@ -379,6 +379,42 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+_LM_SQL = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM d) u
+      WHERE u.p[2] IS NOT NULL
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1, 2),
+    cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS nu FROM bg GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vs
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((CAST(nb AS DOUBLE) + CAST(1 AS DOUBLE))
+                / (CAST(nu AS DOUBLE) + CAST(1 AS DOUBLE) * CAST(vs AS DOUBLE))) AS lp
+      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("llm_lm_perplexity", _LM_SQL)
+def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality score: mean bigram log-probability per doc
+    # under an add-1-smoothed LM trained on the corpus itself — the
+    # perplexity filter of web-scale curation, value-checked end-to-end
+    # (md5-free: counts and one ln per distinct ratio are engine-portable).
+    from ..operators.quality import lm_perplexity_scores
+
+    return lm_perplexity_scores(load(spark, sf_dir, "documents"))
+
+
 @register("llm_quality_resample", _RESAMPLE_SQL)
 def llm_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-weighted subsampling: keep rate (bucket+1)/5 via md5 threshold

@@ -64,6 +64,8 @@ HEADLINE_R4 = [
     "llm_embedding_near_dup",
     "llm_ann_candidate_count",
     "ml_qa_finetune_loss",
+    "llm_hll_vocab_estimate",
+    "llm_lm_perplexity",
 ]
 
 

@@ -188,3 +188,36 @@ def test_dedup_clusters_long_path_pointer_jumping(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "d1 long, d2 long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iter=10).collect()}
     assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_lm_perplexity_scores_hand_computed(spark):
+    import math
+
+    from aicoe_osc_demo_spark.operators.quality import lm_perplexity_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "c c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in lm_perplexity_scores(docs).collect()}
+    # corpus bigrams: doc1: ab, ba, ab; doc2: ab; doc4: cc
+    # C(a,b)=4? no: ab appears 3x (doc1 twice, doc2 once); ba once; cc once
+    # C(a)=4 (starts: a,a in doc1? starts: a,b,a -> w1 seq a,b,a; doc2 w1=a; doc4 w1=c,? "c c" -> one bigram (c,c))
+    # w1 counts: a: doc1 has bigrams (a,b),(b,a),(a,b) -> w1: a,b,a; doc2: a; doc4: c
+    # C(a)=3, C(b)=1, C(c)=1 ; V = distinct tokens = {a,b,c,z} = 4
+    pab = (3 + 1) / (3 + 4)
+    pba = (1 + 1) / (1 + 4)
+    pcc = (1 + 1) / (1 + 4)
+    assert 3 not in out  # single token -> no bigrams
+    assert out[1][0] == 3
+    expected1 = round((2 * math.log(pab) + math.log(pba)) / 3, 6)
+    assert out[1][1] == expected1
+    assert out[2] == (1, round(math.log(pab), 6))
+    assert out[4] == (1, round(math.log(pcc), 6))
+
+
+def test_lm_perplexity_plan_no_cartesian_beyond_broadcast_vocab(spark):
+    from aicoe_osc_demo_spark.operators.quality import lm_perplexity_scores
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = lm_perplexity_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -49,6 +49,29 @@ def test_bloom_no_false_negatives_bounded_fp(spark):
     assert fps / 200 < 0.5
 
 
+def test_hll_estimate_within_standard_error(spark):
+    from aicoe_osc_demo_spark.operators.sketch import hll_estimate, hll_sketch
+
+    n = 20_000
+    items = spark.range(n).select(F.concat(F.lit("item"), F.col("id")).alias("w"))
+    sk = hll_sketch(items, "w")
+    assert sk.count() <= 1024  # bounded state regardless of cardinality
+    est = hll_estimate(sk).first()
+    # standard error at 1024 buckets is 3.25%; allow 4 sigma
+    assert abs(est.estimate - n) / n < 0.13
+    assert est.harmonic_numerator > 0
+
+
+def test_hll_partitioning_invariant(spark):
+    # max-combine is order/partitioning independent -> identical sketch
+    from aicoe_osc_demo_spark.operators.sketch import hll_estimate, hll_sketch
+
+    items = spark.range(5000).select(F.concat(F.lit("x"), F.col("id")).alias("w"))
+    e1 = hll_estimate(hll_sketch(items.repartition(1), "w")).first()
+    e8 = hll_estimate(hll_sketch(items.repartition(8), "w")).first()
+    assert e1 == e8
+
+
 def test_bloom_sizing_parameters_control_fp_rate(spark):
     # the deploy-scale path: m_bits sized ~10x the ledger keeps the FP rate
     # low where the small oracle-checked default would saturate to all-ones
