@@ -399,9 +399,14 @@ def lsh_ann_candidates(
     join output where both vectors are co-located, and only the narrow
     scored row enters the dedup shuffle (same rationale as
     ``_self_join_scored``)."""
+    from .relational import ensure_parallelism
+
+    # spread the corpus before the bucket UDF: a single-file scan would run
+    # the whole Arrow bucket pass in one task
     c = _explode_tables(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-        .withColumn("cn", _norm(F.col("cv"))),
+        ensure_parallelism(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        ).withColumn("cn", _norm(F.col("cv"))),
         F.col("cv"),
         n_tables,
         planes_per_table,
