@@ -91,6 +91,54 @@ def streaming_dedup(
     return src.dropDuplicates(["fingerprint"])
 
 
+def streaming_near_dedup_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    ledger_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Continuous NEAR-dedup: the streaming form of
+    ``operators/dedup.py:incremental_near_dedup``.  Each micro-batch is
+    screened against the persistent MinHash signature ledger (8 longs per
+    accepted doc, parquet at ``ledger_dir``); accepted documents append to
+    ``output_dir`` and their signatures append to the ledger, so
+    near-duplicates of anything accepted earlier — previous batch or
+    previous run — are dropped.
+
+    Exactly-once: the file-source checkpoint is the processed-file ledger,
+    and the signature ledger only grows from accepted batches.  State is
+    the ledger parquet, not executor memory — restart-safe and shared by
+    the batch backfill path (same operator, same table).
+    """
+    from ..operators.dedup import incremental_near_dedup
+
+    sig_schema = "doc_id long, " + ", ".join(f"mh{i} long" for i in range(8))
+
+    def screen(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            ledger = s.read.parquet(ledger_dir)
+        except Exception:
+            ledger = s.createDataFrame([], sig_schema)
+        accepted_sigs = incremental_near_dedup(
+            batch, ledger, text_col=text_col, id_col=id_col, threshold=threshold
+        )
+        accepted = batch.join(
+            accepted_sigs.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_semi"
+        )
+        accepted.write.mode("append").parquet(output_dir)
+        accepted_sigs.write.mode("append").parquet(ledger_dir)
+
+    return incremental_file_pipeline(
+        spark, input_dir, checkpoint_dir, screen, fmt="parquet", schema=schema
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (batch form): a new session starts
     when the gap to the previous event exceeds the threshold.  Streaming form

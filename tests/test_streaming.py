@@ -202,3 +202,37 @@ def test_streaming_quality_gate(spark, tmp_path):
     assert ids == [0, 2]  # the short doc is gated out
     redacted = {i: t for i, _, t in out}
     assert "[EMAIL]" in redacted[2] and "a@b.co" not in redacted[2]
+
+
+def test_streaming_near_dedup_across_runs(spark, tmp_path):
+    from aicoe_osc_demo_spark.streaming.incremental import streaming_near_dedup_pipeline
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    spark.createDataFrame(
+        [(1, base), (2, "completely different words about spark shuffle joins here now")],
+        schema,
+    ).write.parquet(str(inp / "f1"))
+    q = streaming_near_dedup_pipeline(spark, str(inp), ledger, out, ckpt, schema)
+    q.awaitTermination(120)
+
+    # second RUN (fresh query, same checkpoint/ledger): a near-dup of doc 1
+    # and a genuinely new doc arrive
+    spark.createDataFrame(
+        [(3, base + " extra"), (4, "fresh unrelated content with novel tokens entirely")],
+        schema,
+    ).write.parquet(str(inp / "f2"))
+    q2 = streaming_near_dedup_pipeline(spark, str(inp), ledger, out, ckpt, schema)
+    q2.awaitTermination(120)
+
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {1, 2, 4}  # 3 rejected against the cross-run ledger
+    sigs = spark.read.parquet(ledger)
+    assert {r.doc_id for r in sigs.collect()} == {1, 2, 4}
+    assert len(sigs.columns) == 9  # doc_id + 8 signature longs, never text
