@@ -60,6 +60,7 @@ _DRIVER_CHECK_PRIORITY = [
     "ml_qa_finetune_loss",
     "llm_hll_vocab_estimate",
     "llm_lm_perplexity",
+    "llm_cms_token_counts",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -158,6 +158,53 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
     )
 
 
+# --- Count-Min sketch --------------------------------------------------------
+# Same determinism argument as the HLL above: md5 row-hashes make the whole
+# d×w counter table — and therefore every frequency estimate — bit-identical
+# across engines, so the approximate estimator is value-checkable.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(item_col, j: int, w: int):
+    h = F.md5(F.concat(F.lit(f"cms{j}|"), item_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % w
+
+
+def cms_sketch(items: DataFrame, item_col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Count-Min counter table: (j, bucket, cnt) for d independent md5 hash
+    rows of w buckets.  One exploded aggregate with map-side combine; state
+    is O(d·w) per partition regardless of stream size."""
+    rows = items.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(item_col), j, w) for j in range(d)])
+        ).alias("j", "bucket")
+    )
+    return rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, item_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Frequency upper-bound per probe item: min over the d row counters at
+    the item's buckets (the Count-Min guarantee: est >= true count, with
+    overestimate bounded by collisions ~ n/w per row).  Probe side explodes
+    d (j, bucket) keys and equi-joins the counter table — broadcastable at
+    d·w rows."""
+    keyed = probes.select(
+        F.col(item_col),
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(item_col), j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    return (
+        keyed.join(F.broadcast(sketch), on=["j", "bucket"], how="left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
 # --- distributed Bloom filter ------------------------------------------------
 # The "bloom-filterable anti-join" primitive the incremental-dedup design
 # references: build a bit array from a key ledger as an exploded bit-position

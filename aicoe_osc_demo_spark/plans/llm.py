@@ -356,6 +356,58 @@ def llm_hll_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_cms_token_counts",
+    # Count-Min estimates vs exact counts for the probe set (doc 0's
+    # distinct tokens): the md5-deterministic counter table makes the
+    # APPROXIMATE estimates value-checkable, and emitting true_n alongside
+    # lets the driver verify the CMS >= truth guarantee numerically.
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    probes AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id = 0
+    ),
+    js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    keyed AS (
+      SELECT w, j,
+             CAST('0x' || substr(md5('cms' || j || '|' || w), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM toks CROSS JOIN js
+    ),
+    sk AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM keyed GROUP BY 1, 2),
+    pk AS (
+      SELECT w, j,
+             CAST('0x' || substr(md5('cms' || j || '|' || w), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM probes CROSS JOIN js
+    ),
+    est AS (
+      SELECT pk.w, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+      FROM pk LEFT JOIN sk USING (j, bucket) GROUP BY pk.w
+    ),
+    tru AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_n FROM toks GROUP BY w)
+    SELECT w, est, true_n FROM est JOIN tru USING (w)
+    """,
+)
+def llm_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min frequency estimation (operators/sketch.py): bounded d*w
+    # counter state, probe = doc 0's distinct tokens, exact counts joined
+    # alongside so est >= true is externally visible.
+    from ..operators.sketch import cms_estimate, cms_sketch
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    probes = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    est = cms_estimate(cms_sketch(toks, "w"), probes, "w")
+    true_n = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    return est.join(true_n, on="w")
+
+
+@register(
     "llm_vocab_topk",
     """
     SELECT w, COUNT(*) AS n FROM (

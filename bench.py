@@ -66,6 +66,7 @@ HEADLINE_R4 = [
     "ml_qa_finetune_loss",
     "llm_hll_vocab_estimate",
     "llm_lm_perplexity",
+    "llm_cms_token_counts",
 ]
 
 

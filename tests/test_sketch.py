@@ -97,3 +97,28 @@ def test_bloom_sizing_parameters_control_fp_rate(spark):
     assert all(sized[f"member{i}"] for i in range(0, 2000, 40))
     fps = sum(sized[f"absent{i}"] for i in range(400))
     assert fps / 400 < 0.1
+
+
+def test_cms_upper_bound_and_exactness_without_collisions(spark):
+    from aicoe_osc_demo_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [("hot",)] * 40 + [("warm",)] * 7 + [(f"cold{i}",) for i in range(30)]
+    items = spark.createDataFrame(rows, "w string").repartition(4)
+    sk = cms_sketch(items, "w")
+    assert sk.count() <= 4 * 1024  # bounded counter table
+    probes = spark.createDataFrame([("hot",), ("warm",), ("cold3",), ("absent",)], "w string")
+    est = {r.w: r.est for r in cms_estimate(sk, probes, "w").collect()}
+    # upper-bound guarantee, and exact at this tiny load (no collisions)
+    assert est["hot"] == 40 and est["warm"] == 7 and est["cold3"] == 1
+    assert est["absent"] == 0  # all-zero buckets or min over empty -> 0
+
+
+def test_cms_partitioning_invariant(spark):
+    from aicoe_osc_demo_spark.operators.sketch import cms_estimate, cms_sketch
+
+    rows = [(f"t{i % 50}",) for i in range(500)]
+    probes = spark.createDataFrame([("t0",), ("t7",)], "w string")
+    items = spark.createDataFrame(rows, "w string")
+    e1 = sorted(cms_estimate(cms_sketch(items.repartition(1), "w"), probes, "w").collect())
+    e8 = sorted(cms_estimate(cms_sketch(items.repartition(8), "w"), probes, "w").collect())
+    assert e1 == e8
