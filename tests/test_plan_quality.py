@@ -74,6 +74,11 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "pipeline_llm_curation",
         "llm_bloom_prefilter",
         "llm_incremental_near_dedup",
+        "llm_embedding_near_dup",
+        "llm_ann_candidate_count",
+        "llm_lm_perplexity",
+        "llm_hll_vocab_estimate",
+        "llm_cms_token_counts",
     ],
 )
 def test_no_cartesian_product(spark, name):
