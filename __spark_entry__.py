@@ -61,6 +61,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_hll_vocab_estimate",
     "llm_lm_perplexity",
     "llm_cms_token_counts",
+    "text_lang_id_trigram",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -38,6 +38,45 @@ def lang_id(c: Column, threshold: float = 0.05) -> Column:
     return F.when(stopword_ratio(c) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+# Distinctive char-trigram profiles (function words incl. their flanking
+# spaces) — the classic n-gram language-ID signal.  Tiny on purpose: the
+# profile table is a broadcast-sized constant, and scoring is a pure Column
+# expression (trigram occurrences hitting the profile), no UDF, no shuffle.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "ich", "ein", "sch", "cht", "nde"),
+    "en": ("the", "and", "ing", "ion", "tio", "for", "tha", "ent"),
+    "fr": ("le ", "les", "des", "que", "ais", "est", "une", "eur"),
+}
+
+
+def char_trigrams(c: Column) -> Column:
+    """All overlapping character trigrams of the text (occurrences, not
+    distinct) as an array — built map-side with transform over a sequence."""
+    n = F.greatest(F.length(c) - 2, F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, 3))
+
+
+def lang_id_trigram(
+    c: Column, profiles: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """N-gram language classifier: count trigram OCCURRENCES matching each
+    language's profile, pick the best (ties broken by language code so the
+    result is deterministic).  Pure Column expression — scales as a per-row
+    map over the scan with zero shuffle; swap in larger trained profiles
+    for production without changing the shape."""
+    profiles = profiles or LANG_TRIGRAM_PROFILES
+    tg = char_trigrams(c)
+    scored = None
+    for lang in sorted(profiles):
+        prof = F.array(*[F.lit(t) for t in profiles[lang]])
+        score = F.size(F.filter(tg, lambda t: F.array_contains(prof, t)))
+        entry = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(
+            (entry["score"] > scored["score"]), entry
+        ).otherwise(scored)
+    return scored["lang"]
+
+
 def quality_score(c: Column) -> Column:
     """Composite document-quality score in [0, 1]: rewards reasonable length,
     moderate mean word length, and low symbol density — the standard cheap

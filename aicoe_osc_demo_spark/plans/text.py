@@ -424,6 +424,72 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_PHRASES = {
+    0: " the thing and the nation for the motion",
+    1: " der dichter und die schlechte kinder hier",
+    2: " le jour les maisons des fleurs que est une",
+}
+# injected 3x so the injected language's trigram occurrences dominate the
+# English-ish base text (fixture-injection pattern: identical construction
+# in Spark and the oracle makes the classifier value-checkable on a
+# monolingual synthetic corpus)
+_TRI_SQL_TEXT = (
+    "text || CASE doc_id % 3 "
+    + " ".join(
+        f"WHEN {k} THEN repeat('{v}', 3)" for k, v in _TRI_PHRASES.items()
+    )
+    + " END"
+)
+
+
+def _tri_score_sql(txt: str, prof: str) -> str:
+    tg = f"list_transform(generate_series(1, greatest(length({txt}) - 2, 1)), i -> substr({txt}, i, 3))"
+    return f"len(list_filter({tg}, x -> list_contains({prof}, x)))"
+
+
+def _lang_trigram_sql() -> str:
+    de = _tri_score_sql("t", "['der', 'die', 'und', 'ich', 'ein', 'sch', 'cht', 'nde']")
+    en = _tri_score_sql("t", "['the', 'and', 'ing', 'ion', 'tio', 'for', 'tha', 'ent']")
+    fr = _tri_score_sql("t", "['le ', 'les', 'des', 'que', 'ais', 'est', 'une', 'eur']")
+    # fold in ascending language order, strict > to advance — mirrors
+    # functions/analysis.py:lang_id_trigram exactly (ties -> earlier lang)
+    return f"""
+    WITH aug AS (SELECT doc_id, {_TRI_SQL_TEXT} AS t FROM documents),
+    scores AS (SELECT doc_id, {de} AS s_de, {en} AS s_en, {fr} AS s_fr FROM aug),
+    fold AS (
+      SELECT doc_id, s_fr,
+             CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS s1,
+             CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS l1
+      FROM scores
+    )
+    SELECT doc_id, CASE WHEN s_fr > s1 THEN 'fr' ELSE l1 END AS lang_pred
+    FROM fold
+    """
+
+
+@register("text_lang_id_trigram", _lang_trigram_sql())
+def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Char-trigram n-gram language classifier (the multi-language upgrade of
+    # text_lang_id's stopword gate): occurrences hitting per-language
+    # profile sets, argmax with deterministic ties.  Pure Column pipeline —
+    # per-row map over the scan, zero shuffle.  The query injects a
+    # language phrase by doc_id % 3 so the monolingual synthetic corpus
+    # exercises all three classes, value-checked against the oracle.
+    from ..functions.analysis import lang_id_trigram
+
+    d = load(spark, sf_dir, "documents")
+    phrase = None
+    for k, v in _TRI_PHRASES.items():
+        branch = F.repeat(F.lit(v), 3)
+        phrase = (
+            F.when(F.col("doc_id") % 3 == k, branch)
+            if phrase is None
+            else phrase.when(F.col("doc_id") % 3 == k, branch)
+        )
+    aug = F.concat(F.col("text"), phrase)
+    return d.select("doc_id", lang_id_trigram(aug).alias("lang_pred"))
+
+
 @register(
     "text_quality_score",
     """

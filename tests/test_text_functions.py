@@ -205,3 +205,21 @@ def test_lang_id_and_fingerprint(spark):
     f1 = one(spark, doc_fingerprint(F.col("c")), "Hello   World")
     f2 = one(spark, doc_fingerprint(F.col("c")), "hello world")
     assert f1 == f2 and len(f1) == 32
+
+
+def test_lang_id_trigram_classifies_three_languages(spark):
+    from aicoe_osc_demo_spark.functions.analysis import lang_id_trigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the morning meeting was for the planning of the national motion"),
+            (2, "der dichter und die kinder singen schlechte lieder und lachen"),
+            (3, "le jour les enfants des maisons que est une fleur du matin"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", lang_id_trigram(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr"}
