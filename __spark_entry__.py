@@ -62,6 +62,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_lm_perplexity",
     "llm_cms_token_counts",
     "text_lang_id_trigram",
+    "events_hll_daily_users",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -102,12 +102,18 @@ _HLL_M = 1 << HLL_B
 _HLL_WBITS = 50  # 60-bit md5 prefix minus 10 bucket bits
 
 
-def hll_sketch(items: DataFrame, item_col: str) -> DataFrame:
+def hll_sketch(
+    items: DataFrame, item_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
     """Per-bucket HLL state: (bucket, max_rho) for the 2^HLL_B buckets that
-    saw at least one item.  One shuffle of at most m rows per partition
-    (map-side max combine); executor memory is O(m) regardless of
-    cardinality.  rho = 1 + number of leading zeros in the 50-bit suffix
-    (computed integer-exactly via the binary-digit count — no float log)."""
+    saw at least one item — per group when ``group_cols`` is given (the
+    "approximate distinct per key" shape: per-day users, per-source
+    vocabulary).  One shuffle of at most m rows per partition per group
+    (map-side max combine); executor memory is O(m·groups-per-partition)
+    regardless of cardinality.  rho = 1 + number of leading zeros in the
+    50-bit suffix (computed integer-exactly via the binary-digit count —
+    no float log)."""
+    group_cols = group_cols or []
     h = F.conv(F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -119,27 +125,33 @@ def hll_sketch(items: DataFrame, item_col: str) -> DataFrame:
         F.lit(_HLL_WBITS + 1) - bitlen
     )
     return (
-        items.select(bucket, rho.cast("int").alias("rho"))
-        .groupBy("bucket")
+        items.select(*group_cols, bucket, rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_estimate(sketch: DataFrame) -> DataFrame:
+def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
     """Fold the sketch into the HLL estimator.  The harmonic sum is kept
     EXACT: sum 2^(-rho_j) = (sum 2^(51-rho_j)) / 2^51 with an integer
     numerator < 2^61, so no float-summation order can leak in; the final
     alpha*m^2/Z division is one double expression over identical inputs in
-    every engine.  Returns (n_buckets_nonzero, harmonic_numerator,
-    estimate).  Raw-estimator regime (n >> 2.5m); the zero-bucket count is
-    emitted so callers can apply linear counting when they are not."""
+    every engine.  Small cardinalities (raw estimate <= 2.5m with empty
+    buckets) switch to linear counting m*ln(m/zeros) — the standard HLL
+    correction, and still engine-portable: the branch condition compares
+    identically-computed doubles, and ln runs on an exact integer ratio
+    (1-ulp libm differences are far below the 2-decimal rounding).
+    Returns (group_cols..., n_buckets_nonzero, harmonic_numerator,
+    estimate)."""
     alpha = 0.7213 / (1 + 1.079 / _HLL_M)
     shift = _HLL_WBITS + 1
-    agg = sketch.agg(
+    group_cols = group_cols or []
+    agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets_nonzero"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - max_rho)")).alias("zsum"),
     )
     with_znum = agg.select(
+        *group_cols,
         F.col("n_buckets_nonzero").cast("long").alias("n_buckets_nonzero"),
         (
             (F.lit(_HLL_M) - F.col("n_buckets_nonzero")).cast("long")
@@ -147,13 +159,17 @@ def hll_estimate(sketch: DataFrame) -> DataFrame:
             + F.col("zsum")
         ).alias("harmonic_numerator"),
     )
+    raw = F.lit(alpha * _HLL_M * _HLL_M * float(1 << shift)) / F.col(
+        "harmonic_numerator"
+    )
+    zeros = (F.lit(_HLL_M) - F.col("n_buckets_nonzero")).cast("double")
+    linear = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros)
     return with_znum.select(
+        *group_cols,
         "n_buckets_nonzero",
         "harmonic_numerator",
         F.round(
-            F.lit(alpha * _HLL_M * _HLL_M * float(1 << shift))
-            / F.col("harmonic_numerator"),
-            2,
+            F.when((raw <= 2.5 * _HLL_M) & (zeros > 0), linear).otherwise(raw), 2
         ).alias("estimate"),
     )
 

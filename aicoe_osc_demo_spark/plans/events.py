@@ -403,3 +403,68 @@ def events_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
     )
+
+
+@register(
+    "events_hll_daily_users",
+    # Grouped HLL: approximate distinct users per day, with the exact
+    # count alongside — the md5-deterministic sketch makes the APPROXIMATE
+    # estimate value-checkable, and the exact column lets the driver see
+    # the error band numerically.
+    """
+    WITH i AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(user_id AS VARCHAR) AS item
+      FROM events
+    ),
+    h AS (SELECT day, CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS hv FROM i),
+    st AS (
+      SELECT day, hv % 1024 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(hv >> 10)) END AS rho
+      FROM h
+    ),
+    sk AS (SELECT day, bucket, MAX(rho) AS max_rho FROM st GROUP BY 1, 2),
+    agg AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - max_rho)) AS BIGINT) AS zsum
+      FROM sk GROUP BY day
+    ),
+    raws AS (
+      SELECT day,
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+               * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
+               / ((1024 - nb) * (CAST(1 AS BIGINT) << 51) + zsum) AS raw,
+             CAST(1024 - nb AS DOUBLE) AS zeros
+      FROM agg
+    ),
+    est AS (
+      SELECT day,
+             ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+                        ELSE raw END, 2) AS estimate
+      FROM raws
+    ),
+    ex AS (SELECT day, CAST(COUNT(DISTINCT item) AS BIGINT) AS n_exact FROM i GROUP BY day)
+    SELECT day, estimate, n_exact FROM est JOIN ex USING (day)
+    """,
+)
+def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-day distinct users via the grouped HLL sketch (operators/
+    # sketch.py): at 100 TB this replaces a COUNT(DISTINCT) whose exact
+    # per-key dedup shuffle dominates; the sketch shuffle is capped at
+    # 2^10 rows per day per partition.  Exact count joined alongside.
+    from ..operators.sketch import hll_estimate, hll_sketch
+
+    e = load(spark, sf_dir, "events")
+    items = e.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.col("user_id"),
+    )
+    est = hll_estimate(hll_sketch(items, "user_id", ["day"]), ["day"]).select(
+        "day", "estimate"
+    )
+    exact = items.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, on="day")

@@ -330,16 +330,23 @@ def llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_nonzero,
              CAST(SUM((CAST(1 AS BIGINT) << (51 - max_rho))) AS BIGINT) AS zsum
       FROM sk
-    )
-    SELECT n_buckets_nonzero,
-           (1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum
-             AS harmonic_numerator,
-           ROUND(
+    ),
+    raws AS (
+      SELECT n_buckets_nonzero,
+             (1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum
+               AS harmonic_numerator,
              (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
                * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
-               / ((1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum),
-             2) AS estimate
-    FROM agg
+               / ((1024 - n_buckets_nonzero) * (CAST(1 AS BIGINT) << 51) + zsum)
+               AS raw,
+             CAST(1024 - n_buckets_nonzero AS DOUBLE) AS zeros
+      FROM agg
+    )
+    SELECT n_buckets_nonzero, harmonic_numerator,
+           ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                      THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+                      ELSE raw END, 2) AS estimate
+    FROM raws
     """,
 )
 def llm_hll_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:

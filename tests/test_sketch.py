@@ -122,3 +122,16 @@ def test_cms_partitioning_invariant(spark):
     e1 = sorted(cms_estimate(cms_sketch(items.repartition(1), "w"), probes, "w").collect())
     e8 = sorted(cms_estimate(cms_sketch(items.repartition(8), "w"), probes, "w").collect())
     assert e1 == e8
+
+
+def test_hll_grouped_estimates_per_key(spark):
+    from aicoe_osc_demo_spark.operators.sketch import hll_estimate, hll_sketch
+
+    rows = [("a", f"u{i}") for i in range(3000)] + [("b", f"u{i}") for i in range(300)]
+    items = spark.createDataFrame(rows, "grp string, uid string")
+    est = {
+        r.grp: r.estimate
+        for r in hll_estimate(hll_sketch(items, "uid", ["grp"]), ["grp"]).collect()
+    }
+    assert abs(est["a"] - 3000) / 3000 < 0.15
+    assert abs(est["b"] - 300) / 300 < 0.15
