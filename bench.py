@@ -67,6 +67,8 @@ HEADLINE_R4 = [
     "llm_hll_vocab_estimate",
     "llm_lm_perplexity",
     "llm_cms_token_counts",
+    "text_lang_id_trigram",
+    "events_hll_daily_users",
 ]
 
 
