@@ -503,6 +503,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard join with prefix filtering (the
+    PPJoin family) — the exact-algorithm complement to the probabilistic
+    MinHash/SimHash candidate generators: every pair with word-3-gram
+    Jaccard >= ``threshold`` is found, no recall loss, yet no all-pairs
+    product runs.
+
+    Prefix-filter principle: order each document's distinct shingles
+    canonically (ascending global document frequency, rarest first, ties
+    by shingle) and keep only the first ``|x| - ceil(t*|x|) + 1`` as the
+    document's PREFIX.  Any pair with J >= t must share a shingle inside
+    BOTH prefixes (if x and y share none of x's prefix, their overlap is
+    at most ceil(t*|x|) - 1 < t*|x|, and J >= t forces overlap >= t*|x|),
+    so an equi-join of prefix shingles generates all candidates.  Set
+    elements are word 3-GRAMS, not unigrams, for the same reason the
+    MinHash shingles are (measured: unigram sets on this small-vocabulary
+    corpus make even the rarest element of a doc common to hundreds of
+    docs — the prefix join went quadratic and timed out at sf0.1, while
+    gram prefixes are near-unique and selective).
+
+    Scale shape: shingle df is one aggregate; the prefix explode carries
+    (1-t)*|x|+1 rows per doc; the candidate equi-join is on the shingle;
+    the verify stage computes exact intersection on the two shingle
+    arrays co-located by the join, and only the narrow scored row is
+    distinct'd.  One shuffle per stage, no cartesian.
+    """
+    grams = word_ngrams(F.col(text_col), 3)
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("w"))
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
+    ordered = (
+        toks.join(dfreq, on="w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dfc", "w"))).alias("s"))
+        .select(
+            "doc_id",
+            F.transform("s", lambda x: x["w"]).alias("ts"),
+        )
+    )
+    n = F.size(F.col("ts"))
+    plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    pref = ordered.select(
+        "doc_id", "ts", F.explode(F.slice(F.col("ts"), 1, plen)).alias("w")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    o = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+    j = o / (F.size("a.ts") + F.size("b.ts") - o).cast("double")
+    # score at the join output (arrays co-located), DISTINCT only the
+    # narrow (d1, d2, jaccard) row — same narrow-dedup rationale as the
+    # ANN candidate path (operators/similarity.py)
+    return (
+        a.join(b, on="w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.round(j, 6).alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

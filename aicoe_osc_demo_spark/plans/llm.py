@@ -363,6 +363,45 @@ def llm_hll_vocab_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_prefix_jaccard_join",
+    # Ground-truth oracle: brute-force exact token Jaccard over all pairs
+    # of the clone-augmented corpus.  The engine must find EXACTLY these
+    # pairs through the prefix-filtered equi-join — a completeness proof
+    # of the PPJoin-style filter, not a rows-only smoke test.
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text || ' qqxtra' AS text
+      FROM documents WHERE doc_id < 10
+    ),
+    t AS (SELECT doc_id, {_GRAMS_SQL} AS ts FROM corpus),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) AS o,
+             CAST(len(a.ts) AS DOUBLE) AS n1, CAST(len(b.ts) AS DOUBLE) AS n2
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT d1, d2, ROUND(o / (n1 + n2 - o), 6) AS jaccard
+    FROM pairs WHERE o / (n1 + n2 - o) >= CAST(0.7 AS DOUBLE)
+    """,
+)
+def llm_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact set-similarity join via prefix filtering (PPJoin family) — the
+    # zero-recall-loss complement to MinHash/SimHash.  Clones (one token
+    # appended) are planted so the filter's completeness is checked against
+    # the brute-force oracle on pairs it must not miss.
+    from ..operators.dedup import prefix_jaccard_join
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqxtra")).alias("text"),
+    )
+    return prefix_jaccard_join(d.unionByName(clones), threshold=0.7)
+
+
+@register(
     "llm_cms_token_counts",
     # Count-Min estimates vs exact counts for the probe set (doc 0's
     # distinct tokens): the md5-deterministic counter table makes the

@@ -275,3 +275,41 @@ def test_incremental_near_dedup_ledger_and_within_batch(spark):
     ledger2 = ledger.unionByName(accepted)
     batch3 = spark.createDataFrame([(30, fresh)], "doc_id long, text string")
     assert incremental_near_dedup(batch3, ledger2).count() == 0
+
+
+def test_prefix_jaccard_join_exact_vs_brute_force(spark):
+    # Completeness proof of the prefix filter: every pair at/above the
+    # threshold that a brute-force all-pairs scan finds must come out of
+    # the prefix-filtered equi-join, with the same exact Jaccard.
+    from aicoe_osc_demo_spark.operators.dedup import prefix_jaccard_join
+
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [(i, " ".join(rnd.choice(vocab) for _ in range(25))) for i in range(30)]
+    # plant near-clones: single-token edits of docs 0 and 1
+    docs.append((100, docs[0][1] + " tailtoken"))
+    docs.append((101, "head " + docs[1][1]))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    t = 0.6
+    want = {}
+    for i, (d1, t1) in enumerate(docs):
+        for d2, t2 in docs[i + 1 :]:
+            a, b = grams(t1), grams(t2)
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                lo, hi = min(d1, d2), max(d1, d2)
+                want[(lo, hi)] = round(j, 6)
+    assert want  # the planted clones guarantee hits
+
+    out = prefix_jaccard_join(df, threshold=t)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan  # candidates via shingle equi-join
+    got = {(r.d1, r.d2): r.jaccard for r in out.collect()}
+    assert got == want

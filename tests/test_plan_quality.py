@@ -79,6 +79,7 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_lm_perplexity",
         "llm_hll_vocab_estimate",
         "llm_cms_token_counts",
+        "llm_prefix_jaccard_join",
     ],
 )
 def test_no_cartesian_product(spark, name):
