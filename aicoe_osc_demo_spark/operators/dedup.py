@@ -570,6 +570,59 @@ def prefix_jaccard_join(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 10,
+) -> DataFrame:
+    """Exact duplicate-SPAN statistics — the substring-level dedup signal of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), which removes repeated spans rather than whole near-duplicate
+    documents.  For every position in every document, the ``span``-token
+    window starting there is hashed; a span is *duplicated* when the same
+    hash occurs at two or more positions anywhere in the corpus (other
+    documents or a repeat inside the same one).  Output per document:
+    total spans, duplicated spans, and the duplicated fraction — the
+    curation signal used to trim boilerplate-heavy documents.
+
+    Scale shape: positional spans are hashed to md5 BEFORE the explode
+    leaves the row, so the shuffle key is 32 hex chars, never a 10-token
+    string; the occurrence count is one hash-groupBy with map-side combine;
+    the join back to positions is an equi-join on the hash; the per-doc
+    rollup is a second combine-friendly aggregate.  No all-pairs stage —
+    cost is O(total tokens), the same asymptotic as the suffix-array
+    approach the paper uses single-node, but expressed as two shuffles.
+    """
+    from .relational import ensure_parallelism
+
+    words = F.split(F.col(text_col), " ")
+    # positional (NOT distinct) span hashes — repetition inside a document
+    # is exactly what this operator must see
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (span - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(words, i, span), " ")),
+    )
+    spans = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.explode(grams).alias("g")
+    )
+    occ = spans.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        spans.join(occ, on="g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

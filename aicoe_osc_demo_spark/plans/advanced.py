@@ -302,3 +302,39 @@ def ml_relevance_training_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     train, test = train_dev_split(pairs, F.col("doc_id"), 0.8, "train")
     model = train_relevance(train.drop("doc_id"), max_iter=5)
     return confusion_metrics(model.transform(test.drop("doc_id")))
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT s.s_nationkey AS nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hot-key mitigation (operators/skew.py): the fact side is salted by a
+    # content hash, the dim side exploded n_salts times, so one pathological
+    # supplier key spreads over 8 tasks instead of pinning one.  Salting is
+    # purely a physical rewrite — the aggregate must equal the plain
+    # equi-join the oracle runs.  Integer-cent checksum avoids
+    # order-dependent float summation across engines.
+    from ..operators.skew import salted_join
+
+    fact = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    dim = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(fact, dim, on="l_suppkey", n_salts=8)
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

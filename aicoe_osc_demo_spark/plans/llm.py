@@ -402,6 +402,46 @@ def llm_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_duplicate_spans",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10
+    ),
+    spans AS (
+      SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(string_split(text, ' ')) - 9, 1) + 1),
+        i -> md5(array_to_string(
+               list_slice(string_split(text, ' '), i, i + 9), ' ')))) AS g
+      FROM corpus
+    ),
+    occ AS (SELECT g, COUNT(*) AS occ FROM spans GROUP BY g)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(CAST(SUM(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM spans s JOIN occ o USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def llm_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Substring-level dedup signal (Lee et al. 2022): per-doc fraction of
+    # 10-token spans that recur anywhere in the corpus.  Ten exact clones
+    # are planted so the signal is provably non-trivial — every span of a
+    # cloned doc must come back duplicated (dup_frac = 1.0 for those rows).
+    from ..operators.dedup import duplicate_span_stats
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return duplicate_span_stats(d.unionByName(clones), span=10)
+
+
+@register(
     "llm_cms_token_counts",
     # Count-Min estimates vs exact counts for the probe set (doc 0's
     # distinct tokens): the md5-deterministic counter table makes the

@@ -313,3 +313,25 @@ def test_prefix_jaccard_join_exact_vs_brute_force(spark):
     assert "CartesianProduct" not in plan  # candidates via shingle equi-join
     got = {(r.d1, r.d2): r.jaccard for r in out.collect()}
     assert got == want
+
+
+def test_duplicate_span_stats(spark):
+    from aicoe_osc_demo_spark.operators.dedup import duplicate_span_stats
+
+    base = " ".join(f"tok{i}" for i in range(12))  # 12 tokens → 8 spans at span=5
+    boiler = " ".join(f"tok{i}" for i in range(5))  # base's first 5-token span
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),  # exact clone → every span duplicated
+            (2, "entirely different words appear in this one document here now"),
+            (3, f"{boiler} fresh middle part then again {boiler}"),  # self-repeat
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_stats(docs, span=5).collect()}
+    assert out[0].dup_frac == 1.0 and out[1].dup_frac == 1.0  # clone pair
+    assert out[2].n_dup_spans == 0 and out[2].dup_frac == 0.0  # unique doc
+    # doc 3 repeats the boilerplate span internally AND shares it with base
+    assert out[3].n_dup_spans >= 2
+    assert out[0].n_spans == 8  # 12 - 5 + 1

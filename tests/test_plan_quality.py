@@ -80,6 +80,8 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_hll_vocab_estimate",
         "llm_cms_token_counts",
         "llm_prefix_jaccard_join",
+        "llm_duplicate_spans",
+        "join_salted_skew",
     ],
 )
 def test_no_cartesian_product(spark, name):
