@@ -63,6 +63,9 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_cms_token_counts",
     "text_lang_id_trigram",
     "events_hll_daily_users",
+    "llm_prefix_jaccard_join",
+    "llm_duplicate_spans",
+    "join_salted_skew",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",
