@@ -528,44 +528,55 @@ def prefix_jaccard_join(
     docs — the prefix join went quadratic and timed out at sf0.1, while
     gram prefixes are near-unique and selective).
 
-    Scale shape: shingle df is one aggregate; the prefix explode carries
-    (1-t)*|x|+1 rows per doc; the candidate equi-join is on the shingle;
-    the verify stage computes exact intersection on the two shingle
-    arrays co-located by the join, and only the narrow scored row is
-    distinct'd.  One shuffle per stage, no cartesian.
+    Scale shape: every wide thing stays narrow as long as possible.  The
+    prefix is selected per doc with a window row_number over (df, gram) —
+    no per-doc array re-collect; the candidate equi-join carries ONLY
+    (doc_id, gram) rows and is distinct'd down to unique (d1, d2) id
+    pairs BEFORE the shingle arrays are fetched, so each surviving pair
+    pays for exactly one array intersection (measured 4.35 s → 3.33 s at
+    sf0.1 vs the form that shuffled both full arrays through the
+    candidate join and re-scored every duplicate candidate occurrence;
+    the spread-first repartition was most of that win — the remaining
+    cost is stage count, not any wide row).  No cartesian anywhere.
     """
+    from pyspark.sql import Window
+
+    from .relational import ensure_parallelism
+
     grams = word_ngrams(F.col(text_col), 3)
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("w"))
+    # spread FIRST: the shingle HOF is the compute-heavy stage and the
+    # input may be a single row-group (one task) — same contract as
+    # _shingles
+    base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), grams.alias("ts")
+    )
+    toks = base.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
-    ordered = (
+    plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
+    # canonical order = (global document frequency asc, gram) — rarest
+    # first minimizes candidate collisions; row_number matches the
+    # lexicographic struct(dfc, w) sort exactly (w is distinct per doc)
+    pref = (
         toks.join(dfreq, on="w")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("dfc", "w"))).alias("s"))
-        .select(
-            "doc_id",
-            F.transform("s", lambda x: x["w"]).alias("ts"),
-        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "w")))
+        .filter(F.col("rn") <= plen)
+        .select("doc_id", "w")
     )
-    n = F.size(F.col("ts"))
-    plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
-    pref = ordered.select(
-        "doc_id", "ts", F.explode(F.slice(F.col("ts"), 1, plen)).alias("w")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    o = F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
-    j = o / (F.size("a.ts") + F.size("b.ts") - o).cast("double")
-    # score at the join output (arrays co-located), DISTINCT only the
-    # narrow (d1, d2, jaccard) row — same narrow-dedup rationale as the
-    # ANN candidate path (operators/similarity.py)
-    return (
-        a.join(b, on="w")
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), on="w")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.round(j, 6).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+    )
+    t1 = base.select(F.col("doc_id").alias("d1"), F.col("ts").alias("ts1"))
+    t2 = base.select(F.col("doc_id").alias("d2"), F.col("ts").alias("ts2"))
+    o = F.size(F.array_intersect("ts1", "ts2")).cast("double")
+    j = o / (F.size("ts1") + F.size("ts2") - o).cast("double")
+    return (
+        cand.join(t1, on="d1")
+        .join(t2, on="d2")
+        .select("d1", "d2", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -69,6 +69,9 @@ HEADLINE_R4 = [
     "llm_cms_token_counts",
     "text_lang_id_trigram",
     "events_hll_daily_users",
+    "llm_prefix_jaccard_join",
+    "llm_duplicate_spans",
+    "join_salted_skew",
 ]
 
 
