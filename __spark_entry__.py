@@ -66,6 +66,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_prefix_jaccard_join",
     "llm_duplicate_spans",
     "join_salted_skew",
+    "agg_quantile_sketch",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -297,3 +297,75 @@ def bloom_probe(
         joined.groupBy(key_col)
         .agg((F.min(hit) == 1).alias("maybe_member"))
     )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Mergeable fixed-bin quantile sketch — the single-pass, no-global-sort
+    scale path next to the exact percentile query (plans/advanced.py
+    ``agg_exact_percentiles``, which needs a sort or full value collection
+    per group).  Values are clamped into ``n_bins`` equal-width buckets over
+    [lo, hi); the sketch is just (bucket, count) — one map-side-combined
+    aggregate, mergeable across partitions/days/runs by adding counts,
+    ≤ n_bins rows total regardless of input size.
+
+    Accuracy: quantile error ≤ one bin width (hi-lo)/n_bins, the standard
+    equi-width histogram bound.  For heavy-tailed columns pick lo/hi from a
+    previous sketch or min/max aggregate.  All arithmetic is plain double
+    ops expressed identically in the DuckDB oracle, so estimates are
+    bit-reproducible, unlike Spark's approx_percentile whose GK summary is
+    engine-private."""
+    step = (float(hi) - float(lo)) / int(n_bins)
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(value_col) - float(lo)) / step).cast("int")
+        ),
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Read quantiles off a ``quantile_sketch``: for each q, the upper edge
+    of the first bucket whose cumulative count reaches q * total.  The
+    cumulative walk is a window over ≤ n_bins rows — driver-free and cheap
+    no matter how large the sketched input was."""
+    from pyspark.sql import Window
+
+    step = (float(hi) - float(lo)) / int(n_bins)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.col("total") * float(q))
+            .groupBy()
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.round(
+                    F.lit(float(lo)) + (F.col("bucket") + 1) * step, 6
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

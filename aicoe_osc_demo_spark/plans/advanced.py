@@ -338,3 +338,40 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_QS_LO, _QS_HI, _QS_BINS = 900.0, 105000.0, 1024
+_QS_STEP = (_QS_HI - _QS_LO) / _QS_BINS  # 101.66015625, exact in binary
+
+
+@register(
+    "agg_quantile_sketch",
+    f"""
+    WITH b AS (
+      SELECT LEAST({_QS_BINS - 1}, GREATEST(0,
+        CAST(FLOOR((l_extendedprice - CAST({_QS_LO} AS DOUBLE))
+                   / CAST({_QS_STEP} AS DOUBLE)) AS INT))) AS bucket
+      FROM lineitem
+    ),
+    s AS (SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket),
+    c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER () AS total FROM s),
+    probes AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT q,
+           ROUND(CAST({_QS_LO} AS DOUBLE)
+                 + (MIN(bucket) + 1) * CAST({_QS_STEP} AS DOUBLE), 6) AS estimate
+    FROM probes JOIN c ON cum >= total * q
+    GROUP BY q
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable equi-width quantile sketch (operators/sketch.py) — the
+    # 100 TB path next to agg_exact_percentiles: one combine-friendly
+    # aggregate to ≤1024 rows, then a driver-free cumulative walk.  Error
+    # ≤ one bin width; every double op is mirrored in the oracle so the
+    # estimates hash-match.
+    from ..operators.sketch import quantile_estimate, quantile_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = quantile_sketch(li, "l_extendedprice", _QS_LO, _QS_HI, _QS_BINS)
+    return quantile_estimate(sk, [0.5, 0.9, 0.99], _QS_LO, _QS_HI, _QS_BINS)

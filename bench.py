@@ -72,6 +72,7 @@ HEADLINE_R4 = [
     "llm_prefix_jaccard_join",
     "llm_duplicate_spans",
     "join_salted_skew",
+    "agg_quantile_sketch",
 ]
 
 

@@ -135,3 +135,36 @@ def test_hll_grouped_estimates_per_key(spark):
     }
     assert abs(est["a"] - 3000) / 3000 < 0.15
     assert abs(est["b"] - 300) / 300 < 0.15
+
+
+def test_quantile_sketch_accuracy_and_mergeability(spark):
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.sketch import quantile_estimate, quantile_sketch
+
+    import random
+
+    rnd = random.Random(3)
+    vals = [rnd.uniform(0, 1000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, bins = 0.0, 1000.0, 200
+    est = {
+        r.q: r.estimate
+        for r in quantile_estimate(
+            quantile_sketch(df, "v", lo, hi, bins), [0.1, 0.5, 0.9], lo, hi, bins
+        ).collect()
+    }
+    width = (hi - lo) / bins
+    exact = sorted(vals)
+    for q in (0.1, 0.5, 0.9):
+        true_q = exact[int(q * len(vals)) - 1]
+        assert abs(est[q] - true_q) <= 2 * width  # equi-width histogram bound
+
+    # mergeable: summing two half-corpus sketches == whole-corpus sketch
+    h1 = quantile_sketch(df.limit(2500), "v", lo, hi, bins)
+    h2 = quantile_sketch(df.subtract(df.limit(2500)), "v", lo, hi, bins)
+    merged = (
+        h1.unionByName(h2).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {r.bucket: r.cnt for r in quantile_sketch(df, "v", lo, hi, bins).collect()}
+    assert {r.bucket: r.cnt for r in merged.collect()} == whole
