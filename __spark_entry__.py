@@ -67,6 +67,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_duplicate_spans",
     "join_salted_skew",
     "agg_quantile_sketch",
+    "llm_semantic_dedup",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

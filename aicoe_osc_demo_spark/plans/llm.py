@@ -733,6 +733,72 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_semantic_dedup",
+    # Brute-force oracle: exact cosine pairs → recursive-CTE connected
+    # components → min-id canonical; singletons keep themselves.
+    """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    clones AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+      FROM base WHERE vec_id < 25
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.99
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labeled AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS keep FROM labeled
+    UNION ALL
+    SELECT vec_id, vec_id AS cluster_id, TRUE AS keep
+    FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM labeled)
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SEMANTIC dedup end-to-end: banded-LSH cosine near-dup pairs →
+    # min-label connected components → keep = canonical (minimum vec_id)
+    # per cluster, singletons keep themselves.  The composition a real
+    # curation pipeline runs after embedding the corpus; every stage is the
+    # already-verified operator (embedding_near_dup_pairs, dedup_clusters)
+    # and the fused result is value-checked against the brute-force +
+    # recursive-CTE oracle.
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+    )
+    labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    singles = (
+        corpus.select("vec_id")
+        .join(labels, on="vec_id", how="left_anti")
+        .select("vec_id", F.col("vec_id").alias("cluster_id"))
+    )
+    return labels.unionByName(singles).select(
+        "vec_id", "cluster_id", (F.col("vec_id") == F.col("cluster_id")).alias("keep")
+    )
+
+
 @register("llm_ann_lsh_topk", _ann_lsh_oracle_sql())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Banded multi-table LSH ANN: equi-join on (table, bucket) + 1-bit-flip

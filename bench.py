@@ -73,6 +73,7 @@ HEADLINE_R4 = [
     "llm_duplicate_spans",
     "join_salted_skew",
     "agg_quantile_sketch",
+    "llm_semantic_dedup",
 ]
 
 

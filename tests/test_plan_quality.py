@@ -82,6 +82,7 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_prefix_jaccard_join",
         "llm_duplicate_spans",
         "join_salted_skew",
+        "llm_semantic_dedup",
     ],
 )
 def test_no_cartesian_product(spark, name):
