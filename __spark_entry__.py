@@ -68,6 +68,7 @@ _DRIVER_CHECK_PRIORITY = [
     "join_salted_skew",
     "agg_quantile_sketch",
     "llm_semantic_dedup",
+    "events_range_join_binned",
     # rows-only entries (no oracle — driver records the weaker rows check)
     "llm_fuzzy_ratio_join",
     "pipeline_text_curation",

@@ -90,3 +90,45 @@ def range_join_broadcast(
     """Interval-containment join: fact rows matched to broadcast intervals
     with start <= point < end."""
     return fact.join(F.broadcast(intervals), (point >= start) & (point < end))
+
+
+def binned_range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval-containment join for LARGE interval tables — the scale path
+    next to ``range_join_broadcast``, which requires the interval side to
+    fit in a broadcast.  Both sides map onto fixed-width bins of the
+    numeric axis (each point to one bin, each interval to every bin it
+    overlaps via one explode), candidates come from a plain equi-join on
+    the bin id, and the exact ``start <= point < end`` predicate filters
+    them.  One shuffle on the bin key, no nested loop, no cartesian; bins
+    also spread a hot interval over multiple tasks.
+
+    Columns must be numeric (e.g. epoch seconds or day numbers) — callers
+    convert timestamps explicitly, which keeps the operator free of
+    session-timezone semantics.  Pick ``bin_width`` near the median
+    interval length: wider bins cut interval replication, narrower bins
+    cut false candidates.
+    """
+    f = fact.withColumn("_bin", F.floor(F.col(point_col) / bin_width))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width),
+                F.floor((F.col(end_col) - 1) / bin_width),
+            )
+        ),
+    )
+    return (
+        f.join(iv, on="_bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -468,3 +468,55 @@ def events_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
     return est.join(exact, on="day")
+
+
+@register(
+    "events_range_join_binned",
+    """
+    WITH p AS (
+      SELECT y AS period,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(CAST(y AS VARCHAR) || '-01-01' AS DATE)) AS sd,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(CAST(y + 1 AS VARCHAR) || '-01-01' AS DATE)) AS ed
+      FROM generate_series(1995, 2001) AS s(y)
+    ),
+    o AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_totalprice
+      FROM orders
+    )
+    SELECT p.period, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM o JOIN p ON o.d >= p.sd AND o.d < p.ed
+    GROUP BY p.period
+    """,
+)
+def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The LARGE-interval-table range join: same semantics as
+    # events_range_join, but through the binned equi-join
+    # (operators/temporal.py:binned_range_join) that scales when the
+    # interval side cannot broadcast.  Day numbers (datediff from epoch)
+    # keep the axis numeric and session-timezone-free; integer-cent
+    # checksum keeps the double sum order-independent across engines.
+    from ..operators.temporal import binned_range_join
+
+    epoch = F.lit("1970-01-01").cast("date")
+    periods = spark.range(1995, 2002).select(
+        F.col("id").alias("period"),
+        F.datediff(
+            F.to_date(F.concat(F.col("id").cast("string"), F.lit("-01-01"))), epoch
+        ).alias("sd"),
+        F.datediff(
+            F.to_date(F.concat((F.col("id") + 1).cast("string"), F.lit("-01-01"))), epoch
+        ).alias("ed"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("d"), "o_totalprice"
+    )
+    joined = binned_range_join(o, periods, "d", "sd", "ed", bin_width=128)
+    return joined.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
+    )

@@ -74,6 +74,7 @@ HEADLINE_R4 = [
     "join_salted_skew",
     "agg_quantile_sketch",
     "llm_semantic_dedup",
+    "events_range_join_binned",
 ]
 
 

@@ -83,6 +83,7 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_duplicate_spans",
         "join_salted_skew",
         "llm_semantic_dedup",
+        "events_range_join_binned",
     ],
 )
 def test_no_cartesian_product(spark, name):

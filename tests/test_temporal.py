@@ -91,3 +91,31 @@ def test_funnel_requires_step_order(spark):
         F.count("t3").alias("n_full"),
     ).collect()[0]
     assert (got.n_view, got.n_view_click, got.n_full) == (2, 1, 1)
+
+
+def test_binned_range_join_matches_broadcast_form(spark):
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.temporal import (
+        binned_range_join,
+        range_join_broadcast,
+    )
+
+    facts = spark.createDataFrame([(i * 7,) for i in range(100)], "p long")
+    ivs = spark.createDataFrame(
+        [(0, 0, 50), (1, 50, 300), (2, 250, 700), (3, 699, 700)],
+        "iv_id long, s long, e long",
+    )
+    got = binned_range_join(facts, ivs, "p", "s", "e", bin_width=64)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the whole point: candidates via bin equi-join, not a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    want = range_join_broadcast(ivs, facts.select(F.col("p")), F.col("p"), F.col("s"), F.col("e"))
+    assert {(r.p, r.iv_id) for r in got.collect()} == {
+        (r.p, r.iv_id) for r in want.collect()
+    }
+    # boundary semantics: start inclusive, end exclusive
+    edge = binned_range_join(
+        spark.createDataFrame([(50,), (300,)], "p long"), ivs, "p", "s", "e", bin_width=64
+    )
+    assert {(r.p, r.iv_id) for r in edge.collect()} == {(50, 1), (300, 2)}
