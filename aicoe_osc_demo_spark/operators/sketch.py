@@ -305,6 +305,7 @@ def quantile_sketch(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Mergeable fixed-bin quantile sketch — the single-pass, no-global-sort
     scale path next to the exact percentile query (plans/advanced.py
@@ -312,7 +313,8 @@ def quantile_sketch(
     per group).  Values are clamped into ``n_bins`` equal-width buckets over
     [lo, hi); the sketch is just (bucket, count) — one map-side-combined
     aggregate, mergeable across partitions/days/runs by adding counts,
-    ≤ n_bins rows total regardless of input size.
+    ≤ n_bins rows total (per group when ``group_cols`` is given — the
+    telemetry-rollup shape: one small histogram per key).
 
     Accuracy: quantile error ≤ one bin width (hi-lo)/n_bins, the standard
     equi-width histogram bound.  For heavy-tailed columns pick lo/hi from a
@@ -320,6 +322,7 @@ def quantile_sketch(
     ops expressed identically in the DuckDB oracle, so estimates are
     bit-reproducible, unlike Spark's approx_percentile whose GK summary is
     engine-private."""
+    gc = list(group_cols or [])
     step = (float(hi) - float(lo)) / int(n_bins)
     bucket = F.least(
         F.lit(n_bins - 1),
@@ -328,8 +331,8 @@ def quantile_sketch(
         ),
     )
     return (
-        df.select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        df.select(*gc, bucket.alias("bucket"))
+        .groupBy(*gc, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -340,27 +343,34 @@ def quantile_estimate(
     lo: float,
     hi: float,
     n_bins: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Read quantiles off a ``quantile_sketch``: for each q, the upper edge
-    of the first bucket whose cumulative count reaches q * total.  The
-    cumulative walk is a window over ≤ n_bins rows — driver-free and cheap
-    no matter how large the sketched input was."""
+    of the first bucket whose cumulative count reaches q * total (per group
+    when ``group_cols`` is given).  The cumulative walk is a window over
+    ≤ n_bins rows per group — driver-free and cheap no matter how large the
+    sketched input was."""
     from pyspark.sql import Window
 
+    gc = list(group_cols or [])
     step = (float(hi) - float(lo)) / int(n_bins)
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(*gc).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     cum = sketch.select(
+        *gc,
         "bucket",
         F.sum("cnt").over(w).alias("cum"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+        F.sum("cnt").over(Window.partitionBy(*gc)).alias("total"),
     )
     out = None
     for q in qs:
         hit = (
             cum.filter(F.col("cum") >= F.col("total") * float(q))
-            .groupBy()
+            .groupBy(*gc)
             .agg(F.min("bucket").alias("bucket"))
             .select(
+                *gc,
                 F.lit(float(q)).alias("q"),
                 F.round(
                     F.lit(float(lo)) + (F.col("bucket") + 1) * step, 6

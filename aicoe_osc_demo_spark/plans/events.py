@@ -520,3 +520,39 @@ def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("total_cents"),
     )
+
+
+@register(
+    "events_grouped_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             LEAST(999, GREATEST(0,
+               CAST(FLOOR((value - CAST(0.0 AS DOUBLE))
+                          / CAST(0.5 AS DOUBLE)) AS INT))) AS bucket
+      FROM events
+    ),
+    s AS (SELECT event_type, bucket, COUNT(*) AS cnt
+          FROM b GROUP BY event_type, bucket),
+    c AS (SELECT event_type, bucket,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER (PARTITION BY event_type) AS total
+          FROM s),
+    probes AS (SELECT CAST(unnest([0.5, 0.99]) AS DOUBLE) AS q)
+    SELECT c.event_type, q,
+           ROUND(CAST(0.0 AS DOUBLE) + (MIN(bucket) + 1) * CAST(0.5 AS DOUBLE), 6)
+             AS estimate
+    FROM probes JOIN c ON cum >= total * q
+    GROUP BY c.event_type, q
+    """,
+)
+def events_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group quantiles through the MERGEABLE histogram sketch — the
+    # telemetry rollup (p50/p99 latency per event type) that at 100 TB runs
+    # as one combine-friendly aggregate to ≤1000 rows per key instead of a
+    # per-group sort.  Estimates are bit-mirrored in the oracle.
+    from ..operators.sketch import quantile_estimate, quantile_sketch
+
+    e = load(spark, sf_dir, "events")
+    sk = quantile_sketch(e, "value", 0.0, 500.0, 1000, ["event_type"])
+    return quantile_estimate(sk, [0.5, 0.99], 0.0, 500.0, 1000, ["event_type"])
