@@ -67,6 +67,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_duplicate_spans",
     "join_salted_skew",
     "agg_quantile_sketch",
+    "events_grouped_quantiles",
     "llm_semantic_dedup",
     "events_range_join_binned",
     # rows-only entries (no oracle — driver records the weaker rows check)

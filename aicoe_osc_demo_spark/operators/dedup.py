@@ -755,3 +755,76 @@ def dedup_clusters(
             if changed == 0:
                 break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def corpus_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 8,
+    max_doc_freq: int = 1,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """CCNet-style corpus-level passage dedup: drop every segment that
+    occurs in more than ``max_doc_freq`` distinct documents, then reassemble
+    each document from its surviving segments (in original order).
+
+    This is the paragraph-hash dedup step of CCNet / RefinedWeb-style
+    curation, generalized past the reference's whole-row dedup (P8,
+    ``farm_trainer.py:73``): boilerplate (cookie banners, navigation,
+    license headers) repeats across documents and survives document-level
+    near-dedup, so it must be removed at segment granularity.
+
+    Segmentation: ``delimiter`` (e.g. ``"\\n"`` for real corpora) splits on
+    a separator; with ``delimiter=None`` the text is cut into fixed
+    non-overlapping windows of ``words_per_segment`` words — the mode used
+    on the driver tables, whose synthetic documents are single-line.
+
+    Scale shape: explode → md5(segment) group-count (map-side combine,
+    32-hex shuffle key) → hash equi-join back → per-doc re-aggregate.  No
+    CartesianProduct; the segment text crosses the wire once (inside the
+    posexplode output), and the frequency side of the join carries only
+    (hash, df) pairs.  At 100 TB the frequency table can additionally be
+    Bloom-prefiltered (see ``operators/sketch.py``) so only segments whose
+    hash *might* repeat pay the join.
+    """
+    if delimiter is not None:
+        segments = F.split(F.col(text_col), delimiter)
+    else:
+        words = F.split(F.col(text_col), " ")
+        n_segs = F.greatest(
+            F.ceil(F.size(words) / F.lit(float(words_per_segment))).cast("int"), F.lit(1)
+        )
+        segments = F.transform(
+            F.sequence(F.lit(0), n_segs - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * words_per_segment + 1, words_per_segment), " "
+            ),
+        )
+    segs = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segments).alias("seg_no", "seg")
+    )
+    freq = (
+        segs.select(F.md5("seg").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    kept = F.when(F.col("df") <= max_doc_freq, F.col("seg"))
+    return (
+        segs.withColumn("h", F.md5("seg"))
+        .join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("df") <= max_doc_freq).cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("seg_no").alias("p"), kept.alias("s")))
+                    ),
+                    lambda st: st["s"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )

@@ -516,3 +516,44 @@ def pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sampled = mixture_sample(deduped, "source").filter(F.col("kept"))
     return sampled.select("doc_id", "source", "q", "fingerprint")
+
+
+# CCNet-style segment dedup — the oracle rebuilds the identical fixed
+# word-window segmentation (8-word non-overlapping slices), counts each
+# segment's corpus-wide document frequency, and reassembles documents from
+# the segments seen in exactly one document.
+_SEGDEDUP_SQL = """
+    WITH exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(CAST(ceil(len(w) / 8.0) AS INT), 1)),
+               i -> struct_pack(
+                 seg_no := i,
+                 seg := array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ')
+               ))) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), segs AS (
+      SELECT doc_id, u.seg_no AS seg_no, u.seg AS seg FROM exploded
+    ), freq AS (
+      SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY 1
+    )
+    SELECT s.doc_id AS doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE f.df <= 1) AS n_kept,
+           COALESCE(array_to_string(
+             list(s.seg ORDER BY s.seg_no) FILTER (WHERE f.df <= 1), ' '), '')
+             AS cleaned_text
+    FROM segs s JOIN freq f ON md5(s.seg) = f.h
+    GROUP BY s.doc_id
+"""
+
+
+@register("llm_segment_dedup", _SEGDEDUP_SQL)
+def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-level boilerplate removal: segments repeating across documents
+    # are dropped, documents reassembled from the unique remainder.  Explode
+    # → 32-hex group-count → hash equi-join → per-doc rebuild; no text in
+    # any shuffle key, no CartesianProduct.
+    from ..operators.dedup import corpus_segment_dedup
+
+    return corpus_segment_dedup(load(spark, sf_dir, "documents"))
