@@ -460,3 +460,102 @@ def lsh_ann_topk(
         corpus, queries, n_tables, planes_per_table, dim, True, vec_col, id_col
     )
     return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
+
+
+def kmeans_quantized(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    return_assignments: bool = False,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over integer-quantized vectors —
+    the oracle-checkable companion to ``train_ivf_quantizer`` (whose
+    MLlib k-means|| fit cannot be replayed in ANSI SQL).
+
+    Vectors are quantized to ``round(x * scale)`` longs, so every centroid
+    is exact integer state: a cluster is (per-dim sum s, member count n)
+    — no division ever updates it.  The nearest-centroid distance is the
+    rational ``d(x, c) = sum_i (n_c*x_i - s_ci)^2 / n_c^2`` (exactly
+    ``||x - s/n||^2``); numerator and n^2 are exact longs, and the single
+    DOUBLE division used to order candidates is the same IEEE-754
+    operation on the same integers in Spark and DuckDB, so assignments
+    can never diverge between engine and oracle.
+
+    Init: the k lowest-id vectors (cluster ids 0..k-1 in id order).
+    Ties break toward the lower cluster id.  Each iteration is one
+    broadcast fan-out (k rows per vector, argmin via min(struct)) and one
+    per-dim integer sum — shuffle keys are (cluster, dim) ints only.
+
+    Scale: identical shape to MLlib's implementation (assignment map +
+    aggregate per iteration); centroid state is k*dim longs, always
+    broadcastable.  Use this for reproducible IVF coarse quantizers and
+    audit pipelines; use ``train_ivf_quantizer`` when k-means|| init
+    matters more than replayability.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(
+            "v"
+        ),
+    )
+    from pyspark.sql import Window
+
+    cents = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast("int").alias("cid"),
+            F.col("v").alias("s"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        # exact rational distance num/n^2 with num = sum_i (n*x_i - s_i)^2:
+        # num and n^2 are exact longs well inside 2^63 at scale=1000 and
+        # n <= ~1e5 members; the DOUBLE division below is only used to
+        # ORDER candidates, and the struct tie-break falls back to cid, so
+        # a last-ulp tie across two centroids cannot diverge from the
+        # oracle (both engines perform the identical IEEE-754 division).
+        num = F.aggregate(
+            F.zip_with("v", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+        d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(d.alias("d"), F.col("cid"))).alias("m"),
+                F.first("v").alias("v"),
+            )
+            .select("vec_id", F.col("m.cid").alias("cid"), "v")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.sum("x").alias("sx"))
+        )
+        cents = (
+            sums.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
+                ).alias("s")
+            )
+            .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
+        )
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.aggregate("v", F.lit(0).cast("long"), lambda acc, y: acc + y)
+            ).alias("mass"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_vecs", "mass")
+    )

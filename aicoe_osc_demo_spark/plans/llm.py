@@ -1008,3 +1008,64 @@ def llm_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bits = bloom_build_bits(led, key_col="key")
     return bloom_probe(probe, bits, key_col="fingerprint")
+
+
+# Deterministic quantized k-means (k=4, 2 Lloyd iterations, dim=64): the
+# oracle unrolls both iterations as CTEs over the identical integer state —
+# quantized vectors, exact (sum, count) centroids, argmin on the exact
+# rational distance num/n^2 with cid tie-break.
+_KMEANS_DIST = """CAST(list_sum(list_transform(range(1, 65),
+                 i -> ({c}.n * {q}.v[i] - {c}.s[i]) * ({c}.n * {q}.v[i] - {c}.s[i]))) AS DOUBLE)
+               / CAST({c}.n * {c}.n AS DOUBLE)"""
+_KMEANS_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS s, CAST(1 AS BIGINT) AS n
+      FROM q ORDER BY vec_id LIMIT 4
+    ), a1 AS (
+      SELECT q.vec_id AS vec_id,
+             (min(struct_pack(d := {_KMEANS_DIST.format(c='c', q='q')}, cid := c.cid))).cid AS cid,
+             first(q.v) AS v
+      FROM q CROSS JOIN c0 c
+      GROUP BY q.vec_id
+    ), e1 AS (
+      SELECT cid, u.i AS i, u.x AS x
+      FROM (SELECT cid,
+                   unnest(list_transform(range(1, 65),
+                          j -> struct_pack(i := j, x := v[j]))) AS u
+            FROM a1)
+    ), n1 AS (
+      SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid
+    ), c1 AS (
+      SELECT s1.cid AS cid, list(s1.sx ORDER BY s1.i) AS s, n1.n AS n
+      FROM (SELECT cid, i, CAST(SUM(x) AS BIGINT) AS sx FROM e1 GROUP BY cid, i) s1
+      JOIN n1 ON s1.cid = n1.cid
+      GROUP BY s1.cid, n1.n
+    ), a2 AS (
+      SELECT p.vec_id AS vec_id,
+             (min(struct_pack(d := {_KMEANS_DIST.format(c='c', q='p')}, cid := c.cid))).cid AS cid,
+             first(p.v) AS v
+      FROM a1 p CROSS JOIN c1 c
+      GROUP BY p.vec_id
+    )
+    SELECT CAST(cid AS INT) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(list_sum(v) AS BIGINT)) AS BIGINT) AS mass
+    FROM a2
+    GROUP BY cid
+"""
+
+
+@register("llm_kmeans_clusters", _KMEANS_SQL)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reproducible Lloyd's over quantized embeddings — the audit-grade IVF
+    # quantizer trainer. Each iteration: broadcast k centroids, argmin via
+    # min(struct), per-(cluster,dim) integer sums; only ints shuffle.
+    from ..operators.similarity import kmeans_quantized
+
+    return kmeans_quantized(load(spark, sf_dir, "embeddings"), k=4, iters=2)
