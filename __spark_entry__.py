@@ -26,67 +26,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  Rounds 2+3 left exactly 25 queries without a
-# driver-green CORRECTNESS row; this round fronts all 25 (closing full
-# catalog coverage across r02+r03+r04), then re-verifies every query whose
-# code path changed this round (LSH/ANN rework, SimHash form selection,
-# pack_offset_bins guard, Bloom parametrization, negative-sample /
-# cluster-convergence touch-ups), then the judge's must-verify set.
-# Names absent from this list follow in registry order.
+# FIRST 50 registry entries.  r5 closes the catalog: the 2 queries that have
+# never been inside a driver window (oracles registered in r4), the 2 that
+# gained oracles this round (reshape_nest_squad's to_json canonical form,
+# pipeline_text_curation's full-DAG SQL replay), every query whose code path
+# changed this round (lazy negative-sample threshold, prefix-join shingle
+# cache, finetune tree merge, keep-positive pipeline dedup), the 2
+# structurally oracle-less entries (driver records rows-only), then the
+# judge's must-verify set as fillers.  Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
-    # --- the 25 never-driver-checked entries (r2+r3 rotations missed) ---
-    "pipeline_llm_curation",
-    "incremental_upsert_latest",
-    "events_pivot_type_columns",
-    "events_trailing_hour_avg",
-    "events_funnel_counts",
-    "events_retention_cohorts",
-    "agg_rollup_revenue",
-    "agg_cube_revenue",
-    "agg_filtered_counts",
-    "window_running_sum",
-    "window_lag_delta",
-    "join_full_outer",
-    "set_union_missing_cols",
-    "llm_vocab_topk",
-    "llm_length_histogram",
-    "llm_stratified_sample",
-    "multimodal_metadata",
-    "text_fingerprint",
-    "events_json_extract",
-    "text_levenshtein_match",
-    "ml_train_dev_split_sizes",
-    # new in r4: M6 fine-tune loop, deterministic-HLL sketch, LM perplexity
-    "ml_qa_finetune_loss",
-    "llm_hll_vocab_estimate",
-    "llm_lm_perplexity",
-    "llm_cms_token_counts",
-    "text_lang_id_trigram",
-    "events_hll_daily_users",
-    "llm_prefix_jaccard_join",
-    "llm_duplicate_spans",
-    "join_salted_skew",
-    "agg_quantile_sketch",
-    "events_grouped_quantiles",
-    "llm_semantic_dedup",
-    "events_range_join_binned",
-    # rows-only entries (no oracle — driver records the weaker rows check)
-    "llm_fuzzy_ratio_join",
-    "pipeline_text_curation",
+    # --- never driver-checked (r4 verdict item 1) ---
+    "llm_kmeans_clusters",
+    "llm_segment_dedup",
+    # --- oracles added in r5 (were no_oracle / harness-crash in r4) ---
     "reshape_nest_squad",
-    "ml_relevance_training_metrics",
-    # --- code paths changed in r4: re-verify under the driver ---
-    "llm_ann_lsh_topk",
-    "llm_embedding_near_dup",
-    "llm_ann_candidate_count",
-    "llm_lsh_candidate_count",
-    "llm_simhash_fingerprints",
-    "llm_simhash_pairs",
-    "llm_pack_offset_bins",
-    "llm_bloom_prefilter",
-    "llm_incremental_near_dedup",
+    "pipeline_text_curation",
+    # --- code paths changed in r5: re-verify under the driver ---
     "curation_negative_sample",
-    "llm_dedup_clusters",
+    "llm_prefix_jaccard_join",
+    "ml_qa_finetune_loss",
+    "pipeline_llm_curation",
+    # --- structurally oracle-less (rows-only driver check, documented) ---
+    "llm_fuzzy_ratio_join",
+    "ml_relevance_training_metrics",
     # --- judge's must-verify set + strongest families as fillers ---
     "llm_minhash_lsh_pairs",
     "curation_answer_offsets",
@@ -102,6 +64,33 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_cosine_topk",
     "llm_ivf_topk",
     "llm_bm25_topk",
+    "llm_ann_lsh_topk",
+    "llm_embedding_near_dup",
+    "llm_simhash_pairs",
+    "llm_dedup_clusters",
+    "llm_semantic_dedup",
+    "llm_duplicate_spans",
+    "llm_repetition_stats",
+    "llm_bloom_prefilter",
+    "llm_incremental_near_dedup",
+    "llm_hll_vocab_estimate",
+    "llm_lm_perplexity",
+    "llm_cms_token_counts",
+    "agg_quantile_sketch",
+    "events_grouped_quantiles",
+    "events_range_join_binned",
+    "events_sessionize",
+    "events_windowed_counts",
+    "events_session_window",
+    "join_salted_skew",
+    "join_multiway_revenue_by_nation",
+    "agg_pricing_summary",
+    "window_topk_per_group",
+    "ml_qa_inference_topk",
+    "ml_group_metrics",
+    "curation_extra_answerable",
+    "text_clean_curator",
+    "llm_stratified_sample",
 ]
 
 

@@ -162,14 +162,15 @@ def negative_sample(
     the naive ranking: if a group has >= k survivors below t, the k smallest
     overall are all below t.
 
-    NOTE: when ``pool_count`` is omitted, this transformation-shaped API
-    runs ONE eager Spark job at plan-construction time (a column-pruned
-    count of the pool) to size the threshold; pass ``pool_count`` to keep
-    plan construction fully lazy.  The under-filled-group fallback is a
-    second scan of the pool that unions into the plan; it reads zero rows
-    for groups the prefilter satisfied, but callers who know the prefilter
-    always fills (oversample >= 16 and |pool| >> k) can treat its cost as
-    the anti-join on group keys only.
+    The threshold needs |pool|: when ``pool_count`` is given it is a Python
+    constant; when omitted the threshold becomes a runtime scalar (a one-row
+    count aggregate broadcast-joined into the plan), so construction stays
+    fully lazy and no eager job runs — any threshold yields the identical
+    pick because the fallback rescans under-filled groups.  The
+    under-filled-group fallback is a second scan of the pool that unions
+    into the plan; it reads zero rows for groups the prefilter satisfied,
+    but callers who know the prefilter always fills (oversample >= 16 and
+    |pool| >> k) can treat its cost as the anti-join on group keys only.
     """
     from pyspark.sql import Window
 
@@ -182,15 +183,34 @@ def negative_sample(
     rank_key = md5_hex(F.lit(salt), *[F.col(c) for c in group_cols], F.col(pool_id))
     w = Window.partitionBy(*group_cols).orderBy(rank_key.asc())
 
-    if pool_count is None:
-        # one column-pruned count job; pass pool_count to skip it
-        pool_count = pool.select(pool_id).count()
-    thr = rank_prefilter_threshold(k, pool_count, oversample)
-    if thr is None:
-        cand = candidates(keys)
-        return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
-
-    pref = candidates(keys).filter(F.substring(rank_key, 1, 8) < thr)
+    if pool_count is not None:
+        thr = rank_prefilter_threshold(k, pool_count, oversample)
+        if thr is None:
+            cand = candidates(keys)
+            return (
+                cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+            )
+        pref = candidates(keys).filter(F.substring(rank_key, 1, 8) < thr)
+    else:
+        # Lazy threshold: same arithmetic as rank_prefilter_threshold, but
+        # over a runtime one-row count broadcast-joined into the plan.  A
+        # no-prune pool (oversample*k >= n) maps to 'zzzzzzzz', which keeps
+        # every hex-prefixed row.
+        stats = pool.agg(F.count(F.lit(1)).alias("_pool_n"))
+        raw = (
+            (F.lit(float(oversample * k)) / F.col("_pool_n")) * F.lit(float(16**8))
+        ).cast("long") + 1
+        thr_int = F.least(F.lit(16**8 - 1), F.greatest(F.lit(1), raw))
+        thr_col = F.when(
+            (F.col("_pool_n") <= 0) | (F.lit(oversample * k) >= F.col("_pool_n")),
+            F.lit("zzzzzzzz"),
+        ).otherwise(F.lower(F.lpad(F.conv(thr_int.cast("string"), 10, 16), 8, "0")))
+        pref = (
+            candidates(keys)
+            .crossJoin(F.broadcast(stats))
+            .filter(F.substring(rank_key, 1, 8) < thr_col)
+            .drop("_pool_n")
+        )
     ranked = pref.withColumn("rn", F.row_number().over(w)).withColumn(
         "grp_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
     )

@@ -508,6 +508,7 @@ def prefix_jaccard_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs shingle-Jaccard join with prefix filtering (the
     PPJoin family) — the exact-algorithm complement to the probabilistic
@@ -550,6 +551,14 @@ def prefix_jaccard_join(
     base = ensure_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), grams.alias("ts")
     )
+    if cache_shingles:
+        # base feeds three branches (prefix selection + both verify sides);
+        # without a persist the gram HOF recomputes 3x over the raw text.
+        # MEMORY_AND_DISK: at scale the (id, grams) frame is ~the tokenized
+        # corpus — spilling it still beats three text scans.  Callers
+        # composing this into a larger cached plan can pass
+        # cache_shingles=False.
+        base = base.persist()
     toks = base.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
     plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")

@@ -123,10 +123,12 @@ def text_curation_pipeline(
     )
 
     dataset = positives.select("question", "context", "label").unionByName(negatives)
-    # A1 — dedup on (question, context), deterministic winner (keep positive)
-    return dedup_keep_first(dataset, subset=["question", "context"], order_by=["label"]).select(
-        "question", "context", F.when(F.col("label") == 1, 1).otherwise(0).alias("label")
-    )
+    # A1 — dedup on (question, context), deterministic winner (keep positive:
+    # rank by negated label so label=1 sorts first)
+    dataset = dataset.withColumn("neg_label", F.lit(1) - F.col("label"))
+    return dedup_keep_first(
+        dataset, subset=["question", "context"], order_by=["neg_label"]
+    ).select("question", "context", F.when(F.col("label") == 1, 1).otherwise(0).alias("label"))
 
 
 def squad_curation_pipeline(

@@ -223,13 +223,85 @@ def reshape_gather_table_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pipeline_text_curation")
+@register(
+    "pipeline_text_curation",
+    # The full curator DAG replayed in SQL.  clean_text is the identity on
+    # the synthetic documents table (printable ASCII, no doubled whitespace),
+    # so the SQL elides the regex chain; every other stage is replicated
+    # operation-for-operation, including the two-delimiter paragraph split,
+    # the 1-based→0-based page shift, the year-in-question rewrite, the
+    # hash-ranked negative pick, and the keep-positive dedup.
+    """
+    WITH ann0 AS (
+      SELECT source AS company,
+             source || '.pdf' AS source_file,
+             'Brand#' || CAST((doc_id % 5) * 10 + 11 AS VARCHAR) AS kpi_id,
+             CAST(2018 + doc_id % 5 AS INT) AS year,
+             [doc_id % 3, doc_id % 3 + 1] AS source_page,
+             array_to_string(list_slice(string_split(text, ' '), 3, 5), ' ') AS s1,
+             array_to_string(list_slice(string_split(text, ' '), 6, 8), ' ') AS s2
+      FROM documents
+      WHERE doc_id < 50 AND doc_id % 7 <> 0
+    ),
+    ann AS (
+      SELECT company, source_file, kpi_id, year, source_page,
+             string_split_regex(s1 || '", "' || s2, '", "|","') AS paras
+      FROM ann0
+    ),
+    expl AS (
+      SELECT a.company, a.source_file, a.kpi_id, a.year,
+             a.source_page[t.i] AS page, a.paras[t.i] AS context
+      FROM ann a, UNNEST(generate_series(1, len(a.paras))) AS t(i)
+    ),
+    kpiq AS (
+      SELECT kpi_id,
+             'What is the exposure of ' || kpi_id || '?' AS question,
+             length(kpi_id) % 2 = 0 AS add_year
+      FROM (SELECT DISTINCT p_brand AS kpi_id FROM part)
+    ),
+    pos AS (
+      SELECT e.source_file, e.page,
+             CASE WHEN k.add_year
+                  THEN string_split(k.question, '?')[1]
+                       || ' in year ' || CAST(e.year AS VARCHAR) || '?'
+                  ELSE k.question END AS question,
+             e.context, 1 AS label
+      FROM expl e JOIN kpiq k USING (kpi_id)
+    ),
+    pos_pages AS (SELECT DISTINCT source_file AS pdf_name, page FROM pos),
+    pool AS (
+      SELECT p.paragraph AS context,
+             p.pdf_name || ':' || CAST(p.page AS VARCHAR) || ':' || p.paragraph AS pool_id
+      FROM (SELECT source || '.pdf' AS pdf_name,
+                   CAST(doc_id % 10 AS INT) AS page,
+                   text AS paragraph
+            FROM documents) p
+      ANTI JOIN pos_pages pp ON p.pdf_name = pp.pdf_name AND p.page = pp.page
+    ),
+    negranked AS (
+      SELECT q.question, pl.context,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.question
+               ORDER BY md5('textneg' || '|' || q.question || '|' || pl.pool_id) ASC
+             ) AS rn
+      FROM (SELECT DISTINCT question FROM pos) q CROSS JOIN pool pl
+    ),
+    dataset AS (
+      SELECT question, context, label FROM pos
+      UNION ALL
+      SELECT question, context, 0 AS label FROM negranked WHERE rn <= 2
+    )
+    SELECT question, context, MAX(label) AS label
+    FROM dataset GROUP BY question, context
+    """,
+)
 def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §3.3 — the full TEXT-curator DAG (filter → filename/page repair →
     # paragraph parse → explode → clean → broadcast KPI join → negative
     # sampling → dedup) over annotation-shaped rows derived from the test
-    # tables.  Rows-only check; every stage is individually oracle-checked
-    # elsewhere, and determinism under repartitioning is asserted in tests.
+    # tables.  Every stage is individually oracle-checked elsewhere, and
+    # determinism under repartitioning is asserted in tests; the registered
+    # SQL replays the whole chain so the driver hash-checks the composition.
     from ..pipelines import text_curation_pipeline
 
     d = load(spark, sf_dir, "documents")
@@ -269,11 +341,46 @@ def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_curation_pipeline(spark, annotations, paragraphs, kpi, neg_pos_ratio=2)
 
 
-@register("reshape_nest_squad")
+@register(
+    "reshape_nest_squad",
+    """
+    WITH flat AS (
+      SELECT source AS source_file,
+             array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') AS context,
+             'What is in doc ' || CAST(doc_id AS VARCHAR) || '?' AS question,
+             CAST(doc_id AS VARCHAR) AS example_id,
+             array_to_string(list_slice(string_split(text, ' '), 2, 3), ' ') AS answer,
+             CASE WHEN doc_id % 5 = 0 THEN CAST([] AS INTEGER[])
+                  ELSE [2] END AS answer_start
+      FROM documents WHERE doc_id < 100
+    ),
+    qas AS (
+      SELECT source_file, context,
+             list(struct_pack(
+               id := example_id,
+               question := question,
+               answers := struct_pack(text := answer, answer_start := answer_start),
+               is_impossible := len(answer_start) = 0
+             ) ORDER BY example_id) AS qas
+      FROM flat GROUP BY source_file, context
+    ),
+    paragraphs AS (
+      SELECT source_file,
+             list(struct_pack(context := context, qas := qas) ORDER BY context) AS paragraphs
+      FROM qas GROUP BY source_file
+    )
+    SELECT source_file AS title,
+           CAST(to_json(paragraphs) AS VARCHAR) AS paragraphs_json
+    FROM paragraphs
+    """,
+)
 def reshape_nest_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U8 — SQuAD v2 nesting via two-level sorted collect_list(struct)
-    # (base_kpi_inference_curator.py:60-127).  Rows-only check: DuckDB can
-    # build the nesting but struct-array hashing is not comparable.
+    # (base_kpi_inference_curator.py:60-127).  The nested array-of-struct
+    # result is emitted as a to_json canonical string so the driver's pandas
+    # canonicalizer can sort/hash it (nested Python lists are unhashable);
+    # nest_to_squad itself still returns the structured form and is covered
+    # by test_nest_to_squad_structure.
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     flat = d.select(
         F.col("source").alias("source_file"),
@@ -287,4 +394,6 @@ def reshape_nest_squad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array(F.lit(2)))
         .alias("answer_start"),
     )
-    return nest_to_squad(flat)
+    return nest_to_squad(flat).select(
+        "title", F.to_json(F.col("paragraphs")).alias("paragraphs_json")
+    )

@@ -215,7 +215,20 @@ class FineTuneBackend:
       run optimizer steps over one Arrow batch, return (new state,
       summed loss).  Executes executor-side; must be self-contained.
     - ``average_states(states: list[bytes], weights: list[int]) -> bytes``:
-      example-count-weighted average of partition states (driver-side).
+      example-count-weighted average of partition states (driver-side
+      fallback path; only used when ``merge_states`` is absent).
+    - ``merge_states(s1: bytes, w1: int, s2: bytes, w2: int) -> bytes``
+      (optional): ASSOCIATIVE pairwise combine of two partial states; the
+      result represents weight ``w1 + w2``.  When present, ``finetune_qa``
+      tree-reduces partition states on the executors and the driver
+      receives ONE merged state per epoch instead of one per partition —
+      with real transformer weights (0.5-1.5 GB each) this is the
+      difference between a scalable parameter-server step and a driver
+      OOM at high partition counts.
+    - ``finalize_state(state: bytes) -> bytes`` (optional): applied once
+      at the driver after the tree reduce (e.g. turn accumulated
+      sufficient statistics into parameters).  Contract:
+      ``average_states(states, ws) == finalize_state(tree-merge(states))``.
     """
 
 
@@ -294,6 +307,18 @@ def hf_qa_finetune_backend(
             torch.save(avg, buf)
             return buf.getvalue()
 
+        def merge_states(self, s1: bytes, w1: int, s2: bytes, w2: int) -> bytes:
+            # pairwise weighted mean — associative for weighted averaging
+            # (up to float rounding), so the tree reduce never ships more
+            # than two states to any single task
+            d1 = torch.load(io.BytesIO(s1))
+            d2 = torch.load(io.BytesIO(s2))
+            total = w1 + w2
+            avg = {k: d1[k] * (w1 / total) + d2[k] * (w2 / total) for k in d1}
+            buf = io.BytesIO()
+            torch.save(avg, buf)
+            return buf.getvalue()
+
     return _HFBackend()
 
 
@@ -336,6 +361,26 @@ def arithmetic_qa_backend():
             w_milli = int(math.floor(total_sum / total_n * 1000 + 0.5)) if total_n else 0
             return pickle.dumps({"w_milli": w_milli, "acc_sum": 0, "acc_n": 0})
 
+        def merge_states(self, s1: bytes, w1: int, s2: bytes, w2: int) -> bytes:
+            # integer sufficient statistics add exactly — associative, so
+            # the tree-merged result is bit-identical to average_states
+            d1, d2 = pickle.loads(s1), pickle.loads(s2)
+            return pickle.dumps(
+                {
+                    "w_milli": d1["w_milli"],
+                    "acc_sum": d1["acc_sum"] + d2["acc_sum"],
+                    "acc_n": d1["acc_n"] + d2["acc_n"],
+                }
+            )
+
+        def finalize_state(self, state: bytes) -> bytes:
+            import math
+
+            d = pickle.loads(state)
+            total_sum, total_n = d["acc_sum"], d["acc_n"]
+            w_milli = int(math.floor(total_sum / total_n * 1000 + 0.5)) if total_n else 0
+            return pickle.dumps({"w_milli": w_milli, "acc_sum": 0, "acc_n": 0})
+
     return _ArithmeticBackend()
 
 
@@ -350,16 +395,24 @@ def finetune_qa(
     Each epoch: broadcast the current state into a ``mapInPandas`` stage
     that runs ``backend.train_step`` over every Arrow batch of its
     partition and emits ONE (state, n_examples, loss_sum) row per
-    partition; the driver averages the partition states weighted by
-    example count.  The driver-side collect is bounded at one small row
-    per partition per epoch (the parameter-server step — not a data
-    collect), so the loop scales with executor count, not data volume.
+    partition.  Backends exposing ``merge_states`` (both shipped backends
+    do) then tree-reduce those partial states ON THE EXECUTORS — depth
+    scaled to log2(partitions), so no task and not the driver ever holds
+    more than two states at once, and the driver receives exactly ONE
+    merged state per epoch regardless of partition count.  With real
+    transformer weights (0.5-1.5 GB per state) a per-partition driver
+    collect would be the scalability wall; the tree keeps the
+    parameter-server step O(state_size) at the driver.  Legacy backends
+    without ``merge_states`` fall back to the per-partition collect +
+    ``average_states``.
 
     Returns {"state": bytes, "loss_history": [per-epoch mean loss],
     "loss_sums": [per-epoch summed loss], "n_examples": int}.
     Deterministic for deterministic backends: the epoch loop is sequential
-    and averaging is order-independent.
+    and exact-integer merges are order-independent (the arithmetic
+    backend's tree result is bit-identical to ``average_states``).
     """
+    import math as math_mod
     import pandas as pd_mod
     from pyspark.sql.types import (
         BinaryType,
@@ -398,14 +451,36 @@ def finetune_qa(
             if n:
                 yield pd_mod.DataFrame({"state": [s], "n": [n], "loss_sum": [loss]})
 
-        rows = data.mapInPandas(run_partition, schema=schema).collect()
-        if not rows:
-            break
-        states = [bytes(r.state) for r in rows]
-        weights = [r.n for r in rows]
-        state = backend.average_states(states, weights)
-        n_total = sum(weights)
-        epoch_sum = sum(r.loss_sum for r in rows)
+        partials = data.mapInPandas(run_partition, schema=schema)
+        if hasattr(backend, "merge_states"):
+            # executor-side tree reduction: depth ~ log2(P) keeps every
+            # combine binary, so the driver's final reduce sees <= 2
+            # partials and ships home exactly one state
+            rdd = partials.rdd.map(lambda r: (bytes(r.state), int(r.n), float(r.loss_sum)))
+            n_parts = max(rdd.getNumPartitions(), 2)
+            depth = max(2, int(math_mod.ceil(math_mod.log2(n_parts))))
+
+            def _comb(a, b, _merge=backend.merge_states):
+                return (_merge(a[0], a[1], b[0], b[1]), a[1] + b[1], a[2] + b[2])
+
+            try:
+                merged, n_total, epoch_sum = rdd.treeReduce(_comb, depth=depth)
+            except ValueError:  # empty input — no partition emitted a state
+                break
+            state = (
+                backend.finalize_state(merged)
+                if hasattr(backend, "finalize_state")
+                else merged
+            )
+        else:  # legacy contract: per-partition driver collect
+            rows = partials.collect()
+            if not rows:
+                break
+            states = [bytes(r.state) for r in rows]
+            weights = [r.n for r in rows]
+            state = backend.average_states(states, weights)
+            n_total = sum(weights)
+            epoch_sum = sum(r.loss_sum for r in rows)
         loss_sums.append(epoch_sum)
         history.append(epoch_sum / max(n_total, 1))
     return {

@@ -136,6 +136,31 @@ def test_negative_sample_prefilter_bounds_candidates(spark):
     assert all(r["count"] >= k for r in survivors)
 
 
+def test_negative_sample_lazy_construction_no_job(spark):
+    # omitting pool_count must NOT run an eager sizing job: the threshold is
+    # a runtime scalar (one-row count broadcast into the plan), and the pick
+    # is identical to the eager-threshold form at any pool size
+    from pyspark.sql import functions as F
+
+    pos = spark.createDataFrame([("q1",), ("q2",)], ["q"])
+    pool = spark.range(2000).withColumnRenamed("id", "doc_id")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    lazy = negative_sample(pos, pool, ["q"], "doc_id", 3)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after, "plan construction launched a Spark job"
+
+    eager = negative_sample(pos, pool, ["q"], "doc_id", 3, pool_count=2000)
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+
+    # no-prune branch (pool smaller than oversample*k) also agrees
+    tiny = spark.range(7).withColumnRenamed("id", "doc_id")
+    l2 = sorted(map(tuple, negative_sample(pos, tiny, ["q"], "doc_id", 3).collect()))
+    e2 = sorted(map(tuple, negative_sample(pos, tiny, ["q"], "doc_id", 3, pool_count=7).collect()))
+    assert l2 == e2 and len(l2) == 6
+
+
 def test_multimodal_resize_and_frames(spark):
     from aicoe_osc_demo_spark.operators.multimodal import (
         media_from_text,

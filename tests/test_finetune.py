@@ -46,6 +46,39 @@ def test_finetune_loop_partitioning_invariant(spark):
     assert pickle.loads(r1["state"]) == pickle.loads(r7["state"])
 
 
+def test_finetune_tree_merge_no_driver_collect(spark, monkeypatch):
+    # merge_states backends must never materialize per-partition states at
+    # the driver: the epoch reduction is an executor-side treeReduce, so
+    # DataFrame.collect must not run at all during the loop
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("driver-side DataFrame.collect in finetune_qa tree path")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    res = finetune_qa(_qa_df(spark).repartition(8), arithmetic_qa_backend(), epochs=2)
+    assert pickle.loads(res["state"])["w_milli"] == 2953
+    assert res["n_examples"] == 64
+
+
+def test_finetune_legacy_backend_collect_path_matches_tree(spark):
+    # a backend implementing only the legacy contract (no merge_states)
+    # takes the per-partition collect + average_states path and produces
+    # the identical result (exact integer statistics)
+    full = arithmetic_qa_backend()
+
+    class _Legacy:
+        init_state = staticmethod(full.init_state)
+        train_step = staticmethod(full.train_step)
+        average_states = staticmethod(full.average_states)
+
+    df = _qa_df(spark).repartition(5)
+    r_tree = finetune_qa(df, full, epochs=2)
+    r_legacy = finetune_qa(df, _Legacy(), epochs=2)
+    assert r_tree["loss_sums"] == r_legacy["loss_sums"]
+    assert pickle.loads(r_tree["state"]) == pickle.loads(r_legacy["state"])
+
+
 def test_hf_backend_gate_raises_without_runtime():
     try:
         import transformers  # noqa: F401
@@ -135,3 +168,6 @@ def test_hf_backend_real_path_with_stub_modules():
     assert loss == 0.25
     avg = backend.average_states([new_state, new_state], [2, 2])
     assert pickle.loads(avg)["w"] == pytest.approx(1.0)
+    # pairwise tree merge agrees with the flat weighted average
+    merged = backend.merge_states(new_state, 2, new_state, 2)
+    assert pickle.loads(merged)["w"] == pytest.approx(pickle.loads(avg)["w"])

@@ -1,0 +1,183 @@
+"""Drive the REAL HFCheckpointModel code end-to-end against numpy-backed
+stand-ins for torch/transformers (none exist in this container): tokenizer
+truncation flag + length cap, minibatch boundary behavior, CLS no-answer
+scoring, span decode, and the QA vs sequence-classification head switch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class _FakeTokenizer:
+    """Whitespace tokenizer: ids = [CLS=0] + question + [SEP=1] + text,
+    truncated to ``max_length`` when truncation=True (records the flag)."""
+
+    CLS, SEP = 0, 1
+
+    def __init__(self, max_length=8):
+        self.max_length = max_length
+        self.vocab: dict[str, int] = {}
+        self.rev: dict[int, str] = {}
+        self.calls: list[dict] = []
+
+    def _id(self, w):
+        if w not in self.vocab:
+            i = len(self.vocab) + 2
+            self.vocab[w] = i
+            self.rev[i] = w
+        return self.vocab[w]
+
+    def __call__(self, questions, texts, truncation=False, padding=False, return_tensors=None):
+        self.calls.append(
+            {"n": len(questions), "truncation": truncation, "padding": padding}
+        )
+        rows = []
+        for q, t in zip(questions, texts):
+            ids = [self.CLS] + [self._id(w) for w in q.split()] + [self.SEP]
+            ids += [self._id(w) for w in t.split()]
+            if truncation:
+                ids = ids[: self.max_length]
+            rows.append(ids)
+        width = max(len(r) for r in rows)
+        mat = np.full((len(rows), width), self.SEP, dtype=np.int64)
+        for i, r in enumerate(rows):
+            mat[i, : len(r)] = r
+        return {"input_ids": mat}
+
+    def decode(self, toks, skip_special_tokens=False):
+        toks = [int(t) for t in np.asarray(toks).ravel()]
+        if skip_special_tokens:
+            toks = [t for t in toks if t not in (self.CLS, self.SEP)]
+        return " ".join(self.rev.get(t, "?") for t in toks)
+
+
+class _Out:
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def _fake_env(architectures, start_peak=3, end_peak=4):
+    """(transformers, torch) module pair; the QA model peaks start logits at
+    ``start_peak`` and end logits at ``end_peak``."""
+    tok = _FakeTokenizer()
+    model_batches: list[int] = []
+
+    class _Model:
+        def eval(self):
+            return self
+
+        def __call__(self, input_ids):
+            n, width = input_ids.shape
+            model_batches.append(n)
+            start = np.zeros((n, width))
+            end = np.zeros((n, width))
+            sp, ep = min(start_peak, width - 1), min(end_peak, width - 1)
+            start[:, sp] = 5.0
+            end[:, ep] = 5.0
+            # CLS logits encode a recognizable no-answer score
+            start[:, 0] = 1.0
+            end[:, 0] = 1.5
+            if any("QuestionAnswering" in a for a in architectures):
+                return _Out(start_logits=start, end_logits=end)
+            logits = np.tile(np.array([0.0, 2.0]), (n, 1))
+            return _Out(logits=logits)
+
+    transformers = types.SimpleNamespace(
+        AutoTokenizer=types.SimpleNamespace(from_pretrained=lambda p: tok),
+        AutoConfig=types.SimpleNamespace(
+            from_pretrained=lambda p: types.SimpleNamespace(architectures=architectures)
+        ),
+        AutoModelForQuestionAnswering=types.SimpleNamespace(
+            from_pretrained=lambda p: _Model()
+        ),
+        AutoModelForSequenceClassification=types.SimpleNamespace(
+            from_pretrained=lambda p: _Model()
+        ),
+    )
+
+    def _softmax(x, dim=-1):
+        e = np.exp(x - x.max(axis=dim, keepdims=True))
+        return e / e.sum(axis=dim, keepdims=True)
+
+    torch = types.SimpleNamespace(
+        no_grad=contextlib.nullcontext,
+        softmax=_softmax,
+    )
+    return transformers, torch, tok, model_batches
+
+
+def _load(monkeypatch, architectures, **kw):
+    transformers, torch, tok, batches = _fake_env(architectures, **kw)
+    monkeypatch.setitem(sys.modules, "transformers", transformers)
+    monkeypatch.setitem(sys.modules, "torch", torch)
+    from aicoe_osc_demo_spark.operators.inference import load_hf_checkpoint
+
+    model = load_hf_checkpoint("/ckpt/fake")
+    return model, tok, batches
+
+
+def test_qa_head_span_decode_and_no_answer_score(monkeypatch):
+    model, tok, _ = _load(monkeypatch, ["BertForQuestionAnswering"])
+    assert model.is_qa
+    q = pd.Series(["what is it"])
+    t = pd.Series(["alpha beta gamma delta epsilon"])
+    out = model.predict_qa(q, t)
+    # ids: [CLS, what, is, it, SEP, alpha, ...] truncated to 8; span peaks at
+    # positions 3..4 -> tokens ("it", SEP) -> decode skips SEP -> "it"
+    assert out["answer"].iloc[0] == "it"
+    assert out["score"].iloc[0] == pytest.approx(10.0)  # 5.0 + 5.0
+    assert out["no_ans_score"].iloc[0] == pytest.approx(2.5)  # CLS 1.0 + 1.5
+    # tokenizer was asked to truncate (the FARM max-seq-len contract)
+    assert tok.calls and all(c["truncation"] for c in tok.calls)
+    # truncation actually capped the width
+    assert all(len(r) <= tok.max_length for r in tok(q.tolist(), t.tolist(), truncation=True)["input_ids"])
+
+
+def test_minibatch_boundaries_cover_all_rows_in_order(monkeypatch):
+    model, tok, batches = _load(monkeypatch, ["BertForQuestionAnswering"])
+    model.batch_size = 2
+    q = pd.Series(["q one", "q two", "q three", "q four", "q five"])
+    t = pd.Series([f"text {i} alpha beta" for i in range(5)])
+    out = model.predict_qa(q, t)
+    # 5 rows at batch 2 -> model saw batches [2, 2, 1], nothing dropped or
+    # duplicated at the boundary
+    assert batches == [2, 2, 1]
+    assert len(out) == 5
+    assert list(out.index) == list(q.index)
+    # pandas-index alignment survives a non-default index (Arrow slices)
+    q2 = q.copy()
+    q2.index = t2_index = [10, 11, 12, 13, 14]
+    t2 = t.copy()
+    t2.index = t2_index
+    out2 = model.predict_qa(q2, t2)
+    assert list(out2.index) == t2_index
+    assert list(out2["answer"]) == list(out["answer"])
+
+
+def test_sequence_classification_head_positive_prob(monkeypatch):
+    model, tok, batches = _load(monkeypatch, ["RobertaForSequenceClassification"])
+    assert not model.is_qa
+    q = pd.Series(["q"] * 3)
+    t = pd.Series(["alpha beta", "gamma", "delta epsilon zeta"])
+    scores = model.predict_relevance(q, t)
+    # logits (0, 2) -> softmax positive-class prob, identical per row
+    expected = float(np.exp(2) / (1 + np.exp(2)))
+    assert list(scores.round(6)) == [round(expected, 6)] * 3
+    assert len(scores) == 3 and list(scores.index) == list(q.index)
+
+
+def test_relevance_minibatch_boundary_exact_multiple(monkeypatch):
+    model, tok, batches = _load(monkeypatch, ["RobertaForSequenceClassification"])
+    model.batch_size = 2
+    q = pd.Series(["q"] * 4)
+    t = pd.Series(["a", "b", "c", "d"])
+    scores = model.predict_relevance(q, t)
+    assert batches == [2, 2]  # exact multiple: no ghost empty batch
+    assert len(scores) == 4
