@@ -192,6 +192,141 @@ def successive_halving_search(
     }
 
 
+def _tpe_u(seed: str, *parts) -> float:
+    """Deterministic uniform draw in [0, 1) from an md5 stream — the
+    reproducible stand-in for Optuna's RNG (every run of the search with the
+    same seed proposes the same trials)."""
+    import hashlib
+
+    h = hashlib.md5("|".join([seed, *[str(p) for p in parts]]).encode()).hexdigest()
+    return int(h[:8], 16) / 16**8
+
+
+def tpe_search(
+    space: dict,
+    objective,
+    n_trials: int = 12,
+    n_startup: int = 4,
+    gamma: float = 0.25,
+    n_candidates: int = 24,
+    seed: str = "tpe",
+) -> dict:
+    """M8 — the Optuna TPE sampling loop (ref: src/models/trainer_optuna.py
+    uses optuna's default TPESampler to propose each trial's hyperparams),
+    re-expressed as a deterministic Tree-structured Parzen Estimator
+    (Bergstra et al. 2011, "Algorithms for Hyper-Parameter Optimization"):
+
+    - first ``n_startup`` trials: quasi-random draws from the prior;
+    - afterwards: split history at the top-``gamma`` quantile into good l(x)
+      and bad g(x) observations, fit a Parzen mixture to each (triangular
+      kernels for numeric dims, smoothed counts for choices), draw
+      ``n_candidates`` from l(x), and run the candidate maximizing the
+      acquisition ratio l(x)/g(x);
+    - every draw comes from an md5 stream keyed by (seed, trial, dim), so
+      the whole search is reproducible — no RNG state, no optuna dependency.
+
+    ``space`` maps each param name to ("uniform", lo, hi),
+    ("loguniform", lo, hi), ("int", lo, hi) or ("choice", [values]).
+    ``objective(params) -> float`` is MAXIMIZED; each call is expected to
+    launch whatever distributed evaluation the trial needs (e.g.
+    ``cross_validate`` / ``finetune_qa`` — the search loop itself is
+    driver-side orchestration exactly as in the reference, where each optuna
+    trial wrapped a full FARM training run).
+
+    Returns {"params", "score", "trials": [{params, score}, ...]}.
+    """
+    import math
+
+    def _prior_draw(trial: int, name: str, spec) -> object:
+        u = _tpe_u(seed, "prior", trial, name)
+        kind = spec[0]
+        if kind == "choice":
+            return spec[1][int(u * len(spec[1])) % len(spec[1])]
+        lo, hi = float(spec[1]), float(spec[2])
+        if kind == "loguniform":
+            v = math.exp(math.log(lo) + u * (math.log(hi) - math.log(lo)))
+        else:
+            v = lo + u * (hi - lo)
+        return int(round(v)) if kind == "int" else v
+
+    def _kde(value: float, centers: list[float], lo: float, hi: float) -> float:
+        # Parzen mixture of triangular kernels; bandwidth shrinks as
+        # observations accumulate (simple 1/sqrt(n) rule)
+        bw = max((hi - lo) / math.sqrt(len(centers) + 1), 1e-12)
+        dens = 0.0
+        for c in centers:
+            d = abs(value - c)
+            if d < bw:
+                dens += (1 - d / bw) / bw
+        # +prior mass so unseen regions keep nonzero density
+        return dens / len(centers) + 1e-9 / (hi - lo + 1e-12)
+
+    def _propose(trial: int, name: str, spec, good: list, bad: list) -> object:
+        kind = spec[0]
+        if kind == "choice":
+            values = spec[1]
+            g_counts = {v: 1.0 for v in values}
+            b_counts = {v: 1.0 for v in values}
+            for v in good:
+                g_counts[v] += 1
+            for v in bad:
+                b_counts[v] += 1
+            g_tot = sum(g_counts.values())
+            best_v, best_r = None, -1.0
+            for i in range(n_candidates):
+                u = _tpe_u(seed, "cand", trial, name, i) * g_tot
+                acc = 0.0
+                pick = values[-1]
+                for v in values:
+                    acc += g_counts[v]
+                    if u < acc:
+                        pick = v
+                        break
+                r = (g_counts[pick] / g_tot) / (b_counts[pick] / sum(b_counts.values()))
+                if r > best_r:
+                    best_v, best_r = pick, r
+            return best_v
+        lo, hi = float(spec[1]), float(spec[2])
+        log_scale = kind == "loguniform"
+        tx = (lambda v: math.log(v)) if log_scale else (lambda v: v)
+        itx = (lambda v: math.exp(v)) if log_scale else (lambda v: v)
+        t_lo, t_hi = tx(lo), tx(hi)
+        g_centers = [tx(v) for v in good] or [(t_lo + t_hi) / 2]
+        b_centers = [tx(v) for v in bad] or [(t_lo + t_hi) / 2]
+        bw = max((t_hi - t_lo) / math.sqrt(len(g_centers) + 1), 1e-12)
+        best_v, best_r = None, -1.0
+        for i in range(n_candidates):
+            u1 = _tpe_u(seed, "center", trial, name, i)
+            u2 = _tpe_u(seed, "offset", trial, name, i)
+            c = g_centers[int(u1 * len(g_centers)) % len(g_centers)]
+            v = min(t_hi, max(t_lo, c + (u2 - 0.5) * 2 * bw))
+            r = _kde(v, g_centers, t_lo, t_hi) / _kde(v, b_centers, t_lo, t_hi)
+            if r > best_r:
+                best_v, best_r = v, r
+        out = itx(best_v)
+        return int(round(out)) if kind == "int" else out
+
+    trials: list[dict] = []
+    for t in range(n_trials):
+        if t < n_startup or len(trials) < 2:
+            params = {n: _prior_draw(t, n, s) for n, s in space.items()}
+        else:
+            ranked = sorted(trials, key=lambda r: -r["score"])
+            n_good = max(1, math.ceil(gamma * len(ranked)))
+            good_t, bad_t = ranked[:n_good], ranked[n_good:]
+            params = {
+                n: _propose(
+                    t, n, s,
+                    [r["params"][n] for r in good_t],
+                    [r["params"][n] for r in bad_t] or [r["params"][n] for r in good_t],
+                )
+                for n, s in space.items()
+            }
+        trials.append({"params": params, "score": float(objective(params))})
+    best = max(trials, key=lambda r: r["score"])
+    return {"params": best["params"], "score": best["score"], "trials": trials}
+
+
 # --- M6: transformer QA fine-tuning -----------------------------------------
 # The reference's largest component is a FARM/transformer fine-tune
 # (ref: /root/reference/src/models/farm_trainer.py:26-432 — AdamW + linear

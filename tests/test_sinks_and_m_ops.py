@@ -154,3 +154,75 @@ def test_successive_halving_prunes(spark):
     assert 0.5 < out["mean_f1"] <= 1.0
     assert out["rungs"][-1]["fraction"] == 1.0
     assert out["rungs"][0]["n_trials"] == len(grid)
+
+
+def test_tpe_search_deterministic_and_concentrates():
+    # the adaptive-sampling half of trainer_optuna.py (optuna's TPESampler):
+    # reproducible md5-stream draws, and the Parzen l(x)/g(x) acquisition
+    # steers later trials toward the optimum on a known objective
+    from aicoe_osc_demo_spark.training import tpe_search
+
+    space = {"x": ("uniform", 0.0, 1.0)}
+    obj = lambda p: -((p["x"] - 0.7) ** 2)  # noqa: E731
+    r1 = tpe_search(space, obj, n_trials=24, n_startup=5, seed="t")
+    r2 = tpe_search(space, obj, n_trials=24, n_startup=5, seed="t")
+    assert r1 == r2  # fully deterministic, no RNG state
+    assert abs(r1["params"]["x"] - 0.7) < 0.1
+    xs = [t["params"]["x"] for t in r1["trials"]]
+    startup_err = sum(abs(x - 0.7) for x in xs[:5]) / 5
+    guided_err = sum(abs(x - 0.7) for x in xs[-8:]) / 8
+    assert guided_err < startup_err  # adaptive phase beats the prior draws
+    # a different seed explores differently but still converges
+    r3 = tpe_search(space, obj, n_trials=24, n_startup=5, seed="u")
+    assert r3["trials"] != r1["trials"]
+    assert abs(r3["params"]["x"] - 0.7) < 0.15
+
+
+def test_tpe_search_mixed_space_types():
+    from aicoe_osc_demo_spark.training import tpe_search
+
+    space = {
+        "lr": ("loguniform", 1e-5, 1e-1),
+        "layers": ("int", 1, 8),
+        "head": ("choice", ["cls", "mean", "max"]),
+    }
+
+    # optimum: lr near 1e-3, layers near 4, head == "mean"
+    def obj(p):
+        import math
+
+        return (
+            -((math.log10(p["lr"]) + 3) ** 2)
+            - 0.1 * (p["layers"] - 4) ** 2
+            + (1.0 if p["head"] == "mean" else 0.0)
+        )
+
+    out = tpe_search(space, obj, n_trials=30, n_startup=6, seed="m")
+    assert 1e-5 <= out["params"]["lr"] <= 1e-1
+    assert isinstance(out["params"]["layers"], int) and 1 <= out["params"]["layers"] <= 8
+    assert out["params"]["head"] in ("cls", "mean", "max")
+    # the guided phase should find the categorical optimum
+    assert out["params"]["head"] == "mean"
+    assert abs(__import__("math").log10(out["params"]["lr"]) + 3) < 1.0
+
+
+def test_tpe_search_drives_spark_cv_objective(spark):
+    # each TPE trial launches a distributed evaluation, exactly the
+    # reference's optuna-wraps-FARM-training shape
+    from aicoe_osc_demo_spark.training import cross_validate, tpe_search
+
+    rows = [(i, ("spark " * 5 if i % 2 else "plain words here"), i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "text", "label"]).select(
+        "id",
+        F.concat_ws(" [SEP] ", F.lit("q"), "text").alias("pair_text"),
+        F.col("label").cast("double").alias("label"),
+    )
+
+    def obj(params):
+        folds = cross_validate(df, "id", n_folds=2, max_iter=params["max_iter"])
+        return sum(f["f1"] for f in folds) / len(folds)
+
+    out = tpe_search({"max_iter": ("int", 2, 8)}, obj, n_trials=3, n_startup=2, seed="s")
+    assert 0.5 < out["score"] <= 1.0
+    assert 2 <= out["params"]["max_iter"] <= 8
+    assert len(out["trials"]) == 3
