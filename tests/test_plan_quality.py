@@ -93,6 +93,14 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan
 
 
+def test_negative_sample_lazy_threshold_is_broadcast(spark):
+    # the runtime prefilter threshold (one-row pool count) must enter the
+    # plan as a broadcast, never a shuffled join
+    plan = explain(QUERIES["curation_negative_sample"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_aggregates_have_partial_combine(spark):
     # map-side partial aggregation: two HashAggregate levels around the
     # exchange (Catalyst's partial/final split)
