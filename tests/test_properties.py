@@ -151,6 +151,81 @@ def test_url_normalize_column_matches_mirror(spark):
     assert got == [url_norm_py(u) for u in urls]
 
 
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=150, deadline=None)
+def test_finetune_tree_merge_equals_flat_average(values, n_parts, fold_seed):
+    # the finetune_qa contract: average_states(states, ws) ==
+    # finalize_state(reduce(merge_states)) for ANY partitioning and ANY
+    # merge tree shape — the property that makes the executor-side tree
+    # reduction bit-identical to the driver-side flat average
+    import pickle
+
+    from aicoe_osc_demo_spark.training import arithmetic_qa_backend
+
+    backend = arithmetic_qa_backend()
+    # partition `values` deterministically from fold_seed
+    parts: list[list[int]] = [[] for _ in range(n_parts)]
+    for i, v in enumerate(values):
+        parts[(i * 2654435761 + fold_seed) % n_parts].append(v)
+    parts = [p for p in parts if p]
+
+    import pandas as pd
+
+    states, weights = [], []
+    for p in parts:
+        s, _ = backend.train_step(
+            backend.init_state(), pd.DataFrame({"start_position": p})
+        )
+        states.append(s)
+        weights.append(len(p))
+
+    flat = backend.average_states(states, weights)
+
+    # left-fold merge (one tree shape)
+    acc, w = states[0], weights[0]
+    for s, pw in zip(states[1:], weights[1:]):
+        acc = backend.merge_states(acc, w, s, pw)
+        w += pw
+    assert pickle.loads(backend.finalize_state(acc)) == pickle.loads(flat)
+
+    # balanced-tree merge (a different shape must give the same bits)
+    level = list(zip(states, weights))
+    while len(level) > 1:
+        nxt = []
+        for i in range(0, len(level) - 1, 2):
+            (s1, w1), (s2, w2) = level[i], level[i + 1]
+            nxt.append((backend.merge_states(s1, w1, s2, w2), w1 + w2))
+        if len(level) % 2:
+            nxt.append(level[-1])
+        level = nxt
+    assert pickle.loads(backend.finalize_state(level[0][0])) == pickle.loads(flat)
+
+
+@given(st.integers(min_value=0, max_value=10**6), st.text(max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_tpe_draws_uniform_and_in_bounds(trial, seed):
+    from aicoe_osc_demo_spark.training import _tpe_u, tpe_search
+
+    u = _tpe_u(seed, "prior", trial, "x")
+    assert 0.0 <= u < 1.0
+    # proposals never escape the declared space, any phase, any dim kind
+    out = tpe_search(
+        {"a": ("uniform", -2.0, 3.0), "b": ("int", 1, 5), "c": ("loguniform", 1e-4, 1e2)},
+        lambda p: p["a"],
+        n_trials=8,
+        n_startup=2,
+        seed=seed or "s",
+    )
+    for t in out["trials"]:
+        assert -2.0 <= t["params"]["a"] <= 3.0
+        assert 1 <= t["params"]["b"] <= 5 and isinstance(t["params"]["b"], int)
+        assert 1e-4 <= t["params"]["c"] <= 1e2 * (1 + 1e-9)
+
+
 @given(st.integers(1, 200), st.integers(2, 40), st.integers(0, 20))
 @settings(max_examples=200, deadline=None)
 def test_chunk_layout_covers_every_word(n_words, chunk, overlap):
