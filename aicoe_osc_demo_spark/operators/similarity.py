@@ -501,6 +501,30 @@ def kmeans_quantized(
             "v"
         ),
     )
+    assigned, _cents = _lloyd_quantized(q, k, iters)
+    if return_assignments:
+        return assigned.select("vec_id", "cid")
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.aggregate("v", F.lit(0).cast("long"), lambda acc, y: acc + y)
+            ).alias("mass"),
+        )
+        .select(F.col("cid").alias("cluster_id"), "n_vecs", "mass")
+    )
+
+
+def _lloyd_quantized(q, k: int, iters: int):
+    """The deterministic Lloyd loop over (vec_id, v: array<long>) rows.
+
+    Returns (assigned, cents_used): the final assignment frame
+    (vec_id, cid, v) together with the EXACT centroid state it was computed
+    against — (cid, s: array<long> per-dim sums, n: member count) — so
+    callers (PQ codebooks) get an assignment/centroid pair that is
+    mutually consistent.
+    """
     from pyspark.sql import Window
 
     cents = (
@@ -512,8 +536,9 @@ def kmeans_quantized(
             F.lit(1).cast("long").alias("n"),
         )
     )
-    assigned = None
+    assigned, cents_used = None, cents
     for _ in range(iters):
+        cents_used = cents
         # exact rational distance num/n^2 with num = sum_i (n*x_i - s_i)^2:
         # num and n^2 are exact longs well inside 2^63 at scale=1000 and
         # n <= ~1e5 members; the DOUBLE division below is only used to
@@ -527,7 +552,7 @@ def kmeans_quantized(
         )
         d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
         assigned = (
-            q.crossJoin(F.broadcast(cents))
+            q.crossJoin(F.broadcast(cents_used))
             .groupBy("vec_id")
             .agg(
                 F.min(F.struct(d.alias("d"), F.col("cid"))).alias("m"),
@@ -549,13 +574,146 @@ def kmeans_quantized(
             )
             .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
         )
-    return (
-        assigned.groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(
-                F.aggregate("v", F.lit(0).cast("long"), lambda acc, y: acc + y)
-            ).alias("mass"),
+    return assigned, cents_used
+
+
+def product_quantize(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (the FAISS IVF-PQ memory layout, Jégou et al.
+    2011 "Product Quantization for Nearest Neighbor Search"): split each
+    D-dim vector into ``m`` contiguous subvectors and learn an independent
+    ``k``-centroid codebook per subspace with the deterministic quantized
+    Lloyd's of ``kmeans_quantized`` — every vector compresses to ``m``
+    small codes (here m*log2(k) bits vs D floats; at a billion vectors the
+    difference between an in-memory index and none).
+
+    Returns (codes, codebooks):
+    - codes: (vec_id, codes: array<int> of length m, subspace order);
+    - codebooks: (sub, cid, s: array<long>, n: long) — the EXACT integer
+      centroid state each code refers to (consistent with the
+      assignments, see ``_lloyd_quantized``).
+
+    Scale shape: the m Lloyd loops are independent narrow plans over
+    (id, subvector) projections; codes assemble with m-1 equi-joins on
+    vec_id (m is 4-16 — at scale fuse via one pass if m*iters jobs
+    matter).  Codebooks are m*k rows — always broadcastable.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    codes = None
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("v"),
         )
-        .select(F.col("cid").alias("cluster_id"), "n_vecs", "mass")
+        assigned, cents = _lloyd_quantized(sub, k, iters)
+        aj = assigned.select("vec_id", F.col("cid").alias(f"code_{j}"))
+        codes = aj if codes is None else codes.join(aj, on="vec_id")
+        books.append(cents.select(F.lit(j).alias("sub"), "cid", "s", "n"))
+    out = codes.select(
+        "vec_id", F.array(*[F.col(f"code_{j}") for j in range(m)]).alias("codes")
+    )
+    book = books[0]
+    for b in books[1:]:
+        book = book.unionByName(b)
+    return out, book
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes: approximate
+    ||q - x||^2 as the sum over subspaces of the distance from the query's
+    subvector to x's ASSIGNED CENTROID — so ranking touches only the
+    (vec_id, codes) table and an m*k*|queries| lookup table, never the
+    original vectors (Jégou et al. 2011, Eq. 12 — the memory trick that
+    makes billion-vector search fit in RAM).
+
+    Determinism contract (oracle-checkable): per-(query, sub, cid) the LUT
+    entry is the exact rational num/n^2 of ``kmeans_quantized`` (one
+    IEEE-754 division on exact longs); per-vector distances add the m LUT
+    entries in FIXED subspace order (a left-associated chain, not a
+    shuffled SUM), so engine and oracle compute bit-identical doubles;
+    ties rank by neighbor_id.
+
+    Scale shape: the LUT is built from a broadcast codebook against the
+    (tiny) query side, then broadcast to the codes scan — the corpus side
+    contributes one arrow-narrow (vec_id, codes) pass and the top-k
+    window.  No vector arithmetic per corpus row at query time.
+    """
+    from .relational import top_k_per_group
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    # one LUT row per (query, sub, cid): d = sum_i (n*q_i - s_i)^2 / n^2
+    qsub = None
+    for j in range(m):
+        piece = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(j).alias("sub"),
+            F.transform(
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("qv"),
+        )
+        qsub = piece if qsub is None else qsub.unionByName(piece)
+    num = F.aggregate(
+        F.zip_with("qv", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    lut = qsub.join(F.broadcast(codebooks), on="sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        (num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias("d"),
+    )
+    # fan the corpus codes out per query, then resolve each subspace code
+    # against the broadcast LUT; the final distance is a left-associated
+    # chain d_0 + d_1 + ... so addition order is fixed
+    out = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
+    dist = None
+    for j in range(m):
+        lj = lut.filter(F.col("sub") == j).select(
+            F.col("query_id").alias(f"q{j}"),
+            F.col("cid").alias(f"c{j}"),
+            F.col("d").alias(f"d{j}"),
+        )
+        out = out.join(
+            F.broadcast(lj),
+            on=[
+                F.col("query_id") == F.col(f"q{j}"),
+                F.element_at(F.col("codes"), j + 1) == F.col(f"c{j}"),
+            ],
+        ).drop(f"q{j}", f"c{j}")
+        dist = F.col(f"d{j}") if dist is None else dist + F.col(f"d{j}")
+    scored = out.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dist, 6).alias("adc_dist"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], -F.col("adc_dist"), k, tiebreak=["neighbor_id"]
     )

@@ -1069,3 +1069,134 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_quantized
 
     return kmeans_quantized(load(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+# --- Product quantization (Jégou et al. 2011) --------------------------------
+# The oracle replays each subspace's 2-iteration deterministic Lloyd's as the
+# same CTE chain as _KMEANS_SQL, generated per subspace over
+# list_slice(embedding, lo, hi); codes are the a2-assignments, the ADC LUT
+# uses the c1 centroid state those assignments were computed against.
+
+
+def _pq_kmeans_ctes(j: int, lo: int, hi: int, d_sub: int, k: int) -> str:
+    """CTE chain q{j}..c1{j}..a2{j} for subspace j (dims lo..hi 1-based)."""
+    dist = (
+        f"""CAST(list_sum(list_transform(range(1, {d_sub + 1}),
+            i -> ({{c}}.n * {{q}}.v[i] - {{c}}.s[i]) * ({{c}}.n * {{q}}.v[i] - {{c}}.s[i]))) AS DOUBLE)
+          / CAST({{c}}.n * {{c}}.n AS DOUBLE)"""
+    )
+    return f"""
+    q{j} AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, {lo}, {hi}),
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ), c0{j} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             v AS s, CAST(1 AS BIGINT) AS n
+      FROM q{j} ORDER BY vec_id LIMIT {k}
+    ), a1{j} AS (
+      SELECT q.vec_id AS vec_id,
+             (min(struct_pack(d := {dist.format(c="c", q="q")}, cid := c.cid))).cid AS cid,
+             first(q.v) AS v
+      FROM q{j} q CROSS JOIN c0{j} c
+      GROUP BY q.vec_id
+    ), e1{j} AS (
+      SELECT cid, u.i AS i, u.x AS x
+      FROM (SELECT cid,
+                   unnest(list_transform(range(1, {d_sub + 1}),
+                          jj -> struct_pack(i := jj, x := v[jj]))) AS u
+            FROM a1{j})
+    ), n1{j} AS (
+      SELECT cid, COUNT(*) AS n FROM a1{j} GROUP BY cid
+    ), c1{j} AS (
+      SELECT s1.cid AS cid, list(s1.sx ORDER BY s1.i) AS s, n1.n AS n
+      FROM (SELECT cid, i, CAST(SUM(x) AS BIGINT) AS sx FROM e1{j} GROUP BY cid, i) s1
+      JOIN n1{j} n1 ON s1.cid = n1.cid
+      GROUP BY s1.cid, n1.n
+    ), a2{j} AS (
+      SELECT p.vec_id AS vec_id,
+             (min(struct_pack(d := {dist.format(c="c", q="p")}, cid := c.cid))).cid AS cid
+      FROM a1{j} p CROSS JOIN c1{j} c
+      GROUP BY p.vec_id
+    )"""
+
+
+_PQ_M, _PQ_K, _PQ_DSUB = 4, 4, 16
+_PQ_CTES = ",".join(
+    _pq_kmeans_ctes(j, j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB, _PQ_DSUB, _PQ_K)
+    for j in range(_PQ_M)
+)
+_PQ_CODES_SQL = f"""
+    WITH {_PQ_CTES}
+    SELECT a20.vec_id AS vec_id,
+           [CAST(a20.cid AS INT), CAST(a21.cid AS INT),
+            CAST(a22.cid AS INT), CAST(a23.cid AS INT)] AS codes
+    FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+"""
+
+
+@register("llm_pq_codes", _PQ_CODES_SQL)
+def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product quantization (FAISS IVF-PQ memory layout): 64-dim embeddings
+    # compress to 4 codes via 4 independent deterministic codebooks — the
+    # representation that keeps a billion-vector index in RAM.
+    from ..operators.similarity import product_quantize
+
+    codes, _books = product_quantize(
+        load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, iters=2
+    )
+    return codes
+
+
+_PQ_LUT = ",".join(
+    f"""
+    lut{j} AS (
+      SELECT q.vec_id AS query_id, c.cid AS cid,
+             CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}),
+                  i -> (c.n * q.v[i] - c.s[i]) * (c.n * q.v[i] - c.s[i]))) AS DOUBLE)
+             / CAST(c.n * c.n AS DOUBLE) AS d
+      FROM (SELECT * FROM q{j} WHERE vec_id < 3) q CROSS JOIN c1{j} c
+    )"""
+    for j in range(_PQ_M)
+)
+_PQ_ADC_SQL = f"""
+    WITH {_PQ_CTES},
+    codes AS (
+      SELECT a20.vec_id AS vec_id, a20.cid AS k0, a21.cid AS k1,
+             a22.cid AS k2, a23.cid AS k3
+      FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    ),
+    {_PQ_LUT},
+    scored AS (
+      SELECT l0.query_id AS query_id, c.vec_id AS neighbor_id,
+             round(((l0.d + l1.d) + l2.d) + l3.d, 6) AS adc_dist
+      FROM codes c
+      JOIN lut0 l0 ON c.k0 = l0.cid
+      JOIN lut1 l1 ON c.k1 = l1.cid AND l1.query_id = l0.query_id
+      JOIN lut2 l2 ON c.k2 = l2.cid AND l2.query_id = l0.query_id
+      JOIN lut3 l3 ON c.k3 = l3.cid AND l3.query_id = l0.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("llm_pq_adc_topk", _PQ_ADC_SQL)
+def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric distance computation over the PQ codes: query-time cost is
+    # an m*k LUT + a codes-only scan — no vector arithmetic per corpus row.
+    # Distances add in fixed subspace order (left-associated chain) so the
+    # doubles are bit-identical to the oracle's.
+    from ..operators.similarity import pq_adc_topk, product_quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)

@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
                 marker = "oracle" if name in ORACLE else "rows-only"
                 print(f"{name}  [{marker}]")
         except BrokenPipeError:
-            pass
+            pass  # `run --list | head` closes the pipe early; not an error
         return 0
 
     if args.query not in QUERIES:

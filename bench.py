@@ -77,6 +77,12 @@ HEADLINE_R4 = [
     "events_range_join_binned",
 ]
 
+# Added in round 5 — product quantization; counted in total_all_queries only.
+HEADLINE_R5 = [
+    "llm_pq_codes",
+    "llm_pq_adc_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,7 +107,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     total_all = 0.0
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off

@@ -412,3 +412,116 @@ def test_kmeans_quantized_centroids_feed_ivf_topk(spark):
     bucketed = df.withColumn("label", F.col("vec_id") % 3)
     out = ivf_topk(bucketed, bucketed.limit(2), k=3, nprobe=2).collect()
     assert len(out) <= 6 and all(r["cosine"] is not None for r in out)
+
+
+def _pq_mirror(vecs, m, k, iters, scale=1000):
+    """Independent numpy/python mirror of product_quantize's exact rules:
+    round-half-even quantization (numpy matches Spark/DuckDB round()? no —
+    both Spark F.round and DuckDB round() are half-away-from-zero, so the
+    mirror implements that), k lowest-id init, rational distance
+    num/n^2 with lower-cid tie-break, integer centroid state."""
+    import math
+
+    def quant(x):
+        v = x * scale
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    d = len(vecs[0])
+    d_sub = d // m
+    all_codes = {i: [] for i in range(len(vecs))}
+    books = []
+    for j in range(m):
+        q = {i: [quant(x) for x in vec[j * d_sub:(j + 1) * d_sub]] for i, vec in enumerate(vecs)}
+        cents = {cid: (list(q[i]), 1) for cid, i in enumerate(sorted(q)[:k])}  # cid -> (sums, n)
+        assign = {}
+        used = cents
+        for _ in range(iters):
+            used = cents
+            assign = {}
+            for i, v in q.items():
+                best = None
+                for cid in sorted(used):
+                    s, n = used[cid]
+                    num = sum((n * x - si) ** 2 for x, si in zip(v, s))
+                    dd = num / (n * n)
+                    if best is None or dd < best[0] or (dd == best[0] and cid < best[1]):
+                        best = (dd, cid)
+                assign[i] = best[1]
+            new = {}
+            for i, cid in assign.items():
+                s, n = new.get(cid, ([0] * d_sub, 0))
+                new[cid] = ([a + b for a, b in zip(s, q[i])], n + 1)
+            cents = new  # cids keep their labels; empty clusters drop out
+        for i, cid in assign.items():
+            all_codes[i].append(cid)
+        books.append(used)
+    return all_codes, books
+
+
+def test_product_quantize_matches_independent_mirror(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from aicoe_osc_demo_spark.operators.similarity import product_quantize
+
+    codes, books = product_quantize(df, m=2, k=3, iters=2, dim=8)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    expected, _ = _pq_mirror([v for _, v in rows], m=2, k=3, iters=2)
+    assert got == expected
+    # codebooks: m*k' rows of consistent integer state covering all members
+    bk = books.collect()
+    assert {r["sub"] for r in bk} == {0, 1}
+    assert sum(r["n"] for r in bk if r["sub"] == 0) == 30
+
+
+def test_pq_adc_topk_invariants_and_determinism(spark):
+    import random
+
+    random.seed(17)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import pq_adc_topk, product_quantize
+
+    codes, books = product_quantize(df, m=2, k=4, iters=2, dim=8)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(codes, books, queries, k=5, m=2, dim=8).collect()
+    assert len(out) == 10  # 5 per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["adc_dist"])
+    for q, ds in by_q.items():
+        assert ds == sorted(ds)  # ascending distance within each query
+        assert all(d >= 0 for d in ds)
+    # repartitioning the codes side must not change the pick
+    out2 = pq_adc_topk(codes.repartition(7), books, queries, k=5, m=2, dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a query that IS a corpus vector: its own code-cell distance should
+    # put it in the result (ADC distance to its own centroid is minimal
+    # among its cell) — weak sanity, exact rank depends on the codebooks
+    assert all(q in by_q for q in (0, 1))
+
+
+def test_kmeans_return_assignments(spark):
+    import random
+
+    random.seed(23)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from aicoe_osc_demo_spark.operators.similarity import kmeans_quantized
+
+    a = kmeans_quantized(df, k=3, iters=2, return_assignments=True)
+    rowsa = a.collect()
+    assert len(rowsa) == 40 and set(a.columns) == {"vec_id", "cid"}
+    assert {r["cid"] for r in rowsa} <= {0, 1, 2}
+    # assignment counts agree with the summary form
+    summary = {r["cluster_id"]: r["n_vecs"] for r in kmeans_quantized(df, k=3, iters=2).collect()}
+    counts = {}
+    for r in rowsa:
+        counts[r["cid"]] = counts.get(r["cid"], 0) + 1
+    assert counts == summary

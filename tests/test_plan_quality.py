@@ -84,6 +84,8 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "join_salted_skew",
         "llm_semantic_dedup",
         "events_range_join_binned",
+        "llm_pq_codes",
+        "llm_pq_adc_topk",
     ],
 )
 def test_no_cartesian_product(spark, name):
