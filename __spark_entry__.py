@@ -41,9 +41,10 @@ _DRIVER_CHECK_PRIORITY = [
     # --- oracles added in r5 (were no_oracle / harness-crash in r4) ---
     "reshape_nest_squad",
     "pipeline_text_curation",
-    # --- new in r5: product quantization (codes + ADC top-k) ---
+    # --- new in r5: product quantization (codes, ADC top-k, full IVF-PQ) ---
     "llm_pq_codes",
     "llm_pq_adc_topk",
+    "llm_ivfpq_topk",
     # --- code paths changed in r5: re-verify under the driver ---
     "curation_negative_sample",
     "llm_prefix_jaccard_join",

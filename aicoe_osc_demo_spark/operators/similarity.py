@@ -642,6 +642,7 @@ def pq_adc_topk(
     id_col: str = "query_id",
     dim: int = 64,
     scale: int = 1000,
+    _prejoined: bool = False,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes: approximate
     ||q - x||^2 as the sum over subspaces of the distance from the query's
@@ -690,10 +691,15 @@ def pq_adc_topk(
         "cid",
         (num.cast("double") / (F.col("n") * F.col("n")).cast("double")).alias("d"),
     )
-    # fan the corpus codes out per query, then resolve each subspace code
-    # against the broadcast LUT; the final distance is a left-associated
-    # chain d_0 + d_1 + ... so addition order is fixed
-    out = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
+    # fan the corpus codes out per query (unless the caller already joined
+    # a candidate (vec_id, codes, query_id) set, e.g. ivfpq_topk's probe
+    # restriction), then resolve each subspace code against the broadcast
+    # LUT; the final distance is a left-associated chain d_0 + d_1 + ...
+    # so addition order is fixed
+    if _prejoined:
+        out = codes
+    else:
+        out = codes.crossJoin(F.broadcast(lut.select("query_id").distinct()))
     dist = None
     for j in range(m):
         lj = lut.filter(F.col("sub") == j).select(
@@ -717,3 +723,92 @@ def pq_adc_topk(
     return top_k_per_group(
         scored, ["query_id"], -F.col("adc_dist"), k, tiebreak=["neighbor_id"]
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    nlist: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k_pq: int = 4,
+    top_k: int = 5,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """The complete IVF-PQ search path (FAISS's billion-vector default,
+    Jégou et al. 2011): a coarse quantizer prunes WHICH vectors are
+    scanned (IVF — each query probes its ``nprobe`` nearest of ``nlist``
+    inverted lists), product-quantization codes shrink WHAT is scanned
+    (ADC — m codes per vector, no vector arithmetic per row).
+
+    Codes quantize raw vectors, not residuals (FAISS ``by_residual=false``)
+    — residual encoding divides by per-list member counts and would break
+    the exact-integer codebook state this implementation's oracle
+    replayability rests on; at production scale it's a recall/constant
+    trade, not a plan-shape change.
+
+    Scale shape: the coarse assignment is a partition-prunable list id
+    (write the codes table partitioned by it and the probe join becomes a
+    partition-pruned scan, as in ``ivf_topk``); centroids and the ADC LUT
+    broadcast; the corpus-side scan carries (vec_id, list_id, codes) only;
+    one shuffle for the final per-query top-k.
+    """
+    from .relational import top_k_per_group
+
+    qz = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(
+            "v"
+        ),
+    )
+    assigned, coarse = _lloyd_quantized(qz, nlist, iters)
+    lists = assigned.select("vec_id", F.col("cid").alias("list_id"))
+    codes, books = product_quantize(
+        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+    )
+
+    # probe selection: rank the nlist coarse centroids per query by the same
+    # exact rational distance the assignment used; keep nprobe
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(
+            "qv"
+        ),
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    probed = top_k_per_group(
+        qv.crossJoin(F.broadcast(coarse)).select("query_id", "cid", d.alias("cd")),
+        ["query_id"],
+        -F.col("cd"),
+        nprobe,
+        tiebreak=["cid"],
+    ).select("query_id", F.col("cid").alias("list_id"))
+
+    # candidates = codes of vectors whose list a query probes (equi-join on
+    # list_id after the broadcast probe table fans out per query)
+    cand = codes.join(lists, on="vec_id").join(
+        F.broadcast(probed), on="list_id"
+    )
+    adc = pq_adc_topk(
+        cand.select("vec_id", "codes", "query_id"),
+        books,
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+        k=top_k,
+        m=m,
+        vec_col=vec_col,
+        id_col="query_id",
+        dim=dim,
+        scale=scale,
+        _prejoined=True,
+    )
+    return adc

@@ -1186,6 +1186,65 @@ _PQ_ADC_SQL = f"""
 """
 
 
+# Coarse-quantizer CTE chain for IVF-PQ: the SAME generator over the full
+# 64 dims (subspace index 9 avoids name collisions with the PQ chains).
+_IVF_COARSE = _pq_kmeans_ctes(9, 1, 64, 64, 4)
+_IVFPQ_SQL = f"""
+    WITH {_IVF_COARSE},
+    {_PQ_CTES},
+    lists AS (SELECT vec_id, cid AS list_id FROM a29),
+    probed AS (
+      SELECT query_id, cid AS list_id FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                          i -> (c.n * q.v[i] - c.s[i]) * (c.n * q.v[i] - c.s[i]))) AS DOUBLE)
+                        / CAST(c.n * c.n AS DOUBLE) ASC, c.cid ASC) AS rn
+        FROM (SELECT * FROM q9 WHERE vec_id < 3) q CROSS JOIN c19 c
+      ) WHERE rn <= 2
+    ),
+    codes AS (
+      SELECT a20.vec_id AS vec_id, a20.cid AS k0, a21.cid AS k1,
+             a22.cid AS k2, a23.cid AS k3
+      FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    ),
+    {_PQ_LUT},
+    scored AS (
+      SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
+             round(((l0.d + l1.d) + l2.d) + l3.d, 6) AS adc_dist
+      FROM codes c
+      JOIN lists ls ON c.vec_id = ls.vec_id
+      JOIN probed p ON ls.list_id = p.list_id
+      JOIN lut0 l0 ON c.k0 = l0.cid AND l0.query_id = p.query_id
+      JOIN lut1 l1 ON c.k1 = l1.cid AND l1.query_id = p.query_id
+      JOIN lut2 l2 ON c.k2 = l2.cid AND l2.query_id = p.query_id
+      JOIN lut3 l3 ON c.k3 = l3.cid AND l3.query_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("llm_ivfpq_topk", _IVFPQ_SQL)
+def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The complete IVF-PQ path: coarse quantizer prunes WHICH vectors are
+    # scanned (nprobe=2 of nlist=4 inverted lists per query), PQ codes
+    # shrink WHAT is scanned (ADC over m=4 codes).  Fully oracle-replayed:
+    # coarse Lloyd chain + probe ranking + per-subspace codebooks + LUT.
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries, nlist=4, nprobe=2, m=_PQ_M, k_pq=_PQ_K, top_k=5)
+
+
 @register("llm_pq_adc_topk", _PQ_ADC_SQL)
 def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Asymmetric distance computation over the PQ codes: query-time cost is

@@ -525,3 +525,44 @@ def test_kmeans_return_assignments(spark):
     for r in rowsa:
         counts[r["cid"]] = counts.get(r["cid"], 0) + 1
     assert counts == summary
+
+
+def test_ivfpq_topk_cluster_membership_and_determinism(spark):
+    # well-separated clusters, nprobe=1: every returned neighbor must come
+    # from the query's own cluster (the probe restriction IS the operator's
+    # contract); results deterministic under repartition; k rows per query
+    # in ascending ADC distance.  (Exact-cosine recall is NOT asserted:
+    # with k_pq=4 codebooks, same-code cluster members tie in ADC and the
+    # id tiebreak picks among them — finer codebooks, not the plan, decide
+    # that constant.)
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import ivfpq_topk
+
+    random.seed(31)
+    centers = [[random.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, [x + random.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(
+        df, queries, nlist=4, nprobe=1, m=2, k_pq=4, top_k=5, dim=16
+    ).collect()
+    assert len(got) == 15
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["adc_dist"], r["neighbor_id"]))
+    for q, pairs in by_q.items():
+        ds = [d for d, _ in pairs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
+        # Lloyd's on 4 well-separated blobs recovers the planted clusters,
+        # so nprobe=1 confines neighbors to the query's own blob
+        assert all(n % 4 == q % 4 for _, n in pairs), (q, pairs)
+    got2 = ivfpq_topk(
+        df.repartition(9), queries, nlist=4, nprobe=1, m=2, k_pq=4, top_k=5, dim=16
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))

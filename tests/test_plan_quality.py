@@ -86,6 +86,7 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "events_range_join_binned",
         "llm_pq_codes",
         "llm_pq_adc_topk",
+        "llm_ivfpq_topk",
     ],
 )
 def test_no_cartesian_product(spark, name):
