@@ -45,6 +45,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_pq_codes",
     "llm_pq_adc_topk",
     "llm_ivfpq_topk",
+    "llm_retrieve_rerank",
     # --- code paths changed in r5: re-verify under the driver ---
     "curation_negative_sample",
     "llm_prefix_jaccard_join",

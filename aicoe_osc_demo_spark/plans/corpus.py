@@ -113,3 +113,71 @@ def llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Context-window chunking for retrieval indexing: 32-word chunks,
     # 8-word overlap (stride 24).
     return chunk_documents(load(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8)
+
+
+# Two-stage retrieval: the BM25 CTE chain generates candidates, the stub
+# cross-encoder formula ((31*len(text) + 17*len(question)) % 1000)/1000
+# reranks them — both stages exactly replayable.
+_RERANK_SQL = _BM25_SQL.replace(
+    """
+    SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+""",
+    """
+    , cands AS (
+      SELECT q_id, doc_id, score AS bm25_score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), reranked AS (
+      SELECT c.q_id, c.doc_id, ROUND(c.bm25_score, 6) AS bm25_score,
+             CAST((31 * length(d.text) + 17 * length(q.q_text)) % 1000 AS DOUBLE) / 1000
+               AS rel_score
+      FROM cands c
+      JOIN documents d ON c.doc_id = d.doc_id
+      JOIN q ON c.q_id = q.q_id
+    )
+    SELECT q_id, doc_id, bm25_score, rel_score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY rel_score DESC, doc_id) AS rn
+      FROM reranked
+    ) WHERE rn <= 3
+""",
+)
+
+
+@register("llm_retrieve_rerank", _RERANK_SQL)
+def llm_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-stage retrieval (the BM25-then-cross-encoder serving shape, e.g.
+    # monoBERT pipelines): cheap lexical candidates (top-10 per query via
+    # the postings equi-join) → model rerank of ONLY those pairs (the
+    # mapInPandas stub scorer; swap model="/ckpt" for a real cross-encoder)
+    # → top-3.  Scale: the expensive model stage touches |queries| * 10
+    # rows, never |queries| * |docs| — candidate generation bounds
+    # inference cost, which is the whole point of the architecture.
+    from ..operators.inference import stub_relevance_scores
+    from ..operators.relational import top_k_per_group
+
+    d = load(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("q_text"),
+    )
+    cands = bm25_topk(d, queries, k=10, k1=1.5, b=0.75).select(
+        "q_id", "doc_id", F.round("score", 6).alias("bm25_score")
+    )
+    pairs = (
+        cands.join(d.select("doc_id", "text"), on="doc_id")
+        .join(F.broadcast(queries), on="q_id")
+        .select("q_id", "doc_id", "bm25_score", F.col("q_text").alias("question"), "text")
+    )
+    scored = stub_relevance_scores(pairs, question_col="question", text_col="text")
+    return top_k_per_group(
+        scored.select("q_id", "doc_id", "bm25_score", F.col("score").alias("rel_score")),
+        ["q_id"],
+        F.col("rel_score"),
+        3,
+        tiebreak=["doc_id"],
+    )

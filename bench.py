@@ -82,6 +82,7 @@ HEADLINE_R5 = [
     "llm_pq_codes",
     "llm_pq_adc_topk",
     "llm_ivfpq_topk",
+    "llm_retrieve_rerank",
 ]
 
 

@@ -54,3 +54,15 @@ def test_melt_single_value_var(spark):
 def test_single_doc_minhash_no_pairs(spark):
     docs = spark.createDataFrame([(1, "one single document here")], ["doc_id", "text"])
     assert minhash_dedup_pairs(docs).count() == 0
+
+
+def test_product_quantize_rejects_indivisible_dim(spark):
+    import pytest
+
+    from aicoe_osc_demo_spark.operators.similarity import pq_adc_topk, product_quantize
+
+    df = spark.createDataFrame([(0, [0.1] * 10)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="not divisible"):
+        product_quantize(df, m=4, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_adc_topk(df, df, df, m=3, dim=10)

@@ -87,6 +87,7 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_pq_codes",
         "llm_pq_adc_topk",
         "llm_ivfpq_topk",
+        "llm_retrieve_rerank",
     ],
 )
 def test_no_cartesian_product(spark, name):
