@@ -171,3 +171,33 @@ def test_hf_backend_real_path_with_stub_modules():
     # pairwise tree merge agrees with the flat weighted average
     merged = backend.merge_states(new_state, 2, new_state, 2)
     assert pickle.loads(merged)["w"] == pytest.approx(pickle.loads(avg)["w"])
+    # ... and with UNEQUAL weights: merge(s1,1, s2,3) == average([s1,s2],[1,3])
+    s_a = pickle.dumps({"w": 2.0})
+    s_b = pickle.dumps({"w": 6.0})
+    m_uneq = backend.merge_states(s_a, 1, s_b, 3)
+    a_uneq = backend.average_states([s_a, s_b], [1, 3])
+    assert pickle.loads(m_uneq)["w"] == pytest.approx(pickle.loads(a_uneq)["w"]) == 5.0
+
+
+def test_hf_backend_through_distributed_loop(spark):
+    # the REAL hf backend object (with stand-in modules) must survive the
+    # whole distributed loop: closure-shipped into mapInPandas, states
+    # tree-merged on executors, one merged state back per epoch.
+    # The fake classes live in this (non-importable-on-worker) test module,
+    # so ship them by value.
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules[__name__]
+    cloudpickle.register_pickle_by_value(mod)
+    try:
+        backend = hf_qa_finetune_backend("cp", modules=_fake_modules())
+        res = finetune_qa(_qa_df(spark, n=16).repartition(4), backend, epochs=1)
+    finally:
+        cloudpickle.unregister_pickle_by_value(mod)
+    assert pickle.loads(res["state"])["w"] == pytest.approx(1.0)
+    assert res["n_examples"] == 16
+    # loss: one _FakeLoss(0.25) per train_step call (one per Arrow batch);
+    # at least one batch per non-empty partition
+    assert res["loss_sums"][0] >= 0.25
