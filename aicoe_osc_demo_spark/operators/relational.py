@@ -96,6 +96,68 @@ def skip_processed(df: DataFrame, processed: DataFrame, on: list[str]) -> DataFr
     return df.join(processed.select(*on).distinct(), on=on, how="left_anti")
 
 
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+    open_end_ts: str | None = None,
+) -> DataFrame:
+    """SCD2 dimension historization — the validity-interval companion to
+    ``upsert_latest``'s latest-wins merge: collapse a change log into one
+    row per ATTRIBUTE CHANGE with ``[valid_from, valid_to)`` ranges and an
+    ``is_current`` flag (the classic slowly-changing-dimension type 2
+    layout warehouse joins expect).
+
+    No-op changes (consecutive rows with identical attributes) are
+    collapsed via a lag comparison before validity is assigned, so
+    re-delivered duplicates never split an interval.
+
+    Scale: both windows partition on the key — Catalyst reuses ONE
+    exchange for the lag and the lead (asserted in
+    test_scd2_windows_share_one_shuffle); rows carry keys + attrs only.
+    ``tiebreak_cols`` (default: the attribute columns) break exact
+    ``ts`` ties deterministically.  ``open_end_ts`` (e.g.
+    '2100-01-01 00:00:00') replaces the open interval's NULL valid_to with
+    a sentinel — the usual warehouse convention, and what keeps the column
+    null-free for engines/comparators with awkward null-timestamp
+    semantics (pandas datetime64[ns] also caps at year 2262, so the
+    classic 9999-12-31 sentinel does not survive a toPandas round-trip).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or attr_cols)
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    attr = F.struct(*[F.col(c) for c in attr_cols])
+    prev = F.lag(attr).over(w)
+    extras = [
+        c
+        for c in (tiebreak_cols or [])
+        if c not in {*key_cols, ts_col, *attr_cols}
+    ]
+    collapsed = (
+        changes.select(*key_cols, ts_col, *attr_cols, *extras)
+        .withColumn("_chg", prev.isNull() | (attr != prev))
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    out = (
+        collapsed.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumnRenamed(ts_col, "valid_from")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    if open_end_ts is not None:
+        out = out.withColumn(
+            "valid_to",
+            F.coalesce(
+                F.col("valid_to"), F.lit(open_end_ts).cast("timestamp_ntz")
+            ),
+        )
+    return out.select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
+
+
 def upsert_latest(
     existing: DataFrame, updates: DataFrame, key_cols: list[str], version_col: str
 ) -> DataFrame:

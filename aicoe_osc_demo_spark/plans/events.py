@@ -556,3 +556,39 @@ def events_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     sk = quantile_sketch(e, "value", 0.0, 500.0, 1000, ["event_type"])
     return quantile_estimate(sk, [0.5, 0.99], 0.0, 500.0, 1000, ["event_type"])
+
+
+@register(
+    "events_scd2_type_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS prev_type
+      FROM events
+    ),
+    collapsed AS (
+      SELECT user_id, ts, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+                    TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL
+             AS is_current
+    FROM collapsed
+    """,
+)
+def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 historization of each user's event_type "state": the change log
+    # collapses to validity intervals [valid_from, valid_to) with an
+    # is_current flag — the slowly-changing-dimension layout that
+    # point-in-time joins (AS OF semantics) consume.  Both windows ride one
+    # user_id exchange.
+    from ..operators.relational import scd2_from_changelog
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return scd2_from_changelog(
+        e, ["user_id"], "ts", ["event_type"], open_end_ts="2100-01-01 00:00:00"
+    )

@@ -83,6 +83,7 @@ HEADLINE_R5 = [
     "llm_pq_adc_topk",
     "llm_ivfpq_topk",
     "llm_retrieve_rerank",
+    "events_scd2_type_history",
 ]
 
 

@@ -119,3 +119,66 @@ def test_binned_range_join_matches_broadcast_form(spark):
         spark.createDataFrame([(50,), (300,)], "p long"), ivs, "p", "s", "e", bin_width=64
     )
     assert {(r.p, r.iv_id) for r in edge.collect()} == {(50, 1), (300, 2)}
+
+
+def test_scd2_from_changelog_semantics(spark):
+    from aicoe_osc_demo_spark.operators.relational import scd2_from_changelog
+
+    rows = [
+        # user 1: a -> a (dup, must collapse) -> b -> a
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 01:00:00", "a"),
+        (1, "2024-01-01 02:00:00", "b"),
+        (1, "2024-01-01 03:00:00", "a"),
+        # user 2: single state
+        (2, "2024-01-01 00:30:00", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "state"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = scd2_from_changelog(df, ["user_id"], "ts", ["state"]).collect()
+    u1 = sorted(
+        [(r.state, str(r.valid_from), r.valid_to and str(r.valid_to), r.is_current)
+         for r in out if r.user_id == 1]
+    )
+    # the duplicate 'a' at 01:00 must NOT split the first interval
+    assert u1 == sorted([
+        ("a", "2024-01-01 00:00:00", "2024-01-01 02:00:00", False),
+        ("b", "2024-01-01 02:00:00", "2024-01-01 03:00:00", False),
+        ("a", "2024-01-01 03:00:00", None, True),
+    ])
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].is_current and u2[0].valid_to is None
+    # intervals tile: each non-current valid_to equals the next valid_from
+    # (validity is half-open, point-in-time lookups hit exactly one row)
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    for rows_u in per_user.values():
+        rows_u.sort(key=lambda r: r.valid_from)
+        for a, b in zip(rows_u, rows_u[1:]):
+            assert a.valid_to == b.valid_from
+    # open_end_ts sentinel replaces the NULL open end
+    out2 = scd2_from_changelog(
+        df, ["user_id"], "ts", ["state"], open_end_ts="2100-01-01 00:00:00"
+    ).collect()
+    assert all(r.valid_to is not None for r in out2)
+    assert sum(1 for r in out2 if str(r.valid_to).startswith("2100")) == 2
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    # lag (collapse) and lead (validity) both partition on the key: the
+    # plan must reuse one Exchange
+    import contextlib
+    import io
+
+    from aicoe_osc_demo_spark.operators.relational import scd2_from_changelog
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a")], ["user_id", "ts", "state"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = scd2_from_changelog(df, ["user_id"], "ts", ["state"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    assert buf.getvalue().count("Exchange") <= 1
