@@ -592,3 +592,51 @@ def events_scd2_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_changelog(
         e, ["user_id"], "ts", ["event_type"], open_end_ts="2100-01-01 00:00:00"
     )
+
+
+@register(
+    "events_scd2_pointintime",
+    # The consuming side of SCD2: an AS OF lookup of each fact's dimension
+    # state.  DuckDB's native ASOF JOIN against the replayed history is the
+    # oracle for the engine's union+window formulation.
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_type) AS prev_type
+      FROM events
+    ),
+    hist AS (
+      SELECT user_id, ts AS valid_from, event_type AS state
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    facts AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 = 0)
+    SELECT f.event_id, f.user_id, h.state AS state_asof
+    FROM facts f
+    ASOF LEFT JOIN hist h
+      ON f.user_id = h.user_id AND f.ts >= h.valid_from
+    """,
+)
+def events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 + AS OF: build the type-history dimension, then attach to each
+    # sampled fact the state whose validity interval covers its timestamp
+    # (backward as-of on valid_from — equivalent to the BETWEEN lookup on
+    # half-open intervals, but one shuffle instead of a range join).
+    from ..operators.relational import scd2_from_changelog
+    from ..operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        e.select("user_id", "ts", "event_type"), ["user_id"], "ts", ["event_type"]
+    ).select("user_id", "valid_from", F.col("event_type").alias("state"))
+    facts = e.filter(F.col("event_id") % 20 == 0).select("event_id", "user_id", "ts")
+    out = asof_join(
+        facts,
+        hist,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state"],
+    )
+    return out.select("event_id", "user_id", F.col("state_asof"))

@@ -84,6 +84,7 @@ HEADLINE_R5 = [
     "llm_ivfpq_topk",
     "llm_retrieve_rerank",
     "events_scd2_type_history",
+    "events_scd2_pointintime",
 ]
 
 
