@@ -566,3 +566,42 @@ def test_ivfpq_topk_cluster_membership_and_determinism(spark):
         df.repartition(9), queries, nlist=4, nprobe=1, m=2, k_pq=4, top_k=5, dim=16
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_pq_adc_distance_matches_numpy_lut(spark):
+    # the ADC value for (query, vector) must equal the independently
+    # computed sum over subspaces of the exact rational distance from the
+    # query subvector to the vector's ASSIGNED centroid (Jegou Eq. 12),
+    # reproduced here in numpy from the collected codebooks
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import pq_adc_topk, product_quantize
+
+    random.seed(41)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    codes_df, books_df = product_quantize(df, m=2, k=3, iters=2, dim=8)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_adc_topk(codes_df, books_df, queries, k=30, m=2, dim=8).collect()
+
+    def quant(x):
+        v = x * 1000
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    books = {(r["sub"], r["cid"]): (list(r["s"]), r["n"]) for r in books_df.collect()}
+    codes = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    vecs = dict(rows)
+    for r in out:
+        q = [quant(x) for x in vecs[r["query_id"]]]
+        expected = 0.0
+        for j in range(2):
+            s, n = books[(j, codes[r["neighbor_id"]][j])]
+            qs = q[j * 4:(j + 1) * 4]
+            num = sum((n * x - si) ** 2 for x, si in zip(qs, s))
+            expected += num / (n * n)
+        assert r["adc_dist"] == round(expected, 6), (r, expected)
