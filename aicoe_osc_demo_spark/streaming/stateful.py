@@ -58,3 +58,87 @@ def running_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- Streaming SCD2 maintenance ---------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, state string, valid_from timestamp, valid_to timestamp"
+)
+SCD2_STATE_SCHEMA = "last_state string, last_from_ns long"
+
+
+def _scd2_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        last_state, last_from_ns = state.get
+    else:
+        last_state, last_from_ns = None, None
+    closed: list[tuple] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic replay order matches the batch op's (ts, attr) tiebreak
+    batch = batch.sort_values(["ts", "event_type"], ignore_index=True)
+    for ts, attr in zip(batch["ts"], batch["event_type"]):
+        ts_ns = pd.Timestamp(ts).value
+        if last_from_ns is not None and ts_ns <= last_from_ns:
+            # late or duplicate-timestamp delivery: dropped, the interval
+            # ledger stays append-only (the streaming watermark contract)
+            continue
+        if last_state is None:
+            last_state, last_from_ns = attr, ts_ns
+        elif attr != last_state:
+            closed.append((user_id, last_state, last_from_ns, ts_ns))
+            last_state, last_from_ns = attr, ts_ns
+    state.update((last_state, last_from_ns))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in closed],
+                "state": [r[1] for r in closed],
+                "valid_from": [pd.Timestamp(r[2]) for r in closed],
+                "valid_to": [pd.Timestamp(r[3]) for r in closed],
+            }
+        )
+
+
+def user_state_intervals(events: DataFrame) -> DataFrame:
+    """Streaming SCD2 maintenance: per-user (ts, event_type) change streams
+    become an APPEND-ONLY ledger of CLOSED validity intervals; the open
+    interval lives in the operator state (and in the checkpoint, so
+    restarts resume mid-dimension).  The batch form degrades to
+    ``scd2_from_changelog``'s non-current rows — identical output for
+    in-order data, which is what the streaming/batch parity test asserts.
+
+    Contract: per key, rows at-or-before the last accepted change are
+    dropped (append-only ledger); feed event-time-ordered streams or
+    pre-dedupe with a watermark upstream.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        from ..operators.relational import scd2_from_changelog
+
+        return (
+            scd2_from_changelog(
+                events.select("user_id", "ts", "event_type"),
+                ["user_id"],
+                "ts",
+                ["event_type"],
+            )
+            .filter(~F.col("is_current"))
+            .select(
+                "user_id",
+                F.col("event_type").alias("state"),
+                "valid_from",
+                "valid_to",
+            )
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

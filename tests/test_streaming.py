@@ -236,3 +236,80 @@ def test_streaming_near_dedup_across_runs(spark, tmp_path):
     sigs = spark.read.parquet(ledger)
     assert {r.doc_id for r in sigs.collect()} == {1, 2, 4}
     assert len(sigs.columns) == 9  # doc_id + 8 signature longs, never text
+
+
+def test_streaming_scd2_intervals_across_runs(spark, tmp_path):
+    # streaming SCD2: closed intervals emitted append-only; the open
+    # interval survives restarts via checkpointed state; output matches the
+    # batch scd2 op on the same (in-order) data
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.streaming.stateful import user_state_intervals
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    def mk(rows, name):
+        spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ).coalesce(1).write.parquet(f"{inp}/{name}.parquet")
+
+    mk(
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-01 01:00:00", "a"),  # no-op: must not close anything
+            (1, "2024-01-01 02:00:00", "b"),
+            (2, "2024-01-01 00:30:00", "x"),
+        ],
+        "f1",
+    )
+
+    def run(sink):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp_ntz, event_type string")
+            .option("recursiveFileLookup", "true")
+            .parquet(inp)
+        )
+        q = (
+            user_state_intervals(stream)
+            .writeStream.foreachBatch(lambda df, _e: sink.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    out1: list = []
+    run(out1)
+    assert [(r.user_id, r.state, str(r.valid_from), str(r.valid_to)) for r in out1] == [
+        (1, "a", "2024-01-01 00:00:00", "2024-01-01 02:00:00")
+    ]
+
+    # second delivery: user 1 b->c closes b (open since 02:00 in state),
+    # user 2 x->y closes x — both require state carried across the restart
+    mk(
+        [(1, "2024-01-01 03:00:00", "c"), (2, "2024-01-01 01:30:00", "y")],
+        "f2",
+    )
+    out2: list = []
+    run(out2)
+    got2 = sorted((r.user_id, r.state, str(r.valid_from), str(r.valid_to)) for r in out2)
+    assert got2 == [
+        (1, "b", "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+        (2, "x", "2024-01-01 00:30:00", "2024-01-01 01:30:00"),
+    ]
+
+    # batch/streaming parity: closed intervals from the batch op over ALL
+    # delivered rows equal the union of the streamed emissions
+    allrows = spark.read.option("recursiveFileLookup", "true").parquet(inp)
+    batch = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to))
+        for r in user_state_intervals(allrows).collect()
+    )
+    streamed = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to)) for r in out1 + out2
+    )
+    assert batch == streamed
