@@ -29,11 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries.  r5 closes the catalog: the 2 queries that have
 # never been inside a driver window (oracles registered in r4), the 2 that
 # gained oracles this round (reshape_nest_squad's to_json canonical form,
-# pipeline_text_curation's full-DAG SQL replay), every query whose code path
-# changed this round (lazy negative-sample threshold, prefix-join shingle
-# cache, finetune tree merge, keep-positive pipeline dedup), the 2
-# structurally oracle-less entries (driver records rows-only), then the
-# judge's must-verify set as fillers.  Names absent follow in registry order.
+# pipeline_text_curation's full-DAG SQL replay), the 6 NEW r5 queries
+# (product quantization codes / ADC top-k / IVF-PQ end-to-end, BM25+rerank,
+# SCD2 history + point-in-time lookup), every query whose code path changed
+# this round (lazy negative-sample threshold, prefix-join shingle cache,
+# finetune tree merge, keep-positive pipeline dedup), the 2 structurally
+# oracle-less entries (driver records rows-only), then the judge's
+# must-verify set as fillers.  Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
     # --- never driver-checked (r4 verdict item 1) ---
     "llm_kmeans_clusters",
