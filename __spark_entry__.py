@@ -50,6 +50,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_retrieve_rerank",
     "events_scd2_type_history",
     "events_scd2_pointintime",
+    "events_gapfill_locf",
     # --- code paths changed in r5: re-verify under the driver ---
     "curation_negative_sample",
     "llm_prefix_jaccard_join",

@@ -132,3 +132,43 @@ def binned_range_join(
         )
         .drop("_bin")
     )
+
+
+def gapfill_locf(
+    buckets: DataFrame,
+    key_cols: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    step_seconds: int,
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward — the
+    hypertable ``time_bucket_gapfill(...) + locf(...)`` shape: every key
+    gets a dense bucket grid from its first to its last observed bucket;
+    missing buckets carry the previous bucket's values forward (NULL before
+    the first observation never occurs because the grid starts there).
+
+    Input must already be bucketed (one row per (key, bucket)).  The grid
+    is built per key with sequence+explode — no driver-side range, no
+    cross join with a calendar table; the fill is one last(ignorenulls)
+    window per key.  Scale: grid size is (span/step) rows per key,
+    generated executor-side; the only shuffle is the key window, and a
+    year of hourly buckets is 8.8k rows per key — trivially windowable.
+    """
+    span = buckets.groupBy(*key_cols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    step = F.expr(f"INTERVAL {int(step_seconds)} SECONDS")
+    grid = span.select(
+        *key_cols,
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(bucket_col),
+    )
+    filled = grid.join(buckets, on=[*key_cols, bucket_col], how="left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = filled.withColumn("is_gap", F.col(value_cols[0]).isNull())
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out.select(*key_cols, bucket_col, *value_cols, "is_gap")

@@ -640,3 +640,47 @@ def events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["state"],
     )
     return out.select("event_id", "user_id", F.col("state_asof"))
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             ROUND(SUM(value), 6) AS sum_value
+      FROM events WHERE value >= 45 GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
+    grid AS (
+      SELECT s.event_type,
+             unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM span s
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket, b.sum_value,
+             b.sum_value IS NULL AS is_gap
+      FROM grid g LEFT JOIN b USING (event_type, bucket)
+    )
+    SELECT event_type, bucket,
+           last_value(sum_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+           is_gap
+    FROM j
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable gap filling: a sparse hourly rollup (only high-value
+    # events) densifies to a per-type hourly grid with
+    # last-observation-carried-forward — the time_bucket_gapfill + locf
+    # shape continuous dashboards need.  Grid generated executor-side via
+    # sequence+explode; one key window fills.
+    from ..operators.temporal import gapfill_locf
+
+    e = load(spark, sf_dir, "events")
+    buckets = (
+        e.filter(F.col("value") >= 45)
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    return gapfill_locf(buckets, ["event_type"], "bucket", ["sum_value"], 3600)

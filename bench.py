@@ -85,6 +85,7 @@ HEADLINE_R5 = [
     "llm_retrieve_rerank",
     "events_scd2_type_history",
     "events_scd2_pointintime",
+    "events_gapfill_locf",
 ]
 
 

@@ -182,3 +182,35 @@ def test_scd2_windows_share_one_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         out.explain("simple")
     assert buf.getvalue().count("Exchange") <= 1
+
+
+def test_gapfill_locf_semantics(spark):
+    from aicoe_osc_demo_spark.operators.temporal import gapfill_locf
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("a", "2024-01-01 03:00:00", 4.0),  # 01:00, 02:00 are gaps
+        ("b", "2024-01-01 05:00:00", 9.0),  # single bucket: no gaps
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v"]).withColumn(
+        "bucket", F.col("bucket").cast("timestamp_ntz")
+    )
+    out = gapfill_locf(df, ["k"], "bucket", ["v"], 3600).collect()
+    a = sorted(
+        ((str(r.bucket), r.v, r.is_gap) for r in out if r.k == "a"), key=lambda t: t[0]
+    )
+    assert a == [
+        ("2024-01-01 00:00:00", 1.0, False),
+        ("2024-01-01 01:00:00", 1.0, True),   # carried forward
+        ("2024-01-01 02:00:00", 1.0, True),
+        ("2024-01-01 03:00:00", 4.0, False),
+    ]
+    b = [(str(r.bucket), r.v, r.is_gap) for r in out if r.k == "b"]
+    assert b == [("2024-01-01 05:00:00", 9.0, False)]
+    # grid is dense: bucket deltas are exactly one step within each key
+    import datetime
+
+    buckets_a = [r[0] for r in a]
+    for x, y in zip(buckets_a, buckets_a[1:]):
+        d = datetime.datetime.fromisoformat(y) - datetime.datetime.fromisoformat(x)
+        assert d.total_seconds() == 3600
