@@ -26,81 +26,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r5 closes the catalog: the 2 queries that have
-# never been inside a driver window (oracles registered in r4), the 2 that
-# gained oracles this round (reshape_nest_squad's to_json canonical form,
-# pipeline_text_curation's full-DAG SQL replay), the 6 NEW r5 queries
-# (product quantization codes / ADC top-k / IVF-PQ end-to-end, BM25+rerank,
-# SCD2 history + point-in-time lookup), every query whose code path changed
-# this round (lazy negative-sample threshold, prefix-join shingle cache,
-# finetune tree merge, keep-positive pipeline dedup), the 2 structurally
-# oracle-less entries (driver records rows-only), then the judge's
-# must-verify set as fillers.  Names absent follow in registry order.
+# FIRST 50 registry entries.  r6 window = the 5 queries whose code paths
+# changed this round (the llm_pq_codes canonical-form fix — the one red r5
+# row — plus the gapfill/SCD2/incremental-near-dedup reworks), then the
+# 45 oldest-verified entries: the relational/text long tail last
+# driver-checked in r02, whose shared helpers (functions/text.py,
+# operators/relational.py) have been edited since.  The 5 remaining
+# r02-era entries (the trivial projection/filter family: proj_select_columns,
+# filter_conjunctive, filter_dropna, filter_isin, filter_anti_isin) roll
+# into the r7 window, after which every catalog entry is green within 3
+# rounds.  Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
-    # --- never driver-checked (r4 verdict item 1) ---
-    "llm_kmeans_clusters",
-    "llm_segment_dedup",
-    # --- oracles added in r5 (were no_oracle / harness-crash in r4) ---
-    "reshape_nest_squad",
-    "pipeline_text_curation",
-    # --- new in r5: product quantization (codes, ADC top-k, full IVF-PQ) ---
+    # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
-    "llm_pq_adc_topk",
-    "llm_ivfpq_topk",
-    "llm_retrieve_rerank",
+    "events_gapfill_locf",
     "events_scd2_type_history",
     "events_scd2_pointintime",
-    "events_gapfill_locf",
-    # --- code paths changed in r5: re-verify under the driver ---
-    "curation_negative_sample",
-    "llm_prefix_jaccard_join",
-    "ml_qa_finetune_loss",
-    "pipeline_llm_curation",
-    # --- structurally oracle-less (rows-only driver check, documented) ---
-    "llm_fuzzy_ratio_join",
-    "ml_relevance_training_metrics",
-    # --- judge's must-verify set + strongest families as fillers ---
-    "llm_minhash_lsh_pairs",
-    "curation_answer_offsets",
-    "events_asof_join",
-    "ml_relevance_inference",
-    "multimodal_features",
-    "llm_exact_dedup",
-    "llm_minhash_signatures",
-    "llm_ngram_jaccard_pairs",
-    "llm_incremental_dedup",
-    "llm_contamination_check",
-    "text_winnow_fingerprint",
-    "llm_cosine_topk",
-    "llm_ivf_topk",
-    "llm_bm25_topk",
-    "llm_ann_lsh_topk",
-    "llm_embedding_near_dup",
-    "llm_simhash_pairs",
-    "llm_dedup_clusters",
-    "llm_semantic_dedup",
-    "llm_duplicate_spans",
-    "llm_repetition_stats",
-    "llm_bloom_prefilter",
     "llm_incremental_near_dedup",
-    "llm_hll_vocab_estimate",
-    "llm_lm_perplexity",
-    "llm_cms_token_counts",
-    "agg_quantile_sketch",
-    "events_grouped_quantiles",
-    "events_range_join_binned",
-    "events_sessionize",
-    "events_windowed_counts",
-    "events_session_window",
-    "join_salted_skew",
-    "join_multiway_revenue_by_nation",
+    # --- oldest-verified rotation: last driver-green in r02 ---
+    "agg_count_by_group",
+    "agg_distinct_count",
+    "agg_global_sum",
+    "agg_having_groups",
     "agg_pricing_summary",
-    "window_topk_per_group",
-    "ml_qa_inference_topk",
-    "ml_group_metrics",
-    "curation_extra_answerable",
+    "agg_sum_avg_by_group",
+    "agg_summary_stats",
+    "dedup_distinct_rows",
+    "dedup_keep_first_per_key",
+    "incremental_skip_processed",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_cross_small",
+    "join_left_orders_customer",
+    "join_multiway_revenue_by_nation",
+    "join_semi",
+    "join_top_unshipped_orders",
+    "order_limit",
+    "reshape_melt",
+    "reshape_struct_unpack",
+    "sample_deterministic_shuffle",
+    "sample_train_split",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "text_bpe_token_count",
     "text_clean_curator",
-    "llm_stratified_sample",
+    "text_clean_kpi",
+    "text_clean_page",
+    "text_clean_paragraph",
+    "text_filename_repair",
+    "text_group_concat",
+    "text_lang_id",
+    "text_numeric_repair",
+    "text_page_shift",
+    "text_parse_string_list",
+    "text_quality_score",
+    "text_regex_filter",
+    "text_remove_html",
+    "text_snakify_columns",
+    "text_token_stats",
+    "text_year_in_question",
+    "window_argmax_per_group",
+    "window_rank_within_group",
+    "window_topk_per_group",
 ]
 
 

@@ -213,6 +213,24 @@ def incremental_dedup(
     ).select(id_col, text_col)
 
 
+def banded_signature_ledger(
+    sigs_wide: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Explode a wide MinHash signature ledger (doc_id, mh0..mh{n-1}) into
+    its banded LSH layout (doc_id, mh*, band, bkey) — the form to PERSIST
+    BUCKETED by ``bkey`` (``write_bucketed_table(df, name, "bkey")``) so
+    every incremental batch's candidate join against the accepted corpus
+    is co-located: the ledger side — the big side, re-joined on every
+    batch — is read pre-hashed into its buckets with no Exchange (the
+    same layout lever as the bucketed BM25 postings).  ``bands`` rows per
+    ledger document, each 8 longs + 32 hex chars — still no text.
+    """
+    mh_cols = [f"mh{i}" for i in range(n_hashes)]
+    return sigs_wide.select(
+        "doc_id", *mh_cols, F.expr(_band_stack_expr(n_hashes, bands))
+    )
+
+
 def incremental_near_dedup(
     new_docs: DataFrame,
     ledger_sigs: DataFrame,
@@ -242,6 +260,20 @@ def incremental_near_dedup(
     to the ledger); join back on id for the full rows.  Candidate volume is
     band-bounded: the shuffle carries (band, 32-hex key) rows, so the shape
     is the same banded equi-join that scales in ``minhash_dedup_pairs``.
+
+    Ledger layouts: ``ledger_sigs`` is either the WIDE form
+    (doc_id, mh0..mh{n-1}) — banded here at join time — or the PRE-BANDED
+    form produced by ``banded_signature_ledger`` (doc_id, mh*, band, bkey).
+    The pre-banded form is the repeated-join scale path: persist it
+    bucketed by ``bkey`` (``write_bucketed_table(..., "bkey")``) and every
+    future batch's candidate join reads the ledger co-located — NO
+    Exchange on the ledger side (the ledger is the 100 TB side; the batch
+    is the small side, and re-shuffling the whole accepted corpus per
+    micro-batch is exactly the cost bucketing exists to delete).  The
+    pre-banded candidate join keys on ``bkey`` alone so it rides the
+    bucketing (a (band, bkey) join defeats Spark's bucket co-location);
+    cross-band bkey collisions just add candidates, and the exact
+    full-signature Jaccard filter below makes the final output identical.
     """
     sigs = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
     band_expr = _band_stack_expr(n_hashes, bands)
@@ -255,12 +287,21 @@ def incremental_near_dedup(
         return eq.cast("double") / F.lit(float(n_hashes))
 
     new_banded = sigs.select("doc_id", *mh_cols, F.expr(band_expr))
-    led_banded = ledger_sigs.select(
-        F.col("doc_id").alias("led_id"),
-        *[F.col(c).alias(f"led_{c}") for c in mh_cols],
-        F.expr(band_expr),
-    )
-    cand = new_banded.alias("n").join(led_banded.alias("l"), on=["band", "bkey"])
+    if "bkey" in ledger_sigs.columns:
+        led_banded = ledger_sigs.select(
+            F.col("doc_id").alias("led_id"),
+            *[F.col(c).alias(f"led_{c}") for c in mh_cols],
+            "bkey",
+        )
+        led_join_keys = ["bkey"]
+    else:
+        led_banded = ledger_sigs.select(
+            F.col("doc_id").alias("led_id"),
+            *[F.col(c).alias(f"led_{c}") for c in mh_cols],
+            F.expr(band_expr),
+        )
+        led_join_keys = ["band", "bkey"]
+    cand = new_banded.alias("n").join(led_banded.alias("l"), on=led_join_keys)
     eq = sum(
         F.when(F.col(f"n.mh{i}") == F.col(f"l.led_mh{i}"), 1).otherwise(0)
         for i in range(n_hashes)
@@ -555,9 +596,13 @@ def prefix_jaccard_join(
         # base feeds three branches (prefix selection + both verify sides);
         # without a persist the gram HOF recomputes 3x over the raw text.
         # MEMORY_AND_DISK: at scale the (id, grams) frame is ~the tokenized
-        # corpus — spilling it still beats three text scans.  Callers
-        # composing this into a larger cached plan can pass
-        # cache_shingles=False.
+        # corpus — spilling it still beats three text scans.
+        # LIFETIME CAVEAT: the persist is never unpersisted here (the
+        # result is lazy, so there is no safe point inside this function to
+        # release it).  Callers composing MANY joins in one application
+        # must either pass cache_shingles=False or release blocks between
+        # calls (spark.catalog.clearCache(), as bench.py does) or cached
+        # shingle frames accumulate for the application lifetime.
         base = base.persist()
     toks = base.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))

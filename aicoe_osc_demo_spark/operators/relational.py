@@ -149,10 +149,15 @@ def scd2_from_changelog(
         .withColumn("is_current", F.col("valid_to").isNull())
     )
     if open_end_ts is not None:
+        # cast the sentinel to the INPUT ts column's type — a fixed
+        # timestamp_ntz cast against a TIMESTAMP(ltz) ts_col would make the
+        # coalesce branches disagree (AnalysisException or silent coercion
+        # depending on Spark version)
         out = out.withColumn(
             "valid_to",
             F.coalesce(
-                F.col("valid_to"), F.lit(open_end_ts).cast("timestamp_ntz")
+                F.col("valid_to"),
+                F.lit(open_end_ts).cast(changes.schema[ts_col].dataType),
             ),
         )
     return out.select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")

@@ -162,13 +162,21 @@ def gapfill_locf(
         *key_cols,
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(bucket_col),
     )
-    filled = grid.join(buckets, on=[*key_cols, bucket_col], how="left")
+    # explicit presence marker: an observed (key, bucket) row whose FIRST
+    # value column is legitimately NULL must not be classified as a gap
+    # (and get all its columns LOCF-overwritten) — gap detection must not
+    # depend on any value column
+    filled = grid.join(
+        buckets.withColumn("_obs", F.lit(True)),
+        on=[*key_cols, bucket_col],
+        how="left",
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(bucket_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = filled.withColumn("is_gap", F.col(value_cols[0]).isNull())
+    out = filled.withColumn("is_gap", F.col("_obs").isNull()).drop("_obs")
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out.select(*key_cols, bucket_col, *value_cols, "is_gap")

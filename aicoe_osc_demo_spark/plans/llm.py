@@ -1127,12 +1127,15 @@ _PQ_CTES = ",".join(
     _pq_kmeans_ctes(j, j * _PQ_DSUB + 1, (j + 1) * _PQ_DSUB, _PQ_DSUB, _PQ_K)
     for j in range(_PQ_M)
 )
+# Canonical form: one (vec_id, sub, code) row per subspace assignment —
+# nested array columns crash pandas-side canonicalizers (sort_values over
+# object lists), so the catalog convention is flat rows / to_json strings.
 _PQ_CODES_SQL = f"""
     WITH {_PQ_CTES}
-    SELECT a20.vec_id AS vec_id,
-           [CAST(a20.cid AS INT), CAST(a21.cid AS INT),
-            CAST(a22.cid AS INT), CAST(a23.cid AS INT)] AS codes
-    FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    {" UNION ALL ".join(
+        f"SELECT vec_id, CAST({j} AS INT) AS sub, CAST(cid AS INT) AS code FROM a2{j}"
+        for j in range(_PQ_M)
+    )}
 """
 
 
@@ -1140,13 +1143,14 @@ _PQ_CODES_SQL = f"""
 def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Product quantization (FAISS IVF-PQ memory layout): 64-dim embeddings
     # compress to 4 codes via 4 independent deterministic codebooks — the
-    # representation that keeps a billion-vector index in RAM.
+    # representation that keeps a billion-vector index in RAM.  Registered
+    # exploded (vec_id, sub, code) so the output is flat-canonical.
     from ..operators.similarity import product_quantize
 
     codes, _books = product_quantize(
         load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, iters=2
     )
-    return codes
+    return codes.select("vec_id", F.posexplode("codes").alias("sub", "code"))
 
 
 _PQ_LUT = ",".join(

@@ -82,13 +82,20 @@ def _scd2_update(
     batch = batch.sort_values(["ts", "event_type"], ignore_index=True)
     for ts, attr in zip(batch["ts"], batch["event_type"]):
         ts_ns = pd.Timestamp(ts).value
-        if last_from_ns is not None and ts_ns <= last_from_ns:
-            # late or duplicate-timestamp delivery: dropped, the interval
-            # ledger stays append-only (the streaming watermark contract)
+        if last_from_ns is not None and (
+            ts_ns < last_from_ns
+            or (ts_ns == last_from_ns and attr <= last_state)
+        ):
+            # late delivery, or an equal-ts row that would sort AT or
+            # BEFORE the accepted change under the batch (ts, attr)
+            # order: dropped, the interval ledger stays append-only
             continue
         if last_state is None:
             last_state, last_from_ns = attr, ts_ns
         elif attr != last_state:
+            # equal-ts accepted changes (attr > last_state) close a
+            # zero-width interval — exactly what the batch
+            # scd2_from_changelog's lead(ts) produces for (ts, attr) ties
             closed.append((user_id, last_state, last_from_ns, ts_ns))
             last_state, last_from_ns = attr, ts_ns
     state.update((last_state, last_from_ns))
@@ -109,11 +116,14 @@ def user_state_intervals(events: DataFrame) -> DataFrame:
     interval lives in the operator state (and in the checkpoint, so
     restarts resume mid-dimension).  The batch form degrades to
     ``scd2_from_changelog``'s non-current rows — identical output for
-    in-order data, which is what the streaming/batch parity test asserts.
+    in-order data, INCLUDING duplicate-timestamp change streams: equal-ts
+    rows apply under the same (ts, attr) tiebreak as the batch window
+    order, closing zero-width intervals exactly as lead(ts) does.
 
-    Contract: per key, rows at-or-before the last accepted change are
-    dropped (append-only ledger); feed event-time-ordered streams or
-    pre-dedupe with a watermark upstream.
+    Contract: per key, rows strictly before the last accepted change (or
+    sorting at-or-before it under (ts, attr)) are dropped — the ledger is
+    append-only; feed event-time-ordered streams or pre-dedupe with a
+    watermark upstream.
     """
     if not events.isStreaming:
         from pyspark.sql import functions as F

@@ -2,8 +2,15 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is fully materialized (count + a cheap checksum via collect of the
-aggregate) so lazy plans can't hide work.
+Each query is materialized via a checksum aggregation over EVERY output
+column (sum of xxhash64 of the row) — a bare .count() lets Catalyst's
+ColumnPruning delete map-only projections entirely, so a
+``df.select(id, f(col)).count()`` collapses to ``count(1)`` over the scan
+and times a parquet row-count instead of the operator (this bit four
+map-only entries through r5: text_clean_curator, llm_pii_scrub,
+multimodal_metadata, text_lang_id_trigram).  For the r5→r6 transition the
+old count-materialized total is also reported once as
+``value_count_materialized`` so the historical series stays comparable.
 """
 
 from __future__ import annotations
@@ -108,10 +115,30 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
+    from pyspark.sql import functions as F
+
+    def checksum_materialize(df):
+        """Force computation of every output column: count + sum of a
+        per-row xxhash64 over all columns cast to string.  Unlike
+        .count(), the hash REFERENCES every column, so ColumnPruning
+        cannot delete map-side work feeding the output."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor, not sum: summing 2^63-scale hashes overflows under
+            # ANSI arithmetic; xor is closed over long and still forces
+            # every column's computation
+            F.bit_xor(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+            ).alias("chk"),
+        ).collect()[0]
+        return row["n"]
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    timings_count: dict[str, float] = {}
     total = 0.0
     total_all = 0.0
+    total_count = 0.0
     for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
         fn = QUERIES[name]
         best, n = None, 0
@@ -121,7 +148,7 @@ def main() -> None:
         # such a spike
         for _ in range(3):
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            n = checksum_materialize(fn(spark, sf_dir))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
@@ -129,10 +156,24 @@ def main() -> None:
         # shingle base) must not carry cached blocks into later queries —
         # each entry is timed against a clean block manager
         spark.catalog.clearCache()
+        # transition series: the pre-r6 count() materialization, so the
+        # historical `value` numbers have a same-method comparison point
+        best_c = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        timings_count[name] = round(best_c, 3)
+        spark.catalog.clearCache()
         if name in HEADLINE:
             total += best
+            total_count += best_c
         total_all += best
-        print(f"# {name}: {n} rows in {best:.2f}s", file=sys.stderr)
+        print(
+            f"# {name}: {n} rows in {best:.2f}s (count-only {best_c:.2f}s)",
+            file=sys.stderr,
+        )
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
@@ -147,6 +188,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "total_all_queries": round(total_all, 3),
+                # r5→r6 method transition: same queries under the old
+                # count() materialization (ColumnPruning-affected)
+                "value_count_materialized": round(total_count, 3),
+                "queries_count_materialized": timings_count,
                 "sf": sf,
                 # machine load context so a contended run is distinguishable
                 # from a real regression when comparing rounds

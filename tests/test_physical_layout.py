@@ -77,3 +77,52 @@ def test_bm25_postings_bucketed_reuse(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE b_postings")
+
+
+def test_minhash_ledger_bucketed_reuse(spark, tmp_path):
+    # the incremental near-dedup scale path: persist the accepted corpus's
+    # banded signature ledger bucketed by bkey ONCE; every future batch's
+    # candidate join then reads the ledger co-located — no Exchange on the
+    # ledger (big) side, only the new batch shuffles
+    from aicoe_osc_demo_spark.operators.dedup import (
+        banded_signature_ledger,
+        incremental_near_dedup,
+        minhash_signatures_wide,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog " * 3)
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    wide = minhash_signatures_wide(corpus, "text", "doc_id", 8)
+    banded = banded_signature_ledger(wide, 8, 4)
+    write_bucketed_table(
+        banded, "b_sig_ledger", "bkey", 8, sort_col="bkey", path=str(tmp_path / "l")
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox 3 jumps over the lazy dog " * 3),  # near-dup of 3
+         (101, "an entirely different new document about spark bucketing")],
+        "doc_id long, text string",
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out_bucketed = incremental_near_dedup(batch, spark.table("b_sig_ledger"))
+        out_wide = incremental_near_dedup(batch, wide)
+        # identical acceptance decisions regardless of ledger layout
+        assert {r.doc_id for r in out_bucketed.collect()} == {
+            r.doc_id for r in out_wide.collect()
+        } == {101}
+        # the ledger scan rides its buckets (not "disabled by query
+        # planner", which is what a (band, bkey) join would produce)...
+        plan_b = _explain(out_bucketed, "formatted")
+        assert "Bucketed: true" in plan_b
+        assert "disabled by query planner" not in plan_b
+        # ...and the ledger-side shuffle (plus the repartitions that rode
+        # on it) is gone
+        n_b = _explain(out_bucketed).count("Exchange hashpartitioning")
+        n_w = _explain(out_wide).count("Exchange hashpartitioning")
+        assert n_b < n_w
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        spark.sql("DROP TABLE b_sig_ledger")

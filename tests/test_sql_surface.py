@@ -72,3 +72,64 @@ def test_superset_slice_shapes(spark):
         """
     ).collect()
     assert len(out) == 5 and all(r.n > 0 for r in out)
+
+
+def test_superset_demo2_slices(spark):
+    # data/superset/demo2.json ("OS Climate NLP demo" over table infer_kpi,
+    # datasource 49): slice 71 is the raw (pdf_name, kpi, answer) table with
+    # row_limit 10000; slice 72 groups COUNT(answer) by answer, order_desc;
+    # slices 69/70 are the kpi / pdf_name filter boxes (DISTINCT pulls).
+    # The engine's QA pipeline output IS the infer_kpi surface: register it
+    # and replay the dashboard SQL verbatim through spark.sql.
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.inference import qa_pipeline
+    from aicoe_osc_demo_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text", F.concat(F.col("doc_id").cast("string"), F.lit(".pdf")).alias("pdf_name"))
+    )
+    qs = spark.createDataFrame(
+        [("cash flow", "what is the cash flow"), ("revenue", "what is the revenue")],
+        ["kpi", "question"],
+    )
+    pairs = docs.crossJoin(F.broadcast(qs))
+    infer_kpi = qa_pipeline(
+        pairs, group_cols=["kpi"], top_k=4, tiebreak=["doc_id"]
+    ).select("pdf_name", "kpi", F.col("final_answer").alias("answer"))
+    infer_kpi.createOrReplaceTempView("infer_kpi")
+
+    # slice 71 "Kpi Answers" (all_columns + row_limit)
+    rows = spark.sql(
+        "SELECT pdf_name, kpi, answer FROM infer_kpi LIMIT 10000"
+    ).collect()
+    assert 0 < len(rows) <= 10000 and set(rows[0].asDict()) == {"pdf_name", "kpi", "answer"}
+
+    # slices 69/70 filter boxes
+    kpis = {r.kpi for r in spark.sql("SELECT kpi FROM infer_kpi GROUP BY kpi").collect()}
+    assert kpis == {"cash flow", "revenue"}
+    pdfs = spark.sql("SELECT pdf_name FROM infer_kpi GROUP BY pdf_name").count()
+    assert 0 < pdfs <= 30
+
+    # slice 72 "KPI Answers Distribution Across Companies":
+    # SIMPLE metric COUNT(answer) grouped by answer, order_desc — the SQL
+    # Superset generates, matched against the DataFrame aggregate
+    sql_out = [
+        tuple(r)
+        for r in spark.sql(
+            'SELECT answer AS answer, COUNT(answer) AS `COUNT(answer)` '
+            "FROM infer_kpi GROUP BY answer "
+            'ORDER BY `COUNT(answer)` DESC, answer'
+        ).collect()
+    ]
+    df_out = [
+        tuple(r)
+        for r in infer_kpi.groupBy("answer")
+        .agg(F.count("answer").alias("COUNT(answer)"))
+        .orderBy(F.desc("COUNT(answer)"), "answer")
+        .collect()
+    ]
+    assert sql_out == df_out and len(sql_out) >= 1
+    assert sum(n for _, n in sql_out) == infer_kpi.count()

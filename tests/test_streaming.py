@@ -313,3 +313,53 @@ def test_streaming_scd2_intervals_across_runs(spark, tmp_path):
         (r.user_id, r.state, str(r.valid_from), str(r.valid_to)) for r in out1 + out2
     )
     assert batch == streamed
+
+
+def test_streaming_scd2_equal_ts_tiebreak_matches_batch(spark, tmp_path):
+    # duplicate-timestamp change streams: the streaming op applies the same
+    # (ts, attr) tiebreak as the batch window order, closing zero-width
+    # intervals instead of silently dropping equal-ts changes
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.streaming.stateful import user_state_intervals
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(inp)
+    rows = [
+        (1, "2024-01-01 00:00:00", "b"),  # equal-ts pair, delivered out of
+        (1, "2024-01-01 00:00:00", "a"),  # attr order on purpose
+        (1, "2024-01-01 01:00:00", "c"),
+    ]
+    spark.createDataFrame(rows, ["user_id", "ts", "event_type"]).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    ).coalesce(1).write.parquet(f"{inp}/f1.parquet")
+
+    out: list = []
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz, event_type string")
+        .option("recursiveFileLookup", "true")
+        .parquet(inp)
+    )
+    q = (
+        user_state_intervals(stream)
+        .writeStream.foreachBatch(lambda df, _e: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    allrows = spark.read.option("recursiveFileLookup", "true").parquet(inp)
+    batch = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to))
+        for r in user_state_intervals(allrows).collect()
+    )
+    streamed = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to)) for r in out
+    )
+    assert streamed == batch
+    # the equal-ts 'a' change survives as a zero-width interval under 'b'
+    assert (1, "a", "2024-01-01 00:00:00", "2024-01-01 00:00:00") in streamed

@@ -214,3 +214,49 @@ def test_gapfill_locf_semantics(spark):
     for x, y in zip(buckets_a, buckets_a[1:]):
         d = datetime.datetime.fromisoformat(y) - datetime.datetime.fromisoformat(x)
         assert d.total_seconds() == 3600
+
+
+def test_scd2_ltz_timestamp_input(spark):
+    # the open-end sentinel must cast to the INPUT ts type: a plain
+    # TIMESTAMP (ltz) changelog previously broke against the hardcoded
+    # timestamp_ntz sentinel cast
+    from aicoe_osc_demo_spark.operators.relational import scd2_from_changelog
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 01:00:00", "b")],
+        ["user_id", "ts", "state"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_from_changelog(
+        df, ["user_id"], "ts", ["state"], open_end_ts="2100-01-01 00:00:00"
+    )
+    assert dict(out.dtypes)["valid_to"] == dict(df.dtypes)["ts"] == "timestamp"
+    rows = out.collect()
+    assert all(r.valid_to is not None for r in rows)
+    assert sum(1 for r in rows if str(r.valid_to).startswith("2100")) == 1
+
+
+def test_gapfill_locf_observed_null_is_not_a_gap(spark):
+    # gap detection is presence-based, NOT first-value-column-based: an
+    # observed bucket whose first value column is legitimately NULL keeps
+    # is_gap=False; its NULL still fills via locf (locf treats NULL as
+    # missing) while the OTHER value column keeps its own observation
+    from aicoe_osc_demo_spark.operators.temporal import gapfill_locf
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0, 10.0),
+        ("a", "2024-01-01 01:00:00", None, 20.0),  # observed, v1 NULL
+        ("a", "2024-01-01 03:00:00", 4.0, 40.0),   # 02:00 is the only gap
+    ]
+    df = spark.createDataFrame(rows, ["k", "bucket", "v1", "v2"]).withColumn(
+        "bucket", F.col("bucket").cast("timestamp_ntz")
+    )
+    out = sorted(
+        (str(r.bucket), r.v1, r.v2, r.is_gap)
+        for r in gapfill_locf(df, ["k"], "bucket", ["v1", "v2"], 3600).collect()
+    )
+    assert out == [
+        ("2024-01-01 00:00:00", 1.0, 10.0, False),
+        ("2024-01-01 01:00:00", 1.0, 20.0, False),  # observed: not a gap
+        ("2024-01-01 02:00:00", 1.0, 20.0, True),
+        ("2024-01-01 03:00:00", 4.0, 40.0, False),
+    ]
