@@ -26,23 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 5 queries whose code paths
-# changed this round (the llm_pq_codes canonical-form fix — the one red r5
-# row — plus the gapfill/SCD2/incremental-near-dedup reworks), then the
-# 45 oldest-verified entries: the relational/text long tail last
-# driver-checked in r02, whose shared helpers (functions/text.py,
-# operators/relational.py) have been edited since.  The 5 remaining
-# r02-era entries (the trivial projection/filter family: proj_select_columns,
-# filter_conjunctive, filter_dropna, filter_isin, filter_anti_isin) roll
-# into the r7 window, after which every catalog entry is green within 3
-# rounds.  Names absent follow in registry order.
+# FIRST 50 registry entries.  r6 window = the 26 queries whose code paths
+# changed this round — the llm_pq_codes canonical-form fix (the one red r5
+# row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
+# (scalar quantization x2, leakage-safe split, vocabulary coverage), and
+# every consumer of the rewritten shingle builder (word_ngrams went from
+# the O(words^2) sequence/slice HOF form to the zip form — semantics
+# pinned identical by test, but the whole MinHash/SimHash/ngram family
+# must be re-fronted under the driver) plus the lang_id_trigram
+# replace-count rewrite — then 24 of the oldest-verified entries (last
+# driver-green in r02).  The remaining r02-era entries (the text_* family
+# + window_* + the trivial projection/filter family) roll into the r7
+# window.  Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
+    # --- new in r6 ---
+    "llm_sq_codes",
+    "llm_sq_recon_error",
+    "llm_leakage_safe_split",
+    "llm_vocab_coverage",
     # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
     "events_gapfill_locf",
     "events_scd2_type_history",
     "events_scd2_pointintime",
     "llm_incremental_near_dedup",
+    "text_lang_id_trigram",
+    "text_winnow_fingerprint",
+    "llm_minhash_signatures",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_fingerprints",
+    "llm_simhash_pairs",
+    "llm_ngram_jaccard_pairs",
+    "llm_contamination_check",
+    "llm_prefix_jaccard_join",
+    "llm_duplicate_spans",
+    "llm_lsh_candidate_count",
+    "llm_repetition_stats",
+    "llm_containment_pairs",
+    "llm_dedup_clusters",
+    "llm_lm_perplexity",
+    "llm_segment_dedup",
+    "pipeline_llm_curation",
     # --- oldest-verified rotation: last driver-green in r02 ---
     "agg_count_by_group",
     "agg_distinct_count",
@@ -68,27 +92,6 @@ _DRIVER_CHECK_PRIORITY = [
     "sample_train_split",
     "set_except",
     "set_intersect",
-    "set_union_all",
-    "text_bpe_token_count",
-    "text_clean_curator",
-    "text_clean_kpi",
-    "text_clean_page",
-    "text_clean_paragraph",
-    "text_filename_repair",
-    "text_group_concat",
-    "text_lang_id",
-    "text_numeric_repair",
-    "text_page_shift",
-    "text_parse_string_list",
-    "text_quality_score",
-    "text_regex_filter",
-    "text_remove_html",
-    "text_snakify_columns",
-    "text_token_stats",
-    "text_year_in_question",
-    "window_argmax_per_group",
-    "window_rank_within_group",
-    "window_topk_per_group",
 ]
 
 

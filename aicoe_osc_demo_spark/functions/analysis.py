@@ -65,16 +65,38 @@ def lang_id_trigram(
     map over the scan with zero shuffle; swap in larger trained profiles
     for production without changing the shape."""
     profiles = profiles or LANG_TRIGRAM_PROFILES
-    tg = char_trigrams(c)
     scored = None
     for lang in sorted(profiles):
-        prof = F.array(*[F.lit(t) for t in profiles[lang]])
-        score = F.size(F.filter(tg, lambda t: F.array_contains(prof, t)))
+        score = None
+        for t in profiles[lang]:
+            occ = _trigram_occurrences(c, t)
+            score = occ if score is None else score + occ
         entry = F.struct(score.alias("score"), F.lit(lang).alias("lang"))
         scored = entry if scored is None else F.when(
             (entry["score"] > scored["score"]), entry
         ).otherwise(scored)
     return scored["lang"]
+
+
+def _trigram_occurrences(c: Column, t: str) -> Column:
+    """Count of positions i where substr(c, i, 3) == t.
+
+    Fast path: when the trigram cannot overlap itself (t[0] != t[2] — a
+    shift-1 or shift-2 self-overlap both force t[0] == t[2]), occurrences
+    can never overlap, so the all-positions count EQUALS the
+    non-overlapping count and is computable as a length delta around a
+    literal string replace — whole-stage-codegen string ops instead of an
+    interpreted higher-order filter over a per-character trigram array
+    (measured 23 s → sub-second over sf0.1 under checksum
+    materialization; HOFs evaluate per element with no codegen and the
+    filter scanned the profile array per trigram).  Self-overlapping
+    trigrams (e.g. "aaa", "aba") keep the exact positional HOF count.
+    """
+    if len(t) == 3 and t[0] != t[2]:
+        return (
+            (F.length(c) - F.length(F.replace(c, F.lit(t), F.lit("")))) / F.lit(3)
+        ).cast("int")
+    return F.size(F.filter(char_trigrams(c), lambda x: x == F.lit(t)))
 
 
 def quality_score(c: Column) -> Column:

@@ -170,3 +170,48 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage / OOV-rate audit: build the corpus's top-V token
+    vocabulary by total occurrence count and score every document by the
+    fraction of its token occurrences that fall OUTSIDE it.  The standard
+    pre-tokenizer-training check — a rising OOV tail flags domain drift,
+    encoding damage, or language contamination before tokens are wasted on
+    them.
+
+    Distributed shape: token counts are one map-side-combined groupBy
+    (shuffle = distinct tokens, not occurrences); the top-V selection is
+    ``orderBy().limit(V)`` which Spark plans as TakeOrderedAndProject —
+    a per-partition heap + driver merge of V rows, never a global sort;
+    the V-row vocabulary broadcasts into the per-doc join.  Ties at the
+    V-th slot break deterministically on (count DESC, token ASC) so the
+    vocabulary — and therefore every rate — is oracle-replayable.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)),
+                round_to,
+            ).alias("oov_rate"),
+        )
+    )

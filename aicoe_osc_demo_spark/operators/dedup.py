@@ -45,18 +45,42 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def positional_word_ngrams(text_col, n: int):
+    """All positional word n-grams of a text column (NON-distinct, in
+    document order) — the shared shingle builder for the whole dedup /
+    quality family.
+
+    Formulation note (r6): the original form iterated a position sequence
+    with ``slice(split(text), i, n)`` in the lambda body.  Higher-order
+    functions are interpreted (no codegen) and get NO common-subexpression
+    elimination inside the lambda, so ``split(text)`` was re-parsed for
+    EVERY position — O(words²·len) shingling, a measured order-of-magnitude
+    cliff on page-sized documents (tools/bench_simhash_forms.py).  This
+    form zips the words array with its n-1 shifted copies instead: every
+    expression that references the row evaluates once per ROW, and the
+    lambda touches only its own argument.  Output is element-for-element
+    identical (pinned by test_word_ngrams_zip_form_matches_slice_form):
+    count = greatest(size - (n-1), 1); for documents shorter than n words
+    the trailing zip slots hold nulls exactly where the original slice ran
+    short, and concat_ws skips nulls just as array_join did."""
+    words = F.split(text_col, " ")
+    if n == 1:
+        return words
+    zipped = F.arrays_zip(
+        *[F.slice(words, k + 1, F.size(words)).alias(f"w{k}") for k in range(n)]
+    )
+    return F.transform(
+        F.slice(zipped, 1, F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda s: F.concat_ws(" ", *[s[f"w{k}"] for k in range(n)]),
+    )
+
+
 def word_ngrams(text_col, n: int = 3):
     """Distinct word n-gram shingles of a text column.  N-grams (not
     unigrams) are what make MinHash discriminative on corpora with small
     vocabularies — unigram sets collapse to the vocabulary itself and LSH
     candidates go quadratic."""
-    words = F.split(text_col, " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
-    )
+    return F.array_distinct(positional_word_ngrams(text_col, n))
 
 
 def _shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -363,44 +387,44 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     to a 32-bit int (md5 prefix); bit j of the fingerprint is the sign of the
     sum of (+1/-1) votes across shingles.
 
-    Shape: fully map-side — one per-row pass that hashes the distinct
-    shingle array once, then folds the 32 bit-votes over it with
-    ``F.aggregate``.  No explode, no shuffle, no aggregation state: the
-    fingerprint of a document is a pure function of its row.
+    Shape: explode the distinct-shingle hashes, 32 branchless ±1 vote sums
+    in ONE codegen'd hash aggregate.  The explode keeps a document's
+    shingles inside their partition, so map-side partial combine collapses
+    to ~1 row per doc BEFORE the shuffle — shuffle volume is docs × 33
+    longs, never tokens.
 
-    Form adjudication (r4, tools/bench_simhash_forms.py, sf0.1 best-of-3):
-    an alternative exploded form (posexplode shingles → 32 popcount sums in
-    a codegen'd groupBy with map-side combine) measured 0.96 s vs 0.87 s
-    on the real ~300-char docs and 21.3 s vs 0.81 s on a ~6 KB-doc
-    fixture — the explode multiplies row count by shingle count and pushes
-    every row through a 33-buffer hash aggregate plus a shuffle of
-    partials, while the HOF form's cost stays one array walk per bit with
-    zero movement.  Both forms materialize the same distinct-shingle array
-    per row first, so the exploded form holds no peak-memory advantage
-    either; the r3 claim that the HOF form was the slow one was wrong (it
-    conflated this operator with the winnowing case, where the nested-HOF
-    sliding window genuinely loses).  Semantics of the two forms are
-    identical (vote > 0 ⟺ 2*popcount_j > n)."""
-    hashed = df.select(
+    Form adjudication, corrected r6 (tools/bench_simhash_forms.py): the r4
+    run of that tool materialized with ``.count()``, which let
+    ColumnPruning delete the map-only HOF form entirely — its "0.87 s
+    short / 0.81 s long" numbers were parquet row-count timings, and the
+    r4 switch to the HOF form was made on that fiction.  Re-measured under
+    checksum materialization (count + bit_xor(xxhash64(*)) so neither form
+    can be pruned): exploded 1.23 s vs HOF 1.84 s on the real ~300-char
+    sf0.1 docs and a tie (7.4 s both) on a ~6 KB-doc fixture — the 32
+    interpreted ``F.aggregate`` passes walk the hash array per bit with no
+    codegen, while the exploded sums stay inside whole-stage codegen.
+    Semantics of the two forms are identical (vote > 0 ⟺ 2*popcount_j > n;
+    asserted by the tool before timing)."""
+    ex = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            word_ngrams(F.col(text_col), 3),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
-        ).alias("hs"),
+        F.explode(word_ngrams(F.col(text_col), 3)).alias("g"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long").alias("h"),
     )
-
-    def voter(j: int):
-        mask = F.lit(1 << j)
-        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
     fp = None
     for j in range(bits):
-        vote = F.aggregate(F.col("hs"), F.lit(0), voter(j))
-        term = F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return hashed.select("doc_id", fp.cast("long").alias("simhash"))
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def simhash_dedup_pairs(
@@ -469,11 +493,7 @@ def winnow_fingerprints(
 
     from .relational import ensure_parallelism
 
-    words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
+    grams = positional_word_ngrams(F.col(text_col), k)
     g = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), grams.alias("grams")))
     hashed = g.select("doc_id", F.posexplode("grams").alias("pos", "gram")).select(
         "doc_id", "pos", F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h")
@@ -518,13 +538,7 @@ def ngram_jaccard_pairs(
             "pass a blocking column (e.g. language or a length bucket) or set "
             "allow_all_pairs=True for small bounded inputs"
         )
-    words = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
-    )
+    grams = word_ngrams(F.col(text_col), n)
     block = F.col(block_col) if block_col else F.lit(1)
     docs = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), grams.alias("gs"))
     a, b = docs.alias("a"), docs.alias("b")
@@ -661,13 +675,10 @@ def duplicate_span_stats(
     """
     from .relational import ensure_parallelism
 
-    words = F.split(F.col(text_col), " ")
     # positional (NOT distinct) span hashes — repetition inside a document
-    # is exactly what this operator must see
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (span - 1), F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(words, i, span), " ")),
-    )
+    # is exactly what this operator must see; md5 in a second transform
+    # touches only the lambda variable (no per-element row references)
+    grams = F.transform(positional_word_ngrams(F.col(text_col), span), F.md5)
     spans = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", F.explode(grams).alias("g")
     )
@@ -714,13 +725,7 @@ def containment_pairs(
             "pass a blocking column or set allow_all_pairs=True for small "
             "bounded inputs"
         )
-    words = F.split(F.col(text_col), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-        )
-    )
+    grams = word_ngrams(F.col(text_col), n)
     block = F.col(block_col) if block_col else F.lit(1)
     docs = df.select(F.col(id_col).alias("doc_id"), block.alias("blk"), grams.alias("gs"))
     a, b = docs.alias("a"), docs.alias("b")
@@ -881,4 +886,55 @@ def corpus_segment_dedup(
                 " ",
             ).alias("cleaned_text"),
         )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/eval split: documents that are near-duplicates
+    of each other NEVER straddle the split boundary.  A plain per-row hash
+    split leaks training text into the eval set through its near-copies
+    (the contamination mode Lee et al. 2022 measured inflating eval
+    scores); splitting on the dedup CLUSTER id instead of the doc id
+    closes it.
+
+    Composition of already-verified stages: MinHash+LSH near-dup pairs →
+    min-label connected components → singletons keep themselves as
+    cluster_id → the deterministic md5 split flag applied to cluster_id,
+    so every member of a cluster lands on the same side.  Cost over a
+    plain split is the dedup pass a curation pipeline runs anyway; the
+    split itself stays a pure hash (reproducible under repartitioning,
+    retries, and incremental reruns).
+
+    Output: (doc_id, cluster_id, split) with split in {'train', 'eval'}.
+    """
+    from ..functions.hashing import deterministic_split_flag
+
+    pairs = minhash_dedup_pairs(
+        docs, text_col, id_col, n_hashes, bands, jaccard_threshold
+    )
+    labels = dedup_clusters(pairs)
+    singles = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, on="doc_id", how="left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    members = labels.select("doc_id", "cluster_id").unionByName(singles)
+    return members.select(
+        "doc_id",
+        "cluster_id",
+        F.when(
+            deterministic_split_flag(F.col("cluster_id"), train_frac, salt),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("eval"))
+        .alias("split"),
     )

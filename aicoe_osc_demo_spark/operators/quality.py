@@ -31,12 +31,12 @@ from .relational import ensure_parallelism
 def _all_ngrams(text_col: Column, n: int) -> Column:
     """ALL word n-grams (with multiplicity — unlike dedup.word_ngrams, which
     deduplicates for MinHash shingling).  Multiplicity is the point here:
-    repetition filters measure how often the same n-gram recurs."""
-    words = F.split(text_col, " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    repetition filters measure how often the same n-gram recurs.  Shares
+    the zip-form builder (the sequence/slice lambda form re-split the text
+    per element — see positional_word_ngrams)."""
+    from .dedup import positional_word_ngrams
+
+    return positional_word_ngrams(text_col, n)
 
 
 def repetition_stats(
@@ -205,15 +205,14 @@ def lm_perplexity_scores(
     is vocab-sized), keeping the (w1,w2) window.
     """
     words = F.split(F.col(text_col), " ")
-    bigr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-        lambda i: F.struct(
-            F.element_at(words, i).alias("w1"),
-            # try_: index size+1 on one-word docs must yield NULL (filtered
-            # below), not an ANSI out-of-bounds error
-            F.try_element_at(words, i + 1).alias("w2"),
-        ),
+    # zip form (see positional_word_ngrams): w2 is null on the final
+    # one-word entry (filtered below), matching the try_element_at of the
+    # old sequence form without re-splitting the text per element
+    zipped = F.arrays_zip(
+        F.slice(words, 1, F.size(words)).alias("w1"),
+        F.slice(words, 2, F.size(words)).alias("w2"),
     )
+    bigr = F.slice(zipped, 1, F.greatest(F.size(words) - 1, F.lit(1)))
     bg = (
         ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.explode(bigr).alias("p"))

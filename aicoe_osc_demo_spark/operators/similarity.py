@@ -871,3 +871,104 @@ def ivfpq_topk(
         _prejoined=True,
     )
     return adc
+
+
+def scalar_quantize(
+    corpus: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Scalar (per-dimension affine) quantization — the int8 embedding
+    compression every vector store ships alongside PQ: each dimension is
+    mapped to ``round((x - lo_d) / (hi_d - lo_d) * (2^bits - 1))`` with
+    per-dimension [lo, hi] learned from the corpus.  4x memory cut at
+    float32 → int8 with ~no recall loss, and unlike PQ it needs no
+    codebook training loop.
+
+    Distributed shape: ONE map-side-combined aggregate computes the
+    per-dimension min/max (shuffle volume = dims x partitions, never rows),
+    the tiny (dim, lo, hi) table broadcasts back, and encoding is a pure
+    Column expression inside whole-stage codegen.  At 100 TB the cost is
+    two scans of the vector column and zero wide shuffles.
+
+    Rounding is ``floor(t + 0.5)`` (explicit half-up) in double math so the
+    codes are bit-identical in Spark and the DuckDB oracle.
+
+    Returns (codes, dim_stats):
+    - codes: (id, dim: int, code: int) exploded flat rows (catalog
+      canonical form);
+    - dim_stats: (dim: int, lo: double, hi: double) — broadcastable
+      dequantization state.
+    """
+    levels = (1 << bits) - 1
+    dims = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    dim_stats = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * levels + F.lit(0.5))
+    )
+    codes = (
+        dims.join(F.broadcast(dim_stats), on="dim")
+        .select(F.col(id_col), F.col("dim"), code.cast("int").alias("code"))
+    )
+    return codes, dim_stats
+
+
+def sq_reconstruction_error(
+    corpus: DataFrame,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension reconstruction error of ``scalar_quantize`` — the
+    quantization-quality audit (mean/max absolute error per dimension).
+    ``recon = lo + code / (2^bits - 1) * (hi - lo)``; a dimension whose
+    max error approaches its range signals an outlier-heavy distribution
+    that needs clipping or PQ instead.
+
+    Same two-scan shape as the encoder; the error aggregate is map-side
+    combined so output is ``dims`` rows regardless of corpus size.
+    """
+    levels = (1 << bits) - 1
+    dims = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    dim_stats = dims.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * levels + F.lit(0.5))
+    )
+    recon = F.col("lo") + code.cast("double") / F.lit(float(levels)) * (
+        F.col("hi") - F.col("lo")
+    )
+    err = F.abs(F.col("x") - recon)
+    # the per-row error is bit-identical in Spark and DuckDB (fixed per-row
+    # op order), but a double SUM/AVG is summation-order-dependent across
+    # engines — quantize to int nanounits first so the aggregate is an
+    # exact integer sum and the mean hash-matches the oracle
+    err_ni = F.floor(err * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        dims.join(F.broadcast(dim_stats), on="dim")
+        .select("dim", err.alias("err"), err_ni.alias("err_ni"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                (F.sum("err_ni").cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(1e9),
+                round_to,
+            ).alias("mean_abs_err"),
+            F.round(F.max("err"), round_to).alias("max_abs_err"),
+        )
+    )

@@ -181,3 +181,31 @@ def llm_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         tiebreak=["doc_id"],
     )
+
+
+_VOCAB_COVERAGE_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+      ORDER BY cnt DESC, tok ASC LIMIT 500
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+    FROM t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+"""
+
+
+@register("llm_vocab_coverage", _VOCAB_COVERAGE_SQL)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary coverage / OOV-rate audit: top-500 corpus vocabulary by
+    # occurrence count (deterministic (cnt DESC, tok ASC) tie-break,
+    # planned as TakeOrderedAndProject — no global sort), broadcast into
+    # a per-document out-of-vocabulary-rate aggregate.  The standard
+    # pre-tokenizer-training drift check.
+    from ..operators.corpus import vocab_coverage
+
+    return vocab_coverage(load(spark, sf_dir, "documents"), vocab_size=500)

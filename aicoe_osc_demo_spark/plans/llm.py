@@ -190,14 +190,9 @@ def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pruning by equi-join, not all-pairs.
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     d = d.withColumn("width", (F.col("n_chars") / 100).cast("long"))
-    words = F.split(F.col("text"), " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, 3), " "),
-        )
-    )
-    docs = d.select("doc_id", "lang", "width", grams.alias("gs"))
+    from ..operators.dedup import word_ngrams
+
+    docs = d.select("doc_id", "lang", "width", word_ngrams(F.col("text"), 3).alias("gs"))
     a, b = docs.alias("a"), docs.alias("b")
     jac = F.round(
         F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
@@ -1263,3 +1258,118 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)
+
+
+# --- Scalar quantization (int8 embedding compression) ------------------------
+# The oracle mirrors the engine exactly: per-dimension min/max over doubles
+# (exact, order-free), then floor(t + 0.5) half-up rounding in the same
+# left-associated double expression.
+
+_SQ_DIMS_SQL = """
+      SELECT vec_id, CAST(s.i - 1 AS INT) AS dim,
+             CAST(embedding[s.i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) AS s(i)
+"""
+
+_SQ_CODES_SQL = f"""
+    WITH dims AS ({_SQ_DIMS_SQL}),
+    stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim)
+    SELECT d.vec_id, d.dim,
+           CAST(CASE WHEN st.hi = st.lo THEN 0
+                ELSE floor((d.x - st.lo) / (st.hi - st.lo) * 255 + 0.5)
+                END AS INT) AS code
+    FROM dims d JOIN stats st ON d.dim = st.dim
+"""
+
+
+@register("llm_sq_codes", _SQ_CODES_SQL)
+def llm_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar int8 quantization — the other half of the embedding-compression
+    # family next to PQ: per-dimension affine codes, 4x memory at float32 →
+    # int8.  One map-side-combined min/max aggregate + a broadcast-back;
+    # encoding is pure whole-stage-codegen Column math.  Registered as
+    # exploded (vec_id, dim, code) flat rows (catalog canonical form).
+    from ..operators.similarity import scalar_quantize
+
+    codes, _stats = scalar_quantize(load(spark, sf_dir, "embeddings"), bits=8)
+    return codes
+
+
+_SQ_RECON_SQL = f"""
+    WITH dims AS ({_SQ_DIMS_SQL}),
+    stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY dim),
+    errs AS (
+      SELECT d.dim,
+             abs(d.x - (st.lo + CAST(CAST(CASE WHEN st.hi = st.lo THEN 0
+                    ELSE floor((d.x - st.lo) / (st.hi - st.lo) * 255 + 0.5)
+                    END AS INT) AS DOUBLE) / 255.0 * (st.hi - st.lo))) AS err
+      FROM dims d JOIN stats st ON d.dim = st.dim
+    )
+    SELECT dim,
+           ROUND((CAST(SUM(CAST(floor(err * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE)) / 1e9, 6) AS mean_abs_err,
+           ROUND(MAX(err), 6) AS max_abs_err
+    FROM errs GROUP BY dim
+"""
+
+
+@register("llm_sq_recon_error", _SQ_RECON_SQL)
+def llm_sq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantization-quality audit: per-dimension mean/max absolute
+    # reconstruction error of the int8 scalar quantizer.  The mean is an
+    # exact integer-nanounit sum (order-independent) so it hash-matches
+    # the oracle; per-row error doubles are bit-identical by fixed op
+    # order.
+    from ..operators.similarity import sq_reconstruction_error
+
+    return sq_reconstruction_error(load(spark, sf_dir, "embeddings"), bits=8)
+
+
+# --- Leakage-safe (cluster-aware) train/eval split ---------------------------
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH RECURSIVE bands AS ({_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    ),
+    toksets AS (SELECT doc_id, {_GRAMS_SQL} AS ws FROM documents),
+    pairs AS (
+      SELECT d1, d2
+      FROM cand JOIN toksets t1 ON cand.d1 = t1.doc_id
+                JOIN toksets t2 ON cand.d2 = t2.doc_id
+      WHERE CAST(len(list_intersect(t1.ws, t2.ws)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(t1.ws, t2.ws))) AS DOUBLE) >= 0.5
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labeled AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    members AS (
+      SELECT doc_id, cluster_id FROM labeled
+      UNION ALL
+      SELECT doc_id, doc_id AS cluster_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM labeled)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('split' || CAST(cluster_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM members
+"""
+
+
+@register("llm_leakage_safe_split", _LEAKAGE_SPLIT_SQL)
+def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Near-dup-aware train/eval split: MinHash+LSH pairs → connected
+    # components → md5 hash split applied to the CLUSTER id, so a
+    # document's near-copies can never leak across the eval boundary
+    # (the contamination mode a plain per-row hash split has).
+    from ..operators.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        load(spark, sf_dir, "documents"), train_frac=0.8, jaccard_threshold=0.5
+    )

@@ -476,8 +476,12 @@ def text_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language phrase by doc_id % 3 so the monolingual synthetic corpus
     # exercises all three classes, value-checked against the oracle.
     from ..functions.analysis import lang_id_trigram
+    from ..operators.relational import ensure_parallelism
 
-    d = load(spark, sf_dir, "documents")
+    # classifier scoring is a compute-heavy narrow stage (24 literal
+    # replaces per row); single-file inputs must not serialize it onto one
+    # task — no-op on well-partitioned inputs
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
     phrase = None
     for k, v in _TRI_PHRASES.items():
         branch = F.repeat(F.lit(v), 3)

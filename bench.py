@@ -95,6 +95,15 @@ HEADLINE_R5 = [
     "events_gapfill_locf",
 ]
 
+# Added in round 6 — scalar quantization, cluster-aware split, vocabulary
+# coverage; counted in total_all_queries only.
+HEADLINE_R6 = [
+    "llm_sq_codes",
+    "llm_sq_recon_error",
+    "llm_leakage_safe_split",
+    "llm_vocab_coverage",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,18 +127,27 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def checksum_materialize(df):
-        """Force computation of every output column: count + sum of a
-        per-row xxhash64 over all columns cast to string.  Unlike
-        .count(), the hash REFERENCES every column, so ColumnPruning
-        cannot delete map-side work feeding the output."""
+        """Force computation of every output column: count + xor of a
+        per-row xxhash64 over all columns.  Unlike .count(), the hash
+        REFERENCES every column, so ColumnPruning cannot delete map-side
+        work feeding the output.  Primitive columns hash natively —
+        casting everything to string doubled the harness's own cost on
+        wide outputs and that cost lands on ONE core for the map-only
+        queries (single-row-group test files scan as one task); only
+        complex types (arrays/structs/maps) go through a string cast for
+        hash support across types."""
+        cols = [
+            F.col(c).cast("string")
+            if dt.startswith(("array", "map", "struct", "binary"))
+            else F.col(c)
+            for c, dt in df.dtypes
+        ]
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor, not sum: summing 2^63-scale hashes overflows under
             # ANSI arithmetic; xor is closed over long and still forces
             # every column's computation
-            F.bit_xor(
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-            ).alias("chk"),
+            F.bit_xor(F.xxhash64(*cols)).alias("chk"),
         ).collect()[0]
         return row["n"]
 
@@ -139,7 +157,7 @@ def main() -> None:
     total = 0.0
     total_all = 0.0
     total_count = 0.0
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
