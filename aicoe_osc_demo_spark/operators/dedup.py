@@ -405,8 +405,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     codegen, while the exploded sums stay inside whole-stage codegen.
     Semantics of the two forms are identical (vote > 0 ⟺ 2*popcount_j > n;
     asserted by the tool before timing)."""
-    ex = df.select(
-        F.col(id_col).alias("doc_id"),
+    from .relational import ensure_parallelism
+
+    ex = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         F.explode(word_ngrams(F.col(text_col), 3)).alias("g"),
     ).select(
         "doc_id",

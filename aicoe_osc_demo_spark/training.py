@@ -608,6 +608,17 @@ def finetune_qa(
                 else merged
             )
         else:  # legacy contract: per-partition driver collect
+            import warnings
+
+            warnings.warn(
+                "finetune backend defines no merge_states: falling back to a "
+                "per-partition driver collect, whose driver traffic scales "
+                "with partition count x state size — define "
+                "merge_states/finalize_state for the executor-side tree "
+                "reduction before running a real transformer backend",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             rows = partials.collect()
             if not rows:
                 break
