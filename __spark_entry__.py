@@ -26,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 26 queries whose code paths
-# changed this round — the llm_pq_codes canonical-form fix (the one red r5
+# FIRST 50 registry entries.  r6 window = the 27 queries new or with code
+# paths changed this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
 # (scalar quantization x2, leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from
@@ -37,13 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # replace-count rewrite — then 24 of the oldest-verified entries (last
 # driver-green in r02).  The remaining r02-era entries (the text_* family
 # + window_* + the trivial projection/filter family) roll into the r7
-# window.  Names absent follow in registry order.
+# window (set_intersect joins them — displaced by llm_bpe_pair_counts).
+# Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
     # --- new in r6 ---
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",
     "llm_vocab_coverage",
+    "llm_bpe_pair_counts",
     # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
     "events_gapfill_locf",
@@ -91,7 +93,6 @@ _DRIVER_CHECK_PRIORITY = [
     "sample_deterministic_shuffle",
     "sample_train_split",
     "set_except",
-    "set_intersect",
 ]
 
 

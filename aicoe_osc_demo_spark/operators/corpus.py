@@ -215,3 +215,51 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adjacent-symbol-pair frequencies — the inner statistic of one BPE
+    tokenizer-training iteration (Sennrich et al. 2016): the pair with the
+    highest corpus count is the next merge.  Counts are
+    sum over DISTINCT words of word_frequency x (adjacent occurrences of
+    the pair inside the word) — the standard word-frequency-weighted BPE
+    formulation, which is what makes the shape scale:
+
+    - the token stream aggregates to the WORD-FREQUENCY table first
+      (map-side-combined groupBy; shuffle = distinct words, not tokens);
+    - character pairs explode off the vocabulary-sized table only
+      (vocab x word_len rows, independent of corpus size);
+    - the final weighted pair aggregate is alphabet²-sized, and top-k is
+      a TakeOrderedAndProject.
+
+    At 100 TB the only corpus-sized stage is the first word count — the
+    rest of the iteration is vocabulary-sized, which is why production
+    BPE trainers iterate on the word-frequency table, exactly as here.
+    Ties break deterministically on (count DESC, pair ASC).
+
+    Output: (pair, cnt) — the top_k merge candidates.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.split(F.col("w"), "")
+    zipped = F.arrays_zip(
+        F.slice(chars, 1, F.size(chars)).alias("c0"),
+        F.slice(chars, 2, F.size(chars)).alias("c1"),
+    )
+    pairs = F.transform(
+        F.slice(zipped, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda s: F.concat(s["c0"], s["c1"]),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+    )

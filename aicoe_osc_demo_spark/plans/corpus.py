@@ -209,3 +209,32 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import vocab_coverage
 
     return vocab_coverage(load(spark, sf_dir, "documents"), vocab_size=500)
+
+
+_BPE_PAIRS_SQL = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, COUNT(*) AS freq FROM toks WHERE w <> '' GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM (
+        SELECT w, freq, unnest(range(1, length(w))) AS i
+        FROM wf WHERE length(w) >= 2
+      )
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
+@register("llm_bpe_pair_counts", _BPE_PAIRS_SQL)
+def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One BPE tokenizer-training iteration's inner statistic: adjacent
+    # character-pair counts weighted by word frequency, top-20 merge
+    # candidates.  Corpus-sized work collapses to the word-frequency table
+    # first; pairs explode off the vocabulary only.
+    from ..operators.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=20)

@@ -102,6 +102,7 @@ HEADLINE_R6 = [
     "llm_sq_recon_error",
     "llm_leakage_safe_split",
     "llm_vocab_coverage",
+    "llm_bpe_pair_counts",
 ]
 
 

@@ -208,3 +208,32 @@ class TestZipFormNgrams:
             .count()
         )
         assert bad == 0
+
+
+class TestBpePairCounts:
+    def test_weighted_pair_counts_exact(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import bpe_pair_counts
+
+        # "ab" occurs in 'abab' (freq 2: positions ab, ba, ab -> ab x2 per
+        # word) and 'ab' (freq 1)
+        docs = spark.createDataFrame(
+            [(1, "abab ab"), (2, "abab cd")], "doc_id long, text string"
+        )
+        out = {r.pair: r.cnt for r in bpe_pair_counts(docs, top_k=10).collect()}
+        # abab freq 2 -> pairs ab,ba,ab => ab:4 ba:2 ; ab freq 1 -> ab:1 ; cd freq 1 -> cd:1
+        assert out == {"ab": 5, "ba": 2, "cd": 1}
+
+    def test_single_char_words_yield_no_pairs(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import bpe_pair_counts
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        assert bpe_pair_counts(docs).count() == 0
+
+    def test_topk_is_bounded_take_not_global_sort(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(1, "hello world spark engine")], "doc_id long, text string"
+        )
+        plan = bpe_pair_counts(docs, top_k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
