@@ -109,8 +109,14 @@ _PII_SQL = f"""
 @register("llm_pii_scrub", _PII_SQL)
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub over the fixture column: count + redact emails, IPv4,
-    # phone numbers.  Pure regex Column expressions, zero shuffle.
-    d = load(spark, sf_dir, "documents").withColumn("pii_text", _PII_SPARK())
+    # phone numbers.  Pure regex Column expressions, zero shuffle added
+    # at scale — the ensure_parallelism guard only spreads single-file
+    # inputs so the 6-regex chain isn't serialized onto one task.
+    from ..operators.relational import ensure_parallelism
+
+    d = ensure_parallelism(load(spark, sf_dir, "documents")).withColumn(
+        "pii_text", _PII_SPARK()
+    )
     return d.select("doc_id", *pii_counts(F.col("pii_text")), pii_redact(F.col("pii_text")))
 
 

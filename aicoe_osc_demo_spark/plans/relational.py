@@ -375,9 +375,16 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q5 shape — the flagship multi-join: fact-fact joins shuffle on
     # their keys, all dimensions broadcast, aggregate gets partial combine.
+    # The orders⋈lineitem join carries an explicit merge hint: the local
+    # 32 MB auto-broadcast threshold would otherwise broadcast the 11 MB
+    # lineitem FACT table — fast-looking single-node shape that serializes
+    # the probe onto one task and contradicts the shape that survives
+    # 100 TB (measured at sf0.1: broadcast 1.95 s, sort-merge 1.22 s —
+    # the shuffle's parallelism beats the serial broadcast probe even
+    # locally).
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").hint("merge")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
@@ -415,7 +422,12 @@ def join_multiway_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def join_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q3 shape + O1 LIMIT with deterministic tiebreak.
+    # TPC-H Q3 shape + O1 LIMIT with deterministic tiebreak.  Unlike
+    # join_multiway_revenue_by_nation, the lineitem side here is
+    # pre-filtered to late shipments, so Catalyst's size-based broadcast
+    # of the FILTERED side is the right call (measured: forcing merge
+    # regressed 0.86 → 1.18 s); at real scale the filtered side exceeds
+    # the threshold and the same CBO degrades it to the shuffle join.
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
