@@ -24,6 +24,7 @@ measurement isolates ENGINE scaling:
 
 Usage:
     python tools/scale_curve.py [mults...]        # default: 1 3 10
+    SCALE_QUERIES=q1,q2 python tools/scale_curve.py 1 10   # subset
 Generated data lands under /tmp/spark_graft_scale/x{mult}; results print
 as a markdown table + one JSON line.
 """
@@ -63,6 +64,12 @@ QUERIES = [
     "llm_pq_adc_topk",
     "llm_semantic_dedup",
     "pipeline_llm_curation",
+    # r6 additions / rewrites
+    "text_lang_id_trigram",
+    "llm_sq_codes",
+    "llm_vocab_coverage",
+    "llm_bpe_pair_counts",
+    "llm_leakage_safe_split",
 ]
 
 DOC_OFF = 10_000_000
@@ -223,6 +230,9 @@ def checksum_materialize(df):
 
 def main() -> None:
     mults = [int(m) for m in sys.argv[1:]] or [1, 3, 10]
+    global QUERIES
+    if os.environ.get("SCALE_QUERIES"):
+        QUERIES = [q for q in os.environ["SCALE_QUERIES"].split(",") if q]
 
     from aicoe_osc_demo_spark.plans import QUERIES as CATALOG
     from aicoe_osc_demo_spark.session import get_spark
