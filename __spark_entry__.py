@@ -46,6 +46,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_leakage_safe_split",
     "llm_vocab_coverage",
     "llm_bpe_pair_counts",
+    "llm_ann_recall",
     # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
     "events_gapfill_locf",
@@ -92,7 +93,6 @@ _DRIVER_CHECK_PRIORITY = [
     "reshape_struct_unpack",
     "sample_deterministic_shuffle",
     "sample_train_split",
-    "set_except",
 ]
 
 

@@ -1373,3 +1373,73 @@ def llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         load(spark, sf_dir, "documents"), train_frac=0.8, jaccard_threshold=0.5
     )
+
+
+def _ann_recall_oracle_sql() -> str:
+    # exact top-5 and LSH top-5 from the same CTE base, overlap per query
+    return f"""
+    {_ann_cand_cte()},
+    lsh_scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM cand
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM lsh_scored
+      ) WHERE rn <= 5
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM base c CROSS JOIN (SELECT * FROM base WHERE vec_id < 5) q
+      WHERE c.vec_id != q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN lsh l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@register("llm_ann_recall", _ann_recall_oracle_sql())
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@5 audit of the banded LSH ANN against the exact brute-force
+    # ranking — the observable-quality complement to
+    # llm_ann_candidate_count's observable-cost: together they expose the
+    # recall/cost trade the (n_tables, planes_per_table) knobs control.
+    # At corpus scale the exact side runs on a SAMPLE of queries (as here:
+    # 5 probes), which is precisely how production ANN indexes are
+    # monitored.  Both constituent rankings are independently hash-checked
+    # queries; the overlap aggregate is theirs joined on (query, neighbor).
+    from ..operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lsh = lsh_ann_topk(
+        emb, queries, k=5, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+    ).select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    return (
+        exact.join(lsh, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("hit")).alias("n_matched"),
+            F.round(F.count(F.col("hit")).cast("double") / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -103,6 +103,7 @@ HEADLINE_R6 = [
     "llm_leakage_safe_split",
     "llm_vocab_coverage",
     "llm_bpe_pair_counts",
+    "llm_ann_recall",
 ]
 
 
