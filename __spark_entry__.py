@@ -47,6 +47,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_vocab_coverage",
     "llm_bpe_pair_counts",
     "llm_ann_recall",
+    "llm_corpus_report",
     # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
     "events_gapfill_locf",
@@ -92,7 +93,6 @@ _DRIVER_CHECK_PRIORITY = [
     "reshape_melt",
     "reshape_struct_unpack",
     "sample_deterministic_shuffle",
-    "sample_train_split",
 ]
 
 

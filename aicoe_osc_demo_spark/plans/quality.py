@@ -563,3 +563,54 @@ def llm_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import corpus_segment_dedup
 
     return corpus_segment_dedup(load(spark, sf_dir, "documents"))
+
+
+_Q_DUCK_UNGROUPED = _Q_DUCK  # rounded per-row quality, bit-identical across engines
+
+_CORPUS_REPORT_SQL = f"""
+    WITH rows_ AS (
+      SELECT source, n_chars,
+             CAST(round({_Q_DUCK_UNGROUPED} * 1e6) AS BIGINT) AS qi,
+             (CAST(len(list_filter(string_split(text, ' '), w -> w IN {{sw}})) AS DOUBLE)
+              / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE)) >= 0.05 AS en,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           ROUND(CAST(SUM(qi) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_quality,
+           ROUND(AVG(CASE WHEN en THEN 1.0 ELSE 0.0 END), 6) AS en_share,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
+    FROM rows_ GROUP BY source
+""".replace("{sw}", "('the','a','an','and','of','to','in','is','for','on')")
+
+
+@register("llm_corpus_report", _CORPUS_REPORT_SQL)
+def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source corpus report card — the summary table a curation
+    # pipeline publishes per ingest: volume, mean length, mean quality
+    # score, language share, exact-dup count.  Composes the
+    # already-verified per-row fragments (quality_score, stopword lang
+    # gate, dedup fingerprint) into ONE map-side-combined aggregate;
+    # per-row doubles are quantized to exact integer micro-units before
+    # summing so the means are summation-order-free and hash-match.
+    from ..functions.analysis import doc_fingerprint, quality_score, stopword_ratio
+
+    d = load(spark, sf_dir, "documents")
+    q6 = F.round(quality_score(F.col("text")), 6)
+    rows = d.select(
+        "source",
+        "n_chars",
+        F.round(q6 * F.lit(1e6)).cast("long").alias("qi"),
+        (stopword_ratio(F.col("text")) >= 0.05).alias("en"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    n = F.count(F.lit(1))
+    return rows.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / n, 6).alias("avg_chars"),
+        F.round(F.sum("qi").cast("double") / n / F.lit(1e6), 6).alias("avg_quality"),
+        F.round(F.avg(F.when(F.col("en"), 1.0).otherwise(0.0)), 6).alias("en_share"),
+        (n - F.countDistinct("fp")).alias("n_dup_docs"),
+    )

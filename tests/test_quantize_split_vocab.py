@@ -237,3 +237,28 @@ class TestBpePairCounts:
         )
         plan = bpe_pair_counts(docs, top_k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestCorpusReport:
+    def test_report_values_exact(self, spark):
+        from aicoe_osc_demo_spark.plans.quality import llm_corpus_report  # noqa: F401
+        from aicoe_osc_demo_spark.plans import QUERIES
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the of and to in is for on a an", "web", 31),
+                (2, "the of and to in is for on a an", "web", 31),  # exact dup of 1
+                (3, "zz yy xx ww vv uu tt ss rr qq", "books", 29),
+            ],
+            "doc_id long, text string, source string, n_chars long",
+        )
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        out = {r.source: r for r in QUERIES["llm_corpus_report"](spark, d).collect()}
+        assert out["web"].n_docs == 2 and out["web"].n_dup_docs == 1
+        assert out["web"].en_share == 1.0       # all stopwords
+        assert out["books"].n_docs == 3 - 2 and out["books"].n_dup_docs == 0
+        assert out["books"].en_share == 0.0     # no stopwords
+        assert 0.0 <= out["web"].avg_quality <= 1.0
+        assert out["web"].avg_chars == 31.0
