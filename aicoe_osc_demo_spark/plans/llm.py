@@ -1443,3 +1443,87 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_IVF_RECALL_SQL = """
+    WITH cent AS (
+      SELECT bucket, list(av ORDER BY i) AS centroid FROM (
+        SELECT label AS bucket, s.i, AVG(CAST(embedding[s.i] AS DOUBLE)) AS av
+        FROM embeddings, generate_series(1, 64) AS s(i)
+        GROUP BY label, s.i
+      ) GROUP BY bucket
+    ),
+    q0 AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+    probe AS (
+      SELECT query_id, qv, bucket FROM (
+        SELECT q0.query_id, q0.qv, cent.bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY list_dot_product(qv, centroid)
+                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid)))
+                          DESC, cent.bucket ASC) AS rn
+        FROM q0 CROSS JOIN cent
+      ) WHERE rn <= 2
+    ),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label AS bucket
+          FROM embeddings),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c JOIN probe USING (bucket) WHERE neighbor_id != query_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM cand
+      ) WHERE rn <= 5
+    ),
+    ex_scored AS (
+      SELECT q0.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q0.qv, c.cv)
+                   / (sqrt(list_dot_product(q0.qv, q0.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cosine
+      FROM c CROSS JOIN q0 WHERE c.neighbor_id != q0.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("llm_ivf_recall", _IVF_RECALL_SQL)
+def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@5 audit of the IVF path (nprobe=2 of the label buckets)
+    # against the exact ranking — makes the nprobe/recall trade observable
+    # the same way llm_ann_recall does for the LSH path.  At corpus scale
+    # the exact side runs on a query sample.
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, queries, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    return (
+        exact.join(ivf, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("hit")).alias("n_matched"),
+            F.round(F.count(F.col("hit")).cast("double") / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -104,6 +104,7 @@ HEADLINE_R6 = [
     "llm_vocab_coverage",
     "llm_bpe_pair_counts",
     "llm_ann_recall",
+    "llm_ivf_recall",
     "llm_corpus_report",
 ]
 
