@@ -26,7 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 29 queries new or with code
+# FIRST 50 registry entries.  r6 window = the 30 queries new or with code
 # paths changed this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
 # (scalar quantization x2, leakage-safe split, vocabulary coverage), and
@@ -48,6 +48,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_bpe_pair_counts",
     "llm_ann_recall",
     "llm_ivf_recall",
+    "llm_pq_recall",
     "llm_corpus_report",
     # --- code paths changed in r6: re-verify under the driver ---
     "llm_pq_codes",
@@ -92,7 +93,6 @@ _DRIVER_CHECK_PRIORITY = [
     "join_top_unshipped_orders",
     "order_limit",
     "reshape_melt",
-    "reshape_struct_unpack",
 ]
 
 

@@ -1527,3 +1527,113 @@ def llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PQ_RECALL_SQL = f"""
+    WITH {_PQ_CTES},
+    codes AS (
+      SELECT a20.vec_id AS vec_id, a20.cid AS k0, a21.cid AS k1,
+             a22.cid AS k2, a23.cid AS k3
+      FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    ),
+    {_PQ_LUT},
+    scored AS (
+      SELECT l0.query_id AS query_id, c.vec_id AS neighbor_id,
+             round(((l0.d + l1.d) + l2.d) + l3.d, 6) AS adc_dist
+      FROM codes c
+      JOIN lut0 l0 ON c.k0 = l0.cid
+      JOIN lut1 l1 ON c.k1 = l1.cid AND l1.query_id = l0.query_id
+      JOIN lut2 l2 ON c.k2 = l2.cid AND l2.query_id = l0.query_id
+      JOIN lut3 l3 ON c.k3 = l3.cid AND l3.query_id = l0.query_id
+      WHERE c.vec_id != l0.query_id
+    ),
+    pq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    bq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS l2
+      FROM bq c CROSS JOIN (SELECT * FROM bq WHERE vec_id < 3) q
+      WHERE c.vec_id != q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY l2 ASC, neighbor_id ASC) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN pq p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("llm_pq_recall", _PQ_RECALL_SQL)
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@5 audit of the PQ/ADC path against the EXACT L2 ranking over
+    # the same scale-1000 quantized vectors (all-integer, so the exact
+    # side is bit-deterministic) — the overlap isolates pure QUANTIZATION
+    # loss, which is what the (m, k) codebook knobs control; this tiny
+    # m=4 x k=4 codebook is expected to lose neighbors (production uses
+    # k=256).  Completes the audit family: LSH (llm_ann_recall), IVF
+    # (llm_ivf_recall), PQ (here).
+    from ..operators.relational import top_k_per_group
+    from ..operators.similarity import pq_adc_topk, product_quantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = codes.crossJoin(
+        F.broadcast(queries.select("query_id"))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    pq = pq_adc_topk(cand, books, queries, k=5, m=_PQ_M, _prejoined=True).select(
+        "query_id", "neighbor_id", F.lit(True).alias("hit")
+    )
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    qs = qz.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    ex_scored = (
+        qz.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2"))
+    )
+    exact = top_k_per_group(
+        ex_scored, ["query_id"], -F.col("l2"), 5, tiebreak=["neighbor_id"]
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(pq, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("hit")).alias("n_matched"),
+            F.round(F.count(F.col("hit")).cast("double") / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )

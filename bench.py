@@ -105,6 +105,7 @@ HEADLINE_R6 = [
     "llm_bpe_pair_counts",
     "llm_ann_recall",
     "llm_ivf_recall",
+    "llm_pq_recall",
     "llm_corpus_report",
 ]
 
