@@ -979,3 +979,68 @@ def sq_reconstruction_error(
             F.round(F.max("err"), round_to).alias("max_abs_err"),
         )
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    tau: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): cluster
+    the embedding space with k-means, then compare pairs ONLY within a
+    cluster and drop every member whose cosine to a lower-id member
+    exceeds ``tau``.
+
+    Output: one row per dropped document —
+    ``(cluster_id int, drop_id, keep_id = min matching lower id,
+    max_cos = round(max cosine over matching lower ids, 6))``.
+
+    Scale shape: the clustering step is the whole point — it replaces the
+    O(N^2) all-pairs cosine with k independent O((N/k)^2) blocks.  At
+    100 TB, ``k`` must grow with the corpus (SemDeDup used k=11k clusters
+    for LAION-440M, keeping clusters at ~40k members); the within-cluster
+    join below is a plain equi-join on ``cid``, so Spark shuffles each
+    cluster to one task and no CartesianProduct ever appears.  The
+    deterministic quantized Lloyd's trainer keeps the whole pipeline
+    oracle-replayable; swap ``train_ivf_quantizer`` (k-means||) in when
+    init quality matters more than replayability.
+
+    Reference parity: the reference has no embedding-space dedup; this is
+    part of the LLM-curation extension surface (near-dup family:
+    operators/dedup.py).
+    """
+    assigned = kmeans_quantized(
+        corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        scale=scale, return_assignments=True,
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    ).join(assigned, "vec_id")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cluster_id"),
+            F.col("a.vec_id").alias("keep"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+    return pairs.groupBy("cluster_id", "drop_id").agg(
+        F.min("keep").alias("keep_id"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )

@@ -1637,3 +1637,84 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540) --------------------------
+# Oracle: replay the deterministic quantized 2-iteration Lloyd's over the
+# clone-augmented corpus (same CTE chain as _KMEANS_SQL), then brute-force
+# within-cluster cosine — the engine's equi-join-on-cid plan must find
+# EXACTLY these (cluster, drop, keep) rows.
+_SEMDEDUP_DIST = """CAST(list_sum(list_transform(range(1, 65),
+                 i -> ({c}.n * {q}.qv[i] - {c}.s[i]) * ({c}.n * {q}.qv[i] - {c}.s[i]))) AS DOUBLE)
+               / CAST({c}.n * {c}.n AS DOUBLE)"""
+_SEMDEDUP_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), clones AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+      FROM base WHERE vec_id < 25
+    ), corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+    q AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+      FROM corpus
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             qv AS s, CAST(1 AS BIGINT) AS n
+      FROM q ORDER BY vec_id LIMIT 4
+    ), a1 AS (
+      SELECT q.vec_id AS vec_id,
+             (min(struct_pack(d := {_SEMDEDUP_DIST.format(c='c', q='q')}, cid := c.cid))).cid AS cid,
+             first(q.qv) AS qv
+      FROM q CROSS JOIN c0 c
+      GROUP BY q.vec_id
+    ), e1 AS (
+      SELECT cid, u.i AS i, u.x AS x
+      FROM (SELECT cid,
+                   unnest(list_transform(range(1, 65),
+                          j -> struct_pack(i := j, x := qv[j]))) AS u
+            FROM a1)
+    ), n1 AS (
+      SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid
+    ), c1 AS (
+      SELECT s1.cid AS cid, list(s1.sx ORDER BY s1.i) AS s, n1.n AS n
+      FROM (SELECT cid, i, CAST(SUM(x) AS BIGINT) AS sx FROM e1 GROUP BY cid, i) s1
+      JOIN n1 ON s1.cid = n1.cid
+      GROUP BY s1.cid, n1.n
+    ), a2 AS (
+      SELECT p.vec_id AS vec_id,
+             (min(struct_pack(d := {_SEMDEDUP_DIST.format(c='c', q='p')}, cid := c.cid))).cid AS cid
+      FROM a1 p CROSS JOIN c1 c
+      GROUP BY p.vec_id
+    ), asg AS (
+      SELECT a2.vec_id AS vec_id, a2.cid AS cid, q.v AS v
+      FROM a2 JOIN q USING (vec_id)
+    ), pairs AS (
+      SELECT a.cid AS cid, a.vec_id AS keep, b.vec_id AS drp,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(cid AS INT) AS cluster_id, drp AS drop_id,
+           CAST(MIN(keep) AS BIGINT) AS keep_id, ROUND(MAX(cos), 6) AS max_cos
+    FROM pairs WHERE cos >= 0.99 GROUP BY cid, drp
+"""
+
+
+@register("llm_semdedup", _SEMDEDUP_SQL)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: k-means partition -> within-cluster cosine prune.  Planted
+    # 0.5-scaled clones (cosine exactly 1.0) make the dedup set
+    # ground-truth-checkable; the k-means step is the deterministic
+    # quantized Lloyd's so the whole pipeline replays in ANSI SQL.
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    return semdedup_pairs(corpus, k=4, iters=2, tau=0.99)

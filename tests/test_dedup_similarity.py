@@ -605,3 +605,34 @@ def test_pq_adc_distance_matches_numpy_lut(spark):
             num = sum((n * x - si) ** 2 for x, si in zip(qs, s))
             expected += num / (n * n)
         assert r["adc_dist"] == round(expected, 6), (r, expected)
+
+
+def test_semdedup_within_cluster_pruning(spark):
+    # Planted exact clones (cosine 1.0) must be dropped in favor of their
+    # lower-id originals; candidates come only from within a k-means
+    # cluster (equi-join on cid, no CartesianProduct); an orthogonal
+    # outlier survives.
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import semdedup_pairs
+
+    rng = random.Random(7)
+    dim = 8
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # exact clones of vecs 0..4 -> same quantized vector -> same cluster
+    rows += [(100 + i, list(base[i])) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semdedup_pairs(df, k=3, iters=2, tau=0.999)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {r.drop_id: (r.keep_id, r.max_cos) for r in out.collect()}
+    for i in range(5):
+        assert 100 + i in got, f"clone of {i} not dropped"
+        keep_id, max_cos = got[100 + i]
+        assert keep_id == i
+        assert abs(max_cos - 1.0) < 1e-6
+    # determinism: second run identical
+    again = {r.drop_id: (r.keep_id, r.max_cos) for r in
+             semdedup_pairs(df, k=3, iters=2, tau=0.999).collect()}
+    assert got == again
