@@ -240,3 +240,115 @@ def lm_perplexity_scores(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logp"),
     )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): select the ``k`` raw documents
+    that look most like a small target domain, using hashed n-gram
+    importance weights plus Gumbel-top-k sampling.
+
+    Method, exactly as published: featurize every document as counts over
+    ``buckets`` hashed unigram+bigram buckets; estimate add-1-smoothed
+    bucket distributions p (target) and q (raw); score each raw document
+    ``log w = sum_b c_b * (ln p_b - ln q_b)``; resample by perturbing the
+    score with Gumbel noise and taking the global top-k.  Here the Gumbel
+    uniform comes from the 32-bit md5 prefix of the document id, so the
+    "random" sample is deterministic and ANSI-SQL-replayable.
+
+    Output: ``(doc_id, n_feats, logw, score)`` for the k selected rows.
+
+    Engine-parity note: per-bucket ``lambda_b = ln p_b - ln q_b`` is a
+    fixed chain of IEEE-754 ops on identical integers (bit-identical
+    across engines), but a per-doc SUM of doubles is summation-order-
+    dependent — so lambda is quantized to integer nano-units first and the
+    per-doc aggregate is an EXACT integer sum (same trick as
+    sq_reconstruction_error).  The Gumbel term is likewise a fixed per-row
+    chain.  Top-k therefore orders on exact longs: no rounding ties, no
+    cross-engine divergence.
+
+    Scale shape: two corpus scans (one per distribution, B-row outputs),
+    one per-doc count aggregate, then a broadcast join of the B-row lambda
+    table — the corpus text never shuffles; only (doc_id, bucket, count)
+    ints do.  ``buckets`` is fixed (DSIR used 10k), so the lambda table
+    broadcasts at any corpus size, and the global top-k is Spark's
+    TakeOrdered (no full sort).
+    """
+    from .dedup import positional_word_ngrams
+
+    bl = F.lit(buckets).cast("long")
+
+    def feats(df: DataFrame) -> DataFrame:
+        text = F.col(text_col)
+        grams = F.concat(F.split(text, " "), positional_word_ngrams(text, 2))
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), F.explode(grams).alias("w")
+        ).select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % bl).alias("b"),
+        )
+
+    spark = raw.sparkSession
+    spine = spark.range(buckets).select(F.col("id").cast("long").alias("b"))
+    tgt_counts = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    raw_feats = feats(raw)
+    raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
+    # "tot_p", not "Np": Spark's resolver is case-insensitive, so a column
+    # named Np would collide with the per-bucket np after the join
+    tgt_tot = tgt_counts.agg(F.sum("np").alias("tot_p"))
+    raw_tot = raw_counts.agg(F.sum("nq").alias("tot_q"))
+    lam = (
+        spine.join(tgt_counts, "b", "left")
+        .join(raw_counts, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("np"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_p") + bl).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("nq"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot_q") + bl).cast("double")
+                )
+            ).alias("lam"),
+        )
+        .select("b", F.floor(F.col("lam") * 1e9 + F.lit(0.5)).cast("long").alias("lam_ni"))
+    )
+    scored = (
+        raw_feats.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lam_ni")).alias("logw_ni"),
+            F.sum("c").alias("n_feats"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel_ni = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        scored.withColumn("score_ni", F.col("logw_ni") + gumbel_ni)
+        .orderBy(F.desc("score_ni"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("logw_ni").cast("double") / 1e9, 6).alias("logw"),
+            F.round(F.col("score_ni").cast("double") / 1e9, 6).alias("score"),
+        )
+    )

@@ -614,3 +614,74 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(F.col("en"), 1.0).otherwise(0.0)), 6).alias("en_share"),
         (n - F.countDistinct("fp")).alias("n_dup_docs"),
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023, NeurIPS) -------------------
+# Bigram builder identical to operators.dedup.positional_word_ngrams(_, 2):
+# count = greatest(W-1, 1); a 1-word doc yields its word (concat_ws skips
+# the null zip slot, array_to_string skips the short slice).
+_DSIR_BIGRAMS = """list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))"""
+_DSIR_SQL = f"""
+    WITH tf AS (
+      SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 256 AS b
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT unnest({_DSIR_BIGRAMS}) AS w FROM documents WHERE lang = 'en'
+      )
+    ), rf AS (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 256 AS b
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        UNION ALL
+        SELECT doc_id, unnest({_DSIR_BIGRAMS}) AS w FROM documents
+      )
+    ), tc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS np FROM tf GROUP BY b),
+    rc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nq FROM rf GROUP BY b),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_p FROM tf),
+    rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_q FROM rf),
+    lam AS (
+      SELECT s.b AS b,
+             CAST(floor((ln(CAST(COALESCE(np, 0) + 1 AS DOUBLE)
+                            / CAST(tot_p + 256 AS DOUBLE))
+                       - ln(CAST(COALESCE(nq, 0) + 1 AS DOUBLE)
+                            / CAST(tot_q + 256 AS DOUBLE))) * 1e9 + 0.5) AS BIGINT)
+               AS lam_ni
+      FROM range(256) s(b)
+      LEFT JOIN tc ON s.b = tc.b
+      LEFT JOIN rc ON s.b = rc.b
+      CROSS JOIN tt CROSS JOIN rt
+    ), dc AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM rf GROUP BY doc_id, b
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(c * lam_ni) AS BIGINT) AS logw_ni,
+             CAST(SUM(c) AS BIGINT) AS n_feats
+      FROM dc JOIN lam USING (b)
+      GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id, n_feats, logw_ni,
+             logw_ni + CAST(floor(-ln(-ln(
+                 (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  + 0.5) / 4294967296.0)) * 1e9 + 0.5) AS BIGINT) AS score_ni
+      FROM scored
+    )
+    SELECT doc_id, n_feats,
+           ROUND(CAST(logw_ni AS DOUBLE) / 1e9, 6) AS logw,
+           ROUND(CAST(score_ni AS DOUBLE) / 1e9, 6) AS score
+    FROM g ORDER BY score_ni DESC, doc_id LIMIT 50
+"""
+
+
+@register("llm_dsir_resample", _DSIR_SQL)
+def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR: pick the 50 raw docs most target-like (target = the corpus's
+    # English slice) by hashed-bigram importance weight + deterministic
+    # Gumbel top-k.  Integer nano-unit lambdas make every aggregate an
+    # exact long sum, so the selection replays bit-identically in DuckDB.
+    from ..operators.quality import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_resample(docs, docs.filter(F.col("lang") == "en"), buckets=256, k=50)

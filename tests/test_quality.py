@@ -221,3 +221,29 @@ def test_lm_perplexity_plan_no_cartesian_beyond_broadcast_vocab(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = lm_perplexity_scores(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    # Raw corpus: 10 docs in the target "style" (shared vocabulary) and 10
+    # in a disjoint vocabulary.  DSIR importance weights must rank every
+    # target-like doc above every off-domain doc, so top-10 selection
+    # recovers exactly the target-like slice (Gumbel noise is bounded
+    # ~[-0.7, 5.6] while the vocab separation gives a large logw gap).
+    from aicoe_osc_demo_spark.operators.quality import dsir_resample
+
+    style_a = "the model trains on clean english text with careful curation steps"
+    style_b = "zzq qqz xqx zxz qzz xzx zqq qxq zzx xxz"
+    raw_rows = [(i, style_a + f" variant {i}") for i in range(10)]
+    raw_rows += [(100 + i, style_b + f" other {i}") for i in range(10)]
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(1000 + i, style_a + f" sample {i}") for i in range(5)], ["doc_id", "text"]
+    )
+    out = dsir_resample(raw, target, buckets=64, k=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert {r.doc_id for r in rows} == set(range(10))
+    assert all(r.logw > 0 for r in rows)
+    # deterministic: identical re-run
+    again = dsir_resample(raw, target, buckets=64, k=10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
