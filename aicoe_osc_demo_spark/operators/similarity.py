@@ -1044,3 +1044,92 @@ def semdedup_pairs(
         F.min("keep").alias("keep_id"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+def mmr_diverse_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cache_pool: bool = True,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results that balance relevance to the query
+    against redundancy with what is already picked —
+    ``score_i(c) = lam * rel(c) - (1 - lam) * max_{s in S} cos(c, s)``,
+    with the first pick maximizing relevance alone.  The de-facto
+    diversity re-ranker for RAG retrieval and for diversity-aware
+    training-data selection.
+
+    Output: ``(step int 1..k, vec_id, score = round(score at pick, 6))``.
+
+    Scale shape: MMR is inherently sequential in ``k``, so the greedy loop
+    runs over a BOUNDED candidate pool (top-``pool`` by relevance — at
+    scale, feed it from ``lsh_ann_topk``/``ivf_topk`` instead of the
+    exact scan).  Each step is one anti-join + one broadcast max-sim
+    aggregate over the cached pool; the corpus is scanned once to build
+    the pool.  Every selection compares raw IEEE-754 doubles produced by
+    a fixed per-row op chain with an id tie-break, so the greedy path is
+    engine-replayable.
+
+    Plan-depth caveat: step ``i`` references the accumulated selection
+    lazily, so the logical plan grows ~2^k over the 20-row pool — fine
+    for the k<=10 re-ranking regime MMR is for; checkpoint between steps
+    if you need large k.  Like ``prefix_jaccard_join``, the pool persist
+    is never released here; callers composing many MMR calls should
+    ``spark.catalog.clearCache()`` or pass ``cache_pool=False``.
+    """
+    q = query.select(F.col(vec_col).alias("qv"))
+    rel = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    cand = (
+        corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(q))
+        .select("cand_id", "v", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "cand_id")
+        .limit(pool)
+    )
+    if cache_pool:
+        cand = cand.persist()
+
+    picks: list[DataFrame] = []
+    selected = None
+    for step in range(1, k + 1):
+        if selected is None:
+            scored = cand.select(
+                "cand_id", "v", (F.lit(lam) * F.col("rel")).alias("score")
+            )
+        else:
+            sel_vecs = selected.select(
+                F.col("cand_id").alias("sel_id"), F.col("v").alias("sv")
+            )
+            rem = cand.join(sel_vecs, cand.cand_id == sel_vecs.sel_id, "left_anti")
+            sim = _dot(F.col("v"), F.col("sv")) / (
+                _norm(F.col("v")) * _norm(F.col("sv"))
+            )
+            scored = (
+                rem.crossJoin(F.broadcast(sel_vecs))
+                .select("cand_id", "v", "rel", sim.alias("sim"))
+                .groupBy("cand_id")
+                .agg(
+                    F.first("v").alias("v"),
+                    (
+                        F.lit(lam) * F.first("rel")
+                        - F.lit(1.0 - lam) * F.max("sim")
+                    ).alias("score"),
+                )
+            )
+        pick = scored.orderBy(F.desc("score"), "cand_id").limit(1)
+        picks.append(pick.select(F.lit(step).alias("step"), "cand_id", "v", "score"))
+        selected = picks[0].select("cand_id", "v") if step == 1 else selected.unionByName(
+            picks[-1].select("cand_id", "v")
+        )
+
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "step", F.col("cand_id").alias("vec_id"), F.round("score", 6).alias("score")
+    )

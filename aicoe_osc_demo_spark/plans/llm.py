@@ -1718,3 +1718,69 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(clones)
     return semdedup_pairs(corpus, k=4, iters=2, tau=0.99)
+
+
+# --- MMR diverse top-k (Carbonell & Goldstein 1998) --------------------------
+# Oracle: the greedy selection unrolled as k CTE steps — every pick orders
+# raw IEEE-754 doubles (fixed per-row op chains) with an id tie-break, so
+# the greedy path replays exactly.
+_MMR_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, pool: int = 20) -> str:
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    mu_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        f"""
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT vec_id, v, rel FROM (
+        SELECT c.vec_id AS vec_id, c.v AS v, {_MMR_COS.format(a="c.v", b="q.qv")} AS rel
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id > 0) c
+        CROSS JOIN q
+      ) ORDER BY rel DESC, vec_id LIMIT {pool}
+    ),
+    s1 AS (SELECT vec_id, v, {lam_s} * rel AS score
+           FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id, v FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT p.vec_id AS vec_id, first(p.v) AS v,
+             {lam_s} * first(p.rel) - {mu_s} * MAX({_MMR_COS.format(a="p.v", b="s.sv")}) AS score
+      FROM pool p CROSS JOIN (SELECT vec_id AS sel_id, v AS sv FROM sel{i - 1}) s
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      GROUP BY p.vec_id
+    ),
+    s{i} AS (SELECT vec_id, v, score FROM p{i} ORDER BY score DESC, vec_id LIMIT 1),
+    sel{i} AS (SELECT vec_id, v FROM sel{i - 1} UNION ALL SELECT vec_id, v FROM s{i})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, ROUND(score, 6) AS score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + "\n    " + selects
+
+
+@register("llm_mmr_diverse_topk", _mmr_sql())
+def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MMR re-ranking: relevance pool (top-20 cosine to query vec 0) ->
+    # 5 greedy diversity-aware picks.  The RAG/diversity-selection
+    # re-ranker; at scale the pool comes from the ANN family instead of
+    # the exact scan.
+    from ..operators.similarity import mmr_diverse_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_diverse_topk(
+        emb.filter(F.col("vec_id") > 0),
+        emb.filter(F.col("vec_id") == 0),
+        k=5,
+        lam=0.7,
+        pool=20,
+    )

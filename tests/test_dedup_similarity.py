@@ -636,3 +636,29 @@ def test_semdedup_within_cluster_pruning(spark):
     again = {r.drop_id: (r.keep_id, r.max_cos) for r in
              semdedup_pairs(df, k=3, iters=2, tau=0.999).collect()}
     assert got == again
+
+
+def test_mmr_trades_relevance_for_diversity(spark):
+    # Three mutually-near-identical high-relevance candidates plus one
+    # moderately-relevant orthogonal candidate: pure top-3 would take the
+    # three clones; MMR must interleave the diverse candidate at step 2.
+    from aicoe_osc_demo_spark.operators.similarity import mmr_diverse_topk
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    clone = [1.0, 0.01, 0.0, 0.0]
+    rows = [
+        (1, list(clone)),             # near-dup of the query direction
+        (2, list(clone)),             # exact duplicate of candidate 1
+        (3, list(clone)),             # exact duplicate of candidates 1-2
+        (4, [0.8, -0.6, 0.0, 0.0]),   # relevant but pointing away from 1-3
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = spark.createDataFrame([(0, q)], ["vec_id", "embedding"])
+    out = mmr_diverse_topk(corpus, query, k=3, lam=0.5, pool=4, cache_pool=False)
+    picks = {r.step: r.vec_id for r in out.collect()}
+    assert picks[1] == 1          # highest relevance first
+    assert picks[2] == 4          # diversity beats the redundant clones
+    assert picks[3] in (2, 3)     # then back to the relevant cluster
+    # scores are monotone non-increasing across steps
+    scores = [r.score for r in sorted(out.collect(), key=lambda r: r.step)]
+    assert scores == sorted(scores, reverse=True)
