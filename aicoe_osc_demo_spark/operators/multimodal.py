@@ -207,3 +207,92 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.octet_length("content").cast("long").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def stub_phash(content: bytes) -> int:
+    """Deterministic FAKE 60-bit perceptual hash — stands in for aHash /
+    pHash over decoded pixels (PIL absent here).  60 bits = 15 md5 hex
+    chars, so the value replays in SQL as
+    ``CAST('0x' || substr(md5(content), 1, 15) AS BIGINT)`` and stays
+    inside a signed 64-bit long.  Replace with a real DCT/average-hash in
+    prod — the banding below only assumes "near-duplicate media get
+    low-Hamming hashes", which is the pHash contract."""
+    return int(hashlib.md5(content).hexdigest()[:15], 16)
+
+
+def perceptual_hashes(
+    media: DataFrame, phash_fn: Callable[[bytes], int] = stub_phash
+) -> DataFrame:
+    """Per-media perceptual hash as mapInPandas: bytes stay executor-side,
+    one decode+hash per row inside an Arrow batch; ``phash_fn`` is the
+    single swap point for a real image hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [phash_fn(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 5,
+    bands: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance,
+    found via pigeonhole banding (the SimHash trick applied to media):
+    split the ``bands * band_bits``-bit hash into ``bands`` keys and
+    equi-join on (band, key) — any pair within ``max_hamming <= bands - 1``
+    bit flips MUST agree on at least one band, so recall is exact while
+    candidate generation stays a hash equi-join (no all-pairs).
+
+    Output: ``(d1, d2, hamming)`` with d1 < d2.
+
+    Scale: candidates per band are bounded by bucket occupancy
+    (2^band_bits buckets); the join key is (band int, key int) — media
+    bytes never shuffle, only (media_id, phash) longs."""
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", band_bits * k).bitwiseAND(F.lit(mask))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("d1"),
+            F.col("b.media_id").alias("d2"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

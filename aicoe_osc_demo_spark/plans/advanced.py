@@ -375,3 +375,43 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     sk = quantile_sketch(li, "l_extendedprice", _QS_LO, _QS_HI, _QS_BINS)
     return quantile_estimate(sk, [0.5, 0.9, 0.99], _QS_LO, _QS_HI, _QS_BINS)
+
+
+@register(
+    "multimodal_phash_dedup",
+    # Brute-force oracle over the clone-augmented media set: all pairs with
+    # perceptual-hash Hamming distance <= 5.  The engine finds candidates
+    # only via the 6x10-bit band equi-join, but the pigeonhole guarantee
+    # (<= 5 flips over 6 bands => one band identical) makes banded recall
+    # EXACTLY equal to brute force — a value-checked recall assertion.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS media_id, text FROM documents WHERE doc_id < 25
+    ), h AS (
+      SELECT media_id, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS phash
+      FROM m
+    )
+    SELECT a.media_id AS d1, b.media_id AS d2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 5
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual-hash near-dup for media: mapInPandas pHash (stubbed as a
+    # 60-bit md5 prefix; swap point for a real DCT hash) -> pigeonhole
+    # band join -> Hamming filter.  Planted byte-identical clones give
+    # hamming-0 ground truth pairs.
+    from ..operators.multimodal import perceptual_hashes, phash_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    media = media_from_text(docs)
+    clones = media_from_text(
+        docs.filter(F.col("doc_id") < 25).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+    hashes = perceptual_hashes(media.unionByName(clones))
+    return phash_near_dup_pairs(hashes, max_hamming=5, bands=6, band_bits=10)

@@ -234,3 +234,39 @@ def test_span_overlap_f1_and_qa_eval(spark):
     out = {r.answerable: r for r in qa_eval(scored).collect()}
     assert out[False].exact_match == 1.0
     assert 0 < out[True].mean_f1 <= 1.0
+
+
+def test_phash_near_dup_pigeonhole_recall(spark):
+    # Hashes within max_hamming bit-flips MUST be found through the band
+    # equi-join (pigeonhole: 5 flips over 6 bands leave one band intact);
+    # hashes further apart must not pair unless a band happens to collide
+    # and the Hamming filter then rejects them anyway.
+    from aicoe_osc_demo_spark.operators.multimodal import phash_near_dup_pairs
+
+    base = 0x0ABCDEF0123456F
+    rows = [
+        (1, base),
+        (2, base),                     # identical -> hamming 0
+        (3, base ^ 0b10111),           # 4 bit flips -> hamming 4, must be found
+        (4, base ^ ((1 << 60) - 1)),   # all 60 bits flipped -> never paired
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "phash"])
+    out = phash_near_dup_pairs(df, max_hamming=5, bands=6, band_bits=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r.d1, r.d2): r.hamming for r in out.collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 4 and got[(2, 3)] == 4
+    assert all(4 not in pair for pair in got)
+
+
+def test_perceptual_hashes_stub_is_md5_prefix(spark):
+    from aicoe_osc_demo_spark.operators.multimodal import (
+        media_from_text,
+        perceptual_hashes,
+    )
+    import hashlib
+
+    df = spark.createDataFrame([(7, "hello world")], ["doc_id", "text"])
+    row = perceptual_hashes(media_from_text(df)).collect()[0]
+    assert row.phash == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
