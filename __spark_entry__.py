@@ -41,6 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
     # --- new in r6 ---
+    "llm_semdedup",
+    "llm_knn_graph",
+    "llm_dsir_resample",
+    "llm_mmr_diverse_topk",
+    "multimodal_phash_dedup",
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",

@@ -1133,3 +1133,46 @@ def mmr_diverse_topk(
     return out.select(
         "step", F.col("cand_id").alias("vec_id"), F.round("score", 6).alias("score")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor graph over the whole corpus: banded
+    multi-table LSH self-join candidates (``_self_join_scored`` — the
+    same candidate generator as ``embedding_near_dup_pairs``), symmetrized
+    to directed edges, then top-k per source by cosine.
+
+    Output: ``(vec_id, neighbor_id, cosine)`` — up to k rows per vector
+    (vectors whose buckets collide with fewer than k others emit fewer;
+    LSH-isolated vectors emit none, which is the honest answer for an
+    approximate graph).
+
+    The KNN graph is the backbone artifact for graph-based semantic
+    dedup, label propagation, and NN-Descent-style index builds.  Scale
+    shape: candidate volume is n^2/2^p per table with p ≈ log2(n)
+    (see ``recommended_lsh_params``) — O(n) expected edges, all from an
+    equi-join on (table, bucket); the top-k is one window shuffle keyed
+    on vec_id.  Nothing is broadcast and nothing is quadratic, unlike the
+    query-side-broadcast ``lsh_ann_topk`` path which assumes a small
+    query set.
+    """
+    from .relational import top_k_per_group
+
+    scored = _self_join_scored(
+        corpus, n_tables, planes_per_table, dim, True, vec_col, id_col
+    )
+    edges = scored.select(
+        F.col("d1").alias("vec_id"), F.col("d2").alias("neighbor_id"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("d2").alias("vec_id"), F.col("d1").alias("neighbor_id"), "cosine"
+        )
+    )
+    return top_k_per_group(edges, ["vec_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])

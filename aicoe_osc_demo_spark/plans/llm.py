@@ -1784,3 +1784,58 @@ def llm_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam=0.7,
         pool=20,
     )
+
+
+# --- Approximate KNN graph ---------------------------------------------------
+def _knn_graph_sql(k: int = 3) -> str:
+    # Mirror _self_join_scored: LEFT side probes its 1-bit-flip buckets,
+    # RIGHT side keeps exact buckets, candidates are DISTINCT (d1 < d2)
+    # scored pairs; then symmetrize and rank per source.
+    l_arms = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id AS d1, v AS v1, {t} AS t, {_bucket_sql('v', t)} AS qb FROM base"
+        for t in range(_ANN_TABLES)
+    )
+    r_arms = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id AS d2, v AS v2, {t} AS t, {_bucket_sql('v', t)} AS bucket FROM base"
+        for t in range(_ANN_TABLES)
+    )
+    flips = ", ".join(["qb"] + [f"xor(qb, {1 << j})" for j in range(_ANN_PLANES)])
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    l0 AS (
+{l_arms}
+    ),
+    l AS (SELECT DISTINCT d1, v1, t, unnest([{flips}]) AS bucket FROM l0),
+    r AS (
+{r_arms}
+    ),
+    pairs AS (
+      SELECT DISTINCT d1, d2,
+             ROUND(list_dot_product(v1, v2)
+                   / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))), 6)
+               AS cosine
+      FROM l JOIN r USING (t, bucket)
+      WHERE d1 < d2
+    ),
+    edges AS (
+      SELECT d1 AS vec_id, d2 AS neighbor_id, cosine FROM pairs
+      UNION ALL
+      SELECT d2 AS vec_id, d1 AS neighbor_id, cosine FROM pairs
+    )
+    SELECT vec_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM edges
+    ) WHERE rn <= {k}
+    """
+
+
+@register("llm_knn_graph", _knn_graph_sql())
+def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-wide approximate KNN graph: LSH self-join candidates ->
+    # symmetrized edges -> top-3 per vector.  The graph artifact behind
+    # graph dedup / label propagation / NN-Descent seeding; no broadcast,
+    # no all-pairs.
+    from ..operators.similarity import knn_graph
+
+    return knn_graph(load(spark, sf_dir, "embeddings"), k=3)

@@ -107,6 +107,11 @@ HEADLINE_R6 = [
     "llm_ivf_recall",
     "llm_pq_recall",
     "llm_corpus_report",
+    "llm_semdedup",
+    "llm_knn_graph",
+    "llm_dsir_resample",
+    "llm_mmr_diverse_topk",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -662,3 +662,29 @@ def test_mmr_trades_relevance_for_diversity(spark):
     # scores are monotone non-increasing across steps
     scores = [r.score for r in sorted(out.collect(), key=lambda r: r.step)]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_graph_finds_planted_neighbors(spark):
+    # Scaled clones collide in every LSH table (sign bits are scale
+    # invariant), so each vector's top neighbor must be its clone with
+    # cosine exactly 1.0; edges are symmetric; no CartesianProduct.
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import knn_graph
+
+    rng = random.Random(11)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, [x * 0.5 for x in base[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = knn_graph(df, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r.vec_id, []).append((r.cosine, r.neighbor_id))
+    for i in range(10):
+        top = max(by_src[i])
+        assert top == (1.0, 100 + i), (i, by_src[i])
+        assert max(by_src[100 + i]) == (1.0, i)
+    assert all(len(v) <= 3 for v in by_src.values())
