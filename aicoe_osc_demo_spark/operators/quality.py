@@ -352,3 +352,47 @@ def dsir_resample(
             F.round(F.col("score_ni").cast("double") / 1e9, 6).alias("score"),
         )
     )
+
+
+def c4_rule_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style heuristic page cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2): keep only lines that end in a
+    terminal punctuation mark AND have at least ``min_words`` words; drop
+    the whole page if fewer than ``min_lines`` lines survive, or if it
+    mentions "lorem ipsum", or if it contains a curly brace (the
+    leaked-code/boilerplate tells).
+
+    Output: ``(doc_id, n_lines, clean_text)`` for surviving pages only —
+    ``clean_text`` is the newline-join of the kept lines.
+
+    Scale shape: pure per-row Column logic (split / filter / concat_ws) —
+    no shuffle, no UDF, whole-stage codegen'd; the line filter is a
+    higher-order array walk bounded by line count, not corpus size.
+    """
+    line_ok = lambda s: (
+        F.size(F.split(F.trim(s), " ")) >= min_words
+    ) & F.substring(F.trim(s), -1, 1).isin(".", "!", "?", '"')
+    kept = F.filter(F.split(F.col(text_col), "\n"), line_ok)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_page"),
+            kept.alias("_kept"),
+        )
+        .filter(
+            (F.size(F.col("_kept")) >= min_lines)
+            & ~F.lower(F.col("_page")).contains("lorem ipsum")
+            & ~F.col("_page").contains("{")
+        )
+        .select(
+            "doc_id",
+            F.size(F.col("_kept")).cast("int").alias("n_lines"),
+            F.concat_ws("\n", F.col("_kept")).alias("clean_text"),
+        )
+    )

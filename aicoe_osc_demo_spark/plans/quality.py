@@ -685,3 +685,74 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dsir_resample(docs, docs.filter(F.col("lang") == "en"), buckets=256, k=50)
+
+
+@register(
+    "llm_c4_rules",
+    # The synthetic documents are single-line, so (PII/URL-query convention)
+    # the page fixture is built identically in plan and oracle: 3 lines
+    # sliced from the doc's words — an 8-word terminal-punct line, a 4-word
+    # line (fails min_words), an 8-word line whose terminal punct is dropped
+    # for doc_id%3==0 — plus a "lorem ipsum" line for %17 pages and a
+    # curly-brace code line for %13 pages (page-level drops).
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, 1, 8), ' ') || '.' AS l1,
+             array_to_string(list_slice(w, 9, 12), ' ') || '.' AS l2,
+             array_to_string(list_slice(w, 13, 20), ' ')
+               || CASE WHEN doc_id % 3 = 0 THEN '' ELSE '.' END AS l3
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), built AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN l1 || chr(10) || l2 || chr(10) || l3
+                       || chr(10) || 'lorem ipsum dolor sit amet.'
+                  WHEN doc_id % 13 = 0
+                  THEN l1 || chr(10) || l2 || chr(10) || l3
+                       || chr(10) || 'if (x) { return; }'
+                  ELSE l1 || chr(10) || l2 || chr(10) || l3 END AS page
+      FROM pages
+    ), kept AS (
+      SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)),
+               s -> len(string_split(trim(s), ' ')) >= 5
+                    AND substr(trim(s), -1, 1) IN ('.', '!', '?', '"')) AS kl
+      FROM built
+    )
+    SELECT doc_id, CAST(len(kl) AS INT) AS n_lines,
+           array_to_string(kl, chr(10)) AS clean_text
+    FROM kept
+    WHERE len(kl) >= 2
+      AND NOT contains(lower(page), 'lorem ipsum')
+      AND NOT contains(page, '{')
+    """,
+)
+def llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 heuristic cleaning (Raffel et al. 2020 §2.2): terminal-punctuation
+    # + min-word line filter, lorem-ipsum / curly-brace page drops —
+    # pure-Column, codegen'd, shuffle-free.
+    from ..operators.quality import c4_rule_filter
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    l1 = F.concat(F.array_join(F.slice(w, 1, 8), " "), F.lit("."))
+    l2 = F.concat(F.array_join(F.slice(w, 9, 4), " "), F.lit("."))
+    l3 = F.concat(
+        F.array_join(F.slice(w, 13, 8), " "),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+    )
+    page = F.concat_ws("\n", l1, l2, l3)
+    page = (
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(page, F.lit("\nlorem ipsum dolor sit amet.")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(page, F.lit("\nif (x) { return; }")),
+        )
+        .otherwise(page)
+    )
+    fixture = docs.select("doc_id", page.alias("text"))
+    return c4_rule_filter(fixture, min_words=5, min_lines=2)

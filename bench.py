@@ -112,6 +112,7 @@ HEADLINE_R6 = [
     "llm_dsir_resample",
     "llm_mmr_diverse_topk",
     "multimodal_phash_dedup",
+    "llm_c4_rules",
 ]
 
 

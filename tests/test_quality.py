@@ -247,3 +247,26 @@ def test_dsir_resample_prefers_target_like_docs(spark):
     # deterministic: identical re-run
     again = dsir_resample(raw, target, buckets=64, k=10).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_c4_rule_filter_line_and_page_rules(spark):
+    from aicoe_osc_demo_spark.operators.quality import c4_rule_filter
+
+    rows = [
+        # two good lines + one no-punct line + one short line
+        (1, "alpha beta gamma delta epsilon.\nshort line.\n"
+            "one two three four five six!\nno terminal punctuation here at all"),
+        # page mentioning lorem ipsum -> dropped entirely
+        (2, "alpha beta gamma delta epsilon.\nLorem Ipsum dolor sit amet yes."),
+        # page with a curly brace -> dropped entirely
+        (3, "alpha beta gamma delta epsilon.\nfunction f() { return 1; }"),
+        # only one surviving line -> below min_lines
+        (4, "alpha beta gamma delta epsilon.\ntoo short."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_rule_filter(df, min_words=5, min_lines=2).collect()}
+    assert set(out) == {1}
+    assert out[1].n_lines == 2
+    assert out[1].clean_text == (
+        "alpha beta gamma delta epsilon.\none two three four five six!"
+    )
