@@ -34,10 +34,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the O(words^2) sequence/slice HOF form to the zip form — semantics
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
-# replace-count rewrite — then 24 of the oldest-verified entries (last
-# driver-green in r02).  The remaining r02-era entries (the text_* family
-# + window_* + the trivial projection/filter family) roll into the r7
-# window (set_intersect joins them — displaced by llm_bpe_pair_counts).
+# replace-count rewrite — then the oldest-verified entries (last
+# driver-green in r02) in the remaining slots.  The 6 NEW late-r6 queries
+# (semdedup, knn graph, dsir, mmr, phash dedup, c4 rules) displace the
+# tail of the r02 rotation (join_left_orders_customer,
+# join_multiway_revenue_by_nation, join_semi, join_top_unshipped_orders,
+# order_limit, reshape_melt), which roll into the r7 window with the
+# rest of the r02-era text_*/window_*/projection families.
 # Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
     # --- new in r6 ---
