@@ -989,6 +989,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = 1000,
+    cache_assignments: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540): cluster
@@ -1018,14 +1019,31 @@ def semdedup_pairs(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         scale=scale, return_assignments=True,
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
-    ).join(assigned, "vec_id")
-    a, b = vecs.alias("a"), vecs.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    # norms once per VECTOR, carried through the join as scalars (same
+    # rationale as _self_join_scored: each vector meets many in-cluster
+    # candidates, and per-pair norm folds are interpreted HOF walks —
+    # carrying them measured 15.0 s -> 5.0 s at sf0.1)
+    vecs = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        )
+        .join(assigned, "vec_id")
+        .withColumn("nrm", _norm(F.col("v")))
     )
+    if cache_assignments:
+        # the frame feeds BOTH sides of the self-join, and Spark does not
+        # reuse the iterative Lloyd exchanges across the two subtrees (0
+        # ReusedExchange observed) — without the persist the k-means chain
+        # and its corpus scans run twice (measured 6.7 s -> 3.0 s at
+        # sf0.1).  One row per vector, so the cached footprint is the
+        # corpus itself.  LIFETIME CAVEAT (same contract as
+        # prefix_jaccard_join's cache_shingles): never unpersisted here —
+        # callers composing many semdedup calls should clearCache() or
+        # pass cache_assignments=False.
+        vecs = vecs.persist()
+    a, b = vecs.alias("a"), vecs.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
         a.join(
             b,
