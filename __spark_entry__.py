@@ -50,6 +50,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_mmr_diverse_topk",
     "multimodal_phash_dedup",
     "llm_c4_rules",
+    "llm_token_budget_plan",
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",

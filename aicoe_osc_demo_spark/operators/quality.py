@@ -396,3 +396,48 @@ def c4_rule_filter(
             F.concat_ws("\n", F.col("_kept")).alias("clean_text"),
         )
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Per-source token-budget mixture plan — the planning table behind a
+    temperature-scaled training mixture (the published Pile / multilingual
+    recipe): target share of source s is sqrt(n_tokens_s) / sum_t
+    sqrt(n_tokens_t), target token count is share * budget, and epochs_s =
+    target / n_tokens_s says how often that source repeats (epochs > 1
+    flags up-sampling, the overfitting-risk signal reviewers look for).
+
+    Output: ``(source, n_tokens, share, target_tokens, epochs)``.
+
+    Complements ``mixture_sample`` (which makes row-level keep decisions):
+    this is the run-planning aggregate a data lead signs off on before a
+    training job.  Scale shape: one map-side-combined token-count
+    aggregate (G rows, G = number of sources), one broadcast of the 1-row
+    total — corpus text never shuffles.
+    """
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens")
+    )
+    # sqrt quantized to integer nano-units so the cross-source normalizer
+    # is an exact long sum (a double SUM is summation-order-dependent
+    # across engines — same trick as sq_reconstruction_error)
+    sqrt_ni = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e9 + F.lit(0.5)).cast(
+        "long"
+    )
+    counts = counts.withColumn("sqrt_ni", sqrt_ni)
+    tot = counts.agg(F.sum("sqrt_ni").alias("z_ni"))
+    share = F.col("sqrt_ni").cast("double") / F.col("z_ni").cast("double")
+    target = F.floor(share * F.lit(float(budget_tokens)) + F.lit(0.5)).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        target.alias("target_tokens"),
+        F.round(target.cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "epochs"
+        ),
+    )

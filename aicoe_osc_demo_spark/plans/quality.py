@@ -756,3 +756,29 @@ def llm_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fixture = docs.select("doc_id", page.alias("text"))
     return c4_rule_filter(fixture, min_words=5, min_lines=2)
+
+
+@register(
+    "llm_token_budget_plan",
+    """
+    WITH counts AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(floor(sqrt(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS sqrt_ni
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(sqrt_ni) AS BIGINT) AS z_ni FROM counts)
+    SELECT source, n_tokens,
+           ROUND(CAST(sqrt_ni AS DOUBLE) / CAST(z_ni AS DOUBLE), 6) AS share,
+           CAST(floor(CAST(sqrt_ni AS DOUBLE) / CAST(z_ni AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS target_tokens,
+           ROUND(CAST(floor(CAST(sqrt_ni AS DOUBLE) / CAST(z_ni AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM counts CROSS JOIN tot
+    """,
+)
+def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-mixture planning table: sqrt-share token targets and
+    # per-source epoch counts for a 1M-token training budget.
+    from ..operators.quality import token_budget_plan
+
+    return token_budget_plan(load(spark, sf_dir, "documents"), budget_tokens=1_000_000)

@@ -113,6 +113,7 @@ HEADLINE_R6 = [
     "llm_mmr_diverse_topk",
     "multimodal_phash_dedup",
     "llm_c4_rules",
+    "llm_token_budget_plan",
 ]
 
 

@@ -270,3 +270,27 @@ def test_c4_rule_filter_line_and_page_rules(spark):
     assert out[1].clean_text == (
         "alpha beta gamma delta epsilon.\none two three four five six!"
     )
+
+
+def test_token_budget_plan_shares_and_epochs(spark):
+    import math
+
+    from aicoe_osc_demo_spark.operators.quality import token_budget_plan
+
+    rows = [(i, "w " * (100 if i < 8 else 800), "big" if i >= 8 else "small")
+            for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    out = {r.source: r for r in token_budget_plan(df, budget_tokens=1000).collect()}
+    n_small, n_big = 8 * 100, 2 * 800
+    z = math.floor(math.sqrt(n_small) * 1e9 + 0.5) + math.floor(math.sqrt(n_big) * 1e9 + 0.5)
+    for src, n in (("small", n_small), ("big", n_big)):
+        s_ni = math.floor(math.sqrt(n) * 1e9 + 0.5)
+        assert out[src].n_tokens == n
+        assert out[src].share == round(s_ni / z, 6)
+        assert out[src].target_tokens == math.floor(s_ni / z * 1000.0 + 0.5)
+    # sqrt temperature flattens: the small source is up-weighted relative
+    # to its raw token share
+    assert out["small"].share > n_small / (n_small + n_big)
+    assert abs(out["small"].share + out["big"].share - 1.0) < 1e-5

@@ -70,6 +70,12 @@ QUERIES = [
     "llm_vocab_coverage",
     "llm_bpe_pair_counts",
     "llm_leakage_safe_split",
+    # late-r6 additions
+    "llm_semdedup",
+    "llm_knn_graph",
+    "llm_dsir_resample",
+    "multimodal_phash_dedup",
+    "llm_c4_rules",
 ]
 
 DOC_OFF = 10_000_000
