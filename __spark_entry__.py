@@ -51,6 +51,7 @@ _DRIVER_CHECK_PRIORITY = [
     "multimodal_phash_dedup",
     "llm_c4_rules",
     "llm_token_budget_plan",
+    "llm_pagerank",
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",

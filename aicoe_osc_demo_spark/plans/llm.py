@@ -1839,3 +1839,69 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_graph
 
     return knn_graph(load(spark, sf_dir, "embeddings"), k=3)
+
+
+# --- PageRank over the KNN similarity graph ----------------------------------
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    # Power iterations unrolled as CTEs over the replayed KNN edge set.
+    # Integer nano-unit ranks: the per-edge contribution is a fixed op
+    # chain, every SUM is an exact long aggregate.
+    knn = _knn_graph_sql()
+    contrib = (
+        "CAST(floor(CAST(r.r_ni AS DOUBLE) * CAST(0.85 AS DOUBLE)"
+        " / CAST(e.deg AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    WITH edges0 AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM ({knn})
+    ),
+    degs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges0 GROUP BY src),
+    e AS (SELECT edges0.src AS src, edges0.dst AS dst, degs.deg AS deg
+          FROM edges0 JOIN degs USING (src)),
+    nn AS (SELECT vec_id AS node FROM embeddings),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nn),
+    r0 AS (
+      SELECT node,
+             CAST(floor(1e9 / CAST(n_nodes AS DOUBLE) + 0.5) AS BIGINT) AS r_ni
+      FROM nn CROSS JOIN tot
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    in{i} AS (
+      SELECT e.dst AS dst, CAST(SUM({contrib}) AS BIGINT) AS in_ni
+      FROM e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nn.node AS node,
+             CAST(floor(1e9 * CAST({1.0 - d!r} AS DOUBLE)
+                        / CAST(n_nodes AS DOUBLE) + 0.5) AS BIGINT)
+             + COALESCE(in{i}.in_ni, 0) AS r_ni
+      FROM nn CROSS JOIN tot LEFT JOIN in{i} ON nn.node = in{i}.dst
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT node AS vec_id, ROUND(CAST(r_ni AS DOUBLE) / 1e9, 6) AS rank
+    FROM r{iters}"""
+    )
+
+
+@register("llm_pagerank", _pagerank_sql())
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Centrality over the similarity graph: KNN edges -> 3 damped power
+    # iterations.  How curation pipelines pick canonical representatives
+    # and weight coreset samples; isolated vectors keep the base rank.
+    from ..operators.graph import pagerank
+    from ..operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, emb.select("vec_id"), iters=3, id_col="vec_id").select(
+        F.col("node").alias("vec_id"), "rank"
+    )

@@ -114,6 +114,7 @@ HEADLINE_R6 = [
     "multimodal_phash_dedup",
     "llm_c4_rules",
     "llm_token_budget_plan",
+    "llm_pagerank",
 ]
 
 

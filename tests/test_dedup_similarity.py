@@ -688,3 +688,33 @@ def test_knn_graph_finds_planted_neighbors(spark):
         assert top == (1.0, 100 + i), (i, by_src[i])
         assert max(by_src[100 + i]) == (1.0, i)
     assert all(len(v) <= 3 for v in by_src.values())
+
+
+def test_pagerank_star_graph_matches_python_mirror(spark):
+    # Star graph: nodes 1..5 each point at node 0; node 0 points at node 1.
+    # Node 0 must collect the most rank; values match an exact integer
+    # nano-unit mirror of the same update rule.
+    import math
+
+    from aicoe_osc_demo_spark.operators.graph import pagerank
+
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    nodes = list(range(6))
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    n_df = spark.createDataFrame([(i,) for i in nodes], ["node_id"])
+    out = {r.node: r.rank for r in pagerank(e_df, n_df, iters=3, cache_edges=False).collect()}
+
+    # python mirror with identical integer nano-unit arithmetic
+    N = 6
+    deg = {i: 1 for i in nodes}
+    r = {i: math.floor(1e9 / N + 0.5) for i in nodes}
+    base = math.floor(1e9 * (1.0 - 0.85) / N + 0.5)
+    for _ in range(3):
+        inflow = {i: 0 for i in nodes}
+        for s, t in edges:
+            inflow[t] += math.floor(r[s] * 0.85 / deg[s] + 0.5)
+        r = {i: base + inflow[i] for i in nodes}
+    expected = {i: round(r[i] / 1e9, 6) for i in nodes}
+    assert out == expected
+    assert out[0] == max(out.values())      # the hub dominates
+    assert out[2] == min(out.values())      # pure sources sit at base rank

@@ -250,3 +250,22 @@ def test_chunk_layout_covers_every_word(n_words, chunk, overlap):
     assert covered == set(range(n_words))
     # no chunk beyond the doc except the mandatory first
     assert (n_chunks - 1) * stride < n_words or n_chunks == 1
+
+
+
+@given(
+    st.integers(min_value=0, max_value=2**60 - 1),
+    st.sets(st.integers(min_value=0, max_value=59), max_size=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_phash_pigeonhole_band_guarantee(h, flips):
+    # The banding recall proof behind phash_near_dup_pairs: any hash within
+    # 5 bit flips of another MUST agree with it on at least one of the six
+    # 10-bit bands (pigeonhole), so the band equi-join loses no pair the
+    # Hamming filter would keep.
+    h2 = h
+    for j in flips:
+        h2 ^= 1 << j
+    bands1 = [(h >> (10 * k)) & 1023 for k in range(6)]
+    bands2 = [(h2 >> (10 * k)) & 1023 for k in range(6)]
+    assert any(a == b for a, b in zip(bands1, bands2))
