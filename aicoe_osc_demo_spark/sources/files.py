@@ -149,3 +149,54 @@ def read_annotation_workbooks(
     return df.select(*columns_to_read).withColumn(
         "annotator", F.element_at(F.split(F.input_file_name(), "/"), -1)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    budget_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = "source",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a curated corpus as training shards: documents are laid
+    end-to-end per shard in deterministic id order (``pack_offset_bins``),
+    and the parquet output is PARTITIONED BY the resulting ``bin`` so a
+    trainer's data loader reads exactly one fixed-token-budget bin per
+    directory — sequential scans, partition pruning per training step, no
+    row-level shuffling at load time.
+
+    Within each partition the rows are sorted by ``start_offset`` so the
+    concat-and-slice loader sees documents in layout order without a sort.
+
+    Scale: the packing is one window cumsum per shard (see
+    ``pack_offset_bins``); the write is Spark's parallel partitioned
+    writer.  Bin directories are bounded at ``budget_tokens`` tokens of
+    text each, so object-store listing and task planning stay uniform at
+    any corpus size.
+    """
+    from ..operators.corpus import pack_offset_bins
+
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    ]
+    if shard_col:
+        cols.append(F.col(shard_col))
+    packed = pack_offset_bins(
+        df.select(*cols),
+        token_col="n_tokens",
+        budget=budget_tokens,
+        shard_col=shard_col,
+        allow_single_shard=shard_col is None,
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(packed, "doc_id")
+        .sortWithinPartitions("start_offset")
+    )
+    # bin numbers restart per shard, so the directory key is (shard, bin)
+    write_parquet(
+        out, path, mode=mode, partition_by=["shard", "bin"] if shard_col else ["bin"]
+    )

@@ -226,3 +226,32 @@ def test_tpe_search_drives_spark_cv_objective(spark):
     assert 0.5 < out["score"] <= 1.0
     assert 2 <= out["params"]["max_iter"] <= 8
     assert len(out["trials"]) == 3
+
+
+def test_write_training_shards_layout_and_pruning(spark, tmp_path):
+    from aicoe_osc_demo_spark.sources.files import write_training_shards
+
+    rows = [(i, "w " * 50, "a" if i < 6 else "b") for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, budget_tokens=100, shard_col="source")
+    back = spark.read.parquet(path)
+    # every document survives with its packing metadata
+    assert back.count() == 10
+    # 50 tokens/doc, budget 100 -> 2 docs per bin; shard a has 6 docs -> 3
+    # bins, shard b has 4 docs -> 2 bins
+    import os
+
+    a_bins = {d for d in os.listdir(os.path.join(path, "shard=a")) if d.startswith("bin=")}
+    b_bins = {d for d in os.listdir(os.path.join(path, "shard=b")) if d.startswith("bin=")}
+    assert a_bins == {"bin=0", "bin=1", "bin=2"}
+    assert b_bins == {"bin=0", "bin=1"}
+    # partition pruning: a bin-filtered read scans only that directory
+    pruned = back.filter("shard = 'a' AND bin = 1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 2
+    # loader order: offsets within one bin are contiguous in id order
+    got = [r.doc_id for r in pruned.orderBy("start_offset").collect()]
+    assert got == [2, 3]
