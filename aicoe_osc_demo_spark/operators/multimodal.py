@@ -293,6 +293,9 @@ def phash_near_dup_pairs(
             .cast("int")
             .alias("hamming"),
         )
-        .distinct()
+        # hamming is row-local, so filter BEFORE the distinct: random band
+        # collisions (almost all far above max_hamming) never enter the
+        # dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -249,6 +249,7 @@ def dsir_resample(
     id_col: str = "doc_id",
     buckets: int = 256,
     k: int = 50,
+    cache_features: bool = True,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling", NeurIPS 2023): select the ``k`` raw documents
@@ -299,6 +300,13 @@ def dsir_resample(
     spine = spark.range(buckets).select(F.col("id").cast("long").alias("b"))
     tgt_counts = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
     raw_feats = feats(raw)
+    if cache_features:
+        # raw_feats feeds BOTH the q-distribution aggregate and the
+        # per-doc bucket counts; uncached, the expensive featurization
+        # (interpreted bigram HOF + one md5 per token over the whole raw
+        # corpus) executes twice.  Same cache-lifetime contract as
+        # semdedup_pairs' cache_assignments.
+        raw_feats = raw_feats.persist()
     raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
     # "tot_p", not "Np": Spark's resolver is case-insensitive, so a column
     # named Np would collide with the per-bucket np after the join

@@ -1848,7 +1848,7 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     # chain, every SUM is an exact long aggregate.
     knn = _knn_graph_sql()
     contrib = (
-        "CAST(floor(CAST(r.r_ni AS DOUBLE) * CAST(0.85 AS DOUBLE)"
+        f"CAST(floor(CAST(r.r_ni AS DOUBLE) * CAST({d!r} AS DOUBLE)"
         " / CAST(e.deg AS DOUBLE) + 0.5) AS BIGINT)"
     )
     parts = [

@@ -191,12 +191,20 @@ def write_training_shards(
         shard_col=shard_col,
         allow_single_shard=shard_col is None,
     )
+    # bin numbers restart per shard, so the directory key is (shard, bin).
+    # Repartition on the directory key BEFORE the within-task sort: the
+    # join leaves rows hash-partitioned by doc_id, which would scatter one
+    # bin across many tasks — many small unordered files per directory.
+    # After the repartition each (shard, bin) lands in one task, and the
+    # (shard, bin, start_offset) sort makes every written file
+    # offset-ordered even when a task holds several bins.
+    keys = ["shard", "bin"]
     out = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .join(packed, "doc_id")
-        .sortWithinPartitions("start_offset")
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "start_offset")
     )
-    # bin numbers restart per shard, so the directory key is (shard, bin)
     write_parquet(
-        out, path, mode=mode, partition_by=["shard", "bin"] if shard_col else ["bin"]
+        out, path, mode=mode, partition_by=keys if shard_col else ["bin"]
     )

@@ -250,8 +250,17 @@ def test_write_training_shards_layout_and_pruning(spark, tmp_path):
     assert b_bins == {"bin=0", "bin=1"}
     # partition pruning: a bin-filtered read scans only that directory
     pruned = back.filter("shard = 'a' AND bin = 1")
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == 2
-    # loader order: offsets within one bin are contiguous in id order
+    # layout contract: ONE data file per bin directory (the repartition on
+    # the directory key), and rows inside it already offset-ordered (the
+    # within-task sort) — the concat-and-slice loader needs no re-sort
+    for d in ("shard=a/bin=1", "shard=b/bin=0"):
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+        offs = [
+            r.start_offset
+            for r in spark.read.parquet(os.path.join(path, d, files[0])).collect()
+        ]
+        assert offs == sorted(offs)
     got = [r.doc_id for r in pruned.orderBy("start_offset").collect()]
     assert got == [2, 3]
