@@ -429,7 +429,11 @@ def token_budget_plan(
     """
     counts = df.groupBy(group_col).agg(
         F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens")
-    )
+    ).persist()
+    # ^ counts feeds both the output rows and the normalizer aggregate;
+    # uncached, the full corpus token count executes twice (one FileScan
+    # per subtree observed).  The cached frame is one row per source —
+    # negligible footprint, so no opt-out flag.
     # sqrt quantized to integer nano-units so the cross-source normalizer
     # is an exact long sum (a double SUM is summation-order-dependent
     # across engines — same trick as sq_reconstruction_error)

@@ -144,3 +144,30 @@ def test_bm25_joins_all_broadcast(spark):
     plan = explain(QUERIES["llm_bm25_topk"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dsir_lambda_join_is_broadcast(spark):
+    # the B-row lambda table must broadcast into the per-doc scoring join
+    # (a shuffled join there would move the whole (doc_id, bucket, count)
+    # stream through an exchange keyed on bucket — wrong at corpus scale)
+    plan = explain(QUERIES["llm_dsir_resample"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    # global top-k is a bounded TakeOrdered, never a full sort
+    assert "TakeOrdered" in plan
+
+
+def test_c4_rules_is_shuffle_free(spark):
+    plan = explain(QUERIES["llm_c4_rules"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 0
+
+
+def test_token_budget_plan_scans_corpus_once(spark):
+    # the per-source counts are cached and reused by the normalizer
+    # aggregate — the corpus parquet must be scanned exactly once
+    plan = explain(QUERIES["llm_token_budget_plan"](spark, SF_DIR), "simple")
+    # both the output projection and the normalizer aggregate read the
+    # cached per-source counts (the FileScan string inside the
+    # InMemoryRelation description is the cached plan, not a live scan)
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
