@@ -155,3 +155,51 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .withColumn("session_id", F.sum("new_session").over(w))
         .drop("new_session")
     )
+
+
+def streaming_quality_monitor(
+    docs: DataFrame,
+    time_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed corpus-quality telemetry per source — the live monitor a
+    continuous ingestion pipeline exports to its curation dashboard:
+    document volume, mean quality score, mean length, and English share
+    per (ingest window, source).
+
+    Same batch/stream duality as ``windowed_event_counts``: the plan runs
+    unchanged in backfill (batch) and live (watermarked streaming agg, so
+    per-window state evicts once the late-data horizon passes).  Quality
+    scores aggregate as integer micro-units, so the means are
+    summation-order-free and batch/stream/backfill runs agree exactly.
+
+    Scale: one watermarked groupBy — state is (windows x sources) rows,
+    independent of document volume; document text never enters state.
+    """
+    from ..functions.analysis import quality_score, stopword_ratio
+
+    src = docs
+    if docs.isStreaming:
+        src = docs.withWatermark(time_col, watermark)
+    rows = src.select(
+        F.window(F.col(time_col), window).alias("w"),
+        F.col("source"),
+        F.length("text").alias("n_chars"),
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)).cast("long").alias("qi"),
+        (stopword_ratio(F.col("text")) >= 0.05).alias("en"),
+    )
+    n = F.count(F.lit(1))
+    return rows.groupBy("w", "source").agg(
+        n.cast("long").alias("n_docs"),
+        F.round(F.sum("qi").cast("double") / n / F.lit(1e6), 6).alias("avg_quality"),
+        F.round(F.sum("n_chars").cast("double") / n, 6).alias("avg_chars"),
+        F.round(F.avg(F.when(F.col("en"), 1.0).otherwise(0.0)), 6).alias("en_share"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        "source",
+        "n_docs",
+        "avg_quality",
+        "avg_chars",
+        "en_share",
+    )

@@ -363,3 +363,53 @@ def test_streaming_scd2_equal_ts_tiebreak_matches_batch(spark, tmp_path):
     assert streamed == batch
     # the equal-ts 'a' change survives as a zero-width interval under 'b'
     assert (1, "a", "2024-01-01 00:00:00", "2024-01-01 00:00:00") in streamed
+
+
+def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
+    # the same monitor plan on a real file stream (watermark + checkpoint)
+    # must produce exactly the batch run's rows — integer micro-unit
+    # quality aggregation makes the parity exact, not approximate
+    from aicoe_osc_demo_spark.streaming.incremental import streaming_quality_monitor
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    rows = [
+        ("2024-01-01 10:05:00", "web", "the quick brown fox jumps over a lazy dog and then it runs away"),
+        ("2024-01-01 10:40:00", "web", "zz qq xx zz qq xx zz qq"),
+        ("2024-01-01 11:10:00", "book", "it was the best of times and it was the worst of times in the city"),
+    ]
+    df = spark.createDataFrame(rows, ["ingest_ts", "source", "text"]).withColumn(
+        "ingest_ts", F.col("ingest_ts").cast("timestamp")
+    )
+    df.coalesce(1).write.parquet(inp + "/f1.parquet")
+
+    batch = {
+        (str(r.window_start), r.source): (r.n_docs, r.avg_quality, r.avg_chars, r.en_share)
+        for r in streaming_quality_monitor(df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("ingest_ts timestamp, source string, text string")
+        .option("recursiveFileLookup", "true")
+        .parquet(inp)
+    )
+    agg = streaming_quality_monitor(stream)
+    assert agg.isStreaming
+    seen: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda bdf, _e: seen.extend(bdf.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (str(r.window_start), r.source): (r.n_docs, r.avg_quality, r.avg_chars, r.en_share)
+        for r in seen
+    }
+    assert live == batch
+    assert live[("2024-01-01 10:00:00", "web")][0] == 2
+    # the stopword-free junk doc drags web's English share to 0.5
+    assert live[("2024-01-01 10:00:00", "web")][3] == 0.5
+    assert live[("2024-01-01 11:00:00", "book")][0] == 1
