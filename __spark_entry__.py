@@ -54,6 +54,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_c4_rules",
     "llm_token_budget_plan",
     "llm_pagerank",
+    "llm_cross_corpus_links",
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",

@@ -1200,3 +1200,64 @@ def knn_graph(
         )
     )
     return top_k_per_group(edges, ["vec_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
+
+
+def lsh_link_pairs(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    threshold: float = 0.99,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-corpus embedding linkage: (a_id, b_id, cosine) pairs above
+    ``threshold`` between two corpora where NEITHER side fits in a
+    broadcast — train-vs-eval contamination sweeps, cross-snapshot entity
+    linkage, dataset-overlap audits at full scale.
+
+    This fills the gap between ``lsh_ann_topk`` (query side broadcast —
+    assumes a small query set) and ``embedding_near_dup_pairs`` (one
+    corpus self-joined): both sides here are exploded into (table,
+    bucket) keys and met by a plain shuffled equi-join, so the plan is
+    symmetric in the two inputs and scales with whichever is larger.
+    The A side probes its 1-bit-flip buckets per table (same multiprobe
+    as the self-join); per-vector norms ride the join as scalars; only
+    the narrow scored row enters the dedup shuffle.
+    """
+    from .relational import ensure_parallelism
+
+    def prep(df: DataFrame, out_id: str, out_v: str, out_n: str):
+        base = ensure_parallelism(
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        ).withColumn("nrm", _norm(F.col("v")))
+        return _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim).select(
+            F.col("vid").alias(out_id),
+            F.col("v").alias(out_v),
+            F.col("nrm").alias(out_n),
+            "t",
+            "bucket",
+        )
+
+    a = prep(corpus_a, "a_id", "va", "na")
+    flips = F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
+        )
+    )
+    a = a.withColumn("bucket", F.explode(flips))
+    b = prep(corpus_b, "b_id", "vb", "nb")
+    return (
+        a.join(b, on=["t", "bucket"])
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1905,3 +1905,47 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, emb.select("vec_id"), iters=3, id_col="vec_id").select(
         F.col("node").alias("vec_id"), "rank"
     )
+
+
+@register(
+    "llm_cross_corpus_links",
+    # Brute-force oracle over all A x B pairs: the banded two-corpus join
+    # must find EXACTLY the linkage set (scaled clones are bucket-identical
+    # in every table — sign bits are scale-invariant — so recall is exact).
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a AS (SELECT * FROM e WHERE vec_id < 250),
+    b AS (
+      SELECT * FROM e WHERE vec_id >= 250
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+      FROM a WHERE vec_id < 25
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM a CROSS JOIN b
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """,
+)
+def llm_cross_corpus_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-corpus contamination/linkage sweep where neither side broadcasts:
+    # both sides explode to (table, bucket) keys, a plain shuffled
+    # equi-join meets them.  Planted 0.5-scaled clones of A inside B give
+    # ground-truth links.
+    from ..operators.similarity import lsh_link_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    a = emb.filter(F.col("vec_id") < 250)
+    clones = a.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    b = emb.filter(F.col("vec_id") >= 250).unionByName(clones)
+    return lsh_link_pairs(
+        a, b, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+    )

@@ -115,6 +115,7 @@ HEADLINE_R6 = [
     "llm_c4_rules",
     "llm_token_budget_plan",
     "llm_pagerank",
+    "llm_cross_corpus_links",
 ]
 
 

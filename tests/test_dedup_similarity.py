@@ -718,3 +718,26 @@ def test_pagerank_star_graph_matches_python_mirror(spark):
     assert out == expected
     assert out[0] == max(out.values())      # the hub dominates
     assert out[2] == min(out.values())      # pure sources sit at base rank
+
+
+def test_lsh_link_pairs_no_broadcast_both_sides(spark):
+    # cross-corpus linkage: planted scaled clones in B must link to their A
+    # originals; the candidate join must be a shuffled equi-join — neither
+    # side broadcast, no CartesianProduct
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import lsh_link_pairs
+
+    rng = random.Random(31)
+    a_rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(30)]
+    b_rows = [(500 + i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(30)]
+    b_rows += [(900 + i, [x * 0.5 for x in a_rows[i][1]]) for i in range(5)]
+    a = spark.createDataFrame(a_rows, ["vec_id", "embedding"])
+    b = spark.createDataFrame(b_rows, ["vec_id", "embedding"])
+    out = lsh_link_pairs(a, b, threshold=0.99, n_tables=2, planes_per_table=6, dim=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" not in plan  # symmetric shuffled join
+    got = {(r.a_id, r.b_id): r.cosine for r in out.collect()}
+    assert set(got) == {(i, 900 + i) for i in range(5)}
+    assert all(abs(c - 1.0) < 1e-6 for c in got.values())
