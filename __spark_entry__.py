@@ -35,14 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) in the remaining slots.  The 8 NEW late-r6 queries
+# driver-green in r02) in the remaining slots.  The 9 NEW late-r6 queries
 # (semdedup, knn graph, dsir, mmr, phash dedup, c4 rules, token-budget
-# plan, pagerank) displace the tail of the r02 rotation — the 8 entries
-# past position 50 (join_broadcast_dims, join_cross_small,
-# join_left_orders_customer, join_multiway_revenue_by_nation, join_semi,
-# join_top_unshipped_orders, order_limit, reshape_melt) are NOT
-# driver-checked in r6 and roll into the r7 window with the rest of the
-# r02-era text_*/window_*/projection families.
+# plan, pagerank, cross-corpus links) displace the tail of the r02
+# rotation — the 9 entries past position 50 (join_anti,
+# join_broadcast_dims, join_cross_small, join_left_orders_customer,
+# join_multiway_revenue_by_nation, join_semi, join_top_unshipped_orders,
+# order_limit, reshape_melt) are NOT driver-checked in r6 and roll into
+# the r7 window with the rest of the r02-era
+# text_*/window_*/projection families.
 # Names absent follow in registry order.
 _DRIVER_CHECK_PRIORITY = [
     # --- new in r6 ---
