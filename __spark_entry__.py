@@ -35,10 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) in the remaining slots.  The 9 NEW late-r6 queries
+# driver-green in r02) in the remaining slots.  The 10 NEW late-r6 queries
 # (semdedup, knn graph, dsir, mmr, phash dedup, c4 rules, token-budget
-# plan, pagerank, cross-corpus links) displace the tail of the r02
-# rotation — the 9 entries past position 50 (join_anti,
+# plan, pagerank, cross-corpus links, feature-hash embed) displace the tail of the r02
+# rotation — the 10 entries past position 50 (incremental_skip_processed, join_anti,
 # join_broadcast_dims, join_cross_small, join_left_orders_customer,
 # join_multiway_revenue_by_nation, join_semi, join_top_unshipped_orders,
 # order_limit, reshape_melt) are NOT driver-checked in r6 and roll into
@@ -56,6 +56,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_token_budget_plan",
     "llm_pagerank",
     "llm_cross_corpus_links",
+    "llm_feature_hash_embed",
     "llm_sq_codes",
     "llm_sq_recon_error",
     "llm_leakage_safe_split",

@@ -263,3 +263,53 @@ def bpe_pair_counts(
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (the "hashing trick",
+    Weinberger et al. 2009): token t adds sign(t) at dimension
+    ``md5_32(t) % dim``, then the vector is L2-normalized — a
+    model-free embedder that turns text into the ``array<float>`` shape
+    the whole ANN/near-dup family consumes (cosine_topk, lsh_*, ivf,
+    semdedup, knn_graph).  Signed hashing keeps collision noise
+    zero-mean, which is what makes hashed BoW cosines usable.
+
+    Output: exploded ``(doc_id, dim, val)`` rows for NONZERO dimensions
+    only (flat-canonical for the oracle; assemble with
+    ``array_sort(collect_list(...))`` when a dense vector is needed).
+
+    Engine parity: raw components are exact integer sums of ±token
+    counts, the squared norm is an exact integer, and ``val = v /
+    sqrt(ssq)`` is a fixed per-row double chain — hash-identical in any
+    engine at any parallelism.  Scale: explode + two keyed aggregates
+    ((doc, dim) then doc); shuffle rows are ints, text never shuffles.
+    """
+    from ..operators.relational import ensure_parallelism
+
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    comps = (
+        toks.select(
+            "doc_id",
+            (h % dim).cast("int").alias("dim"),
+            F.when(F.shiftright(h, 8) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    ssq = comps.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("ssq"))
+    return comps.join(ssq, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.round(
+            F.col("v").cast("double") / F.sqrt(F.col("ssq").cast("double")), 6
+        ).alias("val"),
+    )

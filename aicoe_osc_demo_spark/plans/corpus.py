@@ -238,3 +238,34 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bpe_pair_counts
 
     return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "llm_feature_hash_embed",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS dim,
+             CASE WHEN (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) >> 8) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM toks
+    ), comps AS (
+      SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS v
+      FROM hashed GROUP BY doc_id, dim
+      HAVING SUM(s) != 0
+    ), ssq AS (
+      SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS ssq FROM comps GROUP BY doc_id
+    )
+    SELECT comps.doc_id AS doc_id, dim,
+           ROUND(CAST(v AS DOUBLE) / sqrt(CAST(ssq AS DOUBLE)), 6) AS val
+    FROM comps JOIN ssq USING (doc_id)
+    """,
+)
+def llm_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Model-free hashed-BoW embeddings: text -> signed 64-dim unit vector,
+    # the bridge from the text tables into the ANN/near-dup family.
+    from ..operators.corpus import feature_hash_embed
+
+    return feature_hash_embed(load(spark, sf_dir, "documents"), dim=64)

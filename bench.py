@@ -116,6 +116,7 @@ HEADLINE_R6 = [
     "llm_token_budget_plan",
     "llm_pagerank",
     "llm_cross_corpus_links",
+    "llm_feature_hash_embed",
 ]
 
 

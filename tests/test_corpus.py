@@ -98,3 +98,33 @@ def test_chunk_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_feature_hash_embed_unit_norm_and_determinism(spark):
+    import math
+
+    from aicoe_osc_demo_spark.operators.corpus import feature_hash_embed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha alpha"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    rows = feature_hash_embed(df, dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.dim] = r.val
+    # unit norm per doc (up to the 6dp rounding of each component)
+    for d, vec in by_doc.items():
+        assert abs(sum(v * v for v in vec.values()) - 1.0) < 1e-4, (d, vec)
+    # a single-token doc embeds as +-1 at one dimension
+    assert len(by_doc[3]) == 1 and abs(abs(next(iter(by_doc[3].values()))) - 1.0) < 1e-9
+    # identical runs are identical; same tokens -> same dims regardless of doc
+    again = feature_hash_embed(df, dim=16).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # doc 2 ("alpha alpha") must use exactly the dimension "alpha" hashes to,
+    # shared with doc 1's alpha component
+    import hashlib
+
+    alpha_dim = int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % 16
+    assert set(by_doc[2]) == {alpha_dim}
+    assert alpha_dim in by_doc[1]
