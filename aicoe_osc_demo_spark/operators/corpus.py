@@ -291,7 +291,13 @@ def feature_hash_embed(
     """
     from ..operators.relational import ensure_parallelism
 
+    # dimension and sign come from DISJOINT md5 prefix ranges (chars 1-8
+    # vs 9-16): deriving the sign from bits of the same value as the
+    # bucket would make sign a function of dimension once dim consumes
+    # those bits (any dim > 256), degenerating signed hashing to unsigned
+    # counts and biasing cosines upward
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h_sign = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
     toks = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     ).select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
@@ -299,7 +305,7 @@ def feature_hash_embed(
         toks.select(
             "doc_id",
             (h % dim).cast("int").alias("dim"),
-            F.when(F.shiftright(h, 8) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+            F.when(h_sign % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
         )
         .groupBy("doc_id", "dim")
         .agg(F.sum("s").cast("long").alias("v"))

@@ -167,6 +167,19 @@ def _table_buckets(vec, n_tables: int, planes_per_table: int, dim: int):
     return buckets(vec)
 
 
+def _multiprobe_flips(planes_per_table: int):
+    """The 1-bit multiprobe bucket set of the current row's ``bucket``
+    column: the bucket itself plus every single-bit flip.  Shared by the
+    self-join, query-broadcast, and cross-corpus candidate generators so
+    the probe radius can never silently diverge between ANN paths."""
+    return F.array_distinct(
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
+        )
+    )
+
+
 def _explode_tables(df: DataFrame, vec_col, n_tables: int, planes_per_table: int, dim: int):
     """One (t, bucket) row per table per vector: posexplode of the per-table
     bucket array.  The downstream candidate join is an equi-join on
@@ -328,12 +341,7 @@ def _self_join_scored(
     )
     left = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim)
     if multiprobe:
-        flips = F.array_distinct(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
-            )
-        )
+        flips = _multiprobe_flips(planes_per_table)
         left = left.withColumn("bucket", F.explode(flips))
     left = left.select(
         F.col("vid").alias("d1"), F.col("v").alias("v1"), F.col("nrm").alias("n1"), "t", "bucket"
@@ -421,12 +429,7 @@ def lsh_ann_candidates(
         dim,
     )
     if multiprobe:
-        flips = F.array_distinct(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
-            )
-        )
+        flips = _multiprobe_flips(planes_per_table)
         q = q.withColumn("bucket", F.explode(flips))
     cand = c.join(F.broadcast(q), on=["t", "bucket"]).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1241,12 +1244,7 @@ def lsh_link_pairs(
         )
 
     a = prep(corpus_a, "a_id", "va", "na")
-    flips = F.array_distinct(
-        F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(planes_per_table)],
-        )
-    )
+    flips = _multiprobe_flips(planes_per_table)
     a = a.withColumn("bucket", F.explode(flips))
     b = prep(corpus_b, "b_id", "vb", "nb")
     return (

@@ -248,7 +248,7 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hashed AS (
       SELECT doc_id,
              CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS dim,
-             CASE WHEN (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) >> 8) % 2 = 0
+             CASE WHEN CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) % 2 = 0
                   THEN 1 ELSE -1 END AS s
       FROM toks
     ), comps AS (

@@ -177,7 +177,7 @@ def streaming_quality_monitor(
     Scale: one watermarked groupBy — state is (windows x sources) rows,
     independent of document volume; document text never enters state.
     """
-    from ..functions.analysis import quality_score, stopword_ratio
+    from ..functions.analysis import lang_id, quality_score
 
     src = docs
     if docs.isStreaming:
@@ -187,7 +187,9 @@ def streaming_quality_monitor(
         F.col("source"),
         F.length("text").alias("n_chars"),
         F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5)).cast("long").alias("qi"),
-        (stopword_ratio(F.col("text")) >= 0.05).alias("en"),
+        # the canonical language gate, so the dashboard's en_share can
+        # never diverge from the batch language-share reports
+        (lang_id(F.col("text")) == "en").alias("en"),
     )
     n = F.count(F.lit(1))
     return rows.groupBy("w", "source").agg(
