@@ -595,7 +595,7 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate, dedup fingerprint) into ONE map-side-combined aggregate;
     # per-row doubles are quantized to exact integer micro-units before
     # summing so the means are summation-order-free and hash-match.
-    from ..functions.analysis import doc_fingerprint, quality_score, stopword_ratio
+    from ..functions.analysis import doc_fingerprint, lang_id, quality_score
 
     d = load(spark, sf_dir, "documents")
     q6 = F.round(quality_score(F.col("text")), 6)
@@ -603,7 +603,7 @@ def llm_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_chars",
         F.round(q6 * F.lit(1e6)).cast("long").alias("qi"),
-        (stopword_ratio(F.col("text")) >= 0.05).alias("en"),
+        (lang_id(F.col("text")) == "en").alias("en"),
         doc_fingerprint(F.col("text")).alias("fp"),
     )
     n = F.count(F.lit(1))
