@@ -26,8 +26,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 30 queries new or with code
-# paths changed this round — the llm_pq_codes canonical-form fix (the one red r5
+# FIRST 50 registry entries.  r6 window = the 41 queries new (19) or with
+# code paths changed (22) this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
 # (scalar quantization x2, leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from

@@ -178,6 +178,7 @@ def vocab_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 6,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """Vocabulary coverage / OOV-rate audit: build the corpus's top-V token
     vocabulary by total occurrence count and score every document by the
@@ -193,10 +194,19 @@ def vocab_coverage(
     the V-row vocabulary broadcasts into the per-doc join.  Ties at the
     V-th slot break deterministically on (count DESC, token ASC) so the
     vocabulary — and therefore every rate — is oracle-replayable.
+
+    The exploded token frame feeds BOTH the vocab aggregate and the
+    per-doc join side; ``cache_tokens`` persists it so the corpus is
+    scanned and split once, not twice (same convention as
+    ``dsir_resample``'s feature cache — callers composing many audits can
+    opt out and manage caching themselves).  Blocks release at
+    ``spark.catalog.clearCache()`` or application end.
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
+    if cache_tokens:
+        toks = toks.persist()
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

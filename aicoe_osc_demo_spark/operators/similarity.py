@@ -352,10 +352,16 @@ def _self_join_scored(
         .select(
             "d1",
             "d2",
-            F.round(
-                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
-            ).alias("cosine"),
+            # both the raw and the 6-dp cosine ride the distinct: callers
+            # that THRESHOLD must compare the raw value (a filter on the
+            # rounded one admits [threshold - 5e-7, threshold) pairs that a
+            # raw-valued oracle rejects), while ranked outputs emit the
+            # rounded form.  The raw double is bit-deterministic (same
+            # fixed-order fold on the same operands every collision), so
+            # distinct still collapses multi-table hits.
+            (_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("_cos"),
         )
+        .withColumn("cosine", F.round(F.col("_cos"), 6))
         .distinct()  # collisions in several tables / probes collapse here
     )
 
@@ -386,7 +392,9 @@ def embedding_near_dup_pairs(
     scored = _self_join_scored(
         corpus, n_tables, planes_per_table, dim, True, vec_col, id_col
     )
-    return scored.filter(F.col("cosine") >= threshold)
+    # threshold on the RAW cosine (matches the brute-force oracle's WHERE
+    # on the unrounded value); the rounded column is output-only
+    return scored.filter(F.col("_cos") >= threshold).select("d1", "d2", "cosine")
 
 
 def lsh_ann_candidates(
@@ -911,6 +919,21 @@ def scalar_quantize(
     - dim_stats: (dim: int, lo: double, hi: double) — broadcastable
       dequantization state.
     """
+    dims, dim_stats, code = _sq_parts(corpus, bits, vec_col, id_col)
+    codes = (
+        dims.join(F.broadcast(dim_stats), on="dim")
+        .select(F.col(id_col), F.col("dim"), code.cast("int").alias("code"))
+    )
+    return codes, dim_stats
+
+
+def _sq_parts(corpus, bits, vec_col, id_col):
+    """Shared encoder pieces for ``scalar_quantize`` and
+    ``sq_reconstruction_error``: the posexploded (id, dim, x) frame, the
+    per-dimension [lo, hi] aggregate, and the half-up code expression.
+    One definition so the audit always measures the quantizer that
+    produced the codes — a change here (clipping, rounding mode) reaches
+    both."""
     levels = (1 << bits) - 1
     dims = corpus.select(
         F.col(id_col),
@@ -924,11 +947,7 @@ def scalar_quantize(
     code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
         F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * levels + F.lit(0.5))
     )
-    codes = (
-        dims.join(F.broadcast(dim_stats), on="dim")
-        .select(F.col(id_col), F.col("dim"), code.cast("int").alias("code"))
-    )
-    return codes, dim_stats
+    return dims, dim_stats, code
 
 
 def sq_reconstruction_error(
@@ -948,18 +967,7 @@ def sq_reconstruction_error(
     combined so output is ``dims`` rows regardless of corpus size.
     """
     levels = (1 << bits) - 1
-    dims = corpus.select(
-        F.col(id_col),
-        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-            "dim", "x"
-        ),
-    )
-    dim_stats = dims.groupBy("dim").agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi")
-    )
-    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-        F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * levels + F.lit(0.5))
-    )
+    dims, dim_stats, code = _sq_parts(corpus, bits, vec_col, id_col)
     recon = F.col("lo") + code.cast("double") / F.lit(float(levels)) * (
         F.col("hi") - F.col("lo")
     )
@@ -1194,7 +1202,7 @@ def knn_graph(
 
     scored = _self_join_scored(
         corpus, n_tables, planes_per_table, dim, True, vec_col, id_col
-    )
+    ).select("d1", "d2", "cosine")
     edges = scored.select(
         F.col("d1").alias("vec_id"), F.col("d2").alias("neighbor_id"), "cosine"
     ).unionByName(
@@ -1252,10 +1260,13 @@ def lsh_link_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("_cos"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # threshold on the RAW cosine, round only in the output projection
+        # (same convention as semdedup_pairs): filtering the rounded value
+        # would admit pairs in [threshold - 5e-7, threshold) that a
+        # raw-valued oracle rejects
+        .filter(F.col("_cos") >= threshold)
+        .select("a_id", "b_id", F.round(F.col("_cos"), 6).alias("cosine"))
         .distinct()
     )

@@ -120,6 +120,39 @@ HEADLINE_R6 = [
 ]
 
 
+def checksum_materialize(df):
+    """Force computation of every output column: count + xor of a
+    per-row xxhash64 over all columns.  Unlike .count(), the hash
+    REFERENCES every column, so ColumnPruning cannot delete map-side
+    work feeding the output.  Primitive columns hash natively —
+    casting everything to string doubled the harness's own cost on
+    wide outputs and that cost lands on ONE core for the map-only
+    queries (single-row-group test files scan as one task); only
+    complex types (arrays/structs/maps) go through a string cast for
+    hash support across types.
+
+    Module-level and import-shared (tools/scale_curve.py uses this same
+    function) so bench and scale-curve timings can never drift onto
+    different materializers — the r4 adjudication trap.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(c).cast("string")
+        if dt.startswith(("array", "map", "struct", "binary"))
+        else F.col(c)
+        for c, dt in df.dtypes
+    ]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor, not sum: summing 2^63-scale hashes overflows under
+        # ANSI arithmetic; xor is closed over long and still forces
+        # every column's computation
+        F.bit_xor(F.xxhash64(*cols)).alias("chk"),
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -139,34 +172,8 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
 
-    from pyspark.sql import functions as F
-
-    def checksum_materialize(df):
-        """Force computation of every output column: count + xor of a
-        per-row xxhash64 over all columns.  Unlike .count(), the hash
-        REFERENCES every column, so ColumnPruning cannot delete map-side
-        work feeding the output.  Primitive columns hash natively —
-        casting everything to string doubled the harness's own cost on
-        wide outputs and that cost lands on ONE core for the map-only
-        queries (single-row-group test files scan as one task); only
-        complex types (arrays/structs/maps) go through a string cast for
-        hash support across types."""
-        cols = [
-            F.col(c).cast("string")
-            if dt.startswith(("array", "map", "struct", "binary"))
-            else F.col(c)
-            for c, dt in df.dtypes
-        ]
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            # bit_xor, not sum: summing 2^63-scale hashes overflows under
-            # ANSI arithmetic; xor is closed over long and still forces
-            # every column's computation
-            F.bit_xor(F.xxhash64(*cols)).alias("chk"),
-        ).collect()[0]
-        return row["n"]
-
     load_start = os.getloadavg()
+    count_series = os.environ.get("SPARK_GRAFT_COUNT_SERIES", "1") != "0"
     timings: dict[str, float] = {}
     timings_count: dict[str, float] = {}
     total = 0.0
@@ -190,23 +197,25 @@ def main() -> None:
         # each entry is timed against a clean block manager
         spark.catalog.clearCache()
         # transition series: the pre-r6 count() materialization, so the
-        # historical `value` numbers have a same-method comparison point
+        # historical `value` numbers have a same-method comparison point.
+        # SPARK_GRAFT_COUNT_SERIES=0 skips it (it re-executes every query 3
+        # more times); default stays on for the r6 recording run and should
+        # flip to off once BENCH_r06 pins the cross-method pair.
         best_c = None
-        for _ in range(3):
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best_c = dt if best_c is None else min(best_c, dt)
-        timings_count[name] = round(best_c, 3)
-        spark.catalog.clearCache()
+        if count_series:
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best_c = dt if best_c is None else min(best_c, dt)
+            timings_count[name] = round(best_c, 3)
+            spark.catalog.clearCache()
         if name in HEADLINE:
             total += best
-            total_count += best_c
+            total_count += best_c or 0.0
         total_all += best
-        print(
-            f"# {name}: {n} rows in {best:.2f}s (count-only {best_c:.2f}s)",
-            file=sys.stderr,
-        )
+        extra = f" (count-only {best_c:.2f}s)" if best_c is not None else ""
+        print(f"# {name}: {n} rows in {best:.2f}s{extra}", file=sys.stderr)
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
@@ -222,9 +231,16 @@ def main() -> None:
                 "queries": timings,
                 "total_all_queries": round(total_all, 3),
                 # r5→r6 method transition: same queries under the old
-                # count() materialization (ColumnPruning-affected)
-                "value_count_materialized": round(total_count, 3),
-                "queries_count_materialized": timings_count,
+                # count() materialization (ColumnPruning-affected); absent
+                # when SPARK_GRAFT_COUNT_SERIES=0
+                **(
+                    {
+                        "value_count_materialized": round(total_count, 3),
+                        "queries_count_materialized": timings_count,
+                    }
+                    if count_series
+                    else {}
+                ),
                 "sf": sf,
                 # machine load context so a contended run is distinguishable
                 # from a real regression when comparing rounds

@@ -741,3 +741,49 @@ def test_lsh_link_pairs_no_broadcast_both_sides(spark):
     got = {(r.a_id, r.b_id): r.cosine for r in out.collect()}
     assert set(got) == {(i, 900 + i) for i in range(5)}
     assert all(abs(c - 1.0) < 1e-6 for c in got.values())
+
+
+def test_cosine_threshold_filters_raw_not_rounded(spark):
+    # Boundary-pair semantics: a pair whose RAW cosine sits in
+    # [threshold - 5e-7, threshold) rounds UP to the threshold at 6 dp.
+    # The operators must reject it (the brute-force oracles filter on the
+    # raw value); a filter on the rounded output would admit it.  The
+    # control pair just above the threshold proves the construction is an
+    # LSH candidate, so the boundary pair's absence is the filter, not a
+    # hash miss.
+    from aicoe_osc_demo_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_link_pairs,
+    )
+
+    dim = 16
+    r = [1.0 / 4.0] * dim                      # unit vector
+    u = [(1.0 if i % 2 == 0 else -1.0) / 4.0 for i in range(dim)]  # unit, r·u = 0
+    def mix(c):
+        s = math.sqrt(1.0 - c * c)
+        return [c * ri + s * ui for ri, ui in zip(r, u)]
+
+    below = mix(0.9899996)   # raw < 0.99, rounds to 0.990000
+    above = mix(0.9900004)   # raw >= 0.99, rounds to 0.990000
+    corpus = spark.createDataFrame(
+        [(0, r), (1, below), (2, above)], ["vec_id", "embedding"]
+    )
+    pairs = {
+        (p.d1, p.d2)
+        for p in embedding_near_dup_pairs(
+            corpus, threshold=0.99, n_tables=2, planes_per_table=4, dim=dim
+        ).collect()
+    }
+    assert (0, 2) in pairs, "control pair above threshold must survive"
+    assert (0, 1) not in pairs, "boundary pair below raw threshold must be rejected"
+
+    a = spark.createDataFrame([(0, r)], ["vec_id", "embedding"])
+    b = spark.createDataFrame([(10, below), (11, above)], ["vec_id", "embedding"])
+    links = {
+        (p.a_id, p.b_id)
+        for p in lsh_link_pairs(
+            a, b, threshold=0.99, n_tables=2, planes_per_table=4, dim=dim
+        ).collect()
+    }
+    assert (0, 11) in links
+    assert (0, 10) not in links

@@ -113,10 +113,16 @@ def main():
     avg_long = long_docs.select(F.avg(F.length("text"))).first()[0]
     print(f"long fixture: {n} docs, avg {avg_long:.0f} chars")
 
-    # the two forms must agree exactly before timing means anything
+    # the two forms must agree exactly before timing means anything — and
+    # both must agree with the SHIPPED operator, so this tool's verdict
+    # (cited in SCALE.md) can never describe code that no longer ships
+    from aicoe_osc_demo_spark.operators.dedup import simhash as simhash_shipped
+
     a_rows = {r.doc_id: r.simhash for r in simhash_mapside(docs).collect()}
     b_rows = {r.doc_id: r.simhash for r in simhash_exploded(docs).collect()}
+    s_rows = {r.doc_id: r.simhash for r in simhash_shipped(docs).collect()}
     assert a_rows == b_rows, "forms diverge"
+    assert b_rows == s_rows, "local exploded form diverges from shipped simhash"
 
     for label, data in (("short", docs), ("long", long_docs)):
         checksum(simhash_mapside(data))

@@ -218,20 +218,10 @@ def generate(spark, mult: int) -> str:
     return out
 
 
-def checksum_materialize(df):
-    from pyspark.sql import functions as F
-
-    cols = [
-        F.col(c).cast("string")
-        if dt.startswith(("array", "map", "struct", "binary"))
-        else F.col(c)
-        for c, dt in df.dtypes
-    ]
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(*cols)).alias("chk"),
-    ).collect()[0]
-    return row["n"]
+# the ONE materializer both harnesses share — a local copy here once let
+# scale-curve timings drift from bench timings (different materializer =
+# non-comparable numbers, the r4 adjudication trap)
+from bench import checksum_materialize  # noqa: E402
 
 
 def main() -> None:
