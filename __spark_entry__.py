@@ -26,8 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 41 queries new (19) or with
-# code paths changed (22) this round — the llm_pq_codes canonical-form fix (the one red r5
+# FIRST 50 registry entries.  r6 window = the 43 queries new (19) or with
+# code paths changed (24, incl. the raw-threshold fix to the LSH
+# similarity family and the non-vacuous ngram-jaccard threshold) this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
 # (scalar quantization x2, leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from
@@ -79,6 +80,8 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_simhash_fingerprints",
     "llm_simhash_pairs",
     "llm_ngram_jaccard_pairs",
+    "llm_embedding_near_dup",
+    "llm_ann_candidate_count",
     "llm_contamination_check",
     "llm_prefix_jaccard_join",
     "llm_duplicate_spans",

@@ -207,15 +207,15 @@ def minhash_dedup_pairs(
         cands.join(toksets.withColumnRenamed("doc_id", "d1").withColumnRenamed("ws", "ws1"), "d1")
         .join(toksets.withColumnRenamed("doc_id", "d2").withColumnRenamed("ws", "ws2"), "d2")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("ws1", "ws2")).cast("double")
-                / F.size(F.array_union("ws1", "ws2")).cast("double"),
-                6,
-            ),
+            "_jac",
+            F.size(F.array_intersect("ws1", "ws2")).cast("double")
+            / F.size(F.array_union("ws1", "ws2")).cast("double"),
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("d1", "d2", "jaccard")
+        # threshold on the RAW ratio, round only the output (catalog
+        # convention: the oracle's WHERE uses the unrounded value, so a
+        # rounded filter would admit [thr - 5e-7, thr) boundary pairs)
+        .filter(F.col("_jac") >= jaccard_threshold)
+        .select("d1", "d2", F.round(F.col("_jac"), 6).alias("jaccard"))
     )
 
 
@@ -550,13 +550,14 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.round(
+            (
                 F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
-                / F.size(F.array_union("a.gs", "b.gs")).cast("double"),
-                6,
-            ).alias("jaccard"),
+                / F.size(F.array_union("a.gs", "b.gs")).cast("double")
+            ).alias("_jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # raw-ratio threshold, rounded output (catalog convention)
+        .filter(F.col("_jac") >= threshold)
+        .select("d1", "d2", F.round(F.col("_jac"), 6).alias("jaccard"))
     )
 
 
@@ -646,8 +647,10 @@ def prefix_jaccard_join(
     return (
         cand.join(t1, on="d1")
         .join(t2, on="d2")
-        .select("d1", "d2", F.round(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        # raw-ratio threshold, rounded output (catalog convention)
+        .select("d1", "d2", j.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .select("d1", "d2", F.round(F.col("_jac"), 6).alias("jaccard"))
     )
 
 

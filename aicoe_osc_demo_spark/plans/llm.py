@@ -182,28 +182,36 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM grams a JOIN grams b ON a.lang = b.lang AND a.width = b.width
     WHERE a.doc_id < b.doc_id
       AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-          / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.05
+          / CAST(len(list_distinct(list_concat(a.gs, b.gs))) AS DOUBLE) >= 0.02
     """,
 )
 def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Word-3-gram Jaccard near-dup pairs, blocked on (lang, length-bucket) —
-    # candidate pruning by equi-join, not all-pairs.
+    # candidate pruning by equi-join, not all-pairs.  Threshold 0.02 keeps
+    # the driver's sf0.01 check non-vacuous (top blocked-pair jaccard in
+    # that table is 0.037; the old 0.05 matched zero rows, making the
+    # oracle row a trivial 0=0); the filter compares the RAW ratio —
+    # rounding only the output — per the catalog threshold convention.
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     d = d.withColumn("width", (F.col("n_chars") / 100).cast("long"))
     from ..operators.dedup import word_ngrams
 
     docs = d.select("doc_id", "lang", "width", word_ngrams(F.col("text"), 3).alias("gs"))
     a, b = docs.alias("a"), docs.alias("b")
-    jac = F.round(
+    jac_raw = (
         F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
-        / F.size(F.array_union("a.gs", "b.gs")).cast("double"),
-        6,
+        / F.size(F.array_union("a.gs", "b.gs")).cast("double")
     )
     return (
         a.join(b, on=["lang", "width"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.05)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            jac_raw.alias("_jac"),
+        )
+        .filter(F.col("_jac") >= 0.02)
+        .select("d1", "d2", F.round(F.col("_jac"), 6).alias("jaccard"))
     )
 
 
