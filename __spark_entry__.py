@@ -36,11 +36,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) in the remaining slots.  The 10 NEW late-r6 queries
-# (semdedup, knn graph, dsir, mmr, phash dedup, c4 rules, token-budget
-# plan, pagerank, cross-corpus links, feature-hash embed) displace the tail of the r02
-# rotation — the 10 entries past position 50 (incremental_skip_processed, join_anti,
-# join_broadcast_dims, join_cross_small, join_left_orders_customer,
+# driver-green in r02) in the remaining 7 slots.  The 12 entries past
+# position 50 (dedup_distinct_rows, dedup_keep_first_per_key,
+# incremental_skip_processed, join_anti, join_broadcast_dims,
+# join_cross_small, join_left_orders_customer,
 # join_multiway_revenue_by_nation, join_semi, join_top_unshipped_orders,
 # order_limit, reshape_melt) are NOT driver-checked in r6 and roll into
 # the r7 window with the rest of the r02-era

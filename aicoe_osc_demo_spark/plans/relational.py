@@ -334,13 +334,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J8 — anti-join negatives (kpi_inference_curator.py:594-643).
+    # J8 — anti-join negatives (kpi_inference_curator.py:594-643).  The
+    # anti side is the URGENT-priority order subset: in this generator's
+    # tables every customer has SOME order, so the unfiltered anti-join
+    # returned 0 rows at every driver scale — a vacuous 0=0 oracle check.
+    # Against the filtered subset the result is non-empty at all scales
+    # (203 rows at sf0.01), so the check pins real values.
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
