@@ -26,9 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 43 queries new (19) or with
-# code paths changed (24, incl. the raw-threshold fix to the LSH
-# similarity family and the non-vacuous ngram-jaccard threshold) this round — the llm_pq_codes canonical-form fix (the one red r5
+# FIRST 50 registry entries.  r6 window = the 45 queries new (19) or with
+# code paths changed (26, incl. the raw-threshold fix to the LSH
+# similarity family, the non-vacuous ngram-jaccard/join_anti reworks, and
+# the Q5 merge-hint change) this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 4 NEW queries
 # (scalar quantization x2, leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from
@@ -36,11 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) in the remaining 7 slots.  The 12 entries past
-# position 50 (dedup_distinct_rows, dedup_keep_first_per_key,
-# incremental_skip_processed, join_anti, join_broadcast_dims,
-# join_cross_small, join_left_orders_customer,
-# join_multiway_revenue_by_nation, join_semi, join_top_unshipped_orders,
+# driver-green in r02) in the remaining 5 slots.  The 12 entries past
+# position 50 (agg_sum_avg_by_group, agg_summary_stats,
+# dedup_distinct_rows, dedup_keep_first_per_key,
+# incremental_skip_processed, join_broadcast_dims, join_cross_small,
+# join_left_orders_customer, join_semi, join_top_unshipped_orders,
 # order_limit, reshape_melt) are NOT driver-checked in r6 and roll into
 # the r7 window with the rest of the r02-era
 # text_*/window_*/projection families.
@@ -91,6 +92,8 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_lm_perplexity",
     "llm_segment_dedup",
     "pipeline_llm_curation",
+    "join_anti",
+    "join_multiway_revenue_by_nation",
     # --- oldest-verified rotation: last driver-green in r02 ---
     "agg_count_by_group",
     "agg_distinct_count",
@@ -102,11 +105,9 @@ _DRIVER_CHECK_PRIORITY = [
     "dedup_distinct_rows",
     "dedup_keep_first_per_key",
     "incremental_skip_processed",
-    "join_anti",
     "join_broadcast_dims",
     "join_cross_small",
     "join_left_orders_customer",
-    "join_multiway_revenue_by_nation",
     "join_semi",
     "join_top_unshipped_orders",
     "order_limit",

@@ -308,9 +308,15 @@ def feature_hash_embed(
     # counts and biasing cosines upward
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     h_sign = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
-    toks = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    ).select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    toks = (
+        ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        # same empty-token gate as vocab_coverage/bpe_pair_counts:
+        # without it, irregular whitespace ("a  b") injects md5("")'s
+        # signed unit feature, so equal-worded docs with different
+        # spacing would embed to different vectors
+        .filter(F.col("tok") != "")
+    )
     comps = (
         toks.select(
             "doc_id",

@@ -157,12 +157,20 @@ def minhash_signatures(
 
 def _band_stack_expr(n_hashes: int, bands: int) -> str:
     """stack() expression banding a wide signature into (band, bkey) rows;
-    bkey = md5 of the band's signature slice."""
+    bkey = md5 of the band INDEX plus the band's signature slice.  Baking
+    the index into the hash makes bkey alone a sufficient join key: a
+    bkey-only equi-join (the bucketed-ledger path, which must not add
+    ``band`` to the join or Spark abandons bucket co-location) produces
+    exactly the (band, bkey) candidate set — without the index, a band-0
+    slice equal to some other doc's band-2 slice would collide across
+    bands and feed spurious candidates into the thresholded-estimator
+    rejection, making acceptance depend on which ledger layout the caller
+    persisted."""
     rows_per_band = n_hashes // bands
     band_rows = []
     for band in range(bands):
         cols = [f"mh{band * rows_per_band + j}" for j in range(rows_per_band)]
-        band_rows.append(f"{band}, md5(concat_ws('|', {', '.join(cols)}))")
+        band_rows.append(f"{band}, md5(concat_ws('|', {band}, {', '.join(cols)}))")
     return f"stack({bands}, {', '.join(band_rows)}) as (band, bkey)"
 
 
@@ -296,8 +304,10 @@ def incremental_near_dedup(
     micro-batch is exactly the cost bucketing exists to delete).  The
     pre-banded candidate join keys on ``bkey`` alone so it rides the
     bucketing (a (band, bkey) join defeats Spark's bucket co-location);
-    cross-band bkey collisions just add candidates, and the exact
-    full-signature Jaccard filter below makes the final output identical.
+    because the band index is baked into the bkey hash
+    (``_band_stack_expr``), the bkey-only join yields exactly the
+    (band, bkey) candidate set, so both ledger layouts produce identical
+    acceptance decisions.
     """
     sigs = minhash_signatures_wide(new_docs, text_col, id_col, n_hashes)
     band_expr = _band_stack_expr(n_hashes, bands)

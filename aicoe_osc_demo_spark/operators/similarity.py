@@ -1084,6 +1084,7 @@ def mmr_diverse_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cache_pool: bool = True,
+    cache_picks: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     greedily pick ``k`` results that balance relevance to the query
@@ -1109,8 +1110,12 @@ def mmr_diverse_topk(
     for the k<=10 re-ranking regime MMR is for; checkpoint between steps
     if you need large k.  Like ``prefix_jaccard_join``, the pool and
     per-step pick persists are never released here; callers composing
-    many MMR calls should ``spark.catalog.clearCache()`` or pass
-    ``cache_pool=False``.
+    many MMR calls should ``spark.catalog.clearCache()`` or opt out of
+    the caches.  The two flags are separate on purpose: ``cache_pool``
+    governs only the pool frame's cache lifetime, while ``cache_picks``
+    memoizes each step's 1-row pick — disabling the PICK memoization
+    reinstates the ~2^(k-i) re-execution of every pick, so keep
+    ``cache_picks=True`` unless k is tiny.
     """
     q = query.select(F.col(vec_col).alias("qv"))
     rel = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
@@ -1152,7 +1157,7 @@ def mmr_diverse_topk(
                 )
             )
         pick = scored.orderBy(F.desc("score"), "cand_id").limit(1)
-        if cache_pool:
+        if cache_picks:
             # each pick feeds every later step's anti-join AND broadcast
             # max-sim AND the final union — uncached, pick i re-executes in
             # ~2^(k-i) subtrees (measured k=5: 6.3 s -> 2.6 s at sf0.1)

@@ -243,8 +243,10 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_feature_hash_embed",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), toks AS (
+      SELECT doc_id, tok FROM toks0 WHERE tok != ''
     ), hashed AS (
       SELECT doc_id,
              CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS dim,

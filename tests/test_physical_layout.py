@@ -126,3 +126,27 @@ def test_minhash_ledger_bucketed_reuse(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE b_sig_ledger")
+
+
+def test_band_key_encodes_band_index(spark):
+    # The bucketed-ledger candidate join keys on bkey ALONE (adding band
+    # would defeat bucket co-location), so bkey must distinguish equal
+    # signature slices that sit in DIFFERENT bands: a signature whose four
+    # band slices are identical must still produce four distinct bkeys.
+    # Without the band index in the hash, a band-0 slice colliding with a
+    # ledger doc's band-2 slice feeds a spurious candidate into the
+    # thresholded-estimator rejection, and acceptance decisions then
+    # depend on which ledger layout the caller persisted.
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.dedup import _band_stack_expr
+
+    wide = spark.createDataFrame(
+        [(1, 5, 7, 5, 7, 5, 7, 5, 7)],
+        "doc_id long, mh0 long, mh1 long, mh2 long, mh3 long, "
+        "mh4 long, mh5 long, mh6 long, mh7 long",
+    )
+    banded = wide.select("doc_id", F.expr(_band_stack_expr(8, 4)))
+    rows = banded.collect()
+    assert len(rows) == 4
+    assert len({r.bkey for r in rows}) == 4, "equal slices in different bands must not share a bkey"

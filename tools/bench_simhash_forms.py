@@ -33,6 +33,12 @@ from aicoe_osc_demo_spark.sources.tables import load_table
 
 
 def simhash_mapside(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    # same ensure_parallelism guard as the shipped operator: single-row-group
+    # fixtures otherwise scan as ONE task and serialize the hashing stage,
+    # timing the input layout instead of the formulation under test
+    from aicoe_osc_demo_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
@@ -54,6 +60,9 @@ def simhash_mapside(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def simhash_exploded(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    from aicoe_osc_demo_spark.operators.relational import ensure_parallelism
+
+    df = ensure_parallelism(df)
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), 3)).alias("g"),
