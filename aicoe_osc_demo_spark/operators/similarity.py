@@ -239,16 +239,10 @@ def ivf_topk(
     """
     from .relational import top_k_per_group
 
-    # centroid per bucket: element-wise mean via posexplode + groupBy(label, pos)
-    exploded = corpus.select(
-        F.col(label_col).alias("bucket"), F.posexplode(F.col(vec_col)).alias("pos", "v")
-    )
-    cent = (
-        exploded.groupBy("bucket", "pos")
-        .agg(F.avg("v").alias("cv"))
-        .groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
-        .select("bucket", F.transform("s", lambda x: x["cv"]).alias("centroid"))
+    # centroid per bucket: element-wise mean (shared with the persisted
+    # index path so online and offline centroids can never diverge)
+    cent = ivf_centroids(corpus, list_col=label_col, vec_col=vec_col).select(
+        F.col("ivf_list").alias("bucket"), "centroid"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     # assign each query to its nprobe nearest centroids (tiny cross: queries
@@ -1275,3 +1269,110 @@ def lsh_link_pairs(
         .select("a_id", "b_id", F.round(F.col("_cos"), 6).alias("cosine"))
         .distinct()
     )
+
+
+def ivf_centroids(
+    assigned: DataFrame, list_col: str = "ivf_list", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-list centroid table ``(ivf_list, centroid: array<double>)`` —
+    element-wise mean via posexplode + two keyed aggregates.  Output is
+    ``n_lists`` rows (broadcast-sized at any corpus size)."""
+    exploded = assigned.select(
+        F.col(list_col).alias("ivf_list"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    return (
+        exploded.groupBy("ivf_list", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("ivf_list")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("ivf_list", F.transform("s", lambda x: x["cv"]).alias("centroid"))
+    )
+
+
+def write_ivf_index(
+    assigned: DataFrame,
+    path: str,
+    list_col: str = "ivf_list",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an IVF index: vectors parquet PARTITIONED BY the coarse-list
+    assignment (``<path>/vectors/ivf_list=<l>/``) plus the per-list
+    centroid table (``<path>/centroids``).  This is the offline half of
+    the billion-vector serving shape: the quantizer trains once
+    (``train_ivf_quantizer``), the corpus lands list-partitioned once, and
+    every query afterwards reads only its probed lists — the
+    ``ivf_topk`` probe-pruning argument turned into an actual storage
+    layout instead of a full-scan filter.
+    """
+    assigned.select(F.col(id_col), F.col(vec_col), F.col(list_col).alias("ivf_list")) \
+        .write.mode(mode).partitionBy("ivf_list").parquet(f"{path}/vectors")
+    ivf_centroids(assigned, list_col, vec_col).write.mode(mode).parquet(
+        f"{path}/centroids"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve cosine top-k from a persisted ``write_ivf_index`` layout,
+    scanning ONLY the probed partitions.
+
+    The probe step routes each query to its ``nprobe`` nearest centroids
+    and the probed list ids become a LITERAL ``isin`` predicate on the
+    partition column, so the vectors scan shows
+    ``PartitionFilters: [ivf_list IN (...)]`` and Spark plans file listing
+    for nprobe/n_lists of the data — static partition pruning, stronger
+    than the runtime DPP filter a join would give.  The router
+    ``collect()`` here is NOT a data-path collect: it moves
+    |queries| x nprobe ints (the probe decisions, bounded by the query
+    batch, independent of corpus size) — the same role as a vector
+    store's query router.
+    """
+    from .relational import top_k_per_group
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    probe = top_k_per_group(
+        q.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "qv",
+            "ivf_list",
+            (
+                _dot(F.col("qv"), F.col("centroid"))
+                / (_norm(F.col("qv")) * _norm(F.col("centroid")))
+            ).alias("csim"),
+        ),
+        ["query_id"],
+        F.col("csim"),
+        nprobe,
+        tiebreak=["ivf_list"],
+    ).select("query_id", "qv", "ivf_list")
+    probed_lists = sorted({r.ivf_list for r in probe.select("ivf_list").distinct().collect()})
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("ivf_list").isin(probed_lists)
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "ivf_list"
+    ).join(F.broadcast(probe), on="ivf_list").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("cosine"),
+    )
+    return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])

@@ -150,3 +150,38 @@ def test_band_key_encodes_band_index(spark):
     rows = banded.collect()
     assert len(rows) == 4
     assert len({r.bkey for r in rows}) == 4, "equal slices in different bands must not share a bkey"
+
+
+def test_ivf_index_partition_pruned_serving(spark, tmp_path):
+    # The billion-vector serving shape: train the coarse quantizer once,
+    # persist vectors PARTITIONED BY ivf_list, then serve top-k reading
+    # only the probed partitions — the scan must show a static
+    # PartitionFilters isin on ivf_list, and results must equal the
+    # non-persisted ivf_topk on the same assignment.
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+        train_ivf_quantizer,
+        write_ivf_index,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned = train_ivf_quantizer(corpus, n_lists=6, max_iter=5)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(assigned, path)
+
+    queries = corpus.filter(F.col("vec_id") < 2)
+    served = ivf_index_topk(spark, path, queries, k=3, nprobe=2)
+    direct = ivf_topk(assigned, queries, k=3, nprobe=2, label_col="ivf_list")
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [ivf_list IN" in plan or (
+        "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200]
+    ), plan[:2000]
