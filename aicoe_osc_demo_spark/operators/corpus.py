@@ -275,6 +275,94 @@ def bpe_pair_counts(
     )
 
 
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full greedy BPE tokenizer-training loop (Sennrich et al. 2016
+    algorithm 1): repeat ``n_merges`` times {count adjacent symbol pairs
+    weighted by word frequency; merge the most frequent pair in every
+    word}.  ``bpe_pair_counts`` is one iteration's inner statistic; this
+    runs the whole loop and returns the learned merge table.
+
+    Representation trick shared with the oracle: a word's symbol sequence
+    is a string of U+001F-wrapped symbols joined by spaces
+    (``"\\x1fh\\x1f \\x1fe\\x1f ..."``), so applying merge (l, r) is ONE
+    non-overlapping left-to-right string ``replace`` of ``"l r"`` with
+    the fused symbol — exactly greedy BPE's scan order, with the markers
+    preventing partial-symbol matches (``"aa b"`` must not match pair
+    (a, b)).  That keeps the loop body pure whole-stage-codegen string
+    ops in Spark AND replayable as an unrolled CTE chain in ANSI SQL.
+
+    Scale shape: only the initial word count touches the corpus; every
+    iteration runs on the VOCABULARY table (distinct words), which is
+    what production BPE trainers iterate on.  Each step is one map-side-
+    combined pair aggregate + a 1-row argmax broadcast back; state is
+    eagerly localCheckpoint'ed per step so the plan stays O(1) deep
+    instead of O(2^steps) (same lineage-bounding pattern as
+    ``dedup_clusters``' pointer jumping).
+
+    Output: (step, lhs, rhs, cnt) — the merge learned at each step with
+    its corpus count, markers stripped.
+    """
+    from functools import reduce
+
+    m = "\x1f"
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    wstr = F.array_join(
+        F.transform(F.split(F.col("w"), ""), lambda c: F.concat(F.lit(m), c, F.lit(m))),
+        " ",
+    )
+    state = wf.select(wstr.alias("wstr"), "freq").localCheckpoint(eager=True)
+    steps = []
+    for step in range(n_merges):
+        syms = F.split(F.col("wstr"), " ")
+        zipped = F.arrays_zip(
+            F.slice(syms, 1, F.size(syms)).alias("c0"),
+            F.slice(syms, 2, F.size(syms)).alias("c1"),
+        )
+        pairs = F.slice(zipped, 1, F.greatest(F.size(syms) - 1, F.lit(0)))
+        pc = (
+            state.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.c0").alias("l"), F.col("p.c1").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        fused = F.concat(
+            F.lit(m),
+            F.replace(F.col("l"), F.lit(m), F.lit("")),
+            F.replace(F.col("r"), F.lit(m), F.lit("")),
+            F.lit(m),
+        )
+        state = (
+            state.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("wstr"), F.concat(F.col("l"), F.lit(" "), F.col("r")), fused
+                ).alias("wstr"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+        steps.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.replace(F.col("l"), F.lit(m), F.lit("")).alias("lhs"),
+                F.replace(F.col("r"), F.lit(m), F.lit("")).alias("rhs"),
+                "cnt",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), steps)
+
+
 def feature_hash_embed(
     df: DataFrame,
     dim: int = 64,

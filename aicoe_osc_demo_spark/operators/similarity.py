@@ -885,6 +885,69 @@ def ivfpq_topk(
     return adc
 
 
+def pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 20,
+    top_k: int = 5,
+    m: int = 4,
+    k_pq: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage PQ search with exact refinement (FAISS ``IndexRefineFlat``,
+    Jégou et al. 2011 §V): ADC over the codes-only table selects a
+    ``shortlist`` of candidates per query, then ONLY those candidates'
+    full vectors are fetched and re-ranked by exact cosine.  This is the
+    standard accuracy-recovery stage on top of a lossy PQ index — the
+    approximate stage bounds how many full vectors are ever touched.
+
+    Output: (query_id, neighbor_id, cosine) — exact cosine over the
+    shortlist, top ``top_k`` per query, self-matches excluded (consistent
+    with ``cosine_topk``).
+
+    Scale shape: stage 1 is the ``pq_adc_topk`` plan (broadcast LUT,
+    codes-only corpus scan); stage 2's full-vector fetch is an equi-join
+    of the tiny (|queries| * shortlist) candidate set — broadcast into
+    the corpus scan, so the big table is read, never shuffled.  Exact
+    vector arithmetic runs on shortlist*|queries| rows, not the corpus.
+    """
+    from .relational import top_k_per_group
+
+    codes, books = product_quantize(
+        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    short = pq_adc_topk(
+        codes,
+        books,
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+        k=shortlist,
+        m=m,
+        vec_col=vec_col,
+        id_col="query_id",
+        dim=dim,
+        scale=scale,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(short.select("query_id", "neighbor_id")), on="neighbor_id")
+    scored = cand.join(F.broadcast(q), on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        ).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], F.col("cosine"), top_k, tiebreak=["neighbor_id"]
+    )
+
+
 def scalar_quantize(
     corpus: DataFrame,
     bits: int = 8,

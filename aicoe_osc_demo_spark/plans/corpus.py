@@ -240,6 +240,68 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=20)
 
 
+def _bpe_merge_ctes(steps: int) -> str:
+    """Unrolled CTE chain replaying the greedy BPE merge loop: w{t} is the
+    marker-string vocabulary state after t merges, b{t} the pair merged at
+    step t.  Same representation as the engine (chr(31)-wrapped symbols,
+    merge = one left-to-right string replace)."""
+    ctes = [
+        """
+    w0 AS (
+      SELECT array_to_string(list_transform(range(1, length(w) + 1),
+               i -> chr(31) || substr(w, CAST(i AS INT), 1) || chr(31)), ' ') AS wstr,
+             freq
+      FROM (SELECT w, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w)
+    )"""
+    ]
+    for t in range(steps):
+        ctes.append(
+            f"""
+    p{t} AS (
+      SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT syms, freq, unnest(range(1, len(syms))) AS i
+        FROM (SELECT string_split(wstr, ' ') AS syms, freq FROM w{t})
+      ) GROUP BY 1, 2
+    ),
+    b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    w{t + 1} AS (
+      SELECT replace(wstr, b.l || ' ' || b.r,
+                     chr(31) || replace(b.l, chr(31), '')
+                             || replace(b.r, chr(31), '') || chr(31)) AS wstr,
+             freq
+      FROM w{t} CROSS JOIN b{t} b
+    )"""
+        )
+    return ",".join(ctes)
+
+
+_BPE_MERGES = 6
+_BPE_LOOP_SQL = f"""
+    WITH {_bpe_merge_ctes(_BPE_MERGES)}
+    {" UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS step, replace(l, chr(31), '') AS lhs,"
+        f" replace(r, chr(31), '') AS rhs, cnt FROM b{t}"
+        for t in range(_BPE_MERGES)
+    )}
+"""
+
+
+@register("llm_bpe_merge_loop", _BPE_LOOP_SQL)
+def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The complete greedy BPE training loop, 6 merges: each step counts
+    # adjacent symbol pairs on the vocabulary table, broadcasts the 1-row
+    # argmax back, and fuses it everywhere with one string replace.  Only
+    # the initial word count is corpus-sized; the oracle replays every
+    # step as an unrolled CTE chain.
+    from ..operators.corpus import bpe_train_merges
+
+    return bpe_train_merges(load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES)
+
+
 @register(
     "llm_feature_hash_embed",
     """

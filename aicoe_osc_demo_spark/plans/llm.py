@@ -1268,6 +1268,65 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)
 
 
+_PQ_REFINE_SQL = f"""
+    WITH {_PQ_CTES},
+    codes AS (
+      SELECT a20.vec_id AS vec_id, a20.cid AS k0, a21.cid AS k1,
+             a22.cid AS k2, a23.cid AS k3
+      FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    ),
+    {_PQ_LUT},
+    adc AS (
+      SELECT l0.query_id AS query_id, c.vec_id AS neighbor_id,
+             round(((l0.d + l1.d) + l2.d) + l3.d, 6) AS adc_dist
+      FROM codes c
+      JOIN lut0 l0 ON c.k0 = l0.cid
+      JOIN lut1 l1 ON c.k1 = l1.cid AND l1.query_id = l0.query_id
+      JOIN lut2 l2 ON c.k2 = l2.cid AND l2.query_id = l0.query_id
+      JOIN lut3 l3 ON c.k3 = l3.cid AND l3.query_id = l0.query_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 20 AND neighbor_id != query_id
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             ROUND(list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+                   6) AS cosine
+      FROM short s
+      JOIN (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings) c USING (neighbor_id)
+      JOIN (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3) q USING (query_id)
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM refined
+    ) WHERE rn <= 5
+"""
+
+
+@register("llm_pq_refine_topk", _PQ_REFINE_SQL)
+def llm_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The accuracy-recovery stage FAISS calls IndexRefineFlat: ADC over the
+    # codes table picks a 20-candidate shortlist per query, exact cosine
+    # re-ranks ONLY those candidates' full vectors to the final top-5 —
+    # the approximate index bounds how many full vectors are ever read.
+    from ..operators.similarity import pq_refine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_refine_topk(emb, queries, shortlist=20, top_k=5, m=_PQ_M, k_pq=_PQ_K)
+
+
 # --- Scalar quantization (int8 embedding compression) ------------------------
 # The oracle mirrors the engine exactly: per-dimension min/max over doubles
 # (exact, order-free), then floor(t + 0.5) half-up rounding in the same

@@ -117,6 +117,8 @@ HEADLINE_R6 = [
     "llm_pagerank",
     "llm_cross_corpus_links",
     "llm_feature_hash_embed",
+    "llm_pq_refine_topk",
+    "llm_bpe_merge_loop",
 ]
 
 

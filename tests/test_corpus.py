@@ -128,3 +128,72 @@ def test_feature_hash_embed_unit_norm_and_determinism(spark):
     alpha_dim = int(hashlib.md5(b"alpha").hexdigest()[:8], 16) % 16
     assert set(by_doc[2]) == {alpha_dim}
     assert alpha_dim in by_doc[1]
+
+
+def _bpe_loop_mirror(word_freq: dict[str, int], n_merges: int):
+    """Independent pure-Python greedy BPE (Sennrich et al. 2016 alg. 1):
+    symbol-list state, left-to-right non-overlapping merge application."""
+    state: dict[tuple[str, ...], int] = {}
+    for w, f in word_freq.items():
+        k = tuple(w)
+        state[k] = state.get(k, 0) + f
+    merges = []
+    for step in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] = pc.get((syms[i], syms[i + 1]), 0) + f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, cnt))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            nxt[k] = nxt.get(k, 0) + f
+        state = nxt
+    return merges
+
+
+def test_bpe_train_merges_matches_reference_loop(spark):
+    from aicoe_osc_demo_spark.operators.corpus import bpe_train_merges
+
+    # corpus designed to exercise: overlap ("aaa" under an (a,a) merge),
+    # fused symbols re-entering later merges, and the partial-symbol
+    # hazard (after (c,a) fuses, word "cab"'s ["ca","b"] must NOT match
+    # pair (a,b) against the tail of "ca")
+    texts = [
+        "cab cab cab cab",
+        "ca ca ca ca ca",
+        "aaab aaab",
+        "ab ab ab",
+        "banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    expected = _bpe_loop_mirror(wf, 5)
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train_merges(df, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == expected
+    # determinism: a second run learns the identical merge table
+    again = [
+        (r["step"], r["lhs"], r["rhs"], r["cnt"])
+        for r in bpe_train_merges(df, n_merges=5).orderBy("step").collect()
+    ]
+    assert again == expected

@@ -507,6 +507,62 @@ def test_pq_adc_topk_invariants_and_determinism(spark):
     assert all(q in by_q for q in (0, 1))
 
 
+def test_pq_refine_topk_exact_when_shortlist_covers_corpus(spark):
+    import random
+
+    random.seed(29)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import cosine_topk, pq_refine_topk
+
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # with shortlist >= |corpus| the ADC stage prunes nothing, so refine
+    # must reduce EXACTLY to brute-force cosine top-k — the approximate
+    # stage only ever narrows, never re-scores
+    got = pq_refine_topk(df, queries, shortlist=40, top_k=3, m=2, k_pq=4, dim=8)
+    exact = cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_pq_refine_topk_shortlist_bounds_and_determinism(spark):
+    import random
+
+    random.seed(31)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import pq_refine_topk
+
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_refine_topk(df, queries, shortlist=10, top_k=5, m=2, k_pq=4, dim=8)
+    rows_out = out.collect()
+    # k rows per query, self excluded, cosine descending within each query
+    by_q = {}
+    for r in rows_out:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    assert set(by_q) == {0, 1, 2} and all(len(v) == 5 for v in by_q.values())
+    for v in by_q.values():
+        assert v == sorted(v, reverse=True)
+    # deterministic under corpus repartition
+    out2 = pq_refine_topk(
+        df.repartition(7), queries, shortlist=10, top_k=5, m=2, k_pq=4, dim=8
+    )
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, out2.collect()))
+    # the exact-rerank stage must consume the shortlist via broadcast —
+    # the corpus-side full-vector fetch is a broadcast hash join, and no
+    # non-broadcast cartesian appears anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_kmeans_return_assignments(spark):
     import random
 
