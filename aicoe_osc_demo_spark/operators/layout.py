@@ -1,0 +1,128 @@
+"""Physical-layout operators: multi-dimensional clustering (Z-order) and
+stats-manifest data skipping.
+
+This is the lakehouse file-pruning architecture (Delta/Iceberg
+``OPTIMIZE ZORDER BY`` + per-file column stats) re-expressed Spark-first:
+
+- :func:`zorder_key` interleaves the bits of two bounded integer keys
+  into one Morton code, so sorting by ONE column co-locates rows that
+  are close in BOTH dimensions;
+- :func:`zorder_write` lands a table range-partitioned and sorted by
+  that code — every output file covers a compact rectangle of the
+  (x, y) space instead of a stripe;
+- :func:`collect_file_stats` builds the per-file min/max manifest (the
+  Delta ``add``-action stats payload);
+- :func:`pruned_read` answers a box predicate by consulting the
+  manifest first and scanning ONLY overlapping files.
+
+Why it matters at 100 TB: a single-column sort prunes one predicate
+dimension and nothing else — a selective filter on the second dimension
+still scans every file.  Z-ordering bounds BOTH min/max ranges per file,
+so the manifest eliminates most files for any axis-aligned predicate;
+the scan cost becomes proportional to the selected rectangle, not the
+table.  (Single-node reference has no analogue; this is the scale-out
+storage story for the relational surface, same family as
+``write_ivf_index``'s partition-pruned ANN serving.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_key(x: Column, y: Column, bits: int = 12) -> Column:
+    """Morton (Z-order) code of two non-negative ints in ``[0, 2**bits)``:
+    bit b of ``x`` lands at position 2b, bit b of ``y`` at 2b+1.  Pure
+    integer Column arithmetic — whole-stage codegen, exact in any engine
+    (the oracle replays the identical shift/mask/add chain).
+    """
+    z: Column | None = None
+    for b in range(bits):
+        tx = F.shiftright(x.cast("long"), b).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * b)
+        ).cast("long")
+        ty = F.shiftright(y.cast("long"), b).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * b + 1)
+        ).cast("long")
+        z = tx + ty if z is None else z + tx + ty
+    assert z is not None
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 12,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of (x_col, y_col): range-
+    partition into ``n_files`` consecutive code ranges and sort within
+    each, so every file's (x, y) min/max box is a compact rectangle.
+
+    ``repartitionByRange`` samples the code distribution, so file
+    boundaries adapt to skew (a hot rectangle splits across files instead
+    of one file ballooning).  The code column itself is dropped — the
+    manifest stats are collected on the NATURAL columns, which is what
+    predicates arrive on.
+    """
+    keyed = df.withColumn("_zkey", zorder_key(F.col(x_col), F.col(y_col), bits))
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def collect_file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max manifest over ``cols`` plus row counts — one
+    map-side-combined scan grouped by ``input_file_name()``.  In a
+    production writer these stats are emitted AT write time (Delta's
+    add-file stats); rebuilding them costs one pass and is embarrassingly
+    parallel.  The manifest has one row per FILE — metadata-scale,
+    ~millions of rows at 100 TB, itself a queryable DataFrame.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    box: dict[str, tuple],
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Read only the files whose stats-box overlaps the inclusive
+    ``{col: (lo, hi)}`` predicate box, then apply the residual filter.
+
+    The overlap test runs on the manifest (file-count-sized); the list of
+    surviving file names is collected to the driver to form the read —
+    metadata-scale by construction (one string per file), the same
+    documented exception as ``ivf_index_topk``'s probe router.  The big
+    table is only ever touched for the surviving files.
+    """
+    if stats is None:
+        stats = collect_file_stats(spark, path, list(box))
+    cond: Column | None = None
+    for c, (lo, hi) in box.items():
+        k = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        cond = k if cond is None else cond & k
+    files = [r["file"] for r in stats.filter(cond).select("file").collect()]
+    residual: Column | None = None
+    for c, (lo, hi) in box.items():
+        k = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        residual = k if residual is None else residual & k
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(residual)

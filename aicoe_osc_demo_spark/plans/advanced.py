@@ -415,3 +415,33 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = perceptual_hashes(media.unionByName(clones))
     return phash_near_dup_pairs(hashes, max_hamming=5, bands=6, band_bits=10)
+
+
+_Z_BITS = 12
+_Z_TERMS = " + ".join(
+    f"((x >> {b}) & 1) * {1 << (2 * b)} + ((y >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(_Z_BITS)
+)
+_ZORDER_SQL = f"""
+    SELECT o_orderkey, CAST({_Z_TERMS} AS BIGINT) AS zkey
+    FROM (
+      SELECT o_orderkey, o_custkey % 4096 AS x,
+             CAST(floor(o_totalprice) AS BIGINT) % 4096 AS y
+      FROM orders
+    )
+"""
+
+
+@register("layout_zorder_key", _ZORDER_SQL)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton code over (custkey, totalprice) — the clustering key behind
+    # zorder_write's data-skipping layout: sorting by this ONE column
+    # bounds every output file's min/max box in BOTH dimensions, so the
+    # stats manifest prunes files for any axis-aligned predicate.  Pure
+    # integer shift/mask/add chain, bit-identical in any engine.
+    from ..operators.layout import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(4096))
+    y = F.pmod(F.floor("o_totalprice").cast("long"), F.lit(4096))
+    return o.select("o_orderkey", zorder_key(x, y, bits=_Z_BITS).alias("zkey"))
