@@ -22,7 +22,7 @@ pass.  ``chunk_documents`` is explode + slice, embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import ensure_parallelism
@@ -309,17 +309,51 @@ def bpe_train_merges(
     from functools import reduce
 
     m = "\x1f"
+    bests = _bpe_merge_steps(docs, n_merges, text_col)
+    steps = [
+        best.select(
+            F.lit(step).cast("int").alias("step"),
+            F.replace(F.col("l"), F.lit(m), F.lit("")).alias("lhs"),
+            F.replace(F.col("r"), F.lit(m), F.lit("")).alias("rhs"),
+            "cnt",
+        )
+        for step, best in enumerate(bests)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), steps)
+
+
+_BPE_MARK = "\x1f"
+
+
+def _bpe_symbol_str(word_col: Column) -> Column:
+    """A word as marker-wrapped symbols joined by spaces (initial BPE
+    state: one symbol per character)."""
+    m = _BPE_MARK
+    return F.array_join(
+        F.transform(
+            F.split(word_col, ""), lambda c: F.concat(F.lit(m), c, F.lit(m))
+        ),
+        " ",
+    )
+
+
+def _bpe_merge_steps(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> list[DataFrame]:
+    """Run the greedy merge loop; return the per-step 1-row best-pair
+    frames (l, r, cnt) with marker-wrapped symbols, each eagerly
+    checkpointed (they are consumed both by the merge-table output and by
+    :func:`bpe_encode_token_counts`'s replay)."""
+    m = _BPE_MARK
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
     wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
-    wstr = F.array_join(
-        F.transform(F.split(F.col("w"), ""), lambda c: F.concat(F.lit(m), c, F.lit(m))),
-        " ",
+    state = wf.select(_bpe_symbol_str(F.col("w")).alias("wstr"), "freq").localCheckpoint(
+        eager=True
     )
-    state = wf.select(wstr.alias("wstr"), "freq").localCheckpoint(eager=True)
-    steps = []
-    for step in range(n_merges):
+    bests = []
+    for _step in range(n_merges):
         syms = F.split(F.col("wstr"), " ")
         zipped = F.arrays_zip(
             F.slice(syms, 1, F.size(syms)).alias("c0"),
@@ -352,15 +386,65 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=True)
         )
-        steps.append(
-            best.select(
-                F.lit(step).cast("int").alias("step"),
-                F.replace(F.col("l"), F.lit(m), F.lit("")).alias("lhs"),
-                F.replace(F.col("r"), F.lit(m), F.lit("")).alias("rhs"),
-                "cnt",
-            )
+        bests.append(best)
+    return bests
+
+
+def bpe_apply_merges(vocab: DataFrame, bests: list[DataFrame], word_col: str = "w") -> DataFrame:
+    """Apply a learned merge sequence to a vocabulary: replay each merge
+    as the same marker-string replace the trainer used, in learned order.
+    Returns (word_col, wstr) — the final symbol string per word."""
+    m = _BPE_MARK
+    state = vocab.select(
+        F.col(word_col), _bpe_symbol_str(F.col(word_col)).alias("wstr")
+    )
+    for best in bests:
+        fused = F.concat(
+            F.lit(m),
+            F.replace(F.col("l"), F.lit(m), F.lit("")),
+            F.replace(F.col("r"), F.lit(m), F.lit("")),
+            F.lit(m),
         )
-    return reduce(lambda a, b: a.unionByName(b), steps)
+        state = state.crossJoin(F.broadcast(best.select("l", "r"))).select(
+            word_col,
+            F.replace(
+                F.col("wstr"), F.concat(F.col("l"), F.lit(" "), F.col("r")), fused
+            ).alias("wstr"),
+        )
+    return state
+
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-then-apply BPE token accounting: learn ``n_merges`` merges on
+    the corpus (:func:`_bpe_merge_steps`), encode every DISTINCT word by
+    replaying them, and charge each document the sum of its words' token
+    counts — the number a data-mixture planner budgets against once the
+    tokenizer is fixed.
+
+    Scale shape: training and encoding both run on the vocabulary table;
+    the corpus is touched exactly twice — once for the word count feeding
+    training, once to join each document's words against the vocab-sized
+    (word → n_tokens) map (broadcast when the vocabulary allows, shuffle
+    equi-join otherwise).  No per-document Python, no UDFs.
+
+    Output: (id_col, n_tokens).
+    """
+    bests = _bpe_merge_steps(docs, n_merges, text_col)
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    encoded = bpe_apply_merges(words.select("w").distinct(), bests)
+    tok = encoded.select("w", F.size(F.split("wstr", " ")).alias("w_tokens"))
+    return (
+        words.join(tok, on="w")
+        .groupBy(id_col)
+        .agg(F.sum("w_tokens").alias("n_tokens"))
+    )
 
 
 def feature_hash_embed(

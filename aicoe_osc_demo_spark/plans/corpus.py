@@ -290,6 +290,62 @@ _BPE_LOOP_SQL = f"""
 """
 
 
+def _bpe_encode_ctes(steps: int) -> str:
+    """Encode chain on top of the training CTEs: e{t} is every distinct
+    word's symbol string after replaying t learned merges."""
+    ctes = [
+        """
+    e0 AS (
+      SELECT DISTINCT w,
+             array_to_string(list_transform(range(1, length(w) + 1),
+               i -> chr(31) || substr(w, CAST(i AS INT), 1) || chr(31)), ' ') AS wstr
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    )"""
+    ]
+    for t in range(steps):
+        ctes.append(
+            f"""
+    e{t + 1} AS (
+      SELECT w, replace(wstr, b.l || ' ' || b.r,
+                        chr(31) || replace(b.l, chr(31), '')
+                                || replace(b.r, chr(31), '') || chr(31)) AS wstr
+      FROM e{t} CROSS JOIN b{t} b
+    )"""
+        )
+    return ",".join(ctes)
+
+
+_BPE_ENCODE_SQL = f"""
+    WITH {_bpe_merge_ctes(_BPE_MERGES)},
+    {_bpe_encode_ctes(_BPE_MERGES)},
+    wt AS (
+      SELECT w, len(string_split(wstr, ' ')) AS w_tokens FROM e{_BPE_MERGES}
+    ),
+    doc_words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT doc_id, CAST(SUM(w_tokens) AS BIGINT) AS n_tokens
+    FROM doc_words JOIN wt USING (w) GROUP BY doc_id
+"""
+
+
+@register("llm_bpe_encode", _BPE_ENCODE_SQL)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train-then-apply token accounting: learn 6 merges, replay them over
+    # the DISTINCT-word table, charge each document the sum of its words'
+    # token counts — the number a mixture planner budgets against.  The
+    # corpus is touched twice (word count, final join); everything else is
+    # vocabulary-sized.
+    from ..operators.corpus import bpe_encode_token_counts
+
+    return bpe_encode_token_counts(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
 @register("llm_bpe_merge_loop", _BPE_LOOP_SQL)
 def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The complete greedy BPE training loop, 6 merges: each step counts

@@ -119,6 +119,7 @@ HEADLINE_R6 = [
     "llm_feature_hash_embed",
     "llm_pq_refine_topk",
     "llm_bpe_merge_loop",
+    "llm_bpe_encode",
     "layout_zorder_key",
 ]
 

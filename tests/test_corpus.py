@@ -197,3 +197,42 @@ def test_bpe_train_merges_matches_reference_loop(spark):
         for r in bpe_train_merges(df, n_merges=5).orderBy("step").collect()
     ]
     assert again == expected
+
+
+def test_bpe_encode_token_counts_matches_reference(spark):
+    from aicoe_osc_demo_spark.operators.corpus import bpe_encode_token_counts
+
+    texts = ["cab cab ab", "ca ca banana", "aaab ab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    merges = _bpe_loop_mirror(wf, 4)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {
+        i: sum(encode(w) for w in t.split(" ") if w) for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_token_counts(df, n_merges=4).collect()
+    }
+    assert got == expected
+    # untrained text still encodes (chars only): 1 token per char for a
+    # word sharing no learned merge
+    assert all(v > 0 for v in got.values())
