@@ -227,6 +227,57 @@ def vocab_coverage(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: score(d, t) = tf(d, t) *
+    ln(N / df(t)), top ``k`` terms per document — the corpus-side
+    companion of ``bm25_topk`` (that one ranks documents for a query;
+    this one characterizes each document for tagging / mixture labeling
+    / dedup explainability).
+
+    Scale shape: token counts aggregate map-side-combined to the
+    (doc, term) table; document frequency is ONE more aggregate of that
+    table; the df join keys on term WITHOUT broadcasting (the full
+    vocabulary is 10^8 rows at web scale — this is the case where
+    bm25_topk's broadcast-the-query-terms trick does not apply, so the
+    plan must shuffle both sides on term); corpus count rides along as a
+    broadcast scalar.  One window per doc for the top-k.
+
+    Scores round to 6dp before ranking, ties break on term — engine-
+    portable determinism, same contract as bm25_topk.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     top_k: int = 20,

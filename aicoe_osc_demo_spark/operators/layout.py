@@ -97,6 +97,95 @@ def collect_file_stats(spark: SparkSession, path: str, cols: list[str]) -> DataF
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file directly under ``path`` — one
+    filesystem listing, metadata-scale.  Flat (unpartitioned) layouts
+    only; partitioned tables compact per partition directory."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    # same visibility rule as Spark's reader: dot/underscore-prefixed
+    # entries are hidden (metadata, staging, _SUCCESS)
+    return [
+        (str(st.getPath()), st.getLen())
+        for st in fs.listStatus(hpath)
+        if st.isFile()
+        and not st.getPath().getName().startswith((".", "_"))
+        and st.getPath().getName().endswith(".parquet")
+    ]
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+) -> dict:
+    """Incremental small-file compaction (the Delta ``OPTIMIZE`` bin-pack,
+    minus the transaction log): rewrite ONLY the files smaller than
+    ``small_bytes`` (default ``target_bytes // 2``) into
+    ``ceil(total_small / target_bytes)`` larger files; files already at
+    target size are left byte-for-byte untouched.
+
+    Why it matters at 100 TB: streaming/incremental ingest lands
+    thousands of KB-sized files per partition; every downstream scan then
+    pays one task + one open per file, and the driver pays the listing.
+    Compaction is the maintenance op that keeps scan parallelism
+    proportional to DATA, not to ingest cadence — and it must be
+    incremental (touch small files only) or it costs a full table rewrite
+    each run.
+
+    Mechanics: the surviving small files are read in one job and
+    coalesced (no shuffle) into the staging dir ``.compact_staging``
+    (dot-prefixed, invisible to readers), then swapped in with
+    metadata-only renames before the originals are deleted.  The
+    rename-then-delete window can double-serve rows to a concurrent
+    reader — a real lakehouse closes it with a manifest commit (the
+    ``collect_file_stats`` manifest is the natural anchor); single-writer
+    pipelines run compaction between batches, as tested.
+
+    Returns {files_before, files_after, rewritten, bins}.
+    """
+    import math
+
+    if small_bytes is None:
+        small_bytes = target_bytes // 2
+    files = list_data_files(spark, path)
+    small = [(f, s) for f, s in files if s < small_bytes]
+    if len(small) <= 1:
+        n = len(files)
+        return {"files_before": n, "files_after": n, "rewritten": 0, "bins": 0}
+    total = sum(s for _, s in small)
+    bins = max(1, math.ceil(total / target_bytes))
+    staging = path.rstrip("/") + "/.compact_staging"
+    spark.read.parquet(*[f for f, _ in small]).coalesce(bins).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    staged = [
+        st.getPath()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging))
+        if st.isFile() and st.getPath().getName().startswith("part-")
+    ]
+    for sp in staged:
+        fs.rename(sp, jvm.org.apache.hadoop.fs.Path(path, "compacted-" + sp.getName()))
+    for f, _ in small:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    after = len(files) - len(small) + len(staged)
+    return {
+        "files_before": len(files),
+        "files_after": after,
+        "rewritten": len(small),
+        "bins": len(staged),
+    }
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,

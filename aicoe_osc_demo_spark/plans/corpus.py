@@ -240,6 +240,39 @@ def llm_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=20)
 
 
+@register(
+    "llm_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(CAST(tf AS DOUBLE) * ln(n_docs / CAST(df AS DOUBLE)), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-side keyword extraction: top-3 TF-IDF terms per document.
+    # Unlike bm25_topk there is no query set to broadcast-restrict the
+    # vocabulary, so the df join shuffles on term by design.
+    from ..operators.corpus import tfidf_keywords
+
+    return tfidf_keywords(load(spark, sf_dir, "documents"), k=3)
+
+
 def _bpe_merge_ctes(steps: int) -> str:
     """Unrolled CTE chain replaying the greedy BPE merge loop: w{t} is the
     marker-string vocabulary state after t merges, b{t} the pair merged at

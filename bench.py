@@ -120,6 +120,7 @@ HEADLINE_R6 = [
     "llm_pq_refine_topk",
     "llm_bpe_merge_loop",
     "llm_bpe_encode",
+    "llm_tfidf_keywords",
     "layout_zorder_key",
 ]
 

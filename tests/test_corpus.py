@@ -236,3 +236,30 @@ def test_bpe_encode_token_counts_matches_reference(spark):
     # untrained text still encodes (chars only): 1 token per char for a
     # word sharing no learned merge
     assert all(v > 0 for v in got.values())
+
+
+def test_tfidf_keywords_formula_and_ranking(spark):
+    from aicoe_osc_demo_spark.operators.corpus import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "banana cherry shared"),
+            (2, "cherry cherry cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_keywords(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score"]) for r in rows}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert got[(0, 1)][0] == "apple"
+    assert abs(got[(0, 1)][1] - round(2 * math.log(3.0), 6)) < 1e-9
+    assert got[(0, 2)][0] == "banana"
+    # "shared" appears in every doc -> idf = ln(1) = 0: it can only fill
+    # leftover slots (doc 2 has just two distinct terms), never rank 1
+    assert all(
+        got[(d, 1)][0] != "shared" and got[(d, 1)][1] > 0 for d in (0, 1, 2)
+    )
+    # doc 2: cherry tf=3 df=2 -> 3*ln(1.5)
+    assert got[(2, 1)][0] == "cherry"
+    assert abs(got[(2, 1)][1] - round(3 * math.log(1.5), 6)) < 1e-9

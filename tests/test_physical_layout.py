@@ -264,3 +264,54 @@ def test_zorder_layout_skips_files_linear_layout_cannot(spark, tmp_path):
     assert empty.count() == 0 and set(empty.columns) == {"id", "x", "y"}
     stats_lin.unpersist()
     stats_zo.unpersist()
+
+
+def test_compact_small_files_incremental_and_lossless(spark, tmp_path):
+    import os
+
+    from aicoe_osc_demo_spark.operators.layout import (
+        compact_small_files,
+        list_data_files,
+    )
+
+    path = str(tmp_path / "ingest")
+    # simulate streaming ingest: 12 tiny files...
+    df = spark.range(1200).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(12).write.parquet(path)
+    # ...plus 2 "already compacted" big files (bigger than small_bytes)
+    big = spark.range(1200, 60000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    big.repartition(2).write.mode("append").parquet(path)
+
+    before = dict(list_data_files(spark, path))
+    sizes = sorted(before.values())
+    small_thr = (sizes[-3] + sizes[-2]) // 2  # between tiny and big sizes
+    big_files = {f for f, s in before.items() if s >= small_thr}
+    assert len(big_files) == 2 and len(before) == 14
+    big_mtimes = {f: os.path.getmtime(f.replace("file:", "")) for f in big_files}
+
+    expect = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    stats = compact_small_files(
+        spark, path, target_bytes=1 << 30, small_bytes=small_thr
+    )
+    assert stats == {
+        "files_before": 14,
+        "files_after": 3,
+        "rewritten": 12,
+        "bins": 1,
+    }
+    after = dict(list_data_files(spark, path))
+    assert len(after) == 3
+    # the big files are byte-for-byte untouched (same path, same mtime)
+    for f in big_files:
+        assert f in after and before[f] == after[f]
+        assert os.path.getmtime(f.replace("file:", "")) == big_mtimes[f]
+    # no data lost or duplicated
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == expect
+    # idempotent: a second run with nothing small enough is a no-op
+    again = compact_small_files(spark, path, target_bytes=1 << 30, small_bytes=100)
+    assert again["rewritten"] == 0 and len(dict(list_data_files(spark, path))) == 3
