@@ -26,22 +26,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 50 queries new (24) or with
+# FIRST 50 registry entries.  r6 window = the 50 of 51 queries new (25) or with
 # code paths changed (26, incl. the raw-threshold fix to the LSH
 # similarity family, the non-vacuous ngram-jaccard/join_anti reworks, and
 # the Q5 merge-hint change) this round — the llm_pq_codes canonical-form fix (the one red r5
-# row), the gapfill/SCD2/incremental-near-dedup reworks, the 9 NEW queries
-# (PQ refine re-rank, BPE merge loop + encode, TF-IDF keywords, Z-order
-# key, scalar quantization x2, leakage-safe split, vocabulary coverage),
-# and
+# row), the gapfill/SCD2/incremental-near-dedup reworks, the 10 NEW
+# queries (PQ refine re-rank, BPE merge loop + encode, TF-IDF keywords,
+# delete-aware CDC apply, Z-order key, scalar quantization x2,
+# leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from
 # the O(words^2) sequence/slice HOF form to the zip form — semantics
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) fill any remaining slots (0 in r6 — the window is
-# exactly the 50 new/changed entries).  The 17 entries past
-# position 50 (agg_count_by_group, agg_distinct_count, agg_global_sum,
+# driver-green in r02) fill any remaining slots (0 in r6 — the 51st
+# new/changed entry, join_multiway_revenue_by_nation, also rolls to r7:
+# its r6 change is a join-hint only, it is green since r02, and entry()
+# smoke-runs it every round; new queries outrank re-verification).  The
+# 18 entries past
+# position 50 (join_multiway_revenue_by_nation, agg_count_by_group,
+# agg_distinct_count, agg_global_sum,
 # agg_having_groups, agg_pricing_summary,
 # agg_sum_avg_by_group, agg_summary_stats,
 # dedup_distinct_rows, dedup_keep_first_per_key,
@@ -57,6 +61,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_bpe_merge_loop",
     "llm_bpe_encode",
     "llm_tfidf_keywords",
+    "incremental_apply_cdc",
     "layout_zorder_key",
     "llm_semdedup",
     "llm_knn_graph",

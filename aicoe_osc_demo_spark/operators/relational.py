@@ -163,6 +163,48 @@ def scd2_from_changelog(
     return out.select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
 
 
+def apply_cdc(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a Debezium-style I/U/D change log to a snapshot: per key the
+    latest change wins and keys whose latest operation is a delete
+    disappear — the full lakehouse ``MERGE WHEN MATCHED DELETE`` shape,
+    completing ``upsert_latest`` (no deletes) and ``scd2_from_changelog``
+    (history, no compaction).
+
+    The snapshot participates as an op='I' row with a NULL timestamp that
+    sorts AFTER every real change (``desc_nulls_last``), so a key with any
+    change never falls back to its snapshot value.  Exact-``ts`` ties
+    among changes break deterministically on ``tiebreak_cols`` (default:
+    ``op_col`` — 'U' sorts after 'D' descending, so an equal-ts
+    update+delete resolves to the update; pass explicit columns for
+    domain-specific resolution).
+
+    Scale: one union + ONE window shuffle on the key columns — identical
+    cost to ``upsert_latest``; the delete filter is a post-window map.
+    Output columns = snapshot columns.
+    """
+    tiebreaks = tiebreak_cols or [op_col]
+    out_cols = snapshot.columns
+    tagged = snapshot.withColumn(
+        op_col, F.lit("I")
+    ).withColumn("_cdc_ts", F.lit(None).cast(changelog.schema[ts_col].dataType)).unionByName(
+        changelog.withColumnRenamed(ts_col, "_cdc_ts"), allowMissingColumns=False
+    )
+    order = [F.col("_cdc_ts").desc_nulls_last()] + [F.col(c).desc() for c in tiebreaks]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter((F.col("_rk") == 1) & (F.col(op_col) != "D"))
+        .select(*out_cols)
+    )
+
+
 def upsert_latest(
     existing: DataFrame, updates: DataFrame, key_cols: list[str], version_col: str
 ) -> DataFrame:

@@ -699,6 +699,67 @@ def incremental_skip_processed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_apply_cdc",
+    """
+    WITH snap AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'I' AS op,
+             CAST(NULL AS TIMESTAMP) AS ts
+      FROM orders
+    ), b1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0, 'U', o_orderdate
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), b2 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 2.0,
+             CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END,
+             o_orderdate + INTERVAL 1 DAY
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), tagged AS (
+      SELECT * FROM snap UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+    ), merged AS (
+      SELECT * FROM tagged
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY ts DESC NULLS LAST, op DESC) = 1
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM merged WHERE op != 'D' GROUP BY o_orderstatus
+    """,
+)
+def incremental_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delete-aware CDC apply (the MERGE WHEN MATCHED DELETE shape): two
+    # change batches — every even order re-priced (+1.00) on day 0, every
+    # 4th re-priced (+2.00) or, for every 8th, DELETED on day 1 — collapse
+    # against the snapshot; latest change per key wins, deleted keys
+    # disappear.  +1.00/+2.00 are exact double ops (engine-portable).
+    from ..operators.relational import apply_cdc
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    full = load(spark, sf_dir, "orders")
+    b1 = full.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit("U").alias("op"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    b2 = full.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 2.0).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+    )
+    merged = apply_cdc(o, b1.unionByName(b2), ["o_orderkey"], "ts")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@register(
     "incremental_upsert_latest",
     """
     WITH tagged AS (

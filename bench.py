@@ -121,6 +121,7 @@ HEADLINE_R6 = [
     "llm_bpe_merge_loop",
     "llm_bpe_encode",
     "llm_tfidf_keywords",
+    "incremental_apply_cdc",
     "layout_zorder_key",
 ]
 

@@ -89,3 +89,46 @@ def test_upsert_latest_wins_and_ties_prefer_updates(spark):
         3: "tie-c",  # version tie -> update wins
         4: "new-d",  # brand-new key inserted
     }
+
+
+def test_apply_cdc_deletes_updates_and_tiebreaks(spark):
+    from datetime import datetime
+
+    from aicoe_osc_demo_spark.operators.relational import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "val"]
+    )
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "U", t0),   # update k=1
+            (2, "b2", "U", t0),   # update then delete k=2
+            (2, "b2", "D", t1),
+            (3, "c2", "D", t0),   # delete then re-insert k=3
+            (3, "c3", "U", t1),
+            (5, "e", "U", t0),    # insert of a key absent from the snapshot
+        ],
+        ["k", "val", "op", "ts"],
+    )
+    got = {r["k"]: r["val"] for r in apply_cdc(snap, log, ["k"], "ts").collect()}
+    # k=4 untouched from snapshot; k=2 gone; k=3 resurrected by later U
+    assert got == {1: "a2", 3: "c3", 4: "d", 5: "e"}
+
+    # equal-ts U+D on one key: default tiebreak (op desc) keeps the update
+    log2 = spark.createDataFrame(
+        [(1, "x", "U", t0), (1, "y", "D", t0)], ["k", "val", "op", "ts"]
+    )
+    got2 = {r["k"]: r["val"] for r in apply_cdc(snap, log2, ["k"], "ts").collect()}
+    assert got2[1] == "x"
+    # ...and an explicit tiebreak column can flip the resolution
+    log3 = spark.createDataFrame(
+        [(1, "x", "U", t0, 1), (1, "y", "D", t0, 2)], ["k", "val", "op", "ts", "seq"]
+    )
+    snap3 = snap  # seq column only exists in the changelog
+    import pyspark.sql.functions as F
+
+    got3 = apply_cdc(
+        snap3.withColumn("seq", F.lit(0)), log3, ["k"], "ts", tiebreak_cols=["seq"]
+    )
+    assert 1 not in {r["k"] for r in got3.collect()}

@@ -76,6 +76,13 @@ QUERIES = [
     "llm_dsir_resample",
     "multimodal_phash_dedup",
     "llm_c4_rules",
+    # final-r6 additions: two-stage PQ refine, iterative BPE train/apply,
+    # TF-IDF keywords (vocabulary-shuffle join), Morton-code layout key
+    "llm_pq_refine_topk",
+    "llm_bpe_merge_loop",
+    "llm_bpe_encode",
+    "llm_tfidf_keywords",
+    "layout_zorder_key",
 ]
 
 DOC_OFF = 10_000_000
