@@ -88,6 +88,10 @@ def test_cross_join_is_broadcast_not_cartesian(spark):
         "llm_pq_adc_topk",
         "llm_ivfpq_topk",
         "llm_retrieve_rerank",
+        "llm_pq_refine_topk",
+        "llm_tfidf_keywords",
+        "llm_bpe_encode",
+        "incremental_apply_cdc",
     ],
 )
 def test_no_cartesian_product(spark, name):
