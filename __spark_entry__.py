@@ -26,25 +26,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r6 window = the 50 of 51 queries new (25) or with
+# FIRST 50 registry entries.  r6 window = 50 of the 52 queries new (26) or with
 # code paths changed (26, incl. the raw-threshold fix to the LSH
 # similarity family, the non-vacuous ngram-jaccard/join_anti reworks, and
 # the Q5 merge-hint change) this round — the llm_pq_codes canonical-form fix (the one red r5
 # row), the gapfill/SCD2/incremental-near-dedup reworks, the 10 NEW
 # queries (PQ refine re-rank, BPE merge loop + encode, TF-IDF keywords,
-# delete-aware CDC apply, Z-order key, scalar quantization x2,
-# leakage-safe split, vocabulary coverage), and
+# delete-aware CDC apply, expectations audit, Z-order key, scalar
+# quantization x2, leakage-safe split, vocabulary coverage), and
 # every consumer of the rewritten shingle builder (word_ngrams went from
 # the O(words^2) sequence/slice HOF form to the zip form — semantics
 # pinned identical by test, but the whole MinHash/SimHash/ngram family
 # must be re-fronted under the driver) plus the lang_id_trigram
 # replace-count rewrite — then the oldest-verified entries (last
-# driver-green in r02) fill any remaining slots (0 in r6 — the 51st
-# new/changed entry, join_multiway_revenue_by_nation, also rolls to r7:
-# its r6 change is a join-hint only, it is green since r02, and entry()
-# smoke-runs it every round; new queries outrank re-verification).  The
-# 18 entries past
-# position 50 (join_multiway_revenue_by_nation, agg_count_by_group,
+# driver-green in r02) fill any remaining slots (0 in r6 — the 51st/52nd
+# new-or-changed entries also roll to r7: pipeline_llm_curation, whose
+# stages are each individually in-window, and
+# join_multiway_revenue_by_nation, whose r6 change is a join-hint only,
+# green since r02, and entry()-smoked every round; new queries outrank
+# re-verification).  The 19 entries past
+# position 50 (pipeline_llm_curation, join_multiway_revenue_by_nation,
+# agg_count_by_group,
 # agg_distinct_count, agg_global_sum,
 # agg_having_groups, agg_pricing_summary,
 # agg_sum_avg_by_group, agg_summary_stats,
@@ -62,6 +64,7 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_bpe_encode",
     "llm_tfidf_keywords",
     "incremental_apply_cdc",
+    "quality_expectations",
     "layout_zorder_key",
     "llm_semdedup",
     "llm_knn_graph",
@@ -106,8 +109,10 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_dedup_clusters",
     "llm_lm_perplexity",
     "llm_segment_dedup",
-    "pipeline_llm_curation",
     "join_anti",
+    # r7 rollover starts here: pipeline_llm_curation's stages are all
+    # individually in-window, join_multiway is entry()-smoked every round
+    "pipeline_llm_curation",
     "join_multiway_revenue_by_nation",
     # --- oldest-verified rotation: last driver-green in r02 ---
     "agg_count_by_group",

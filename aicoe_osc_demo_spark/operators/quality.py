@@ -453,3 +453,62 @@ def token_budget_plan(
             "epochs"
         ),
     )
+
+
+def check_expectations(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Row-local data-quality expectations (the dbt-test / Deequ check
+    shape): each rule is (name, boolean Column that GOOD rows satisfy);
+    the report counts violations per rule in ONE scan — every rule is a
+    conditional-sum aggregate, so 50 rules still cost a single map-side-
+    combined pass, not 50 jobs.
+
+    NULL rule results count as violations (an expectation a row cannot
+    evaluate is not satisfied).  Output: (rule, n_violations), one row
+    per rule via an explode of the single aggregate row — flat-canonical.
+    """
+    aggs = [
+        F.sum(
+            F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_r{i}")
+        for i, (_, cond) in enumerate(rules)
+    ]
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"_r{i}").alias("n_violations")
+            )
+            for i, (name, _) in enumerate(rules)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("e")).select("e.rule", "e.n_violations")
+
+
+def unique_violations(df: DataFrame, cols: list[str], rule: str | None = None) -> DataFrame:
+    """Uniqueness expectation: number of EXTRA rows beyond one per key
+    (0 = unique).  One map-side-combined groupBy; the per-key counts
+    never leave the executors."""
+    name = rule or ("unique:" + ",".join(cols))
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(F.col("_n") - 1).alias("n_violations"))
+        .select(F.lit(name).alias("rule"), "n_violations")
+    )
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    on: list[str],
+    rule: str | None = None,
+) -> DataFrame:
+    """Referential-integrity expectation: child rows whose key has no
+    parent (NULL keys are orphans too, SQL-NOT-IN semantics aside).  An
+    anti-join on the key — shuffle both sides on the FK, or broadcast the
+    parent key set when it is dimension-sized."""
+    name = rule or ("fk:" + ",".join(on))
+    orphans = child.join(parent.select(*on).distinct(), on=on, how="left_anti")
+    return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit(name).alias("rule"), "n_violations"
+    )

@@ -782,3 +782,56 @@ def llm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import token_budget_plan
 
     return token_budget_plan(load(spark, sf_dir, "documents"), budget_tokens=1_000_000)
+
+
+@register(
+    "quality_expectations",
+    """
+    SELECT 'nonnull:l_orderkey' AS rule,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_tax in [0,0.08]',
+           CAST(SUM(CASE WHEN l_tax >= 0.0 AND l_tax <= 0.08 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount <= 0.05',
+           CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_quantity <= 30',
+           CAST(SUM(CASE WHEN l_quantity <= 30 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'fk:l_orderkey->orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """,
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Constraint audit (the dbt-test / Deequ surface): four row-local
+    # expectations counted in ONE scan, a uniqueness check, and an FK
+    # referential-integrity anti-join — the table-health report a warehouse
+    # runs after every load.  The range rules are deliberately strict
+    # enough to have real violations (non-vacuous hash).
+    from ..operators.quality import check_expectations, fk_violations, unique_violations
+
+    li = load(spark, sf_dir, "lineitem")
+    rowlocal = check_expectations(
+        li,
+        [
+            ("nonnull:l_orderkey", F.col("l_orderkey").isNotNull()),
+            ("range:l_tax in [0,0.08]", (F.col("l_tax") >= 0.0) & (F.col("l_tax") <= 0.08)),
+            ("range:l_discount <= 0.05", F.col("l_discount") <= 0.05),
+            ("range:l_quantity <= 30", F.col("l_quantity") <= 30),
+        ],
+    )
+    uniq = unique_violations(li, ["l_orderkey", "l_linenumber"])
+    fk = fk_violations(li, load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    ), on=["l_orderkey"], rule="fk:l_orderkey->orders")
+    return rowlocal.unionByName(uniq).unionByName(fk)

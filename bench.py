@@ -122,6 +122,7 @@ HEADLINE_R6 = [
     "llm_bpe_encode",
     "llm_tfidf_keywords",
     "incremental_apply_cdc",
+    "quality_expectations",
     "layout_zorder_key",
 ]
 

@@ -294,3 +294,40 @@ def test_token_budget_plan_shares_and_epochs(spark):
     # to its raw token share
     assert out["small"].share > n_small / (n_small + n_big)
     assert abs(out["small"].share + out["big"].share - 1.0) < 1e-5
+
+
+def test_expectations_rowlocal_unique_fk(spark):
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.quality import (
+        check_expectations,
+        fk_violations,
+        unique_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (2, -1.0), (3, 12.0)], ["k", "v"]
+    )
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in check_expectations(
+            df,
+            [
+                ("v_nonneg", F.col("v") >= 0),      # NULL -> violation too
+                ("v_under_10", F.col("v") < 10),
+                ("k_nonnull", F.col("k").isNotNull()),
+            ],
+        ).collect()
+    }
+    assert rep == {"v_nonneg": 2, "v_under_10": 2, "k_nonnull": 0}
+    # one scan: a single aggregate node evaluates every rule
+    plan = check_expectations(df, [("a", F.col("v") >= 0)])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Scan") == 1
+
+    uq = unique_violations(df, ["k"]).collect()[0]
+    assert uq["n_violations"] == 1  # k=2 appears twice -> one extra row
+
+    parent = spark.createDataFrame([(1,), (3,)], ["k"])
+    fk = fk_violations(df, parent, on=["k"]).collect()[0]
+    assert fk["n_violations"] == 2  # both k=2 rows are orphans
