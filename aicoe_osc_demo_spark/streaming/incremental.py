@@ -205,3 +205,48 @@ def streaming_quality_monitor(
         "avg_chars",
         "en_share",
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within_minutes: int = 30,
+    watermark_minutes: int = 60,
+) -> DataFrame:
+    """Event-time interval join (the ad-attribution shape: right events
+    attach to the most recent window of left events on the same key):
+    ``l.key = r.key AND r.ts ∈ [l.ts, l.ts + within_minutes]``.
+
+    The SAME code path serves batch AND streams: on streaming inputs the
+    watermarks plus the two-sided time bound are exactly what Structured
+    Streaming requires to know when buffered rows can never match again —
+    each side's join state expires ``watermark + within`` behind its
+    event-time frontier, so state is bounded by delay, not by stream
+    length.  On batch inputs the watermark is a no-op and the plan is a
+    plain range-condition equi-join (same family as
+    ``operators/temporal.py``'s binned range join, which is the shape to
+    use when a BATCH interval join is too big for the time-bound buffer).
+
+    Matches arriving in DIFFERENT micro-batches (a click trailing its
+    impression by minutes) join from state — pinned by
+    ``test_stream_stream_interval_join_across_batches``.
+    """
+    l_wm = (
+        left.withWatermark(left_ts, f"{watermark_minutes} minutes")
+        if left.isStreaming
+        else left
+    )
+    r_wm = (
+        right.withWatermark(right_ts, f"{watermark_minutes} minutes")
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within_minutes} MINUTES"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])

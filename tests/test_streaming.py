@@ -413,3 +413,75 @@ def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
     # the stopword-free junk doc drags web's English share to 0.5
     assert live[("2024-01-01 10:00:00", "web")][3] == 0.5
     assert live[("2024-01-01 11:00:00", "book")][0] == 1
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    # the stream-stream stateful join: clicks attribute to impressions on
+    # the same user within 30 min, even when the click arrives in a LATER
+    # micro-batch / run than its impression (join state from checkpoint)
+    from datetime import datetime
+
+    from aicoe_osc_demo_spark.streaming.incremental import interval_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+
+    t = lambda m: datetime(2024, 3, 1, 12, m)
+    imps = [(1, t(0), "ad_a"), (2, t(5), "ad_b"), (3, t(10), "ad_c")]
+    clicks_b1 = [(1, t(9)), (3, t(50))]  # u1 in-bound; u3 click 40min late -> OUT
+    spark.createDataFrame(imps, ["user_id", "l_ts", "ad"]).write.parquet(
+        imp_dir + "/f1.parquet"
+    )
+    spark.createDataFrame(clicks_b1, ["user_id", "r_ts"]).write.parquet(
+        clk_dir + "/f1.parquet"
+    )
+
+    got: list[tuple] = []
+
+    def run():
+        li = (
+            spark.readStream.option("recursiveFileLookup", "true")
+            .schema("user_id long, l_ts timestamp, ad string")
+            .parquet(imp_dir)
+        )
+        ri = (
+            spark.readStream.option("recursiveFileLookup", "true")
+            .schema("user_id long, r_ts timestamp")
+            .parquet(clk_dir)
+        )
+        joined = interval_join(li, ri, within_minutes=30, watermark_minutes=60)
+        q = (
+            joined.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _eid: got.extend(
+                    (r["user_id"], r["ad"]) for r in df.collect()
+                )
+            )
+            .option("checkpointPath", ckpt)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(got) == [(1, "ad_a")]
+
+    # a click for u2 lands in a later run: the impression is only in join
+    # STATE (checkpoint), not in the new batch — it must still attribute
+    spark.createDataFrame([(2, t(25))], ["user_id", "r_ts"]).write.parquet(
+        clk_dir + "/f2.parquet"
+    )
+    run()
+    assert sorted(got) == [(1, "ad_a"), (2, "ad_b")]
+
+    # batch parity: the same operator over static frames gives the same set
+    b = interval_join(
+        spark.createDataFrame(imps, ["user_id", "l_ts", "ad"]),
+        spark.createDataFrame(clicks_b1 + [(2, t(25))], ["user_id", "r_ts"]),
+        within_minutes=30,
+        watermark_minutes=60,
+    )
+    assert sorted((r["user_id"], r["ad"]) for r in b.collect()) == sorted(got)
