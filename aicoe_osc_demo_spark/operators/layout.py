@@ -215,3 +215,40 @@ def pruned_read(
     if not files:
         return spark.read.parquet(path).filter(F.lit(False))
     return spark.read.parquet(*files).filter(residual)
+
+
+def analyze_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics — row count, null count,
+    exact NDV — the inputs a cost-based optimizer's join reordering and
+    the stats manifest's pruning decisions feed on.
+
+    All columns are profiled in ONE aggregate: Spark expands the N
+    DISTINCT aggregates into one Expand-based shuffle (rows × N), which
+    is the exact-NDV cost.  At 100 TB swap the exact NDV for the
+    mergeable HLL sketch (``operators/sketch.py:hll_estimate``) and the
+    pass becomes a plain map-side-combined aggregate; exact NDV here
+    keeps the statistic oracle-checkable.
+
+    Output: (column, n_rows, n_nulls, n_distinct) — one row per column.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn{i}"),
+            F.countDistinct(F.col(c)).alias(f"_nd{i}"),
+        ]
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn{i}").alias("n_nulls"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return one.select(F.explode(pairs).alias("e")).select(
+        "e.column", "e.n_rows", "e.n_nulls", "e.n_distinct"
+    )

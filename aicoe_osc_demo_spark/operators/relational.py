@@ -224,3 +224,31 @@ def upsert_latest(
         .filter(F.col("_rk") == 1)
         .drop("_rk", "_src")
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta merge):
+    fold a delta batch's PARTIAL aggregate into a persisted aggregate
+    state without rescanning the base data — union the two (key → sums)
+    tables and re-sum per key.  Because counts and sums are commutative
+    monoids, state ⊕ partial(delta) == full recompute, which is exactly
+    the oracle check.
+
+    This is the batch face of what streaming aggregation state does
+    per micro-batch; at 100 TB it is the difference between touching the
+    DELTA (gigabytes) and the BASE (the 100 TB) on every refresh.  Both
+    inputs are aggregate-sized; the union re-aggregate shuffles only
+    state rows.  Retractions arrive as negative deltas (a CDC 'D' emits
+    -1/-value rows), so the same fold handles updates and deletes.
+    """
+    return (
+        state.select(*key_cols, *sum_cols)
+        .unionByName(delta.select(*key_cols, *sum_cols))
+        .groupBy(*key_cols)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )

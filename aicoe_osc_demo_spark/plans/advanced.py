@@ -445,3 +445,40 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.pmod(F.col("o_custkey"), F.lit(4096))
     y = F.pmod(F.floor("o_totalprice").cast("long"), F.lit(4096))
     return o.select("o_orderkey", zorder_key(x, y, bits=_Z_BITS).alias("zkey"))
+
+
+@register(
+    "layout_column_stats",
+    """
+    SELECT 'o_custkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+)
+def layout_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE TABLE-style column profile: row/null/exact-NDV per column in
+    # one Expand-based aggregate — the CBO + manifest-pruning inputs.  At
+    # 100 TB swap exact NDV for the mergeable HLL sketch; exact here keeps
+    # the statistic oracle-checkable.
+    from ..operators.layout import analyze_column_stats
+
+    return analyze_column_stats(
+        load(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )

@@ -800,3 +800,35 @@ def incremental_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized-view delta merge (incremental view maintenance): the
+    # pre-1997 aggregate plays the persisted MV state, the 1997+ partial
+    # aggregate plays the delta batch, and merge_agg_state folds them.
+    # Counts/sums are monoids, so state + partial(delta) must equal the
+    # full recompute — which IS the oracle.  At 100 TB the refresh touches
+    # the delta, never the base.
+    from ..operators.relational import merge_agg_state
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return merge_agg_state(state, delta, ["o_orderstatus"], ["n_orders", "total_cents"])

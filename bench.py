@@ -123,6 +123,8 @@ HEADLINE_R6 = [
     "llm_tfidf_keywords",
     "incremental_apply_cdc",
     "quality_expectations",
+    "incremental_agg_maintenance",
+    "layout_column_stats",
     "layout_zorder_key",
 ]
 

@@ -132,3 +132,47 @@ def test_apply_cdc_deletes_updates_and_tiebreaks(spark):
         snap3.withColumn("seq", F.lit(0)), log3, ["k"], "ts", tiebreak_cols=["seq"]
     )
     assert 1 not in {r["k"] for r in got3.collect()}
+
+
+def test_merge_agg_state_equals_recompute_and_handles_retractions(spark):
+    import pyspark.sql.functions as F
+
+    from aicoe_osc_demo_spark.operators.relational import merge_agg_state
+
+    rows = [(i, "g%d" % (i % 3), i * 10) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+
+    def partial(d):
+        return d.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        )
+
+    state = partial(df.filter(F.col("id") < 20))
+    delta = partial(df.filter(F.col("id") >= 20))
+    merged = {
+        r["g"]: (r["n"], r["total"])
+        for r in merge_agg_state(state, delta, ["g"], ["n", "total"]).collect()
+    }
+    full = {r["g"]: (r["n"], r["total"]) for r in partial(df).collect()}
+    assert merged == full
+
+    # retraction: a CDC delete arrives as a negative partial
+    retract = spark.createDataFrame([("g0", -1, -0)], ["g", "n", "total"])
+    after = {
+        r["g"]: (r["n"], r["total"])
+        for r in merge_agg_state(partial(df), retract, ["g"], ["n", "total"]).collect()
+    }
+    assert after["g0"] == (full["g0"][0] - 1, full["g0"][1])
+
+
+def test_analyze_column_stats_counts(spark):
+    from aicoe_osc_demo_spark.operators.layout import analyze_column_stats
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], ["x", "s"]
+    )
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in analyze_column_stats(df, ["x", "s"]).collect()
+    }
+    assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
