@@ -315,3 +315,27 @@ def test_compact_small_files_incremental_and_lossless(spark, tmp_path):
     # idempotent: a second run with nothing small enough is a no-op
     again = compact_small_files(spark, path, target_bytes=1 << 30, small_bytes=100)
     assert again["rewritten"] == 0 and len(dict(list_data_files(spark, path))) == 3
+
+
+def test_schema_evolution_merge_and_column_defaults(spark, tmp_path):
+    # additive schema evolution on an append-only table: old files lack
+    # the new column; mergeSchema reconciles and old rows read as NULL,
+    # so ingest never rewrites history to add a field
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v1"]).write.parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], ["id", "v1", "v2"]
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # the evolved column still supports pushdown-friendly predicates and
+    # null-bucketing of the historical rows
+    n_old = merged.filter(F.col("v2").isNull()).count()
+    assert n_old == 2
+    # WITHOUT mergeSchema Spark picks one footer's schema — the read
+    # still works but may drop the new column; the option is the contract
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) <= {"id", "v1", "v2"}
