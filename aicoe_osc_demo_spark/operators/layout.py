@@ -252,3 +252,68 @@ def analyze_column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(F.explode(pairs).alias("e")).select(
         "e.column", "e.n_rows", "e.n_nulls", "e.n_distinct"
     )
+
+
+def skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the report that decides
+    whether a key needs salting (``operators/skew.py``) or AQE skew-join
+    handling before a 100 TB run: per-key row counts reduced to
+    distribution statistics plus the skew ratio (max key vs median key).
+
+    A skew_ratio near 1 means hash partitioning balances; a ratio of 10^3
+    means one reducer gets a thousand medians' worth of rows and the
+    stage runs at the speed of that one task.  Rule of thumb: salt with
+    ``ceil(max_count / p99)`` shards (reported as suggested_salt).
+
+    Two map-side-combined aggregates (rows → per-key counts → one stats
+    row); nothing wide shuffles except the per-key count itself.
+    Output: one row (n_keys, max_count, p50, p99, skew_ratio,
+    suggested_salt).
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    p50 = F.expr("percentile(_n, 0.50)")
+    p99 = F.expr("percentile(_n, 0.99)")
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_count"),
+        F.round(p50, 6).alias("p50"),
+        F.round(p99, 6).alias("p99"),
+        F.round(F.max("_n").cast("double") / p50, 6).alias("skew_ratio"),
+        F.ceil(F.max("_n").cast("double") / p99).cast("long").alias("suggested_salt"),
+    )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+) -> dict:
+    """Partition-wise small-file compaction: apply
+    :func:`compact_small_files` inside every ``col=value`` partition
+    directory of a Hive-layout table.  Files only ever move WITHIN their
+    partition directory, so partition values (carried by the directory
+    name) are untouched and readers of the table root see identical data.
+
+    The partition listing is one metadata call; at 100 TB the per-
+    partition rewrites are independent — run them from a driver loop (as
+    here), or fan out one job over many partitions when partition count,
+    not partition size, dominates.  Returns aggregate counts plus the
+    number of partitions touched.
+    """
+    fs, hpath, _ = _hadoop_fs(spark, root)
+    parts = [
+        str(st.getPath())
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    total = {"files_before": 0, "files_after": 0, "rewritten": 0, "bins": 0}
+    touched = 0
+    for p in parts:
+        r = compact_small_files(spark, p, target_bytes, small_bytes)
+        for k in total:
+            total[k] += r[k]
+        touched += 1 if r["rewritten"] else 0
+    total["partitions"] = len(parts)
+    total["partitions_compacted"] = touched
+    return total

@@ -482,3 +482,30 @@ def layout_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
     )
+
+
+@register(
+    "diag_skew_report",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, COUNT(*) AS _n FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(_n) AS BIGINT) AS max_count,
+           ROUND(quantile_cont(_n, 0.50), 6) AS p50,
+           ROUND(quantile_cont(_n, 0.99), 6) AS p99,
+           ROUND(CAST(MAX(_n) AS DOUBLE) / quantile_cont(_n, 0.50), 6) AS skew_ratio,
+           CAST(CEIL(CAST(MAX(_n) AS DOUBLE) / quantile_cont(_n, 0.99)) AS BIGINT)
+             AS suggested_salt
+    FROM counts
+    """,
+)
+def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-flight skew diagnosis for the supplier join key: per-key count
+    # distribution + max/median skew ratio + the salt factor the
+    # salted-join operator would use.  The decision input for
+    # operators/skew.py and AQE skew handling, computable in two
+    # map-side-combined aggregates.
+    from ..operators.layout import skew_report
+
+    return skew_report(load(spark, sf_dir, "lineitem"), ["l_suppkey"])

@@ -125,6 +125,7 @@ HEADLINE_R6 = [
     "quality_expectations",
     "incremental_agg_maintenance",
     "layout_column_stats",
+    "diag_skew_report",
     "layout_zorder_key",
 ]
 

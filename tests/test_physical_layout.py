@@ -339,3 +339,26 @@ def test_schema_evolution_merge_and_column_defaults(spark, tmp_path):
     # still works but may drop the new column; the option is the contract
     plain = spark.read.parquet(path)
     assert set(plain.columns) <= {"id", "v1", "v2"}
+
+
+def test_compact_partitioned_preserves_partition_values(spark, tmp_path):
+    from aicoe_osc_demo_spark.operators.layout import (
+        compact_partitioned,
+        list_data_files,
+    )
+
+    root = str(tmp_path / "parted")
+    df = spark.createDataFrame(
+        [(i, "p%d" % (i % 3), float(i)) for i in range(600)], ["id", "pt", "v"]
+    )
+    # 8 small files inside each of 3 partitions
+    df.repartition(8).write.partitionBy("pt").parquet(root)
+    expect = sorted((r["id"], r["pt"]) for r in spark.read.parquet(root).collect())
+
+    stats = compact_partitioned(spark, root, target_bytes=1 << 30, small_bytes=1 << 20)
+    assert stats["partitions"] == 3 and stats["partitions_compacted"] == 3
+    assert stats["files_after"] == 3  # one bin per partition
+    for p in ("p0", "p1", "p2"):
+        assert len(list_data_files(spark, root + f"/pt={p}")) == 1
+    got = sorted((r["id"], r["pt"]) for r in spark.read.parquet(root).collect())
+    assert got == expect  # data AND partition values intact
