@@ -1439,3 +1439,56 @@ def ivf_index_topk(
         ).alias("cosine"),
     )
     return top_k_per_group(scored, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a PQ index: the (vec_id, codes) table plus the integer
+    codebooks — train ONCE, serve every later query batch from the codes
+    scan alone (the offline half ``pq_adc_topk`` assumes; the analogue of
+    ``write_ivf_index`` for the memory-compression axis).
+
+    The codes table is m small ints per vector — at a billion vectors
+    this is the artifact that fits where the float vectors do not; the
+    codebooks are m*k rows (always broadcastable) whose EXACT integer
+    state (s, n) keeps served distances bit-identical to training-time
+    ADC.
+    """
+    codes, books = product_quantize(
+        corpus, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+    )
+    codes.write.mode(mode).parquet(f"{path}/codes")
+    books.write.mode(mode).parquet(f"{path}/codebooks")
+
+
+def pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Serve ADC top-k from a persisted ``write_pq_index`` layout: no
+    training at query time — read the codebooks (m*k rows, broadcast),
+    build the per-query LUT, scan the codes table once.  Per-batch cost
+    is the codes scan + the top-k window; the float corpus is never
+    touched."""
+    codes = spark.read.parquet(f"{path}/codes")
+    books = spark.read.parquet(f"{path}/codebooks")
+    return pq_adc_topk(
+        codes, books, queries, k=k, m=m, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+    )

@@ -843,3 +843,38 @@ def test_cosine_threshold_filters_raw_not_rounded(spark):
     }
     assert (0, 11) in links
     assert (0, 10) not in links
+
+
+def test_pq_index_persist_and_serve_matches_in_memory(spark, tmp_path):
+    import random
+
+    random.seed(37)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_index_topk,
+        product_quantize,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(df, path, m=2, k=4, dim=8)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = pq_index_topk(spark, path, queries, k=5, m=2, dim=8).collect()
+    codes, books = product_quantize(df, m=2, k=4, iters=2, dim=8)
+    direct = pq_adc_topk(codes, books, queries, k=5, m=2, dim=8).collect()
+    # served-from-disk distances are bit-identical to training-time ADC
+    assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
+    # and no Lloyd chain runs at query time: the served plan's only scans
+    # are the two index tables
+    plan = pq_index_topk(spark, path, queries, k=5, m=2, dim=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # parquet scans of the persisted codes + codebooks schemas...
+    assert "codes:array<int>" in plan and "s:array<bigint>" in plan
+    # ...and no Lloyd chain artifacts (training-time posexplode re-centering)
+    assert "posexplode" not in plan
