@@ -1492,3 +1492,105 @@ def pq_index_topk(
     return pq_adc_topk(
         codes, books, queries, k=k, m=m, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 4,
+    m: int = 4,
+    k_pq: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    scale: int = 1000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the full IVF-PQ index — the billion-vector serving layout:
+    the codes table PARTITIONED BY coarse list (so probing is static
+    partition pruning, as in ``write_ivf_index``) + the exact-integer
+    coarse centroids + the PQ codebooks.  Train once; every query batch
+    afterwards reads nprobe/nlist of a codes-only table.
+    """
+    qz = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(
+            "v"
+        ),
+    )
+    assigned, coarse = _lloyd_quantized(qz, nlist, iters)
+    codes, books = product_quantize(
+        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+    )
+    (
+        codes.join(assigned.select("vec_id", F.col("cid").alias("ivf_list")), on="vec_id")
+        .write.mode(mode)
+        .partitionBy("ivf_list")
+        .parquet(f"{path}/codes")
+    )
+    coarse.write.mode(mode).parquet(f"{path}/coarse")
+    books.write.mode(mode).parquet(f"{path}/codebooks")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a ``write_ivfpq_index`` layout: rank the
+    persisted coarse centroids per query (same exact rational distance
+    the assignment used), turn the probed list ids into a LITERAL isin
+    predicate on the partition column (static pruning — file listing for
+    nprobe/nlist of the index), and run ADC over the surviving codes.
+    The router collect moves |queries| x nprobe ints, the documented
+    metadata-scale exception."""
+    from .relational import top_k_per_group
+
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/codebooks")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(
+            "qv"
+        ),
+    )
+    num = F.aggregate(
+        F.zip_with("qv", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    probed = top_k_per_group(
+        qv.crossJoin(F.broadcast(coarse)).select("query_id", "cid", d.alias("cd")),
+        ["query_id"],
+        -F.col("cd"),
+        nprobe,
+        tiebreak=["cid"],
+    ).select("query_id", F.col("cid").alias("ivf_list"))
+    probed_lists = sorted({r.ivf_list for r in probed.select("ivf_list").distinct().collect()})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("ivf_list").isin(probed_lists)
+    )
+    cand = codes.join(F.broadcast(probed), on="ivf_list").select(
+        "vec_id", "codes", "query_id"
+    )
+    return pq_adc_topk(
+        cand,
+        books,
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        k=k,
+        m=m,
+        vec_col=vec_col,
+        id_col="query_id",
+        dim=dim,
+        scale=scale,
+        _prejoined=True,
+    )

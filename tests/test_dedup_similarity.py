@@ -878,3 +878,34 @@ def test_pq_index_persist_and_serve_matches_in_memory(spark, tmp_path):
     assert "codes:array<int>" in plan and "s:array<bigint>" in plan
     # ...and no Lloyd chain artifacts (training-time posexplode re-centering)
     assert "posexplode" not in plan
+
+
+def test_ivfpq_index_persist_serve_matches_and_prunes(spark, tmp_path):
+    import random
+
+    random.seed(43)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import (
+        ivfpq_index_topk,
+        ivfpq_topk,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(df, path, nlist=4, m=2, k_pq=4, dim=8)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivfpq_index_topk(spark, path, queries, k=5, nprobe=2, m=2, dim=8)
+    direct = ivfpq_topk(df, queries, nlist=4, nprobe=2, m=2, k_pq=4, top_k=5, dim=8)
+    # persisted serving is bit-identical to the in-memory end-to-end path
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+    # and the probed lists arrive as a STATIC partition filter on the
+    # codes scan — file listing covers nprobe/nlist of the index
+    plan = ivfpq_index_topk(
+        spark, path, queries, k=5, nprobe=2, m=2, dim=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200]
