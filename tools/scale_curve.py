@@ -83,6 +83,13 @@ QUERIES = [
     "llm_bpe_encode",
     "llm_tfidf_keywords",
     "layout_zorder_key",
+    # last-r6 additions: CDC apply, expectations audit, MV delta merge,
+    # column stats, skew diagnosis
+    "incremental_apply_cdc",
+    "quality_expectations",
+    "incremental_agg_maintenance",
+    "layout_column_stats",
+    "diag_skew_report",
 ]
 
 DOC_OFF = 10_000_000
