@@ -359,6 +359,8 @@ def bpe_train_merges(
     """
     from functools import reduce
 
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1 (an empty merge table has no rows)")
     m = "\x1f"
     bests = _bpe_merge_steps(docs, n_merges, text_col)
     steps = [

@@ -291,9 +291,12 @@ def compact_partitioned(
 ) -> dict:
     """Partition-wise small-file compaction: apply
     :func:`compact_small_files` inside every ``col=value`` partition
-    directory of a Hive-layout table.  Files only ever move WITHIN their
-    partition directory, so partition values (carried by the directory
-    name) are untouched and readers of the table root see identical data.
+    directory of a SINGLE-LEVEL Hive-layout table (multi-level
+    ``partitionBy(a, b)`` layouts need the leaf directories — recurse the
+    listing before calling the per-directory op).  Files only ever move
+    WITHIN their partition directory, so partition values (carried by the
+    directory name) are untouched and readers of the table root see
+    identical data.
 
     The partition listing is one metadata call; at 100 TB the per-
     partition rewrites are independent — run them from a driver loop (as
