@@ -215,10 +215,18 @@ def interval_join(
     right_ts: str = "r_ts",
     within_minutes: int = 30,
     watermark_minutes: int = 60,
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval join (the ad-attribution shape: right events
     attach to the most recent window of left events on the same key):
     ``l.key = r.key AND r.ts ∈ [l.ts, l.ts + within_minutes]``.
+
+    ``how='leftOuter'`` adds the non-converting left rows: on streams an
+    unmatched left event is held in state and emitted with NULL right
+    columns only once BOTH watermarks have passed the point where a
+    match could still arrive — so "impression with no click" appears
+    exactly once, late but correct (pinned by
+    ``test_stream_stream_outer_join_emits_unmatched_after_watermark``).
 
     The SAME code path serves batch AND streams: on streaming inputs the
     watermarks plus the two-sided time bound are exactly what Structured
@@ -249,4 +257,4 @@ def interval_join(
         & (r_wm[right_ts] >= l_wm[left_ts])
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within_minutes} MINUTES"))
     )
-    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+    return l_wm.join(r_wm, cond, how).drop(r_wm[key])

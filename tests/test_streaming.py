@@ -485,3 +485,69 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
         watermark_minutes=60,
     )
     assert sorted((r["user_id"], r["ad"]) for r in b.collect()) == sorted(got)
+
+
+def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    # leftOuter semantics under watermarks: a never-clicked impression is
+    # held in state and emits with NULL right columns only once both
+    # watermarks pass the last instant a match could still arrive —
+    # exactly once, late but correct
+    from datetime import datetime
+
+    from aicoe_osc_demo_spark.streaming.incremental import interval_join
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+    t = lambda h, m: datetime(2024, 3, 1, h, m)
+
+    got: list[tuple] = []
+
+    def run():
+        li = (
+            spark.readStream.option("recursiveFileLookup", "true")
+            .schema("user_id long, l_ts timestamp, ad string")
+            .parquet(imp_dir)
+        )
+        ri = (
+            spark.readStream.option("recursiveFileLookup", "true")
+            .schema("user_id long, r_ts timestamp")
+            .parquet(clk_dir)
+        )
+        j = interval_join(
+            li, ri, within_minutes=30, watermark_minutes=10, how="leftOuter"
+        )
+        q = (
+            j.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda df, _eid: got.extend(
+                    (r["user_id"], r["ad"], r["r_ts"] is not None) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, t(12, 0), "ad_a"), (2, t(12, 5), "ad_b")], ["user_id", "l_ts", "ad"]
+    ).write.parquet(imp_dir + "/f1.parquet")
+    spark.createDataFrame([(1, t(12, 9))], ["user_id", "r_ts"]).write.parquet(
+        clk_dir + "/f1.parquet"
+    )
+    run()
+    # only the match emits now: u2 might still convert within the bound
+    assert sorted(got) == [(1, "ad_a", True)]
+
+    # far-future events on BOTH sides push the watermarks past u2's bound
+    spark.createDataFrame([(9, t(20, 0), "z")], ["user_id", "l_ts", "ad"]).write.parquet(
+        imp_dir + "/f2.parquet"
+    )
+    spark.createDataFrame([(9, t(20, 0))], ["user_id", "r_ts"]).write.parquet(
+        clk_dir + "/f2.parquet"
+    )
+    run()
+    # u2 emits unmatched exactly once; the new pair matches normally
+    assert sorted(got) == [(1, "ad_a", True), (2, "ad_b", False), (9, "z", True)]
