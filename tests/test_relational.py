@@ -176,3 +176,51 @@ def test_analyze_column_stats_counts(spark):
         for r in analyze_column_stats(df, ["x", "s"]).collect()
     }
     assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
+
+
+def test_apply_cdc_randomized_against_python_mirror(spark):
+    # seeded random changelogs vs an independent per-key replay mirror —
+    # covers multi-change keys, delete-then-reinsert, snapshot fallback,
+    # and changelog-only keys in one sweep
+    import random
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from aicoe_osc_demo_spark.operators.relational import apply_cdc
+
+    rnd = random.Random(97)
+    base = datetime(2024, 1, 1)
+    for trial in range(3):
+        snap_keys = list(range(8))
+        snap = [(k, f"s{k}") for k in snap_keys]
+        log = []
+        for _ in range(40):
+            k = rnd.randrange(12)  # keys 8-11 exist only in the changelog
+            ts = base + timedelta(minutes=rnd.randrange(500))
+            op = "D" if rnd.random() < 0.3 else "U"
+            log.append((k, f"v{rnd.randrange(1000)}", op, ts))
+        # mirror: latest change per key wins; full (ts, op, val) ordering so
+        # even equal-ts equal-op collisions resolve identically (the engine
+        # gets the same total order via explicit tiebreak_cols)
+        final: dict[int, str | None] = {k: v for k, v in snap}
+        best: dict[int, tuple] = {}
+        for k, v, op, ts in log:
+            cand = (ts, op, v)
+            if k not in best or cand > best[k]:
+                best[k] = cand
+        for k, (_ts, op, v) in best.items():
+            final[k] = None if op == "D" else v
+        expected = {k: v for k, v in final.items() if v is not None}
+
+        got = {
+            r["k"]: r["val"]
+            for r in apply_cdc(
+                spark.createDataFrame(snap, ["k", "val"]),
+                spark.createDataFrame(log, ["k", "val", "op", "ts"]),
+                ["k"],
+                "ts",
+                tiebreak_cols=["op", "val"],
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"
