@@ -320,3 +320,65 @@ def compact_partitioned(
     total["partitions"] = len(parts)
     total["partitions_compacted"] = touched
     return total
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    box: dict[str, tuple],
+    stats: DataFrame | None = None,
+) -> dict:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten shape):
+    remove every row inside the inclusive ``{col: (lo, hi)}`` box by
+    rewriting ONLY the files whose stats-manifest min/max box overlaps
+    the predicate — the same pruning :func:`pruned_read` uses, applied to
+    a write.  On a :func:`zorder_write` layout a selective delete touches
+    the few files covering the target rectangle; every other file stays
+    byte-for-byte untouched.
+
+    Mechanics mirror :func:`compact_small_files`: survivors of the
+    overlapping files land in a hidden staging dir, swap in via metadata
+    renames, then the originals are deleted (same single-writer window,
+    same manifest-commit upgrade path).  Files whose rewrite would be
+    empty (every row matched) are simply removed.
+
+    Returns {files_total, files_rewritten, rows_deleted}.
+    """
+    if stats is None:
+        stats = collect_file_stats(spark, path, list(box))
+    cond: Column | None = None
+    match: Column | None = None
+    for c, (lo, hi) in box.items():
+        k = (F.col(f"max_{c}") >= F.lit(lo)) & (F.col(f"min_{c}") <= F.lit(hi))
+        cond = k if cond is None else cond & k
+        m = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        match = m if match is None else match & m
+    # NULL predicate columns are NOT provably in the box — keep those rows
+    # (a bare ~match would silently delete them)
+    keep = ~F.coalesce(match, F.lit(False))
+    all_files = [f for f, _ in list_data_files(spark, path)]
+    touched = [r["file"] for r in stats.filter(cond).select("file").collect()]
+    if not touched:
+        return {"files_total": len(all_files), "files_rewritten": 0, "rows_deleted": 0}
+    src = spark.read.parquet(*touched)
+    n_before = src.count()
+    survivors = src.filter(keep)
+    staging = path.rstrip("/") + "/.delete_staging"
+    survivors.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    fs, _, jvm = _hadoop_fs(spark, path)
+    staged = [
+        st.getPath()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging))
+        if st.isFile() and st.getPath().getName().startswith("part-")
+    ]
+    for sp in staged:
+        fs.rename(sp, jvm.org.apache.hadoop.fs.Path(path, "deleted-" + sp.getName()))
+    for f in touched:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return {
+        "files_total": len(all_files),
+        "files_rewritten": len(touched),
+        "rows_deleted": n_before - n_after,
+    }

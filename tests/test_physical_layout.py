@@ -362,3 +362,43 @@ def test_compact_partitioned_preserves_partition_values(spark, tmp_path):
         assert len(list_data_files(spark, root + f"/pt={p}")) == 1
     got = sorted((r["id"], r["pt"]) for r in spark.read.parquet(root).collect())
     assert got == expect  # data AND partition values intact
+
+
+def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
+    import os
+    import random
+
+    from aicoe_osc_demo_spark.operators.layout import (
+        collect_file_stats,
+        delete_where,
+        list_data_files,
+        zorder_write,
+    )
+
+    random.seed(47)
+    rows = [(i, random.randrange(256), random.randrange(256)) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    path = str(tmp_path / "table")
+    zorder_write(df, path, "x", "y", bits=8, n_files=16)
+
+    before = {f: os.path.getmtime(f.replace("file:", "")) for f, _ in list_data_files(spark, path)}
+    box = {"x": (0, 31), "y": (0, 31)}  # one z-quadrant corner
+    stats = collect_file_stats(spark, path, ["x", "y"])
+    res = delete_where(spark, path, box, stats=stats)
+    # targeted: only the files covering the corner rectangle got rewritten
+    assert 0 < res["files_rewritten"] <= 4
+    expected_deleted = sum(1 for _, x, y in rows if x <= 31 and y <= 31)
+    assert res["rows_deleted"] == expected_deleted
+    # untouched files keep their exact mtimes
+    after = dict(list_data_files(spark, path))
+    untouched = [f for f in before if f in after]
+    assert len(untouched) == 16 - res["files_rewritten"]
+    for f in untouched:
+        assert os.path.getmtime(f.replace("file:", "")) == before[f]
+    # the table now equals a plain filtered copy of the original
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    expect = sorted(i for i, x, y in rows if not (x <= 31 and y <= 31))
+    assert got == expect
+    # disjoint box: pure no-op
+    res2 = delete_where(spark, path, {"x": (300, 400)})
+    assert res2["files_rewritten"] == 0 and res2["rows_deleted"] == 0
