@@ -175,3 +175,17 @@ def test_token_budget_plan_scans_corpus_once(spark):
     # InMemoryRelation description is the cached plan, not a live scan)
     assert plan.count("InMemoryTableScan") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_entire_catalog_has_no_cartesian_product(spark):
+    # the blanket guarantee behind the parameterized spot checks above:
+    # EVERY registered query's physical plan is cartesian-free — candidate
+    # generation throughout the catalog is equi-join/broadcast shaped.
+    # (~60 s: one explain per query at sf0.001, plus the eager iterative
+    # queries' checkpoint jobs.)
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
