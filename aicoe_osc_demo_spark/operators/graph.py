@@ -94,3 +94,60 @@ def pagerank(
     return r.select(
         F.col("node"), F.round(F.col("r_ni").cast("double") / 1e9, 6).alias("rank")
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Triangle counting via the degree-ordered edge orientation (Suri &
+    Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
+    Reducer"): symmetrize to an undirected edge set, orient every edge
+    from its lower-(degree, id) endpoint to the higher, and count each
+    triangle exactly once as a wedge (a→b, a→c) whose closing oriented
+    edge (b→c) exists.
+
+    Why the orientation matters at scale: wedges fan out quadratically in
+    out-degree, and on a power-law graph a hub's degree is unbounded —
+    but the degree-ordered orientation caps every node's OUT-degree at
+    O(sqrt(m)), so the wedge stage is bounded even when raw degrees are
+    not.  That is the difference between "works on the KNN graph" and
+    "works on the web graph".  Three equi-joins + aggregates, no
+    broadcast requirement anywhere.
+
+    The (deg, id) comparison is spelled as explicit boolean arithmetic
+    (not struct ordering) so the engine and the SQL oracle share one
+    total order.  Output: one row (n_wedges, n_triangles).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d = und.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), on="u").join(
+        deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), on="v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = d.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
+    wedges = o1.join(o2, on="a").filter(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b1") < F.col("b2")))
+    )
+    closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
+    tris = wedges.join(closing, on=["b1", "b2"])
+    return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
+        F.broadcast(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

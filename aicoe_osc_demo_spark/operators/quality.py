@@ -512,3 +512,27 @@ def fk_violations(
     return orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
         F.lit(name).alias("rule"), "n_violations"
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): group by the quasi-identifier
+    combination and report the equivalence classes smaller than ``k`` —
+    the rows a release would expose to re-identification.  The governance
+    companion of the PII scrub (that removes direct identifiers; this
+    measures the INDIRECT ones).
+
+    One map-side-combined groupBy; the report is class-count-sized.
+    Output: (n_classes, n_below_k, n_rows_at_risk, min_class_size) — one
+    row, the release gate a privacy review reads.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0)).alias("n_below_k"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("_n").alias("min_class_size"),
+    )

@@ -1957,6 +1957,57 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     )
 
 
+_TRIANGLE_SQL = f"""
+    WITH knn AS ({{_knn}}),
+    und AS (
+      SELECT DISTINCT LEAST(vec_id, neighbor_id) AS u,
+             GREATEST(vec_id, neighbor_id) AS v
+      FROM knn WHERE vec_id != neighbor_id
+    ),
+    deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      GROUP BY n
+    ),
+    oriented AS (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN v ELSE u END AS b,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+                  THEN dv.deg ELSE du.deg END AS db
+      FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+    ),
+    wedges AS (
+      SELECT o1.b AS b1, o2.b AS b2
+      FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)
+    ),
+    nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges),
+    nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM wedges w JOIN oriented o ON o.a = w.b1 AND o.b = w.b2
+    )
+    SELECT n_wedges, n_triangles FROM nw CROSS JOIN nt
+""".replace("{_knn}", _knn_graph_sql())
+
+
+@register("llm_triangle_count", _TRIANGLE_SQL)
+def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle census of the similarity graph (clustering-coefficient
+    # numerator — how "clumpy" the near-dup structure is): degree-ordered
+    # orientation caps wedge fan-out at O(sqrt(m)) per node, the property
+    # that survives power-law degree distributions at web scale.
+    from ..operators.graph import triangle_count
+    from ..operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_count(edges)
+
+
 @register("llm_pagerank", _pagerank_sql())
 def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Centrality over the similarity graph: KNN edges -> 3 damped power

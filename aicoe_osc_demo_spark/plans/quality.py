@@ -835,3 +835,30 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey")
     ), on=["l_orderkey"], rule="fk:l_orderkey->orders")
     return rowlocal.unionByName(uniq).unionByName(fk)
+
+
+@register(
+    "privacy_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS _n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN _n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+           CAST(SUM(CASE WHEN _n < 10 THEN _n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(_n) AS BIGINT) AS min_class_size
+    FROM classes
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity release gate over the (segment, nation) quasi-identifier
+    # pair: equivalence classes below k=10 are the re-identification risk
+    # the privacy review reads (k=10 keeps the risk branch non-vacuous at
+    # the driver's check scale: 35 of 125 classes).  Governance companion
+    # of llm_pii_scrub.
+    from ..operators.quality import k_anonymity_report
+
+    return k_anonymity_report(
+        load(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], k=10
+    )

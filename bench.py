@@ -126,6 +126,8 @@ HEADLINE_R6 = [
     "incremental_agg_maintenance",
     "layout_column_stats",
     "diag_skew_report",
+    "llm_triangle_count",
+    "privacy_k_anonymity",
     "layout_zorder_key",
 ]
 

@@ -331,3 +331,38 @@ def test_expectations_rowlocal_unique_fk(spark):
     parent = spark.createDataFrame([(1,), (3,)], ["k"])
     fk = fk_violations(df, parent, on=["k"]).collect()[0]
     assert fk["n_violations"] == 2  # both k=2 rows are orphans
+
+
+def test_triangle_count_known_graph_and_hub_orientation(spark):
+    from itertools import combinations
+
+    from aicoe_osc_demo_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) + a pendant + a disconnected edge; duplicate and
+    # reversed input edges must not inflate counts
+    k4 = list(combinations([0, 1, 2, 3], 2))
+    edges = k4 + [(3, 9), (20, 21)] + [(b, a) for a, b in k4] + k4[:2]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == 4
+    # K4 wedge census under degree ordering: each oriented out-pair once
+    assert row["n_wedges"] >= row["n_triangles"]
+
+    # star graph (hub + 6 leaves): 0 triangles, and the degree-ordered
+    # orientation points every edge INTO the hub, so the hub produces no
+    # wedges at all — n_wedges counts only leaf-side pairs (0 here)
+    star = spark.createDataFrame([(100, i) for i in range(6)], ["src", "dst"])
+    srow = triangle_count(star).collect()[0]
+    assert srow["n_triangles"] == 0 and srow["n_wedges"] == 0
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    from aicoe_osc_demo_spark.operators.quality import k_anonymity_report
+
+    rows = [("a", 1)] * 6 + [("a", 2)] * 2 + [("b", 1)] * 4 + [("b", 2)]
+    df = spark.createDataFrame(rows, ["seg", "nat"])
+    r = k_anonymity_report(df, ["seg", "nat"], k=5).collect()[0]
+    # classes: (a,1)=6 ok; (a,2)=2, (b,1)=4, (b,2)=1 below k
+    assert (r["n_classes"], r["n_below_k"], r["n_rows_at_risk"], r["min_class_size"]) == (
+        4, 3, 7, 1,
+    )
