@@ -151,3 +151,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
         F.broadcast(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, clamped
+    seeds): spread a seed set's labels through an undirected graph — each
+    iteration every UNSEEDED node takes the majority label of its
+    currently-labeled neighbors (ties → smallest label); seed labels are
+    clamped.  In an LLM-curation pipeline this is how a few thousand
+    human quality labels extend to the whole corpus along the KNN
+    similarity graph.
+
+    Deterministic by construction: the per-node argmax is
+    min(struct(-count, label)) — count desc, label asc — so any engine
+    (and the SQL oracle) picks the identical label.  One equi-join + one
+    keyed aggregate per iteration, state checkpointed per step (plans
+    stay O(1) deep, the dedup_clusters lineage bound).
+
+    Output: (node_col, label_col) for every node labeled after ``iters``
+    rounds (unreached nodes are absent).
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    seed = seeds.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("slab")
+    ).localCheckpoint(eager=True)
+    labels = seed.select("n", F.col("slab").alias("lab"))
+    for _ in range(iters):
+        votes = (
+            und.join(labels.select(F.col("n").alias("a"), "lab"), on="a")
+            .groupBy(F.col("b").alias("n"), F.col("lab"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("n").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lab").alias("lab"))).alias(
+                "w"
+            )
+        ).select("n", F.col("w.lab").alias("plab"))
+        labels = (
+            winner.join(seed, on="n", how="full_outer")
+            .join(labels.select(F.col("n"), F.col("lab").alias("old")), on="n", how="full_outer")
+            .select("n", F.coalesce(F.col("slab"), F.col("plab"), F.col("old")).alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("n").alias(node_col), F.col("lab").alias(label_col))

@@ -1957,6 +1957,90 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     )
 
 
+_LPA_SQL = """
+    WITH knn AS ({_knn}),
+    und AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT vec_id AS a, neighbor_id AS b FROM knn
+        UNION ALL
+        SELECT neighbor_id AS a, vec_id AS b FROM knn
+      )
+    ),
+    seed AS (SELECT vec_id AS n, label AS slab FROM embeddings WHERE vec_id < 50),
+    l0 AS (SELECT n, slab AS lab FROM seed),
+    v1 AS (
+      SELECT und.b AS n, l.lab AS lab, COUNT(*) AS cnt
+      FROM und JOIN l0 l ON l.n = und.a GROUP BY 1, 2
+    ),
+    w1 AS (
+      SELECT n, lab FROM (
+        SELECT n, lab, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, lab ASC) AS rn
+        FROM v1
+      ) WHERE rn = 1
+    ),
+    l1 AS (
+      SELECT COALESCE(o.n, w.n, s.n) AS n,
+             COALESCE(s.slab, w.lab, o.lab) AS lab
+      FROM l0 o
+      FULL OUTER JOIN w1 w ON o.n = w.n
+      FULL OUTER JOIN seed s ON s.n = COALESCE(o.n, w.n)
+    ),
+    v2 AS (
+      SELECT und.b AS n, l.lab AS lab, COUNT(*) AS cnt
+      FROM und JOIN l1 l ON l.n = und.a GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT n, lab FROM (
+        SELECT n, lab, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, lab ASC) AS rn
+        FROM v2
+      ) WHERE rn = 1
+    ),
+    l2 AS (
+      SELECT COALESCE(o.n, w.n, s.n) AS n,
+             COALESCE(s.slab, w.lab, o.lab) AS lab
+      FROM l1 o
+      FULL OUTER JOIN w2 w ON o.n = w.n
+      FULL OUTER JOIN seed s ON s.n = COALESCE(o.n, w.n)
+    ),
+    v3 AS (
+      SELECT und.b AS n, l.lab AS lab, COUNT(*) AS cnt
+      FROM und JOIN l2 l ON l.n = und.a GROUP BY 1, 2
+    ),
+    w3 AS (
+      SELECT n, lab FROM (
+        SELECT n, lab, ROW_NUMBER() OVER (PARTITION BY n ORDER BY cnt DESC, lab ASC) AS rn
+        FROM v3
+      ) WHERE rn = 1
+    ),
+    l3 AS (
+      SELECT COALESCE(o.n, w.n, s.n) AS n,
+             COALESCE(s.slab, w.lab, o.lab) AS lab
+      FROM l2 o
+      FULL OUTER JOIN w3 w ON o.n = w.n
+      FULL OUTER JOIN seed s ON s.n = COALESCE(o.n, w.n)
+    )
+    SELECT n AS vec_id, CAST(lab AS INT) AS label FROM l3
+""".replace("{_knn}", _knn_graph_sql())
+
+
+@register("llm_label_propagation", _LPA_SQL)
+def llm_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi-supervised label spreading: 50 seed labels extend through the
+    # KNN similarity graph in 3 clamped-seed majority rounds — how a
+    # small human-labeled quality set covers the corpus.  Deterministic
+    # argmax (count desc, label asc) replayed per round by the oracle.
+    from ..operators.graph import label_propagation
+    from ..operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, k=3).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") < 50).select("vec_id", "label")
+    out = label_propagation(edges, seeds, iters=3, node_col="vec_id")
+    return out.select("vec_id", F.col("label").cast("int").alias("label"))
+
+
 _TRIANGLE_SQL = f"""
     WITH knn AS ({{_knn}}),
     und AS (

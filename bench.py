@@ -128,6 +128,7 @@ HEADLINE_R6 = [
     "diag_skew_report",
     "llm_triangle_count",
     "privacy_k_anonymity",
+    "llm_label_propagation",
     "layout_zorder_key",
 ]
 

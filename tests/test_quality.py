@@ -366,3 +366,31 @@ def test_k_anonymity_report_hand_computed(spark):
     assert (r["n_classes"], r["n_below_k"], r["n_rows_at_risk"], r["min_class_size"]) == (
         4, 3, 7, 1,
     )
+
+
+def test_label_propagation_clamping_majority_and_ties(spark):
+    from aicoe_osc_demo_spark.operators.graph import label_propagation
+
+    # two seed islands (0-labeled node 0, 1-labeled nodes 10, 11) and a
+    # chain; node 5 hears both islands equally -> tie breaks to label 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 5), (0, 5), (10, 12), (11, 12), (20, 21)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0, 0), (10, 1), (11, 1)], ["node", "label"])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=3).collect()
+    }
+    assert got[0] == 0 and got[10] == 1 and got[11] == 1  # seeds clamped
+    assert got[1] == 0 and got[2] == 0                    # chain from seed 0
+    assert got[12] == 1                                   # majority of {1, 1}
+    assert got[5] == 0                                    # tie {0, 1} -> smallest
+    assert 20 not in got and 21 not in got                # unreachable island absent
+    # a seed's neighbor never overwrites the seed even if outvoted
+    edges2 = spark.createDataFrame([(0, 10), (0, 11)], ["src", "dst"])
+    got2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges2, seeds, iters=2).collect()
+    }
+    assert got2[0] == 0 and got2[10] == 1 and got2[11] == 1
