@@ -560,3 +560,46 @@ def feature_hash_embed(
             F.col("v").cast("double") / F.sqrt(F.col("ssq").cast("double")), 6
         ).alias("val"),
     )
+
+
+def bpe_encode_with_merges(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode with a PERSISTED tokenizer: take the (step, lhs, rhs) merge
+    table ``bpe_train_merges`` produced (e.g. read back from parquet) and
+    charge each document its token count — train once, encode every later
+    corpus without re-training.
+
+    The merge table is tokenizer-sized (tens of thousands of rows at
+    most), so it is collected to the driver and compiled into a LITERAL
+    chain of string replaces over the vocabulary — one whole-stage-
+    codegen projection, no joins, no checkpoints (cheaper than the
+    training-time broadcast replay; the collect is metadata-scale, the
+    same documented exception as the ANN probe routers).
+
+    Output: (id_col, n_tokens) — identical to
+    :func:`bpe_encode_token_counts` when given that trainer's merges
+    (pinned by test through a parquet round-trip).
+    """
+    m = _BPE_MARK
+    rows = merges.orderBy("step").collect()
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    state = words.select("w").distinct().select(
+        "w", _bpe_symbol_str(F.col("w")).alias("wstr")
+    )
+    col = F.col("wstr")
+    for r in rows:
+        pat = f"{m}{r['lhs']}{m} {m}{r['rhs']}{m}"
+        fused = f"{m}{r['lhs']}{r['rhs']}{m}"
+        col = F.replace(col, F.lit(pat), F.lit(fused))
+    tok = state.select("w", F.size(F.split(col, " ")).alias("w_tokens"))
+    return (
+        words.join(tok, on="w")
+        .groupBy(id_col)
+        .agg(F.sum("w_tokens").alias("n_tokens"))
+    )

@@ -252,3 +252,48 @@ def merge_agg_state(
         .groupBy(*key_cols)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation (the data-eng regression test): classify
+    every key as added / removed / changed / unchanged between two table
+    versions via ONE full-outer join on the key.  Change detection
+    md5-hashes the compared columns (null-tagged, so NULL vs 'null'
+    strings differ) — at 100 TB the hash keeps the shuffle narrow
+    regardless of row width.
+
+    Output: (status, n_keys) — the four-row summary a pipeline diff gate
+    asserts on before promoting a rebuild.
+    """
+    from ..functions.hashing import md5_hex
+
+    cmp_cols = compare_cols or [c for c in old.columns if c not in key_cols]
+    def fingerprint(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            md5_hex(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                    for c in cmp_cols
+                ]
+            ).alias(alias),
+        )
+    o = fingerprint(old, "_old_fp")
+    n = fingerprint(new, "_new_fp")
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )

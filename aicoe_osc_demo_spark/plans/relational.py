@@ -832,3 +832,64 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = partial(o.filter(F.col("o_orderdate") < cutoff))
     delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
     return merge_agg_state(state, delta, ["o_orderstatus"], ["n_orders", "total_cents"])
+
+
+@register(
+    "diag_table_diff",
+    """
+    WITH old_t AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+               CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority)) AS fp
+      FROM orders
+    ),
+    new_src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN '9-RERATED' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    new_t AS (
+      SELECT o_orderkey, md5(concat_ws('|',
+               CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority)) AS fp
+      FROM new_src
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+      SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp != n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old_t o FULL OUTER JOIN new_t n USING (o_orderkey)
+    ) GROUP BY status
+    """,
+)
+def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snapshot reconciliation between two table versions: a rebuild that
+    # drops every 13th order, re-rates every 7th, and appends re-keyed
+    # copies of every 11th diffs to the exact four-row added / removed /
+    # changed / unchanged summary a promotion gate asserts on.  Compared
+    # columns are string/int only (md5 over doubles would hit
+    # engine-specific float formatting).
+    from ..operators.relational import table_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("9-RERATED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return table_diff(
+        old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

@@ -129,6 +129,7 @@ HEADLINE_R6 = [
     "llm_triangle_count",
     "privacy_k_anonymity",
     "llm_label_propagation",
+    "diag_table_diff",
     "layout_zorder_key",
 ]
 

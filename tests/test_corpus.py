@@ -263,3 +263,35 @@ def test_tfidf_keywords_formula_and_ranking(spark):
     # doc 2: cherry tf=3 df=2 -> 3*ln(1.5)
     assert got[(2, 1)][0] == "cherry"
     assert abs(got[(2, 1)][1] - round(3 * math.log(1.5), 6)) < 1e-9
+
+
+def test_bpe_tokenizer_roundtrip_through_parquet(spark, tmp_path):
+    from aicoe_osc_demo_spark.operators.corpus import (
+        bpe_encode_token_counts,
+        bpe_encode_with_merges,
+        bpe_train_merges,
+    )
+
+    texts = ["cab cab ab banana", "ca ca aaab", "ab ab cab"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    path = str(tmp_path / "tokenizer")
+    bpe_train_merges(df, n_merges=4).write.parquet(path)
+
+    loaded = spark.read.parquet(path)
+    served = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_with_merges(df, loaded).collect()
+    }
+    fresh = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode_token_counts(df, n_merges=4).collect()
+    }
+    assert served == fresh
+    # the persisted-tokenizer plan is a pure projection chain over the
+    # vocabulary — no broadcast replays, no checkpoints
+    plan = bpe_encode_with_merges(df, loaded)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Scanned" not in plan  # (no checkpointed RDD scans)
+    # and it encodes NEW text with the frozen tokenizer
+    new_docs = spark.createDataFrame([(9, "cab banana zz")], ["doc_id", "text"])
+    out = bpe_encode_with_merges(new_docs, loaded).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] > 0

@@ -224,3 +224,21 @@ def test_apply_cdc_randomized_against_python_mirror(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_table_diff_classification_and_null_safety(spark):
+    from aicoe_osc_demo_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y"), (4, None, "z")],
+        ["k", "v1", "v2"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", None), (2, "B", "x"), (5, "e", "w"), (4, "null", "z")],
+        ["k", "v1", "v2"],
+    )
+    got = {r["status"]: r["n_keys"] for r in table_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged (incl. NULL column), k=2 changed, k=3 removed, k=5
+    # added — and k=4 is CHANGED, not unchanged: a NULL value and the
+    # string 'null' must not collide in the fingerprint
+    assert got == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
