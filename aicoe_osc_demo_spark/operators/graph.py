@@ -116,6 +116,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     (not struct ordering) so the engine and the SQL oracle share one
     total order.  Output: one row (n_wedges, n_triangles).
     """
+    # und feeds the degree count AND the orientation join; oriented feeds
+    # both wedge arms and the closing-edge probe — persist both so the
+    # upstream edge lineage (e.g. the KNN LSH chain) executes once, not
+    # once per reference (same rule as pagerank's edge persist; callers
+    # release blocks via spark.catalog.clearCache(), as bench.py does)
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -123,6 +128,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))
@@ -139,7 +145,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).persist()
     o1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
     wedges = o1.join(o2, on="a").filter(
@@ -179,9 +185,12 @@ def label_propagation(
     Output: (node_col, label_col) for every node labeled after ``iters``
     rounds (unreached nodes are absent).
     """
+    # the symmetrized edge set is scanned every iteration and its lineage
+    # contains the caller's edge-generation chain twice (the union arms) —
+    # checkpoint once so iterations join a materialized table
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     seed = seeds.select(
         F.col(node_col).alias("n"), F.col(label_col).alias("slab")
     ).localCheckpoint(eager=True)
