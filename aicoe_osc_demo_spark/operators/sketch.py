@@ -174,6 +174,38 @@ def hll_estimate(sketch: DataFrame, group_cols: list[str] | None = None) -> Data
     )
 
 
+def hll_merge_windows(
+    sketch: DataFrame, day_col: str = "day", window_days: int = 3
+) -> DataFrame:
+    """Merge per-day HLL states into trailing-window states: the day-X
+    sketch contributes to targets X .. X+window_days-1, and merging is
+    MAX per (target, bucket) — the mergeability that lets a warehouse
+    precompute daily sketch states ONCE and answer any trailing window
+    by folding states, never re-touching raw events (the reason sketches
+    beat COUNT(DISTINCT) at 100 TB even before memory: distinct counts
+    do not merge, sketch states do).
+
+    ``day_col`` must be DATE-typed.  Only target days that are themselves
+    observed days are returned.  Cost: a window_days-way fan-out of the
+    (days x m)-row sketch table + one keyed MAX — sketch-sized, not
+    event-sized.
+    """
+    days = sketch.select(day_col).distinct()
+    fan = sketch.select(
+        F.col(day_col).alias("_src_day"),
+        "bucket",
+        "max_rho",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("_i"),
+    ).select(
+        F.date_add(F.col("_src_day"), F.col("_i")).alias(day_col), "bucket", "max_rho"
+    )
+    return (
+        fan.join(days, on=day_col)
+        .groupBy(day_col, "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
 # --- Count-Min sketch --------------------------------------------------------
 # Same determinism argument as the HLL above: md5 row-hashes make the whole
 # d×w counter table — and therefore every frequency estimate — bit-identical

@@ -684,3 +684,98 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 6).alias("sum_value"))
     )
     return gapfill_locf(buckets, ["event_type"], "bucket", ["sum_value"], 3600)
+
+
+@register(
+    "events_sliding_hll_users",
+    """
+    WITH i AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day_d,
+             CAST(user_id AS VARCHAR) AS item
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day_d FROM i),
+    h AS (SELECT day_d, CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS hv FROM i),
+    st AS (
+      SELECT day_d, hv % 1024 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(hv >> 10)) END AS rho
+      FROM h
+    ),
+    sk AS (SELECT day_d, bucket, MAX(rho) AS max_rho FROM st GROUP BY 1, 2),
+    fan AS (
+      SELECT sk.day_d + CAST(s.i AS INT) AS day_d, bucket, max_rho
+      FROM sk, generate_series(0, 2) AS s(i)
+    ),
+    m AS (
+      SELECT f.day_d, bucket, MAX(max_rho) AS max_rho
+      FROM fan f JOIN days d USING (day_d) GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT day_d, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - max_rho)) AS BIGINT) AS zsum
+      FROM m GROUP BY day_d
+    ),
+    raws AS (
+      SELECT day_d,
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+               * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
+               / ((1024 - nb) * (CAST(1 AS BIGINT) << 51) + zsum) AS raw,
+             CAST(1024 - nb AS DOUBLE) AS zeros
+      FROM agg
+    ),
+    est AS (
+      SELECT day_d,
+             ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+                        ELSE raw END, 2) AS users_3d
+      FROM raws
+    ),
+    ifan AS (
+      SELECT i.day_d + CAST(s.i AS INT) AS day_d, item
+      FROM i, generate_series(0, 2) AS s(i)
+    ),
+    fx AS (
+      SELECT f.day_d, CAST(COUNT(DISTINCT item) AS BIGINT) AS n_exact_3d
+      FROM ifan f JOIN days d USING (day_d) GROUP BY f.day_d
+    )
+    SELECT strftime(e.day_d, '%Y-%m-%d') AS day, users_3d, n_exact_3d
+    FROM est e JOIN fx USING (day_d)
+    """,
+)
+def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing-3-day distinct users from MERGED daily HLL states — the
+    # pre-aggregate-once / answer-any-window sketch pattern: raw events
+    # are touched exactly once (daily sketch build); every window after
+    # that folds sketch-sized state (MAX per bucket).  Exact trailing
+    # count alongside for the error band.
+    from ..operators.sketch import hll_estimate, hll_merge_windows, hll_sketch
+
+    e = load(spark, sf_dir, "events")
+    items = e.select(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day_d"), F.col("user_id")
+    )
+    sk = hll_sketch(items, "user_id", ["day_d"])
+    merged = hll_merge_windows(sk, "day_d", window_days=3)
+    est = hll_estimate(merged, ["day_d"]).select(
+        "day_d", F.col("estimate").alias("users_3d")
+    )
+    days = items.select("day_d").distinct()
+    ifan = items.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("_i"),
+        F.col("day_d").alias("_src"),
+    ).select(F.date_add(F.col("_src"), F.col("_i")).alias("day_d"), "user_id")
+    exact = (
+        ifan.join(days, on="day_d")
+        .groupBy("day_d")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact_3d"))
+    )
+    return (
+        est.join(exact, on="day_d")
+        .select(
+            F.date_format(F.col("day_d"), "yyyy-MM-dd").alias("day"),
+            "users_3d",
+            "n_exact_3d",
+        )
+    )

@@ -130,6 +130,7 @@ HEADLINE_R6 = [
     "privacy_k_anonymity",
     "llm_label_propagation",
     "diag_table_diff",
+    "events_sliding_hll_users",
     "layout_zorder_key",
 ]
 

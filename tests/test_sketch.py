@@ -168,3 +168,46 @@ def test_quantile_sketch_accuracy_and_mergeability(spark):
     )
     whole = {r.bucket: r.cnt for r in quantile_sketch(df, "v", lo, hi, bins).collect()}
     assert {r.bucket: r.cnt for r in merged.collect()} == whole
+
+
+def test_hll_merge_windows_equals_sketch_of_union(spark):
+    # THE mergeability claim, exactly: folding daily states (MAX per
+    # bucket) must give the identical sketch — and therefore the
+    # bit-identical estimate — as sketching the 3 days' raw items
+    # together.  No approximation is introduced by merging.
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge_windows,
+        hll_sketch,
+    )
+
+    rows = []
+    for d, day in enumerate([date(2024, 1, 1), date(2024, 1, 2), date(2024, 1, 3)]):
+        rows += [(day, f"u{d}_{i}") for i in range(200)]
+        rows += [(day, f"shared_{i}") for i in range(100)]  # overlap across days
+    df = spark.createDataFrame(rows, ["day_d", "user"])
+
+    sk = hll_sketch(df, "user", ["day_d"])
+    merged = hll_merge_windows(sk, "day_d", window_days=3)
+    est_merged = {
+        r["day_d"]: r["estimate"]
+        for r in hll_estimate(merged, ["day_d"]).collect()
+    }
+    # for Jan 3 the trailing window covers all three days: compare against
+    # a direct sketch of the union of raw items
+    union_all = df.select(F.lit(1).alias("g"), "user")
+    est_union = hll_estimate(hll_sketch(union_all, "user", ["g"]), ["g"]).collect()[0][
+        "estimate"
+    ]
+    assert est_merged[date(2024, 1, 3)] == est_union
+    # Jan 1's trailing window is just day 1: merged == daily state
+    est_daily = {
+        r["day_d"]: r["estimate"] for r in hll_estimate(sk, ["day_d"]).collect()
+    }
+    assert est_merged[date(2024, 1, 1)] == est_daily[date(2024, 1, 1)]
+    # monotone: a window superset never estimates below its largest day
+    assert est_merged[date(2024, 1, 3)] >= max(est_daily.values()) * 0.9
