@@ -953,3 +953,55 @@ def leakage_safe_split(
         .otherwise(F.lit("eval"))
         .alias("split"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    the document's DISTINCT word ``n``-grams that never occur in the
+    reference — the memorization / freshness audit run when deciding
+    whether a new crawl snapshot adds anything beyond what the training
+    set already contains (the complement of ``contamination_check``,
+    which flags overlap; this scores non-overlap).
+
+    Shape for 100 TB: both sides reduce to narrow ``(id, 16-hex gram
+    hash)`` rows before anything shuffles — the join carries ~24 bytes
+    per distinct gram regardless of document size, the reference side is
+    ``distinct``-ed first (its dedup shuffle happens once and is reused
+    by AQE for the equi-join), and there is no broadcast assumption: a
+    trillion-gram reference set still equi-joins hash-partitioned.
+
+    Output: one row per document (id, n_grams, n_novel, novelty_pct).
+    """
+    g = _shingles(docs, text_col, id_col, n).select(
+        "doc_id", F.substring(F.md5("w"), 1, 16).alias("g")
+    )
+    ref = (
+        _shingles(reference, text_col, id_col, n)
+        .select(F.substring(F.md5("w"), 1, 16).alias("g"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        g.join(ref, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams") * 100, 6
+            ).alias("novelty_pct"),
+        )
+    )

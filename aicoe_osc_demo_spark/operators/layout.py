@@ -382,3 +382,45 @@ def delete_where(
         "files_rewritten": len(touched),
         "rows_deleted": n_before - n_after,
     }
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Pre-flight equi-join output-size estimate: per-key row counts on
+    each side, exact output cardinality sum(c_left * c_right), and the
+    ``top`` keys contributing most output — the companion diagnostic to
+    :func:`skew_report` for the OTHER way a big join goes wrong.  Skew is
+    one reducer drowning; explosion is the join itself emitting orders of
+    magnitude more rows than either input (hub keys on both sides).
+
+    Running this first costs two map-side-combined counts plus a join on
+    the (tiny) per-key count tables — at 100 TB that is minutes against
+    the hours (or the executor-OOM) of discovering the explosion by
+    running the real join.  The total and per-key products are exact, so
+    the report doubles as the decision input for pre-aggregating one side
+    or switching to a semi-join.
+
+    Output: ``top`` rows (key..., left_rows, right_rows, out_rows,
+    out_share_pct, total_out_rows), largest contributors first.
+    """
+    lc = left.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("left_rows"))
+    rc = right.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("right_rows"))
+    per = lc.join(rc, key_cols).withColumn(
+        "out_rows", F.col("left_rows") * F.col("right_rows")
+    )
+    total = per.agg(F.sum("out_rows").cast("long").alias("total_out_rows"))
+    ranked = per.crossJoin(F.broadcast(total)).select(
+        *key_cols,
+        "left_rows",
+        "right_rows",
+        "out_rows",
+        F.round(
+            F.col("out_rows").cast("double") / F.col("total_out_rows") * 100, 6
+        ).alias("out_share_pct"),
+        "total_out_rows",
+    )
+    return ranked.orderBy(F.desc("out_rows"), *key_cols).limit(top)

@@ -536,3 +536,114 @@ def k_anonymity_report(
         ),
         F.min("_n").alias("min_class_size"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the exact
+    [``lo``, ``hi``] group quantiles (linear interpolation, the same
+    convention as ``agg_exact_percentiles``) — the standard robustifier
+    before averaging noisy per-document metrics (loss spikes, latency
+    outliers, corrupt numeric fields).
+
+    Adds ``p_lo`` / ``p_hi`` (the group's clip bounds), the clipped
+    ``<value_col>_win``, and ``clip_flag`` (-1 clipped low, +1 clipped
+    high, 0 untouched).
+
+    Shape: one map-side-combined aggregate producing ONE row per group,
+    broadcast back onto the rows — the data itself is touched exactly
+    once, no shuffle on the fact side.  Exact percentiles buffer each
+    group's values on one executor; at 100 TB swap in
+    ``approx_percentile`` (the clip bounds are tolerance-insensitive) —
+    exact is kept here so the operator stays oracle-checkable.
+    """
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(q), group_cols)
+        .withColumn(
+            f"{value_col}_win",
+            F.when(v < F.col("p_lo"), F.col("p_lo"))
+            .when(v > F.col("p_hi"), F.col("p_hi"))
+            .otherwise(v),
+        )
+        .withColumn(
+            "clip_flag",
+            F.when(v < F.col("p_lo"), F.lit(-1))
+            .when(v > F.col("p_hi"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+
+
+def rater_agreement(df: DataFrame, raters: dict[str, Column]) -> DataFrame:
+    """Pairwise Cohen's kappa between boolean "raters" (keep/drop
+    classifiers, annotators, heuristic filters) evaluated over the same
+    rows — the chance-corrected agreement audit a curation pipeline runs
+    before trusting that two quality signals are interchangeable (raw
+    agreement is inflated whenever both raters mostly say "keep").
+
+    All pair statistics reduce to four integer sums per pair (n, sum_a,
+    sum_b, sum_ab) collected in ONE map-side-combined aggregate over one
+    pass of the data; the kappa arithmetic then runs on that single row.
+    To stay bit-portable across engines every ratio is formed from
+    integer numerators with exactly one division:
+
+        po = (2*n_ab + n - s_a - s_b) / n
+        pe = (s_a*s_b + (n-s_a)*(n-s_b)) / n^2
+        kappa = (po_num*n - pe_num) / (n^2 - pe_num)
+
+    Output: one row per unordered rater pair (rater_a, rater_b, n, po,
+    pe, kappa), all ratios rounded to 6.
+    """
+    names = list(raters)
+    flags = df.select(
+        *[raters[k].cast("long").alias(k) for k in names]
+    )
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[F.sum(k).cast("long").alias(f"_s_{k}") for k in names],
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"_s_{a}__{b}")
+            for a, b in pairs
+        ],
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("rater_a"),
+                F.lit(b).alias("rater_b"),
+                F.col("_n").alias("n"),
+                F.col(f"_s_{a}").alias("sa"),
+                F.col(f"_s_{b}").alias("sb"),
+                F.col(f"_s_{a}__{b}").alias("sab"),
+            )
+            for a, b in pairs
+        ]
+    )
+    long_ = one.select(F.explode(structs).alias("e")).select("e.*")
+    po_num = 2 * F.col("sab") + F.col("n") - F.col("sa") - F.col("sb")
+    pe_num = F.col("sa") * F.col("sb") + (F.col("n") - F.col("sa")) * (
+        F.col("n") - F.col("sb")
+    )
+    return long_.select(
+        "rater_a",
+        "rater_b",
+        "n",
+        F.round(po_num.cast("double") / F.col("n"), 6).alias("po"),
+        F.round(pe_num.cast("double") / (F.col("n") * F.col("n")), 6).alias("pe"),
+        F.round(
+            (po_num * F.col("n") - pe_num).cast("double")
+            / (F.col("n") * F.col("n") - pe_num),
+            6,
+        ).alias("kappa"),
+    )

@@ -1594,3 +1594,68 @@ def ivfpq_index_topk(
         scale=scale,
         _prejoined=True,
     )
+
+
+def _jl_signs(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for the JL projection, keyed off md5
+    parity (``md5("jl:<j>:<k>")`` first 8 hex digits, even → +1) — the
+    same no-RNG-state discipline as ``_planes``, and replayable in any
+    engine with an md5 function."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl:{j}:{k}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for k in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    corpus: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress ``in_dim``-d
+    embeddings to ``out_dim`` dimensions with a deterministic ±1
+    (Achlioptas) sign matrix, scaled by 1/sqrt(out_dim) so expected
+    pairwise distances are preserved.  The cheap dense dimensionality
+    reducer that runs BEFORE the expensive index builds — a 64→16
+    projection cuts every downstream ANN/cluster shuffle 4× while
+    keeping neighbor structure within JL distortion bounds.
+
+    Purely map-side: the sign matrix is a plan literal (a few KB even at
+    out_dim=256), each row is touched once, nothing shuffles, and the
+    whole dot-product chain stays in JVM expressions — 100 TB of
+    embeddings project at scan speed.
+
+    Output is exploded ``(id, j, proj)`` rows (flat, engine-portable)
+    rather than a nested array column.
+    """
+    import math
+
+    signs = _jl_signs(out_dim, in_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.round(
+                    _dot(
+                        F.col(vec_col),
+                        F.array(*[F.lit(s) for s in signs[j]]),
+                    )
+                    * F.lit(scale),
+                    6,
+                ).alias("proj"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        corpus.select(F.col(id_col), F.explode(comps).alias("e"))
+        .select(id_col, "e.j", "e.proj")
+    )

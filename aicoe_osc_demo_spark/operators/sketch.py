@@ -411,3 +411,73 @@ def quantile_estimate(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def hll_overlap_pairs(
+    items: DataFrame, item_col: str, group_col: str
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from mergeable HLL
+    states: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate
+    comes from MERGING the two groups' sketch states (MAX per bucket) —
+    the sketch algebra that answers "how much does source A's vocabulary
+    overlap source B's?" for every pair while touching the raw items
+    exactly once.
+
+    At 100 TB the raw-item pass builds one sketch per group (the same
+    grouped-HLL shuffle as ``hll_sketch``: ≤ m rows per group per
+    partition); everything pairwise after that is sketch-sized — with G
+    groups the pair fan-out is G·(G−1)/2 · m rows of (bucket, rho)
+    state, independent of corpus size.  Inclusion–exclusion on three
+    ±3.25 % estimates is noisy for small intersections (the standard HLL
+    caveat) — the point is ranking pairs and spotting near-containment,
+    not exact counts.
+
+    Output: one row per unordered group pair (group_a, group_b, est_a,
+    est_b, est_union, est_intersect), with est_intersect floored at 0.
+    """
+    sk = hll_sketch(items, item_col, [group_col])
+    est = hll_estimate(sk, [group_col]).select(
+        F.col(group_col).alias("_g"), F.col("estimate").alias("_est")
+    )
+    groups = sk.select(F.col(group_col).alias("_g")).distinct()
+    pairs = groups.select(F.col("_g").alias("group_a")).join(
+        F.broadcast(groups.select(F.col("_g").alias("group_b"))),
+        F.col("group_a") < F.col("group_b"),
+    )
+    side_a = pairs.join(sk, pairs["group_a"] == sk[group_col]).select(
+        "group_a", "group_b", "bucket", "max_rho"
+    )
+    side_b = pairs.join(sk, pairs["group_b"] == sk[group_col]).select(
+        "group_a", "group_b", "bucket", "max_rho"
+    )
+    union_sk = (
+        side_a.unionByName(side_b)
+        .groupBy("group_a", "group_b", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    union_est = hll_estimate(union_sk, ["group_a", "group_b"]).select(
+        "group_a", "group_b", F.col("estimate").alias("est_union")
+    )
+    return (
+        union_est.join(
+            F.broadcast(est.select(F.col("_g").alias("group_a"), F.col("_est").alias("est_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(est.select(F.col("_g").alias("group_b"), F.col("_est").alias("est_b"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+                ),
+                2,
+            ).alias("est_intersect"),
+        )
+    )

@@ -509,3 +509,35 @@ def diag_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import skew_report
 
     return skew_report(load(spark, sf_dir, "lineitem"), ["l_suppkey"])
+
+
+@register(
+    "diag_join_explosion",
+    """
+    WITH lc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS left_rows
+                FROM lineitem GROUP BY l_partkey),
+    per AS (
+      SELECT l_partkey, left_rows, left_rows AS right_rows,
+             left_rows * left_rows AS out_rows
+      FROM lc
+    ),
+    t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out_rows FROM per)
+    SELECT l_partkey, left_rows, right_rows, out_rows,
+           ROUND(CAST(out_rows AS DOUBLE) / total_out_rows * 100, 6)
+             AS out_share_pct,
+           total_out_rows
+    FROM per CROSS JOIN t
+    ORDER BY out_rows DESC, l_partkey LIMIT 10
+    """,
+)
+def diag_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-flight output-cardinality estimate for the classic explosive
+    # self-join (lineitem x lineitem on the part hub key): per-key count
+    # tables joined — minutes of metadata work that predicts the exact
+    # row count of a join you might not survive running.  Companion of
+    # diag_skew_report (skew = one reducer drowns; explosion = the join
+    # output itself blows up).
+    from ..operators.layout import join_explosion_report
+
+    li = load(spark, sf_dir, "lineitem")
+    return join_explosion_report(li, li, ["l_partkey"], top=10)

@@ -779,3 +779,55 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_3d",
         )
     )
+
+
+@register(
+    "events_winsorize",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY event_type
+    ),
+    w AS (
+      SELECT e.event_type, p_lo, p_hi,
+             CASE WHEN value < p_lo THEN p_lo
+                  WHEN value > p_hi THEN p_hi
+                  ELSE value END AS value_win,
+             CASE WHEN value < p_lo THEN -1
+                  WHEN value > p_hi THEN 1
+                  ELSE 0 END AS clip_flag
+      FROM events e JOIN q USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(MIN(p_lo), 6) AS p_lo,
+           ROUND(MIN(p_hi), 6) AS p_hi,
+           CAST(SUM(CASE WHEN clip_flag = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(SUM(CASE WHEN clip_flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
+           ROUND(SUM(value_win), 6) AS win_sum
+    FROM w GROUP BY event_type
+    """,
+)
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust-mean preprocessing: clip event values to the exact per-type
+    # [p05, p95] band before averaging (outlier spikes no longer own the
+    # mean).  The clip bounds broadcast back onto the rows, so the fact
+    # table is touched once; the summary proves the clip counts and the
+    # winsorized mass per type.
+    from ..operators.quality import winsorize
+
+    w = winsorize(load(spark, sf_dir, "events"), "value", ["event_type"], 0.05, 0.95)
+    return w.groupBy("event_type").agg(
+        F.round(F.min("p_lo"), 6).alias("p_lo"),
+        F.round(F.min("p_hi"), 6).alias("p_hi"),
+        F.sum(F.when(F.col("clip_flag") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(F.col("clip_flag") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        F.round(F.sum("value_win"), 6).alias("win_sum"),
+    )

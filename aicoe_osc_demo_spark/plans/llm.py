@@ -2151,3 +2151,162 @@ def llm_cross_corpus_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_link_pairs(
         a, b, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
     )
+
+
+_NOVELTY_TRIGRAMS = """list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))"""
+
+@register(
+    "llm_novelty_score",
+    f"""
+    WITH dg AS (
+      SELECT DISTINCT doc_id, substr(md5(g), 1, 16) AS g
+      FROM (SELECT doc_id, unnest({_NOVELTY_TRIGRAMS}) AS g FROM documents)
+    ),
+    ref AS (
+      SELECT DISTINCT substr(md5(g), 1, 16) AS g
+      FROM (SELECT unnest({_NOVELTY_TRIGRAMS}) AS g FROM documents
+            WHERE doc_id % 10 = 0)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 100, 6) AS novelty_pct
+    FROM dg LEFT JOIN ref USING (g)
+    GROUP BY doc_id
+    """,
+)
+def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Memorization / freshness audit: per-document fraction of distinct
+    # word trigrams unseen in the reference slice (every 10th doc stands
+    # in for "the corpus we already trained on").  Narrow (id, 16-hex)
+    # join — the complement of llm_contamination_check.
+    from ..operators.dedup import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, docs.filter(F.col("doc_id") % 10 == 0), n=3)
+
+
+@register(
+    "llm_rand_projection",
+    """
+    WITH jk AS (
+      SELECT j, k,
+             CASE WHEN CAST('0x' || substr(md5('jl:' || j || ':' || k), 1, 8)
+                       AS BIGINT) % 2 = 0
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+      FROM range(16) tj(j) CROSS JOIN range(64) tk(k)
+    ),
+    sl AS (SELECT j, list(s ORDER BY k) AS signs FROM jk GROUP BY j)
+    SELECT vec_id, j,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), signs)
+                 * 0.25, 6) AS proj
+    FROM embeddings CROSS JOIN sl
+    """,
+)
+def llm_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson-Lindenstrauss 64->16 compression with a deterministic
+    # md5-parity sign matrix (Achlioptas ±1 form), scaled 1/sqrt(16) —
+    # the map-side dimensionality reducer that runs before index builds.
+    # Flat (vec_id, j, proj) output keeps the result engine-portable.
+    from ..operators.similarity import jl_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    return jl_project(emb, in_dim=64, out_dim=16)
+
+
+@register(
+    "llm_corpus_overlap",
+    """
+    WITH i AS (
+      SELECT source, unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    h AS (SELECT source,
+                 CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS hv
+          FROM i),
+    st AS (
+      SELECT source, hv % 1024 AS bucket,
+             CASE WHEN (hv >> 10) = 0 THEN 51
+                  ELSE 51 - length(bin(hv >> 10)) END AS rho
+      FROM h
+    ),
+    sk AS (SELECT source, bucket, MAX(rho) AS max_rho FROM st GROUP BY 1, 2),
+    agg1 AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - max_rho)) AS BIGINT) AS zsum
+      FROM sk GROUP BY source
+    ),
+    raw1 AS (
+      SELECT source,
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+               * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
+               / ((1024 - nb) * (CAST(1 AS BIGINT) << 51) + zsum) AS raw,
+             CAST(1024 - nb AS DOUBLE) AS zeros
+      FROM agg1
+    ),
+    est1 AS (
+      SELECT source,
+             ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+                        ELSE raw END, 2) AS est
+      FROM raw1
+    ),
+    pr AS (
+      SELECT a.source AS group_a, b.source AS group_b
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    usk AS (
+      SELECT group_a, group_b, bucket, MAX(max_rho) AS max_rho
+      FROM (
+        SELECT pr.group_a, pr.group_b, sk.bucket, sk.max_rho
+        FROM pr JOIN sk ON sk.source = pr.group_a
+        UNION ALL
+        SELECT pr.group_a, pr.group_b, sk.bucket, sk.max_rho
+        FROM pr JOIN sk ON sk.source = pr.group_b
+      ) GROUP BY 1, 2, 3
+    ),
+    agg2 AS (
+      SELECT group_a, group_b, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - max_rho)) AS BIGINT) AS zsum
+      FROM usk GROUP BY 1, 2
+    ),
+    raw2 AS (
+      SELECT group_a, group_b,
+             (CAST(0.7213 AS DOUBLE) / (1 + CAST(1.079 AS DOUBLE) / 1024))
+               * 1024 * 1024 * (CAST(1 AS BIGINT) << 51)
+               / ((1024 - nb) * (CAST(1 AS BIGINT) << 51) + zsum) AS raw,
+             CAST(1024 - nb AS DOUBLE) AS zeros
+      FROM agg2
+    ),
+    est2 AS (
+      SELECT group_a, group_b,
+             ROUND(CASE WHEN raw <= 2.5 * 1024 AND zeros > 0
+                        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / zeros)
+                        ELSE raw END, 2) AS est_union
+      FROM raw2
+    )
+    SELECT group_a, group_b, ea.est AS est_a, eb.est AS est_b, est_union,
+           ROUND(GREATEST(ea.est + eb.est - est_union, CAST(0.0 AS DOUBLE)), 2)
+             AS est_intersect
+    FROM est2
+    JOIN est1 ea ON ea.source = est2.group_a
+    JOIN est1 eb ON eb.source = est2.group_b
+    """,
+)
+def llm_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise vocabulary overlap between all sources from ONE pass over
+    # the raw tokens: per-source HLL states, pair-merged (MAX per
+    # bucket) for the union estimate, inclusion-exclusion for the
+    # intersection.  Sketch algebra — the pair fan-out is sketch-sized
+    # (G^2/2 * 1024 state rows), never corpus-sized.
+    from ..operators.sketch import hll_overlap_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return hll_overlap_pairs(items, "token", "source")

@@ -862,3 +862,60 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(
         load(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], k=10
     )
+
+
+@register(
+    "quality_rater_kappa",
+    """
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS len_ok,
+             CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+               AS words_ok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS english
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len_ok) AS BIGINT) AS s_len,
+             CAST(SUM(words_ok) AS BIGINT) AS s_words,
+             CAST(SUM(english) AS BIGINT) AS s_en,
+             CAST(SUM(len_ok * words_ok) AS BIGINT) AS s_len_words,
+             CAST(SUM(len_ok * english) AS BIGINT) AS s_len_en,
+             CAST(SUM(words_ok * english) AS BIGINT) AS s_words_en
+      FROM f
+    ),
+    p AS (
+      SELECT 'len_ok' AS rater_a, 'words_ok' AS rater_b, n,
+             s_len AS sa, s_words AS sb, s_len_words AS sab FROM s
+      UNION ALL
+      SELECT 'len_ok', 'english', n, s_len, s_en, s_len_en FROM s
+      UNION ALL
+      SELECT 'words_ok', 'english', n, s_words, s_en, s_words_en FROM s
+    )
+    SELECT rater_a, rater_b, n,
+           ROUND(CAST(2 * sab + n - sa - sb AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / (n * n), 6)
+             AS pe,
+           ROUND(CAST((2 * sab + n - sa - sb) * n
+                      - (sa * sb + (n - sa) * (n - sb)) AS DOUBLE)
+                 / (n * n - (sa * sb + (n - sa) * (n - sb))), 6) AS kappa
+    FROM p
+    """,
+)
+def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chance-corrected agreement between three real keep/drop signals
+    # (length rater, word-count rater, language rater) — the audit that
+    # says whether two quality filters are interchangeable or measuring
+    # different things.  One map-side-combined aggregate; kappa from
+    # integer numerators with exactly one division per ratio.
+    from ..operators.quality import rater_agreement
+
+    docs = load(spark, sf_dir, "documents")
+    return rater_agreement(
+        docs,
+        {
+            "len_ok": F.col("n_chars") >= 300,
+            "words_ok": F.size(F.split(F.col("text"), " ")) >= 55,
+            "english": F.col("lang") == "en",
+        },
+    )

@@ -132,6 +132,12 @@ HEADLINE_R6 = [
     "diag_table_diff",
     "events_sliding_hll_users",
     "layout_zorder_key",
+    "diag_join_explosion",
+    "events_winsorize",
+    "quality_rater_kappa",
+    "llm_novelty_score",
+    "llm_rand_projection",
+    "llm_corpus_overlap",
 ]
 
 

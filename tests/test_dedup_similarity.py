@@ -909,3 +909,56 @@ def test_ivfpq_index_persist_serve_matches_and_prunes(spark, tmp_path):
         spark, path, queries, k=5, nprobe=2, m=2, dim=8
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_jl_project_preserves_distances_and_is_map_side(spark):
+    import math
+
+    from aicoe_osc_demo_spark.operators.similarity import _jl_signs, jl_project
+
+    # deterministic sign matrix: ±1 only, stable across calls
+    s1, s2 = _jl_signs(4, 8), _jl_signs(4, 8)
+    assert s1 == s2
+    assert all(v in (1.0, -1.0) for row in s1 for v in row)
+
+    vecs = [
+        (0, [1.0] + [0.0] * 7),
+        (1, [1.0] + [0.0] * 7),   # identical to 0
+        (2, [0.0] * 7 + [5.0]),   # far from 0
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = jl_project(df, in_dim=8, out_dim=4).collect()
+    assert len(out) == 3 * 4
+    proj = {}
+    for r in out:
+        proj.setdefault(r["vec_id"], {})[r["j"]] = r["proj"]
+    # identical inputs -> identical projections
+    assert proj[0] == proj[1]
+    # hand-check one component: proj[j] = sign[j][0] * 1.0 / sqrt(4)
+    assert proj[0][0] == round(s1[0][0] * 1.0 / math.sqrt(4), 6)
+    # distance to the far vector is preserved in expectation (nonzero)
+    d02 = sum((proj[0][j] - proj[2][j]) ** 2 for j in range(4))
+    assert d02 > 1.0
+    # map-side only: no shuffle exchange in the plan
+    plan = jl_project(df, in_dim=8, out_dim=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_join_explosion_report_exact_products(spark):
+    from aicoe_osc_demo_spark.operators.layout import join_explosion_report
+
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("k3",)], ["k"]
+    )
+    right = spark.createDataFrame([("k1",)] * 4 + [("k2",)], ["k"])
+    out = join_explosion_report(left, right, ["k"], top=10).collect()
+    # k3 has no right-side rows -> absent; total = 3*4 + 2*1 = 14
+    got = {r["k"]: r for r in out}
+    assert set(got) == {"k1", "k2"}
+    assert got["k1"]["out_rows"] == 12 and got["k2"]["out_rows"] == 2
+    assert got["k1"]["total_out_rows"] == 14
+    assert got["k1"]["out_share_pct"] == round(12 / 14 * 100, 6)
+    # report ordered by contribution
+    assert [r["k"] for r in out] == ["k1", "k2"]
+    # the real join would emit exactly total_out_rows rows
+    assert left.join(right, "k").count() == 14

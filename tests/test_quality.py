@@ -394,3 +394,58 @@ def test_label_propagation_clamping_majority_and_ties(spark):
         for r in label_propagation(edges2, seeds, iters=2).collect()
     }
     assert got2[0] == 0 and got2[10] == 1 and got2[11] == 1
+
+
+def test_winsorize_clips_to_exact_group_quantiles(spark):
+    from aicoe_osc_demo_spark.operators.quality import winsorize
+
+    # group g: values 1..10 -> p25 = 3.25, p75 = 7.75 (linear interp)
+    rows = [("g", float(v)) for v in range(1, 11)] + [("h", 100.0), ("h", 200.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = winsorize(df, "v", ["grp"], lo=0.25, hi=0.75)
+    g = {r["v"]: r for r in out.filter(out.grp == "g").collect()}
+    assert g[1.0]["v_win"] == 3.25 and g[1.0]["clip_flag"] == -1
+    assert g[3.0]["v_win"] == 3.25 and g[3.0]["clip_flag"] == -1
+    assert g[5.0]["v_win"] == 5.0 and g[5.0]["clip_flag"] == 0
+    assert g[10.0]["v_win"] == 7.75 and g[10.0]["clip_flag"] == 1
+    # group h clips within ITS own bounds, not g's
+    h = {r["v"]: r for r in out.filter(out.grp == "h").collect()}
+    assert h[100.0]["v_win"] == 125.0 and h[100.0]["clip_flag"] == -1
+
+
+def test_rater_agreement_kappa_hand_computed(spark):
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.quality import rater_agreement
+
+    # 10 rows; rater a = [1]*6+[0]*4, rater b agrees on 8 rows:
+    # n11=5, n10=1, n01=1, n00=3 -> po=0.8, pa=0.6, pb=0.6,
+    # pe=0.36+0.16=0.52, kappa=(0.8-0.52)/0.48=0.583333
+    rows = [(1, 1)] * 5 + [(1, 0)] + [(0, 1)] + [(0, 0)] * 3
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = rater_agreement(df, {"ra": F.col("a") == 1, "rb": F.col("b") == 1})
+    r = out.collect()[0]
+    assert (r["rater_a"], r["rater_b"], r["n"]) == ("ra", "rb", 10)
+    assert r["po"] == 0.8 and r["pe"] == 0.52 and r["kappa"] == 0.583333
+    # perfect agreement with itself -> kappa 1
+    same = rater_agreement(df, {"x": F.col("a") == 1, "y": F.col("a") == 1})
+    assert same.collect()[0]["kappa"] == 1.0
+
+
+def test_ngram_novelty_counts_unseen_grams(spark):
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # trigrams: "a b c", "b c d"
+            (2, "a b c x"),      # "a b c" seen, "b c x" novel
+            (3, "q r s"),        # "q r s" novel
+        ],
+        ["doc_id", "text"],
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 0
+    assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1
+    assert got[2]["novelty_pct"] == 50.0
+    assert got[3]["n_grams"] == 1 and got[3]["n_novel"] == 1

@@ -211,3 +211,30 @@ def test_hll_merge_windows_equals_sketch_of_union(spark):
     assert est_merged[date(2024, 1, 1)] == est_daily[date(2024, 1, 1)]
     # monotone: a window superset never estimates below its largest day
     assert est_merged[date(2024, 1, 3)] >= max(est_daily.values()) * 0.9
+
+
+def test_hll_overlap_pairs_merge_matches_union_sketch(spark):
+    from aicoe_osc_demo_spark.operators.sketch import (
+        hll_estimate,
+        hll_overlap_pairs,
+        hll_sketch,
+    )
+
+    # two groups with a known 50-item overlap out of 150/150
+    rows = [("A", f"i{i}") for i in range(150)] + [
+        ("B", f"i{i}") for i in range(100, 250)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    out = hll_overlap_pairs(df, "item", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    # merged-state union estimate must equal the sketch of the raw union
+    direct = hll_estimate(
+        hll_sketch(df.select("item"), "item")
+    ).collect()[0]["estimate"]
+    assert r["est_union"] == direct
+    # inclusion-exclusion lands near the true 50 within HLL error bands
+    assert 20 <= r["est_intersect"] <= 90
+    # per-side estimates sit in the HLL error band around the true 150
+    assert 120 <= r["est_a"] <= 180 and 120 <= r["est_b"] <= 180
