@@ -647,3 +647,132 @@ def rater_agreement(df: DataFrame, raters: dict[str, Column]) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: Column,
+    k: int,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Exact-size weighted sampling WITHOUT replacement via deterministic
+    Gumbel top-k (equivalent to the Efraimidis–Spirakis reservoir): each
+    row's key is ``ln(w) + Gumbel(md5(salt|id))`` and the ``k`` largest
+    keys per stratum are the sample — distributed as if rows were drawn
+    sequentially with probability proportional to remaining weight.
+    Unlike the Bernoulli samplers (``resample_by_quality`` /
+    ``mixture_sample``) the output size is exactly ``min(k, |stratum|)``,
+    which is what a fixed fine-tuning / eval budget needs.
+
+    Engine parity: same integer-nano-unit quantization as
+    ``dsir_resample`` — ``ln(w)`` and the Gumbel term are each a fixed
+    per-row IEEE-754 chain quantized to nanos, ranking compares exact
+    longs, so the "random" subset replays bit-identically anywhere.
+
+    Scale: one window over narrow (id, weight, long-score) rows —
+    payloads never shuffle.  Partition by real strata at scale (an
+    unstratified call funnels the global sort through one reducer;
+    prefilter with a static score threshold first, as
+    curation_negative_sample does, if k << corpus).
+    Output: strata + (id, weight, score, rank) for the selected rows.
+    """
+    strata_cols = strata_cols or []
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    logw_ni = F.floor(F.log(weight_col.cast("double")) * 1e9 + F.lit(0.5)).cast("long")
+    gumbel_ni = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)).cast("long")
+    scored = df.select(
+        *strata_cols,
+        F.col(id_col),
+        weight_col.cast("double").alias("weight"),
+        (logw_ni + gumbel_ni).alias("_score_ni"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        F.desc("_score_ni"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            *strata_cols,
+            id_col,
+            "weight",
+            F.round(F.col("_score_ni").cast("double") / 1e9, 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+def kl_divergence_by_group(
+    tokens: DataFrame,
+    group_col: str,
+    token_col: str = "token",
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-group KL divergence KL(P_group ‖ P_corpus) over hashed token
+    buckets — "how far does each source's token distribution sit from
+    the corpus mixture?", the domain-weighting / source-drift diagnostic
+    (high-KL sources are the ones temperature mixing and DSIR-style
+    reweighting act on).
+
+    Distributions are add-1-smoothed over a FIXED ``buckets``-bucket
+    hashed vocabulary (the DSIR trick), so state per group is bounded:
+    counting is one map-side-combined aggregate, the corpus row re-sums
+    the group rows (no second scan), and the per-group result joins a
+    broadcast B-row table.  Engine parity: each bucket's contribution
+    ``p_b · ln(p_b/q_b)`` is a fixed IEEE-754 chain quantized to integer
+    nanos; the per-group sum is an exact long sum (same discipline as
+    ``dsir_resample``).
+
+    Output: one row per group (group, n_tokens, kl_nats).
+    """
+    bl = F.lit(buckets).cast("long")
+    b = (
+        F.conv(F.substring(F.md5(F.col(token_col)), 1, 8), 16, 10).cast("long") % bl
+    ).alias("b")
+    gb = (
+        tokens.select(F.col(group_col).alias("_g"), b)
+        .groupBy("_g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
+    )
+    g_tot = gb.groupBy("_g").agg(F.sum("c_gb").cast("long").alias("n_g"))
+    corpus = gb.groupBy("b").agg(F.sum("c_gb").cast("long").alias("c_b"))
+    c_tot = corpus.agg(F.sum("c_b").cast("long").alias("n_c"))
+    spark = tokens.sparkSession
+    spine = spark.range(buckets).select(F.col("id").cast("long").alias("b"))
+    grid = g_tot.crossJoin(F.broadcast(spine))
+    full = (
+        grid.join(gb, ["_g", "b"], "left")
+        .join(F.broadcast(corpus), "b", "left")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "_g",
+            "n_g",
+            F.coalesce(F.col("c_gb"), F.lit(0)).cast("long").alias("c_gb"),
+            F.coalesce(F.col("c_b"), F.lit(0)).cast("long").alias("c_b"),
+            "n_c",
+        )
+    )
+    p = (F.col("c_gb") + 1).cast("double") / (F.col("n_g") + bl).cast("double")
+    q = (F.col("c_b") + 1).cast("double") / (F.col("n_c") + bl).cast("double")
+    contrib_ni = F.floor(p * (F.log(p) - F.log(q)) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        full.withColumn("_ni", contrib_ni)
+        .groupBy("_g", "n_g")
+        .agg(F.sum("_ni").cast("long").alias("_kl_ni"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("n_g").alias("n_tokens"),
+            F.round(F.col("_kl_ni").cast("double") / 1e9, 6).alias("kl_nats"),
+        )
+    )

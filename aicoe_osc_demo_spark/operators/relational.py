@@ -297,3 +297,59 @@ def table_diff(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame, entity_col: str, item_col: str
+) -> DataFrame:
+    """Pairwise item co-occurrence with lift (market-basket association):
+    for every unordered item pair, how many entities saw both, and
+    lift = P(a,b) / (P(a)·P(b)) — >1 means the items travel together,
+    <1 means they repel.  The cross-sell / event-affinity / error-
+    cooccurrence analysis shape.
+
+    Shape: dedup to (entity, item), self-join on the entity key with
+    ``item_a < item_b`` — candidate volume is Σ_e d_e², bounded by the
+    per-entity distinct-item count d_e (the item vocabulary, NOT the
+    event count), so a power-user with a million events still
+    contributes at most |items|² pairs.  Lift is formed from integer
+    numerators with one division: (n_ab·N) / (n_a·n_b).
+
+    Output: (item_a, item_b, n_a, n_b, n_both, lift) per co-occurring
+    pair, with N = distinct entity count.
+    """
+    u = df.select(
+        F.col(entity_col).alias("_e"), F.col(item_col).alias("_i")
+    ).distinct()
+    totals = u.agg(F.countDistinct("_e").cast("long").alias("_n_entities"))
+    per_item = u.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    pairs = (
+        u.select("_e", F.col("_i").alias("item_a"))
+        .join(u.select("_e", F.col("_i").alias("item_b")), "_e")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_item.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(per_item.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("_n_entities")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -831,3 +831,31 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_high"),
         F.round(F.sum("value_win"), 6).alias("win_sum"),
     )
+
+
+@register(
+    "events_cooccurrence_lift",
+    """
+    WITH u AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events),
+    n AS (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities FROM u),
+    pi AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY i),
+    pr AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM u a JOIN u b ON a.e = b.e AND a.i < b.i GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, pa.n AS n_a, pb.n AS n_b, n_both,
+           ROUND(CAST(n_both * n_entities AS DOUBLE) / (pa.n * pb.n), 6) AS lift
+    FROM pr
+    JOIN pi pa ON pa.i = pr.item_a
+    JOIN pi pb ON pb.i = pr.item_b
+    CROSS JOIN n
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Market-basket association over the event stream: which event types
+    # travel together across users, chance-corrected by lift.  Candidate
+    # volume is bounded by the per-user distinct-TYPE count (the type
+    # vocabulary), never the event count.
+    from ..operators.relational import cooccurrence_lift
+
+    return cooccurrence_lift(load(spark, sf_dir, "events"), "user_id", "event_type")

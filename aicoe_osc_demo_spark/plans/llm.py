@@ -2310,3 +2310,50 @@ def llm_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     return hll_overlap_pairs(items, "token", "source")
+
+
+@register(
+    "llm_source_divergence",
+    """
+    WITH t AS (
+      SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tb AS (SELECT g, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 256 AS b
+           FROM t),
+    gb AS (SELECT g, b, CAST(COUNT(*) AS BIGINT) AS c_gb FROM tb GROUP BY 1, 2),
+    gt AS (SELECT g, CAST(SUM(c_gb) AS BIGINT) AS n_g FROM gb GROUP BY g),
+    cb AS (SELECT b, CAST(SUM(c_gb) AS BIGINT) AS c_b FROM gb GROUP BY b),
+    ct AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_c FROM cb),
+    grid AS (SELECT g, n_g, s.b FROM gt CROSS JOIN range(256) s(b)),
+    f AS (
+      SELECT grid.g, grid.n_g,
+             COALESCE(gb.c_gb, 0) AS c_gb, COALESCE(cb.c_b, 0) AS c_b, n_c
+      FROM grid
+      LEFT JOIN gb ON gb.g = grid.g AND gb.b = grid.b
+      LEFT JOIN cb ON cb.b = grid.b
+      CROSS JOIN ct
+    ),
+    contrib AS (
+      SELECT g, n_g,
+             CAST(floor(
+               (CAST(c_gb + 1 AS DOUBLE) / CAST(n_g + 256 AS DOUBLE))
+               * (ln(CAST(c_gb + 1 AS DOUBLE) / CAST(n_g + 256 AS DOUBLE))
+                  - ln(CAST(c_b + 1 AS DOUBLE) / CAST(n_c + 256 AS DOUBLE)))
+               * 1e9 + 0.5) AS BIGINT) AS ni
+      FROM f
+    )
+    SELECT g AS source, n_g AS n_tokens,
+           ROUND(CAST(SUM(ni) AS DOUBLE) / 1e9, 6) AS kl_nats
+    FROM contrib GROUP BY 1, 2
+    """,
+)
+def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Domain-drift diagnostic: KL(source || corpus) over 256 hashed token
+    # buckets, add-1 smoothed — high-KL sources are the ones temperature
+    # mixing / DSIR reweighting act on.  Bounded state per source,
+    # integer-nano contributions so the sum replays exactly.
+    from ..operators.quality import kl_divergence_by_group
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return kl_divergence_by_group(tokens, "source", "token", buckets=256)

@@ -919,3 +919,37 @@ def quality_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "english": F.col("lang") == "en",
         },
     )
+
+
+@register(
+    "llm_weighted_sample",
+    """
+    WITH g AS (
+      SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+             + CAST(floor(-ln(-ln(
+                 (CAST('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 0.5) / 4294967296.0)) * 1e9 + 0.5) AS BIGINT)
+               AS score_ni
+      FROM documents
+    )
+    SELECT lang, doc_id, weight,
+           ROUND(CAST(score_ni AS DOUBLE) / 1e9, 6) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY score_ni DESC, doc_id) AS rn
+      FROM g
+    ) WHERE rn <= 20
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-size weighted sampling without replacement (Gumbel top-k /
+    # Efraimidis-Spirakis): 20 docs per language, selection probability
+    # proportional to length — the fixed-budget sampler the Bernoulli
+    # family can't provide.  Deterministic md5 Gumbel keys in integer
+    # nanos make the "random" subset replayable.
+    from ..operators.quality import weighted_sample_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, F.col("n_chars"), k=20, strata_cols=["lang"])

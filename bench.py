@@ -138,6 +138,9 @@ HEADLINE_R6 = [
     "llm_novelty_score",
     "llm_rand_projection",
     "llm_corpus_overlap",
+    "llm_weighted_sample",
+    "events_cooccurrence_lift",
+    "llm_source_divergence",
 ]
 
 

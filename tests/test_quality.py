@@ -449,3 +449,69 @@ def test_ngram_novelty_counts_unseen_grams(spark):
     assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1
     assert got[2]["novelty_pct"] == 50.0
     assert got[3]["n_grams"] == 1 and got[3]["n_novel"] == 1
+
+
+def test_weighted_sample_topk_exact_size_weight_dominance_determinism(spark):
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.quality import weighted_sample_topk
+
+    # one overwhelming weight (ln gap ~27 nats >> Gumbel noise) must win
+    rows = [(i, "g", 1.0) for i in range(1, 30)] + [(99, "g", 1e12)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "w"])
+    out = weighted_sample_topk(df, F.col("w"), k=5, strata_cols=["grp"])
+    got = out.orderBy("rank").collect()
+    assert len(got) == 5                      # exact size, not Bernoulli
+    assert got[0]["doc_id"] == 99 and got[0]["rank"] == 1
+    # deterministic: identical subset on re-run
+    again = weighted_sample_topk(df, F.col("w"), k=5, strata_cols=["grp"])
+    assert [r["doc_id"] for r in again.orderBy("rank").collect()] == [
+        r["doc_id"] for r in got
+    ]
+    # stratified: each stratum fills its own k
+    rows2 = rows + [(1000 + i, "h", 1.0) for i in range(3)]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "grp", "w"])
+    sizes = {
+        r["grp"]: r["n"]
+        for r in weighted_sample_topk(df2, F.col("w"), k=5, strata_cols=["grp"])
+        .groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"g": 5, "h": 3}          # min(k, |stratum|)
+
+
+def test_cooccurrence_lift_hand_computed(spark):
+    from aicoe_osc_demo_spark.operators.relational import cooccurrence_lift
+
+    rows = [
+        ("e1", "a"), ("e1", "b"), ("e1", "b"),   # duplicate event collapses
+        ("e2", "a"), ("e2", "b"),
+        ("e3", "a"),
+        ("e4", "b"), ("e4", "c"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "item"])
+    out = {(r["item_a"], r["item_b"]): r for r in cooccurrence_lift(df, "user", "item").collect()}
+    # N=4 users; n_a=3, n_b=3, n_c=1; ab together twice, bc once, ac never
+    assert set(out) == {("a", "b"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_both"]) == (3, 3, 2)
+    assert ab["lift"] == round(2 * 4 / (3 * 3), 6)
+    bc = out[("b", "c")]
+    assert bc["lift"] == round(1 * 4 / (3 * 1), 6)
+
+
+def test_kl_divergence_zero_for_self_and_positive_for_skew(spark):
+    from aicoe_osc_demo_spark.operators.quality import kl_divergence_by_group
+
+    # a single group IS the corpus -> p == q exactly -> KL exactly 0
+    one = spark.createDataFrame(
+        [("s1", t) for t in ["x", "y", "z", "x"]], ["src", "token"]
+    )
+    r = kl_divergence_by_group(one, "src", "token").collect()[0]
+    assert r["kl_nats"] == 0.0 and r["n_tokens"] == 4
+    # two disjoint-vocabulary groups diverge from the mixture
+    two = spark.createDataFrame(
+        [("s1", f"a{i % 7}") for i in range(100)]
+        + [("s2", f"b{i % 7}") for i in range(100)],
+        ["src", "token"],
+    )
+    got = {r["src"]: r["kl_nats"] for r in kl_divergence_by_group(two, "src", "token").collect()}
+    assert got["s1"] > 0.1 and got["s2"] > 0.1
