@@ -691,7 +691,9 @@ def weighted_sample_topk(
     ) / F.lit(4294967296.0)
     logw_ni = F.floor(F.log(weight_col.cast("double")) * 1e9 + F.lit(0.5)).cast("long")
     gumbel_ni = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)).cast("long")
-    scored = df.select(
+    # w <= 0 has zero selection probability AND an undefined ln — filter
+    # rather than sort NULL scores, whose NULL ordering differs by engine
+    scored = df.filter(weight_col.cast("double") > 0).select(
         *strata_cols,
         F.col(id_col),
         weight_col.cast("double").alias("weight"),

@@ -515,3 +515,14 @@ def test_kl_divergence_zero_for_self_and_positive_for_skew(spark):
     )
     got = {r["src"]: r["kl_nats"] for r in kl_divergence_by_group(two, "src", "token").collect()}
     assert got["s1"] > 0.1 and got["s2"] > 0.1
+
+
+def test_weighted_sample_topk_drops_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.quality import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], ["doc_id", "w"]
+    )
+    got = weighted_sample_topk(df, F.col("w"), k=10).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 4]
