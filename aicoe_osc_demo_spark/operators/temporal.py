@@ -180,3 +180,58 @@ def gapfill_locf(
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out.select(*key_cols, bucket_col, *value_cols, "is_gap")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per group under LOCF interpolation (the
+    hypertable ``time_weight`` aggregate): each observation holds its
+    value until the next one, so its weight is the seconds until that
+    next observation — the correct mean for irregularly-sampled series,
+    where the arithmetic mean over-counts bursts of rapid readings.
+    The trailing observation has no successor and carries no weight;
+    groups with zero covered time (single or same-instant readings) are
+    excluded rather than divided by zero.
+
+    ``ts_col`` must be NUMERIC epoch units (seconds/micros — derive once
+    with the engine's portable field arithmetic, as
+    ``events_trailing_hour_avg`` does); the same numeric-columns contract
+    as ``binned_range_join``.
+
+    Engine parity: each value·duration product is one IEEE-754 multiply
+    quantized to integer nanos; the per-group numerator is an EXACT long
+    sum (order-free), and the final estimate divides once.
+
+    Shape: ONE shuffle on the group key (the LEAD window), then a
+    map-side-combined aggregate — state per group is O(1).
+    Output: group_cols + (total_s, twa).
+    """
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    dt = (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long")
+    contrib_ni = F.floor(
+        F.col(value_col).cast("double") * dt.cast("double") * 1e9 + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        df.select(*group_cols, dt.alias("_dt"), contrib_ni.alias("_ni"))
+        .filter(F.col("_dt").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_dt").cast("long").alias("total_s"),
+            F.sum("_ni").cast("long").alias("_num_ni"),
+        )
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        *group_cols,
+        "total_s",
+        F.round(F.col("_num_ni").cast("double") / 1e9 / F.col("total_s"), 6).alias(
+            "twa"
+        ),
+    )

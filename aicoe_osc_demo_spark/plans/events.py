@@ -859,3 +859,50 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import cooccurrence_lift
 
     return cooccurrence_lift(load(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    l AS (
+      SELECT user_id, value, s,
+             LEAD(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS ns
+      FROM d
+    ),
+    c AS (SELECT user_id, value, ns - s AS dt FROM l WHERE ns IS NOT NULL),
+    a AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(value * dt * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+               AS num_ni,
+             CAST(SUM(dt) AS BIGINT) AS total_s
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, total_s,
+           ROUND(CAST(num_ni AS DOUBLE) / 1e9 / total_s, 6) AS twa
+    FROM a WHERE total_s > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable time_weight aggregate: LOCF time-weighted mean of the
+    # value series per user — each reading weighted by the seconds until
+    # the next, so burst sampling doesn't over-count.  Epoch seconds come
+    # from NTZ field arithmetic (the events_trailing_hour_avg convention).
+    from ..operators.temporal import time_weighted_avg
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        ).cast("long"),
+    )
+    return time_weighted_avg(
+        e, "epoch_s", "value", ["user_id"], tiebreak_cols=["event_id"]
+    )

@@ -141,6 +141,7 @@ HEADLINE_R6 = [
     "llm_weighted_sample",
     "events_cooccurrence_lift",
     "llm_source_divergence",
+    "events_time_weighted_avg",
 ]
 
 

@@ -260,3 +260,22 @@ def test_gapfill_locf_observed_null_is_not_a_gap(spark):
         ("2024-01-01 02:00:00", 1.0, 20.0, True),
         ("2024-01-01 03:00:00", 4.0, 40.0, False),
     ]
+
+
+def test_time_weighted_avg_locf_hand_computed(spark):
+    from aicoe_osc_demo_spark.operators.temporal import time_weighted_avg
+
+    # user u: v=10 for 10s, v=20 for 30s, trailing v=99 carries no weight
+    # -> twa = (10*10 + 20*30) / 40 = 17.5
+    rows = [
+        ("u", 0, 10.0),
+        ("u", 10, 20.0),
+        ("u", 40, 99.0),
+        ("v", 0, 5.0),        # single reading: zero covered time -> excluded
+        ("w", 7, 1.0),
+        ("w", 7, 2.0),        # same-instant pair: dt=0 -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["u", "s", "val"])
+    got = {r["u"]: r for r in time_weighted_avg(df, "s", "val", ["u"]).collect()}
+    assert set(got) == {"u"}
+    assert got["u"]["total_s"] == 40 and got["u"]["twa"] == 17.5
