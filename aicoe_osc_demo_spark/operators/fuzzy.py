@@ -131,3 +131,69 @@ def fuzzy_best_match_join(
     return _best_match(
         left, right, on, fuzzy_ratio_udf(F.col(left_text), F.col(right_text)), left_id, min_score
     )
+
+
+def fs_link_scores(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    comparisons: list[tuple[str, "Column", float, float]],
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    lower_bits: float = 0.0,
+    upper_bits: float = 6.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969): score
+    blocked candidate pairs by summed per-field log-likelihood weights —
+    agreement on field f contributes log2(m_f/u_f) bits, disagreement
+    log2((1-m_f)/(1-u_f)) — and classify against the (lower, upper)
+    decision thresholds.  ``comparisons`` is (field_name, agree_expr,
+    m, u) with m = P(agree | same entity), u = P(agree | different
+    entities); here m/u are supplied (EM estimation is a separate
+    offline loop in practice).
+
+    Engine parity: the per-field weights are PYTHON-computed constants
+    quantized to integer nanobits and inlined as literals, so the
+    per-pair score is an exact long sum — no runtime float logs at all.
+
+    Scale: candidates come from the equi-join on ``block_cols`` — the
+    standard FS blocking pass.  Pair volume is sum of |block_L|·|block_R|;
+    keep blocks bounded (multi-pass with tighter keys beats one loose
+    key) and check ``join_explosion_report`` on the blocking key first.
+    Pairs below ``lower_bits`` are dropped immediately, so the output is
+    matches + the clerical-review band, not the cross product.
+
+    Output: (l_id, r_id, weight, match_class in {match, possible}).
+    """
+    import math
+
+    agree_ni = [
+        int(math.floor(math.log2(m / u) * 1e9 + 0.5)) for _, _, m, u in comparisons
+    ]
+    disagree_ni = [
+        int(math.floor(math.log2((1 - m) / (1 - u)) * 1e9 + 0.5))
+        for _, _, m, u in comparisons
+    ]
+    pairs = left.join(right, on=block_cols)
+    score = None
+    for (name, expr, _, _), aw, dw in zip(comparisons, agree_ni, disagree_ni):
+        term = F.when(expr, F.lit(aw)).otherwise(F.lit(dw))
+        score = term if score is None else score + term
+    lower_ni = int(lower_bits * 1e9)
+    upper_ni = int(upper_bits * 1e9)
+    return (
+        pairs.select(
+            F.col(left_id),
+            F.col(right_id),
+            score.cast("long").alias("_w_ni"),
+        )
+        .filter(F.col("_w_ni") >= lower_ni)
+        .select(
+            left_id,
+            right_id,
+            F.round(F.col("_w_ni").cast("double") / 1e9, 6).alias("weight"),
+            F.when(F.col("_w_ni") >= upper_ni, F.lit("match"))
+            .otherwise(F.lit("possible"))
+            .alias("match_class"),
+        )
+    )

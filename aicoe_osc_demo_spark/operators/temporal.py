@@ -235,3 +235,44 @@ def time_weighted_avg(
             "twa"
         ),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition estimates over per-entity event
+    sequences: for every observed (state, next_state) pair, the count and
+    the row-normalized probability P(next | current) — the funnel /
+    navigation / session-flow model behind "where do users go after X?".
+
+    One LEAD window on the entity key (the sessionize shuffle), then a
+    map-side-combined count; the probability is one division from integer
+    numerators.  State-vocabulary-sized output regardless of event count.
+
+    Output: (state, next_state, n, n_from, p) rows.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    pairs = (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from_tot = pairs.groupBy("state").agg(F.sum("n").cast("long").alias("n_from"))
+    return pairs.join(F.broadcast(from_tot), "state").select(
+        "state",
+        "next_state",
+        "n",
+        "n_from",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+    )

@@ -541,3 +541,90 @@ def diag_join_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     return join_explosion_report(li, li, ["l_partkey"], top=10)
+
+
+# Fellegi–Sunter field parameters: m = P(agree | same entity) under the
+# deterministic corruption below, u = P(agree | different entities)
+# (mktsegment has 5 values -> u = 0.2).  Weights are Python-computed
+# integer nanobits inlined into BOTH the plan and the oracle, so the
+# per-pair score is an exact long sum in either engine.
+import math as _math
+
+_FS_PARAMS = {"name": (0.85, 0.01), "acct": (0.92, 0.02), "seg": (0.9, 0.2)}
+_FS_A = {f: int(_math.floor(_math.log2(m / u) * 1e9 + 0.5)) for f, (m, u) in _FS_PARAMS.items()}
+_FS_D = {
+    f: int(_math.floor(_math.log2((1 - m) / (1 - u)) * 1e9 + 0.5))
+    for f, (m, u) in _FS_PARAMS.items()
+}
+_FS_SQL = f"""
+    WITH r AS (
+      SELECT c_custkey + 1000000 AS r_id, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_name || '~' ELSE c_name END
+               AS r_name,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END
+               AS r_acct,
+             CASE WHEN c_custkey % 11 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS r_seg
+      FROM customer
+    ),
+    p AS (
+      SELECT l.c_custkey AS l_id, r.r_id,
+             CAST(CASE WHEN l.c_name = r.r_name
+                       THEN {_FS_A["name"]} ELSE {_FS_D["name"]} END
+                + CASE WHEN l.c_acctbal = r.r_acct
+                       THEN {_FS_A["acct"]} ELSE {_FS_D["acct"]} END
+                + CASE WHEN l.c_mktsegment = r.r_seg
+                       THEN {_FS_A["seg"]} ELSE {_FS_D["seg"]} END AS BIGINT)
+               AS w_ni
+      FROM customer l JOIN r ON l.c_nationkey = r.c_nationkey
+    )
+    SELECT l_id, r_id, ROUND(CAST(w_ni AS DOUBLE) / 1e9, 6) AS weight,
+           CASE WHEN w_ni >= 6000000000 THEN 'match' ELSE 'possible' END
+             AS match_class
+    FROM p WHERE w_ni >= 0
+"""
+
+
+@register("linkage_fs_scores", _FS_SQL)
+def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Probabilistic record linkage (Fellegi-Sunter): the customer file
+    # against a deterministically re-entered copy (1-in-7 name typos,
+    # 1-in-13 balance slips, 1-in-11 segment moves), blocked on nation,
+    # scored by summed log2(m/u) field weights, classified match /
+    # possible.  Entity resolution for the relational surface — the
+    # text-side siblings are the fuzzy joins.
+    from ..operators.fuzzy import fs_link_scores
+
+    c = load(spark, sf_dir, "customer")
+    left = c.select(
+        F.col("c_custkey").alias("l_id"),
+        "c_nationkey",
+        F.col("c_name").alias("l_name"),
+        F.col("c_acctbal").alias("l_acct"),
+        F.col("c_mktsegment").alias("l_seg"),
+    )
+    right = c.select(
+        (F.col("c_custkey") + 1000000).alias("r_id"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.col("c_name"), F.lit("~")))
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("r_acct"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("r_seg"),
+    )
+    return fs_link_scores(
+        left,
+        right,
+        ["c_nationkey"],
+        [
+            ("name", F.col("l_name") == F.col("r_name"), *_FS_PARAMS["name"]),
+            ("acct", F.col("l_acct") == F.col("r_acct"), *_FS_PARAMS["acct"]),
+            ("seg", F.col("l_seg") == F.col("r_seg"), *_FS_PARAMS["seg"]),
+        ],
+        lower_bits=0.0,
+        upper_bits=6.0,
+    )

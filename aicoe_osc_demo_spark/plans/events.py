@@ -906,3 +906,34 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(
         e, "epoch_s", "value", ["user_id"], tiebreak_cols=["event_id"]
     )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events
+    ),
+    p AS (
+      SELECT state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT state, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY state)
+    SELECT state, next_state, n, n_from,
+           ROUND(CAST(n AS DOUBLE) / n_from, 6) AS p
+    FROM p JOIN t USING (state)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov flow over per-user event sequences: P(next |
+    # current) for every observed transition — the session-flow model.
+    # One LEAD window + a type-vocabulary-sized count.
+    from ..operators.temporal import transition_matrix
+
+    return transition_matrix(
+        load(spark, sf_dir, "events"), "user_id", "event_type", "ts",
+        tiebreak_cols=["event_id"],
+    )

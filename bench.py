@@ -142,6 +142,8 @@ HEADLINE_R6 = [
     "events_cooccurrence_lift",
     "llm_source_divergence",
     "events_time_weighted_avg",
+    "events_transition_matrix",
+    "linkage_fs_scores",
 ]
 
 

@@ -122,3 +122,42 @@ def test_qa_pipeline_no_answer_logic(spark):
         assert r.final_answer == "no_answer"
     else:
         assert r.final_answer == " ".join(text.split(" ")[:8])
+
+
+def test_fs_link_scores_weights_and_classes(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.fuzzy import fs_link_scores
+
+    left = spark.createDataFrame(
+        [(1, "blk", "ann", "x1"), (2, "blk", "bob", "x2")],
+        ["l_id", "b", "l_n", "l_p"],
+    )
+    right = spark.createDataFrame(
+        [(101, "blk", "ann", "x1"), (102, "blk", "bob", "zz")],
+        ["r_id", "b", "r_n", "r_p"],
+    )
+    out = fs_link_scores(
+        left,
+        right,
+        ["b"],
+        [
+            ("n", F.col("l_n") == F.col("r_n"), 0.9, 0.01),
+            ("p", F.col("l_p") == F.col("r_p"), 0.8, 0.05),
+        ],
+        lower_bits=0.0,
+        upper_bits=6.0,
+    )
+    got = {(r["l_id"], r["r_id"]): r for r in out.collect()}
+    an = math.floor(math.log2(0.9 / 0.01) * 1e9 + 0.5) / 1e9
+    ap = math.floor(math.log2(0.8 / 0.05) * 1e9 + 0.5) / 1e9
+    dp = math.floor(math.log2(0.2 / 0.95) * 1e9 + 0.5) / 1e9
+    # (1,101): both agree -> 6.49 + 4.0 = match
+    assert got[(1, 101)]["match_class"] == "match"
+    assert got[(1, 101)]["weight"] == round(an + ap, 6)
+    # (2,102): name agrees, p disagrees -> 6.49 - 2.25 = 4.24 -> possible
+    assert got[(2, 102)]["match_class"] == "possible"
+    assert got[(2, 102)]["weight"] == round(an + dp, 6)
+    # cross pairs disagree on everything -> below lower, dropped
+    assert (1, 102) not in got and (2, 101) not in got

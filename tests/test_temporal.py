@@ -279,3 +279,21 @@ def test_time_weighted_avg_locf_hand_computed(spark):
     got = {r["u"]: r for r in time_weighted_avg(df, "s", "val", ["u"]).collect()}
     assert set(got) == {"u"}
     assert got["u"]["total_s"] == 40 and got["u"]["twa"] == 17.5
+
+
+def test_transition_matrix_hand_computed(spark):
+    from aicoe_osc_demo_spark.operators.temporal import transition_matrix
+
+    rows = [
+        ("u", 1, "a"), ("u", 2, "b"), ("u", 3, "a"), ("u", 4, "c"),
+        ("v", 1, "a"), ("v", 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "t", "ev"])
+    got = {(r["state"], r["next_state"]): r for r in transition_matrix(df, "user", "ev", "t").collect()}
+    # transitions: u: a->b, b->a, a->c; v: a->b  => from a: b=2, c=1; from b: a=1
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["n_from"] == 3
+    assert got[("a", "b")]["p"] == round(2 / 3, 6)
+    assert got[("a", "c")]["p"] == round(1 / 3, 6)
+    assert got[("b", "a")]["p"] == 1.0
+    # last event of each entity emits no transition
+    assert ("c", "a") not in got
