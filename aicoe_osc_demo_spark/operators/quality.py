@@ -605,6 +605,8 @@ def rater_agreement(df: DataFrame, raters: dict[str, Column]) -> DataFrame:
     pe, kappa), all ratios rounded to 6.
     """
     names = list(raters)
+    if len(names) < 2:
+        raise ValueError("rater_agreement needs at least two raters")
     flags = df.select(
         *[raters[k].cast("long").alias(k) for k in names]
     )
