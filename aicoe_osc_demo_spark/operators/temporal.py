@@ -276,3 +276,39 @@ def transition_matrix(
         "n_from",
         F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    age_col: str,
+    group_cols: list[str],
+    half_life: float,
+) -> DataFrame:
+    """Exponentially time-decayed frequency per group: each row counts
+    ``0.5^(age/half_life)`` — the recency-weighted popularity metric
+    behind trending-item and decayed-heavy-hitter views, where yesterday
+    counts half of today (at half_life=1) and history fades smoothly
+    instead of falling off a window cliff.
+
+    ``age_col`` is numeric age in the same units as ``half_life`` (derive
+    age = max(ts) - ts once; the max is a broadcast scalar).  Per-row
+    weights are a fixed pow() chain quantized to integer nanos, so the
+    per-group sum is exact and order-free.  One map-side-combined
+    aggregate — the decayed view costs the same as COUNT(*).
+
+    Decayed counts are also mergeable ACROSS snapshot ages: a state
+    taken at T decays to a state at T' by one multiply, which is why
+    streaming systems keep this aggregate incrementally.
+    """
+    w_ni = F.floor(
+        F.pow(F.lit(0.5), F.col(age_col).cast("double") / F.lit(half_life)) * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        df.select(*group_cols, w_ni.alias("_w_ni"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.round(F.sum("_w_ni").cast("double") / 1e9, 6).alias("decayed_count"),
+        )
+    )

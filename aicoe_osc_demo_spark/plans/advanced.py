@@ -628,3 +628,65 @@ def linkage_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower_bits=0.0,
         upper_bits=6.0,
     )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    # each marginal plus the grand total in ONE Expand-based pass (one
+    # scan, one shuffle), vs three scans for a UNION ALL of aggregates.
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price, COUNT(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(NTILE(10) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS INT) AS decile
+      FROM lineitem
+    )
+    SELECT l_returnflag, decile, COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-depth decile assignment per group (NTILE) reduced to the
+    # per-decile envelope — the binning behind quantile-bucketed reports.
+    # Fully deterministic tiebreak so both engines cut identical tiles.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    return (
+        load(spark, sf_dir, "lineitem")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("l_returnflag", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )

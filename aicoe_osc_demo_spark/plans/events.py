@@ -937,3 +937,41 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"), "user_id", "event_type", "ts",
         tiebreak_cols=["event_id"],
     )
+
+
+@register(
+    "events_decayed_counts",
+    """
+    WITH mx AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS m
+                FROM events),
+    d AS (
+      SELECT event_type,
+             datediff('day', CAST(date_trunc('day', ts) AS DATE), m) AS age
+      FROM events CROSS JOIN mx
+    ),
+    w AS (
+      SELECT event_type,
+             CAST(floor(pow(0.5, CAST(age AS DOUBLE) / 7.0) * 1e9 + 0.5)
+                  AS BIGINT) AS w_ni
+      FROM d
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+           ROUND(CAST(SUM(w_ni) AS DOUBLE) / 1e9, 6) AS decayed_count
+    FROM w GROUP BY event_type
+    """,
+)
+def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recency-weighted event-type popularity with a 7-day half-life —
+    # the trending view; age anchors to the newest day in the data so
+    # the metric is deterministic.  Costs one broadcast scalar + one
+    # map-side-combined aggregate.
+    from ..operators.temporal import decayed_counts
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "day_d", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    mx = e.agg(F.max("day_d").alias("m"))
+    aged = e.crossJoin(F.broadcast(mx)).withColumn(
+        "age", F.datediff(F.col("m"), F.col("day_d"))
+    )
+    return decayed_counts(aged, "age", ["event_type"], half_life=7.0)

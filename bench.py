@@ -144,6 +144,9 @@ HEADLINE_R6 = [
     "events_time_weighted_avg",
     "events_transition_matrix",
     "linkage_fs_scores",
+    "agg_grouping_sets",
+    "window_ntile_deciles",
+    "events_decayed_counts",
 ]
 
 

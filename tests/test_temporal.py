@@ -297,3 +297,14 @@ def test_transition_matrix_hand_computed(spark):
     assert got[("b", "a")]["p"] == 1.0
     # last event of each entity emits no transition
     assert ("c", "a") not in got
+
+
+def test_decayed_counts_half_life_math(spark):
+    from aicoe_osc_demo_spark.operators.temporal import decayed_counts
+
+    # ages 0, 7, 14 with half_life 7 -> weights 1, 0.5, 0.25
+    rows = [("a", 0), ("a", 7), ("a", 14), ("b", 0)]
+    df = spark.createDataFrame(rows, ["g", "age"])
+    got = {r["g"]: r for r in decayed_counts(df, "age", ["g"], half_life=7.0).collect()}
+    assert got["a"]["n_raw"] == 3 and got["a"]["decayed_count"] == 1.75
+    assert got["b"]["decayed_count"] == 1.0
