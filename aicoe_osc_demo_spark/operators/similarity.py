@@ -598,6 +598,7 @@ def product_quantize(
     id_col: str = "vec_id",
     dim: int = 64,
     scale: int = 1000,
+    cache_artifacts: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (the FAISS IVF-PQ memory layout, Jégou et al.
     2011 "Product Quantization for Nearest Neighbor Search"): split each
@@ -617,6 +618,13 @@ def product_quantize(
     (id, subvector) projections; codes assemble with m-1 equi-joins on
     vec_id (m is 4-16 — at scale fuse via one pass if m*iters jobs
     matter).  Codebooks are m*k rows — always broadcastable.
+
+    ``cache_artifacts`` persists both outputs: any consumer that feeds
+    the codes AND the codebooks into one action (ADC's LUT + codes scan,
+    refine's shortlist stage) otherwise re-executes the Lloyd chain once
+    per branch — the cross-branch re-run ``ivfpq_topk(cache_index=True)``
+    fixes for its own chain.  Same cache-lifetime caveat: blocks stay
+    persisted until the caller releases them.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -696,7 +704,11 @@ def product_quantize(
             ).alias("codes")
         )
     )
-    return out, cents_used.select("sub", "cid", "s", "n")
+    books = cents_used.select("sub", "cid", "s", "n")
+    if cache_artifacts:
+        out = out.persist()
+        books = books.persist()
+    return out, books
 
 
 def pq_adc_topk(
@@ -938,7 +950,8 @@ def pq_refine_topk(
     from .relational import top_k_per_group
 
     codes, books = product_quantize(
-        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
+        scale=scale, cache_artifacts=True,
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     short = pq_adc_topk(
@@ -1484,7 +1497,8 @@ def write_pq_index(
     ADC.
     """
     codes, books = product_quantize(
-        corpus, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+        corpus, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
+        scale=scale, cache_artifacts=True,
     )
     codes.write.mode(mode).parquet(f"{path}/codes")
     books.write.mode(mode).parquet(f"{path}/codebooks")
@@ -1540,7 +1554,8 @@ def write_ivfpq_index(
     )
     assigned, coarse = _lloyd_quantized(qz, nlist, iters)
     codes, books = product_quantize(
-        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
+        scale=scale, cache_artifacts=True,
     )
     (
         codes.join(assigned.select("vec_id", F.col("cid").alias("ivf_list")), on="vec_id")

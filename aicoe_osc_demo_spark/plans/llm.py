@@ -1261,7 +1261,7 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk, product_quantize
 
     emb = load(spark, sf_dir, "embeddings")
-    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1662,7 +1662,7 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_adc_topk, product_quantize
 
     emb = load(spark, sf_dir, "embeddings")
-    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
