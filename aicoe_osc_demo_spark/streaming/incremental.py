@@ -258,3 +258,107 @@ def interval_join(
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {within_minutes} MINUTES"))
     )
     return l_wm.join(r_wm, cond, how).drop(r_wm[key])
+
+
+def streaming_transition_counts(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    entity_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+) -> StreamingQuery:
+    """Continuous first-order transition counts: the streaming form of
+    ``operators/temporal.py:transition_matrix``, maintained incrementally
+    because transitions CROSS micro-batch boundaries — the last event of
+    each entity must pair with its first event in a later batch, which a
+    stateless per-batch aggregate misses.
+
+    State is two parquet tables under ``state_dir`` (restart-safe,
+    shared with batch readers):
+    - ``carry/``  — one row per entity: the latest (ts, state) seen, the
+      bridge for the next cross-batch transition;
+    - ``counts/`` — an append-only (state, next_state, n) delta log;
+      readers fold it with ``merge_agg_state`` semantics (sum per pair),
+      so writes stay tiny and contention-free.
+
+    Ordering contract (same as the streaming SCD2 ledger): per-entity
+    event time must be monotone ACROSS batches — a batch row at or
+    before the entity's carried timestamp is dropped as late rather than
+    spliced into history.  In-batch disorder is fine (the window sorts).
+
+    Each micro-batch touches batch-sized and entity-sized data only; the
+    count log grows by at most the state-vocabulary square per batch.
+    """
+    from ..operators.temporal import transition_matrix
+
+    carry_dir = f"{state_dir}/carry"
+    counts_dir = f"{state_dir}/counts"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            carry = s.read.parquet(carry_dir)
+        except Exception:
+            # bootstrap: an empty carry with types derived from the batch
+            carry = batch.select(
+                entity_col,
+                F.col(ts_col).cast("timestamp").alias("_carry_ts"),
+                F.col(state_col).alias("_carry_state"),
+            ).limit(0)
+        fresh = batch.join(carry, on=entity_col, how="left").filter(
+            F.col("_carry_ts").isNull() | (F.col(ts_col) > F.col("_carry_ts"))
+        )
+        bridge = carry.join(
+            fresh.select(entity_col).distinct(), on=entity_col, how="left_semi"
+        ).select(
+            entity_col,
+            F.col("_carry_ts").alias(ts_col),
+            F.col("_carry_state").alias(state_col),
+        )
+        seq = fresh.select(entity_col, ts_col, state_col).unionByName(bridge)
+        delta = transition_matrix(seq, entity_col, state_col, ts_col).select(
+            "state", "next_state", "n"
+        )
+        delta.write.mode("append").parquet(counts_dir)
+        w = Window.partitionBy(entity_col).orderBy(F.desc(ts_col))
+        new_tail = (
+            fresh.select(entity_col, ts_col, state_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                entity_col,
+                F.col(ts_col).cast("timestamp").alias("_carry_ts"),
+                F.col(state_col).alias("_carry_state"),
+            )
+        )
+        merged = (
+            carry.unionByName(new_tail)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(entity_col).orderBy(F.desc("_carry_ts"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = f"{state_dir}/.carry_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        s.read.parquet(staging).write.mode("overwrite").parquet(carry_dir)
+
+    return incremental_file_pipeline(
+        spark, input_dir, checkpoint_dir, fold, fmt="parquet", schema=schema
+    )
+
+
+def read_transition_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the append-only count log into current (state, next_state, n)
+    totals — merge_agg_state semantics over the streaming delta log."""
+    from ..operators.relational import merge_agg_state
+
+    log = spark.read.parquet(f"{state_dir}/counts")
+    empty = spark.createDataFrame([], "state string, next_state string, n long")
+    return merge_agg_state(empty, log, ["state", "next_state"], ["n"])

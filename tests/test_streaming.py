@@ -551,3 +551,53 @@ def test_stream_stream_outer_join_emits_unmatched_after_watermark(spark, tmp_pat
     run()
     # u2 emits unmatched exactly once; the new pair matches normally
     assert sorted(got) == [(1, "ad_a", True), (2, "ad_b", False), (9, "z", True)]
+
+
+def test_streaming_transition_counts_cross_batch_and_parity(spark, tmp_path):
+    # transitions CROSS micro-batch boundaries via the per-entity carry;
+    # the folded count log equals the batch transition_matrix over the
+    # full history, and a late (pre-carry) event is dropped, not spliced
+    import datetime as dt
+
+    from aicoe_osc_demo_spark.operators.temporal import transition_matrix
+    from aicoe_osc_demo_spark.streaming.incremental import (
+        read_transition_counts,
+        streaming_transition_counts,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(u, mins, e):
+        return (u, t0 + dt.timedelta(minutes=mins), e)
+
+    b1 = [ev(1, 0, "a"), ev(1, 10, "b"), ev(2, 5, "a")]
+    spark.createDataFrame(b1, schema).write.parquet(str(inp / "f1"))
+    q = streaming_transition_counts(spark, str(inp), state, ckpt, schema)
+    q.awaitTermination(120)
+
+    # batch 2: user 1 continues (b -> c bridges the batches), user 2 gets a
+    # LATE row (ts before its carry) that must be dropped, plus c -> a
+    b2 = [ev(1, 20, "c"), ev(2, 1, "zz"), ev(2, 30, "c"), ev(2, 40, "a")]
+    spark.createDataFrame(b2, schema).write.parquet(str(inp / "f2"))
+    q2 = streaming_transition_counts(spark, str(inp), state, ckpt, schema)
+    q2.awaitTermination(120)
+
+    got = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in read_transition_counts(spark, state).collect()
+    }
+    # full-history recompute WITHOUT the dropped late row
+    kept = [r for r in b1 + b2 if r[2] != "zz"]
+    full = spark.createDataFrame(kept, schema)
+    want = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in transition_matrix(full, "user_id", "event_type", "ts").collect()
+    }
+    assert got == want
+    assert got[("b", "c")] == 1          # the cross-batch bridge for user 1
+    assert ("a", "zz") not in got        # late row never spliced in
