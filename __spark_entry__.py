@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stages are each individually in-window, and
 # join_multiway_revenue_by_nation, whose r6 change is a join-hint only,
 # green since r02, and entry()-smoked every round; new queries outrank
-# re-verification).  Twenty-three late-r6 additions (incremental_agg_maintenance,
+# re-verification).  Twenty-five late-r6 additions (incremental_agg_maintenance,
 # layout_column_stats, diag_skew_report, llm_triangle_count,
 # privacy_k_anonymity, llm_label_propagation, diag_table_diff,
 # events_sliding_hll_users, diag_join_explosion, events_winsorize,
@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_corpus_overlap, llm_weighted_sample, events_cooccurrence_lift,
 # llm_source_divergence, events_time_weighted_avg,
 # events_transition_matrix, linkage_fs_scores, agg_grouping_sets,
-# window_ntile_deciles, events_decayed_counts — all locally oracle-green
+# window_ntile_deciles, events_decayed_counts, events_mad_outliers,
+# layout_column_histograms — all locally oracle-green
 # integer/count/hash math) are
 # NOT fronted and verify in the r7 window rather than displacing more of
 # the rewritten-shingle family's re-verification.  The 19 entries past

@@ -424,3 +424,61 @@ def join_explosion_report(
         "total_out_rows",
     )
     return ranked.orderBy(F.desc("out_rows"), *key_cols).limit(top)
+
+
+def column_histograms(
+    df: DataFrame, cols: list[str], bins: int = 10
+) -> DataFrame:
+    """Equi-width histogram profile for N numeric columns in TWO passes
+    (one tiny min/max aggregate broadcast back, one Expand-based count) —
+    the distribution companion of :func:`analyze_column_stats`, and the
+    CBO/skew-triage input a row/null/NDV profile can't give: where the
+    mass sits, whether a column is uniform or one-spike, which predicate
+    ranges are selective.
+
+    Bin rule: ``least(floor((x - min) * bins / (max - min)), bins - 1)``
+    — a fixed double chain, identical in any engine; NULLs are excluded
+    (profiled separately by analyze_column_stats); a constant column
+    collapses to bin 0.  Output: (column, bin, lo, hi, n) with the bin's
+    [lo, hi) bounds.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    )
+    wide = df.crossJoin(F.broadcast(stats))
+    entries = []
+    for c in cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        x = F.col(c).cast("double")
+        bin_ = F.when(mx == mn, F.lit(0)).otherwise(
+            F.least(
+                F.floor((x - mn) * bins / (mx - mn)).cast("int"), F.lit(bins - 1)
+            )
+        )
+        entries.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(c).alias("column"),
+                    bin_.alias("bin"),
+                    mn.alias("_mn"),
+                    mx.alias("_mx"),
+                ),
+            )
+        )
+    exploded = wide.select(F.explode(F.array(*entries)).alias("e")).filter(
+        F.col("e").isNotNull()
+    )
+    width = (F.col("_mx") - F.col("_mn")) / bins
+    return (
+        exploded.groupBy("e.column", "e.bin", "e._mn", "e._mx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "column",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("_mn") + F.col("bin") * width, 6).alias("lo"),
+            F.round(F.col("_mn") + (F.col("bin") + 1) * width, 6).alias("hi"),
+            "n",
+        )
+    )

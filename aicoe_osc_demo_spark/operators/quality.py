@@ -780,3 +780,51 @@ def kl_divergence_by_group(
             F.round(F.col("_kl_ni").cast("double") / 1e9, 6).alias("kl_nats"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the median absolute deviation:
+    a row is anomalous when ``0.6745 * |x - median| / MAD > cutoff``
+    (Iglewicz & Hoaglin's modified z-score; 0.6745 scales MAD to sigma
+    under normality).  The flagging companion of :func:`winsorize` —
+    winsorize CLIPS into the band, this LABELS the tail, and unlike
+    mean/stddev z-scores the median/MAD pair doesn't let the outliers
+    drag their own threshold.
+
+    Two grouped exact percentiles (median, then median of absolute
+    deviations) broadcast back — the fact rows are touched twice, never
+    shuffled.  Same scale note as ``winsorize``: exact percentile keeps
+    the operator oracle-checkable; at 100 TB approx_percentile is the
+    drop-in (cutoffs are tolerance-insensitive).  Groups whose MAD is 0
+    (over half the values identical) flag only exact non-members of the
+    majority value when cutoff allows — the standard MAD caveat; rows in
+    such groups get ``robust_z`` NULL and ``is_outlier`` false here
+    rather than a division by zero.
+
+    Adds ``med``, ``mad``, ``robust_z`` (rounded 6), ``is_outlier``.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
+    )
+    out = with_med.join(F.broadcast(mad), group_cols)
+    z = F.lit(0.6745) * F.abs(F.col(value_col) - F.col("med")) / F.col("mad")
+    return out.select(
+        *df.columns,
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("mad") > 0, z > cutoff).otherwise(F.lit(False)).alias(
+            "is_outlier"
+        ),
+    )

@@ -690,3 +690,47 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "layout_column_histograms",
+    """
+    WITH st AS (
+      SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx1,
+             MIN(CAST(o_custkey AS DOUBLE)) AS mn2,
+             MAX(CAST(o_custkey AS DOUBLE)) AS mx2
+      FROM orders
+    ),
+    e AS (
+      SELECT 'o_totalprice' AS "column",
+             CASE WHEN mx1 = mn1 THEN 0
+                  ELSE LEAST(CAST(floor((CAST(o_totalprice AS DOUBLE) - mn1)
+                                        * 10 / (mx1 - mn1)) AS INT), 9) END
+               AS bin,
+             mn1 AS mn, mx1 AS mx
+      FROM orders CROSS JOIN st WHERE o_totalprice IS NOT NULL
+      UNION ALL
+      SELECT 'o_custkey',
+             CASE WHEN mx2 = mn2 THEN 0
+                  ELSE LEAST(CAST(floor((CAST(o_custkey AS DOUBLE) - mn2)
+                                        * 10 / (mx2 - mn2)) AS INT), 9) END,
+             mn2, mx2
+      FROM orders CROSS JOIN st WHERE o_custkey IS NOT NULL
+    )
+    SELECT "column", bin,
+           ROUND(mn + bin * ((mx - mn) / 10), 6) AS lo,
+           ROUND(mn + (bin + 1) * ((mx - mn) / 10), 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2, mn, mx
+    """,
+)
+def layout_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-width distribution profile per column in one Expand pass —
+    # the histogram companion of layout_column_stats: where the mass
+    # sits, which predicate ranges are selective.
+    from ..operators.layout import column_histograms
+
+    return column_histograms(
+        load(spark, sf_dir, "orders"), ["o_totalprice", "o_custkey"], bins=10
+    )

@@ -975,3 +975,45 @@ def events_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "age", F.datediff(F.col("m"), F.col("day_d"))
     )
     return decayed_counts(aged, "age", ["event_type"], half_life=7.0)
+
+
+@register(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    wm AS (SELECT e.event_type, value, med FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM wm GROUP BY event_type
+    ),
+    z AS (
+      SELECT wm.event_type, med, mad,
+             0.6745 * abs(value - med) / mad AS rz
+      FROM wm JOIN mad USING (event_type)
+    )
+    SELECT event_type, ROUND(MIN(med), 6) AS med, ROUND(MIN(mad), 6) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN rz > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(MAX(rz), 6) AS max_z
+    FROM z GROUP BY event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust anomaly audit per event type: modified z-score from
+    # median/MAD (outliers can't drag their own threshold) — the
+    # flagging companion of events_winsorize.  Two broadcast-back
+    # grouped percentiles; summary proves the flag counts.
+    from ..operators.quality import mad_outliers
+
+    out = mad_outliers(load(spark, sf_dir, "events"), "value", ["event_type"], 3.5)
+    return out.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("med"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(F.max("robust_z"), 6).alias("max_z"),
+    )

@@ -147,6 +147,8 @@ HEADLINE_R6 = [
     "agg_grouping_sets",
     "window_ntile_deciles",
     "events_decayed_counts",
+    "events_mad_outliers",
+    "layout_column_histograms",
 ]
 
 

@@ -526,3 +526,20 @@ def test_weighted_sample_topk_drops_nonpositive_weights(spark):
     )
     got = weighted_sample_topk(df, F.col("w"), k=10).collect()
     assert sorted(r["doc_id"] for r in got) == [1, 4]
+
+
+def test_mad_outliers_flags_tail_and_handles_zero_mad(spark):
+    from aicoe_osc_demo_spark.operators.quality import mad_outliers
+
+    # group g: values 1..9 plus a wild 100 -> med 5.5, MAD 2.5;
+    # rz(100) = 0.6745*94.5/2.5 = 25.5 -> outlier; rz(9) = 0.944 -> not
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0)]
+    # group h: majority value identical -> MAD 0 -> no flags, NULL z
+    rows += [("h", 7.0)] * 5 + [("h", 50.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = {(r["grp"], r["v"]): r for r in mad_outliers(df, "v", ["grp"]).collect()}
+    assert out[("g", 100.0)]["is_outlier"] is True
+    assert out[("g", 9.0)]["is_outlier"] is False
+    assert out[("g", 100.0)]["med"] == 5.5 and out[("g", 100.0)]["mad"] == 2.5
+    assert out[("h", 50.0)]["is_outlier"] is False
+    assert out[("h", 50.0)]["robust_z"] is None

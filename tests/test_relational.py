@@ -242,3 +242,19 @@ def test_table_diff_classification_and_null_safety(spark):
     # added — and k=4 is CHANGED, not unchanged: a NULL value and the
     # string 'null' must not collide in the fingerprint
     assert got == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+
+
+def test_column_histograms_bins_and_bounds(spark):
+    from aicoe_osc_demo_spark.operators.layout import column_histograms
+
+    rows = [(float(v), 5) for v in range(0, 100)]  # x uniform 0..99, y constant
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = column_histograms(df, ["x", "y"], bins=10).collect()
+    xs = sorted((r for r in out if r["column"] == "x"), key=lambda r: r["bin"])
+    # uniform 0..99 with width 9.9: bin 9 absorbs the max via least()
+    assert [r["bin"] for r in xs] == list(range(10))
+    assert sum(r["n"] for r in xs) == 100
+    assert xs[0]["lo"] == 0.0 and xs[9]["hi"] == 99.0
+    # constant column collapses to one bin holding everything
+    ys = [r for r in out if r["column"] == "y"]
+    assert len(ys) == 1 and ys[0]["bin"] == 0 and ys[0]["n"] == 100
