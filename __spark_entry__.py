@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_corpus_overlap, llm_weighted_sample, events_cooccurrence_lift,
 # llm_source_divergence, events_time_weighted_avg,
 # events_transition_matrix, linkage_fs_scores, agg_grouping_sets,
-# window_ntile_deciles, events_decayed_counts, events_mad_outliers,
+# window_ntile_deciles, window_percentile_bins, events_decayed_counts,
+# events_mad_outliers,
 # layout_column_histograms — all locally oracle-green
 # integer/count/hash math) are
 # NOT fronted and verify in the r7 window rather than displacing more of

@@ -353,3 +353,48 @@ def cooccurrence_lift(
             ).alias("lift"),
         )
     )
+
+
+def percentile_bins(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth bin assignment by percentile CUTPOINTS — the corpus-scale
+    alternative to NTILE documented on ``window_ntile_deciles``.
+
+    NTILE(n) is a full sort per PARTITION KEY: with few groups the whole
+    table funnels through a handful of reducers, and the 10x curve measures
+    it near-linear per row (0.49x — see SCALE.md).  When tile populations
+    only need to be equal UP TO TIES (every reporting/bucketing use), bin by
+    the group's n-1 interior percentile cutpoints instead:
+
+      1. one combine-friendly aggregate computes exact interpolated
+         percentiles per group (map-side partials, ≤ |groups| rows out),
+      2. the tiny cut table is BROADCAST back and each row counts the
+         cutpoints ≤ its value — a map-side fold, no sort, no extra shuffle.
+
+    Rows equal to a cutpoint all land in the same (upper) bin, so ties never
+    split across bins — the one semantic difference from NTILE, and the
+    reason this scales: exact equal populations require global ranking,
+    tie-stable populations don't.  bin ∈ [0, n_bins-1]; deterministic (both
+    engines use linear interpolation for exact percentiles, and cutpoint
+    comparison is exact when the cut falls on a data value).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    ps = ", ".join(f"{i / n_bins!r}D" for i in range(1, n_bins))
+    cuts = df.groupBy(*key_cols).agg(
+        F.expr(f"percentile({value_col}, array({ps}))").alias("_cuts")
+    )
+    binned = df.join(F.broadcast(cuts), on=list(key_cols)).withColumn(
+        bin_col,
+        F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, q: acc + F.when(F.col(value_col) >= q, 1).otherwise(0),
+        ),
+    )
+    return binned.drop("_cuts")

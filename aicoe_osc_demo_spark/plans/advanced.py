@@ -677,10 +677,10 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fully deterministic tiebreak so both engines cut identical tiles.
     # Scale note (measured 0.49x/row at 10x): NTILE is a full sort per
     # PARTITION KEY — with few groups everything funnels through a few
-    # reducers.  At 100 TB bin by percentile CUTPOINTS instead
-    # (agg_exact_percentiles / agg_quantile_sketch give the cut table;
-    # a broadcast range join assigns bins map-side) — exact ranking is
-    # only needed when tile POPULATIONS must be exactly equal.
+    # reducers.  At 100 TB bin by percentile CUTPOINTS instead — that
+    # operator exists as percentile_bins / window_percentile_bins below;
+    # exact ranking is only needed when tile POPULATIONS must be exactly
+    # equal.
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -695,6 +695,41 @@ def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
+    )
+
+
+@register(
+    "window_percentile_bins",
+    """
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag,
+           CAST(len(list_filter(c.qs, q -> l.l_extendedprice >= q)) AS INT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(l.l_extendedprice), 2) AS lo,
+           ROUND(MAX(l.l_extendedprice), 2) AS hi
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def window_percentile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB replacement for window_ntile_deciles: equi-depth-up-to-ties
+    # deciles via exact percentile cutpoints — one combine-friendly aggregate
+    # + a broadcast map-side fold instead of NTILE's per-group global sort.
+    # Same per-bin envelope output shape as the NTILE query.
+    from ..operators.relational import percentile_bins
+
+    binned = percentile_bins(
+        load(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice", 10
+    )
+    return binned.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
 
 

@@ -146,6 +146,7 @@ HEADLINE_R6 = [
     "linkage_fs_scores",
     "agg_grouping_sets",
     "window_ntile_deciles",
+    "window_percentile_bins",
     "events_decayed_counts",
     "events_mad_outliers",
     "layout_column_histograms",

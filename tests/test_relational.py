@@ -258,3 +258,52 @@ def test_column_histograms_bins_and_bounds(spark):
     # constant column collapses to one bin holding everything
     ys = [r for r in out if r["column"] == "y"]
     assert len(ys) == 1 and ys[0]["bin"] == 0 and ys[0]["n"] == 100
+
+
+def test_percentile_bins_equi_depth_and_tie_stable(spark):
+    from aicoe_osc_demo_spark.operators.relational import percentile_bins
+
+    # 100 distinct values per group -> quartiles cut 25/25/25/25
+    rows = [("a", float(v)) for v in range(100)] + [("b", float(v * 3)) for v in range(100)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = percentile_bins(df, ["g"], "x", n_bins=4)
+    counts = {
+        (r["g"], r["bin"]): r["n"]
+        for r in out.groupBy("g", "bin").count().withColumnRenamed("count", "n").collect()
+    }
+    for g in ("a", "b"):
+        assert sum(counts[(g, b)] for b in range(4)) == 100
+        assert all(abs(counts[(g, b)] - 25) <= 1 for b in range(4))
+    # bins are monotone in the value: per-bin max < next bin's min
+    envl = sorted(
+        out.filter(F.col("g") == "a").groupBy("bin").agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi")
+        ).collect(),
+        key=lambda r: r["bin"],
+    )
+    for prev, nxt in zip(envl, envl[1:]):
+        assert prev["hi"] < nxt["lo"]
+
+    # tie stability: a value equal to a cutpoint never splits across bins
+    ties = spark.createDataFrame([("t", 1.0)] * 50 + [("t", 2.0)] * 50, ["g", "x"])
+    tout = percentile_bins(ties, ["g"], "x", n_bins=4)
+    per_value_bins = (
+        tout.groupBy("x").agg(F.countDistinct("bin").alias("nb")).collect()
+    )
+    assert all(r["nb"] == 1 for r in per_value_bins)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        percentile_bins(df, ["g"], "x", n_bins=1)
+
+
+def test_percentile_bins_plan_broadcasts_cuts(spark):
+    from aicoe_osc_demo_spark.operators.relational import percentile_bins
+
+    df = spark.createDataFrame([("a", float(v)) for v in range(50)], ["g", "x"])
+    plan = percentile_bins(df, ["g"], "x", n_bins=10)._jdf.queryExecution().executedPlan().toString()
+    # the cut table joins back broadcast (map-side assignment) and the
+    # whole operator contains NO sort -- the point vs NTILE
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Sort" not in plan
