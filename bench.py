@@ -206,7 +206,7 @@ def main() -> None:
     ).count()
 
     load_start = os.getloadavg()
-    count_series = os.environ.get("SPARK_GRAFT_COUNT_SERIES", "1") != "0"
+    count_series = os.environ.get("SPARK_GRAFT_COUNT_SERIES", "0") != "0"
     timings: dict[str, float] = {}
     timings_count: dict[str, float] = {}
     total = 0.0
@@ -229,11 +229,11 @@ def main() -> None:
         # shingle base) must not carry cached blocks into later queries —
         # each entry is timed against a clean block manager
         spark.catalog.clearCache()
-        # transition series: the pre-r6 count() materialization, so the
-        # historical `value` numbers have a same-method comparison point.
-        # SPARK_GRAFT_COUNT_SERIES=0 skips it (it re-executes every query 3
-        # more times); default stays on for the r6 recording run and should
-        # flip to off once BENCH_r06 pins the cross-method pair.
+        # transition series: the pre-r6 count() materialization.  The
+        # cross-method pair is pinned in BENCH_r06, so this now defaults
+        # OFF (it re-executes every query 3 more times and just triples
+        # wall time); SPARK_GRAFT_COUNT_SERIES=1 re-enables it for
+        # method-comparison reruns.
         best_c = None
         if count_series:
             for _ in range(3):
