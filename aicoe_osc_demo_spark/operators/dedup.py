@@ -577,6 +577,7 @@ def prefix_jaccard_join(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     cache_shingles: bool = True,
+    scope=None,
 ) -> DataFrame:
     """EXACT all-pairs shingle-Jaccard join with prefix filtering (the
     PPJoin family) — the exact-algorithm complement to the probabilistic
@@ -624,13 +625,13 @@ def prefix_jaccard_join(
         # without a persist the gram HOF recomputes 3x over the raw text.
         # MEMORY_AND_DISK: at scale the (id, grams) frame is ~the tokenized
         # corpus — spilling it still beats three text scans.
-        # LIFETIME CAVEAT: the persist is never unpersisted here (the
-        # result is lazy, so there is no safe point inside this function to
-        # release it).  Callers composing MANY joins in one application
-        # must either pass cache_shingles=False or release blocks between
-        # calls (spark.catalog.clearCache(), as bench.py does) or cached
-        # shingle frames accumulate for the application lifetime.
+        # Lifetime (cache.py contract): by default the above-threshold
+        # pair result is pinned below and this persist is released before
+        # returning; pass scope=CacheScope() to keep the plan lazy and
+        # release via the scope instead.
         base = base.persist()
+        if scope is not None:
+            scope.add(base)
     toks = base.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("w"))
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
     plen = (F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1).cast("int")
@@ -654,7 +655,7 @@ def prefix_jaccard_join(
     t2 = base.select(F.col("doc_id").alias("d2"), F.col("ts").alias("ts2"))
     o = F.size(F.array_intersect("ts1", "ts2")).cast("double")
     j = o / (F.size("ts1") + F.size("ts2") - o).cast("double")
-    return (
+    res = (
         cand.join(t1, on="d1")
         .join(t2, on="d2")
         # raw-ratio threshold, rounded output (catalog convention)
@@ -662,6 +663,12 @@ def prefix_jaccard_join(
         .filter(F.col("_jac") >= threshold)
         .select("d1", "d2", F.round(F.col("_jac"), 6).alias("jaccard"))
     )
+    if cache_shingles and scope is None:
+        # leak-free default: pin the (small) above-threshold pair set,
+        # release the corpus-sized shingle base
+        res = res.localCheckpoint(eager=True)
+        base.unpersist(blocking=True)
+    return res
 
 
 def duplicate_span_stats(

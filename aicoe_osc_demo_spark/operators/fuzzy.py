@@ -177,7 +177,15 @@ def fs_link_scores(
     pairs = left.join(right, on=block_cols)
     score = None
     for (name, expr, _, _), aw, dw in zip(comparisons, agree_ni, disagree_ni):
-        term = F.when(expr, F.lit(aw)).otherwise(F.lit(dw))
+        # missing-data convention (Fellegi–Sunter): a comparison that
+        # cannot be made (NULL on either side -> expr is NULL) carries
+        # weight 0 — neither evidence for nor against — rather than
+        # falling through to the disagreement weight
+        term = (
+            F.when(expr, F.lit(aw))
+            .when(~expr, F.lit(dw))
+            .otherwise(F.lit(0).cast("long"))
+        )
         score = term if score is None else score + term
     lower_ni = int(lower_bits * 1e9)
     upper_ni = int(upper_bits * 1e9)

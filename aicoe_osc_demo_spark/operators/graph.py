@@ -28,6 +28,7 @@ def pagerank(
     dst_col: str = "dst",
     id_col: str = "node_id",
     cache_edges: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Damped PageRank by ``iters`` power iterations over an explicit node
     set (isolated nodes keep the base rank):
@@ -53,14 +54,18 @@ def pagerank(
     stabilizes in a handful of iterations on bounded-degree similarity
     graphs).  ``cache_edges`` persists the (src, dst, deg) edge frame so
     an expensive upstream edge generator (LSH candidate chain) runs once,
-    not once per iteration — same cache-lifetime caveat as
-    ``prefix_jaccard_join``.
+    not once per iteration.  Lifetime (``cache.py`` contract): by default
+    the node-sized rank result is pinned and the edge persist released
+    before returning; pass ``scope=CacheScope()`` to keep the plan lazy
+    and release via the scope.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = e.join(deg, "src")
     if cache_edges:
         e = e.persist()
+        if scope is not None:
+            scope.add(e)
     n_ids = nodes.select(F.col(id_col).alias("node"))
     tot = n_ids.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     base_ni = F.floor(
@@ -91,12 +96,19 @@ def pagerank(
                 (base_ni + F.coalesce(F.col("in_ni"), F.lit(0))).alias("r_ni"),
             )
         )
-    return r.select(
+    res = r.select(
         F.col("node"), F.round(F.col("r_ni").cast("double") / 1e9, 6).alias("rank")
     )
+    if cache_edges and scope is None:
+        # leak-free default: pin the node-sized ranks, release the edges
+        res = res.localCheckpoint(eager=True)
+        e.unpersist(blocking=True)
+    return res
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", scope=None
+) -> DataFrame:
     """Triangle counting via the degree-ordered edge orientation (Suri &
     Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
     Reducer"): symmetrize to an undirected edge set, orient every edge
@@ -119,8 +131,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # und feeds the degree count AND the orientation join; oriented feeds
     # both wedge arms and the closing-edge probe — persist both so the
     # upstream edge lineage (e.g. the KNN LSH chain) executes once, not
-    # once per reference (same rule as pagerank's edge persist; callers
-    # release blocks via spark.catalog.clearCache(), as bench.py does)
+    # once per reference.  Lifetime (cache.py contract): the 1-row result
+    # is pinned and both persists released by default; a passed scope
+    # keeps the plan lazy and owns the release.
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -130,6 +143,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
         .persist()
     )
+    if scope is not None:
+        scope.add(und)
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
@@ -146,6 +161,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
     ).persist()
+    if scope is not None:
+        scope.add(oriented)
     o1 = oriented.select(F.col("a"), F.col("b").alias("b1"), F.col("db").alias("db1"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("b2"), F.col("db").alias("db2"))
     wedges = o1.join(o2, on="a").filter(
@@ -154,9 +171,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     closing = oriented.select(F.col("a").alias("b1"), F.col("b").alias("b2"))
     tris = wedges.join(closing, on=["b1", "b2"])
-    return wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
+    res = wedges.agg(F.count(F.lit(1)).alias("n_wedges")).crossJoin(
         F.broadcast(tris.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+    if scope is None:
+        # leak-free default: pin the 1-row result, release both persists
+        res = res.localCheckpoint(eager=True)
+        und.unpersist(blocking=True)
+        oriented.unpersist(blocking=True)
+    return res
 
 
 def label_propagation(

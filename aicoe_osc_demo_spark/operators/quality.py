@@ -544,6 +544,8 @@ def winsorize(
     group_cols: list[str],
     lo: float = 0.05,
     hi: float = 0.95,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Per-group winsorization: clip ``value_col`` to the exact
     [``lo``, ``hi``] group quantiles (linear interpolation, the same
@@ -558,14 +560,27 @@ def winsorize(
     Shape: one map-side-combined aggregate producing ONE row per group,
     broadcast back onto the rows — the data itself is touched exactly
     once, no shuffle on the fact side.  Exact percentiles buffer each
-    group's values on one executor; at 100 TB swap in
-    ``approx_percentile`` (the clip bounds are tolerance-insensitive) —
-    exact is kept here so the operator stays oracle-checkable.
+    group's values on one executor; ``approx=True`` is the 100 TB path:
+    ``approx_percentile`` with a mergeable KLL-style sketch of bounded
+    size per group (rank error <= 1/``accuracy``), which changes the
+    clip bounds only within that tolerance — the clip decision itself is
+    tolerance-insensitive for all but boundary rows.  Exact stays the
+    default so the operator is oracle-checkable.
     """
-    q = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
-        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
-    )
+    if approx:
+        q = df.groupBy(*group_cols).agg(
+            F.expr(
+                f"approx_percentile({value_col}, {lo}, {accuracy})"
+            ).alias("p_lo"),
+            F.expr(
+                f"approx_percentile({value_col}, {hi}, {accuracy})"
+            ).alias("p_hi"),
+        )
+    else:
+        q = df.groupBy(*group_cols).agg(
+            F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+            F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+        )
     v = F.col(value_col)
     return (
         df.join(F.broadcast(q), group_cols)
@@ -787,6 +802,8 @@ def mad_outliers(
     value_col: str,
     group_cols: list[str],
     cutoff: float = 3.5,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Robust per-group outlier flags via the median absolute deviation:
     a row is anomalous when ``0.6745 * |x - median| / MAD > cutoff``
@@ -799,8 +816,9 @@ def mad_outliers(
     Two grouped exact percentiles (median, then median of absolute
     deviations) broadcast back — the fact rows are touched twice, never
     shuffled.  Same scale note as ``winsorize``: exact percentile keeps
-    the operator oracle-checkable; at 100 TB approx_percentile is the
-    drop-in (cutoffs are tolerance-insensitive).  Groups whose MAD is 0
+    the operator oracle-checkable; ``approx=True`` swaps both medians to
+    ``approx_percentile`` (rank error <= 1/``accuracy``) — the 100 TB
+    path, since cutoffs are tolerance-insensitive.  Groups whose MAD is 0
     (over half the values identical) flag only exact non-members of the
     majority value when cutoff allows — the standard MAD caveat; rows in
     such groups get ``robust_z`` NULL and ``is_outlier`` false here
@@ -808,14 +826,18 @@ def mad_outliers(
 
     Adds ``med``, ``mad``, ``robust_z`` (rounded 6), ``is_outlier``.
     """
-    med = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("med")
-    )
+    if approx:
+        med_expr = f"approx_percentile({value_col}, 0.5, {accuracy})"
+        mad_expr = f"approx_percentile(_ad, 0.5, {accuracy})"
+    else:
+        med_expr = f"percentile({value_col}, 0.5)"
+        mad_expr = "percentile(_ad, 0.5)"
+    med = df.groupBy(*group_cols).agg(F.expr(med_expr).alias("med"))
     with_med = df.join(F.broadcast(med), group_cols)
     mad = (
         with_med.withColumn("_ad", F.abs(F.col(value_col) - F.col("med")))
         .groupBy(*group_cols)
-        .agg(F.expr("percentile(_ad, 0.5)").alias("mad"))
+        .agg(F.expr(mad_expr).cast("double").alias("mad"))
     )
     out = with_med.join(F.broadcast(mad), group_cols)
     z = F.lit(0.6745) * F.abs(F.col(value_col) - F.col("med")) / F.col("mad")

@@ -361,6 +361,8 @@ def percentile_bins(
     value_col: str,
     n_bins: int = 10,
     bin_col: str = "bin",
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Equi-depth bin assignment by percentile CUTPOINTS — the corpus-scale
     alternative to NTILE documented on ``window_ntile_deciles``.
@@ -385,10 +387,19 @@ def percentile_bins(
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    # approx=True is the 100 TB form: approx_percentile cutpoints
+    # (mergeable bounded-size sketch per group, rank error <= 1/accuracy)
+    # instead of exact buffered percentiles — bin populations shift only
+    # by the rank tolerance.  Exact stays the default for oracle checks.
     ps = ", ".join(f"{i / n_bins!r}D" for i in range(1, n_bins))
-    cuts = df.groupBy(*key_cols).agg(
-        F.expr(f"percentile({value_col}, array({ps}))").alias("_cuts")
-    )
+    if approx:
+        cut_expr = (
+            f"cast(approx_percentile({value_col}, array({ps}), {accuracy})"
+            " as array<double>)"
+        )
+    else:
+        cut_expr = f"percentile({value_col}, array({ps}))"
+    cuts = df.groupBy(*key_cols).agg(F.expr(cut_expr).alias("_cuts"))
     binned = df.join(F.broadcast(cuts), on=list(key_cols)).withColumn(
         bin_col,
         F.aggregate(

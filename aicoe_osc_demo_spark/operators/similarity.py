@@ -599,6 +599,7 @@ def product_quantize(
     dim: int = 64,
     scale: int = 1000,
     cache_artifacts: bool = False,
+    scope=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (the FAISS IVF-PQ memory layout, Jégou et al.
     2011 "Product Quantization for Nearest Neighbor Search"): split each
@@ -623,8 +624,11 @@ def product_quantize(
     the codes AND the codebooks into one action (ADC's LUT + codes scan,
     refine's shortlist stage) otherwise re-executes the Lloyd chain once
     per branch — the cross-branch re-run ``ivfpq_topk(cache_index=True)``
-    fixes for its own chain.  Same cache-lifetime caveat: blocks stay
-    persisted until the caller releases them.
+    fixes for its own chain.  This function returns LAZY frames, so it
+    cannot release the persists itself: pass ``scope=CacheScope()`` to
+    register them for the caller to ``release()``, or release/materialize
+    in the consuming operator (the ``cache.py`` contract every built-in
+    consumer follows).
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -708,6 +712,9 @@ def product_quantize(
     if cache_artifacts:
         out = out.persist()
         books = books.persist()
+        if scope is not None:
+            scope.add(out)
+            scope.add(books)
     return out, books
 
 
@@ -722,6 +729,8 @@ def pq_adc_topk(
     dim: int = 64,
     scale: int = 1000,
     _prejoined: bool = False,
+    cache_lut: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes: approximate
     ||q - x||^2 as the sum over subspaces of the distance from the query's
@@ -772,8 +781,15 @@ def pq_adc_topk(
     )
     # the LUT is referenced m+1 times below and its lineage contains the m
     # codebook Lloyd chains — persist the m*k*|queries| rows so the chains
-    # evaluate once, not per reference (measured 12.5 s -> ~4 s at sf0.1)
-    lut = lut.persist()
+    # evaluate once, not per reference (measured 12.5 s -> ~4 s at sf0.1).
+    # Lifetime: cache.py contract — released below unless a scope owns it.
+    # cache_lut=False (the persisted-index serving paths) skips the persist
+    # entirely: there the codebooks are a materialized parquet table, the
+    # LUT lineage is a broadcast-sized re-read, and the plan stays LAZY.
+    if cache_lut:
+        lut = lut.persist()
+        if scope is not None:
+            scope.add(lut)
     # fan the corpus codes out per query (unless the caller already joined
     # a candidate (vec_id, codes, query_id) set, e.g. ivfpq_topk's probe
     # restriction), then resolve each subspace code against the broadcast
@@ -803,9 +819,14 @@ def pq_adc_topk(
         F.col("vec_id").alias("neighbor_id"),
         F.round(dist, 6).alias("adc_dist"),
     )
-    return top_k_per_group(
+    res = top_k_per_group(
         scored, ["query_id"], -F.col("adc_dist"), k, tiebreak=["neighbor_id"]
     )
+    if cache_lut and scope is None:
+        # leak-free default: pin the |queries|*k result, release the LUT
+        res = res.localCheckpoint(eager=True)
+        lut.unpersist(blocking=True)
+    return res
 
 
 def ivfpq_topk(
@@ -823,6 +844,7 @@ def ivfpq_topk(
     dim: int = 64,
     scale: int = 1000,
     cache_index: bool = True,
+    scope=None,
 ) -> DataFrame:
     """The complete IVF-PQ search path (FAISS's billion-vector default,
     Jégou et al. 2011): a coarse quantizer prunes WHICH vectors are
@@ -835,11 +857,13 @@ def ivfpq_topk(
     even though each feeds two consumers (assignments → lists AND probe
     ranking; PQ loop → codes AND the ADC LUT) — measured 2x at sf0.1
     (warm 5.8 s → 2.9 s; ReusedExchange alone does not cover the
-    cross-branch aggregates).  LIFETIME CAVEAT (same contract as
-    ``prefix_jaccard_join``'s cache_shingles): the persists are not
-    released here — callers composing many searches should release blocks
-    between calls (``spark.catalog.clearCache()``, as bench.py does) or
-    pass ``cache_index=False``; the persisted-index path
+    cross-branch aggregates).  LIFETIME (``cache.py`` contract): by
+    default the |queries|·k result is materialized here
+    (``localCheckpoint``) and all four artifact persists are released
+    before returning, so composing many searches accumulates nothing
+    beyond result-sized blocks.  Pass ``scope=CacheScope()`` to keep the
+    plan fully lazy instead (artifacts registered with the scope; call
+    ``scope.release()`` when done); the persisted-index path
     (``write_ivfpq_index`` / ``ivfpq_index_topk``) is the right tool when
     the index outlives one job.
 
@@ -867,11 +891,16 @@ def ivfpq_topk(
     codes, books = product_quantize(
         corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
     )
+    artifacts = []
     if cache_index:
         assigned = assigned.persist()
         coarse = coarse.persist()
         codes = codes.persist()
         books = books.persist()
+        artifacts = [assigned, coarse, codes, books]
+        if scope is not None:
+            for a in artifacts:
+                scope.add(a)
     lists = assigned.select("vec_id", F.col("cid").alias("list_id"))
 
     # probe selection: rank the nlist coarse centroids per query by the same
@@ -912,7 +941,14 @@ def ivfpq_topk(
         dim=dim,
         scale=scale,
         _prejoined=True,
+        scope=scope,
     )
+    if artifacts and scope is None:
+        # leak-free default: pq_adc_topk already materialized the tiny
+        # |queries|*k result, so the four index artifacts can be freed
+        # before the caller ever runs an action
+        for a in artifacts:
+            a.unpersist(blocking=True)
     return adc
 
 
@@ -929,6 +965,7 @@ def pq_refine_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     scale: int = 1000,
+    scope=None,
 ) -> DataFrame:
     """Two-stage PQ search with exact refinement (FAISS ``IndexRefineFlat``,
     Jégou et al. 2011 §V): ADC over the codes-only table selects a
@@ -947,11 +984,14 @@ def pq_refine_topk(
     the corpus scan, so the big table is read, never shuffled.  Exact
     vector arithmetic runs on shortlist*|queries| rows, not the corpus.
     """
+    from ..cache import CacheScope
     from .relational import top_k_per_group
 
+    own = scope is None
+    scope = scope if scope is not None else CacheScope()
     codes, books = product_quantize(
         corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
-        scale=scale, cache_artifacts=True,
+        scale=scale, cache_artifacts=True, scope=scope,
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     short = pq_adc_topk(
@@ -964,6 +1004,7 @@ def pq_refine_topk(
         id_col="query_id",
         dim=dim,
         scale=scale,
+        scope=scope,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     cand = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -975,9 +1016,15 @@ def pq_refine_topk(
             _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
         ).alias("cosine"),
     )
-    return top_k_per_group(
+    res = top_k_per_group(
         scored, ["query_id"], F.col("cosine"), top_k, tiebreak=["neighbor_id"]
     )
+    if own:
+        # leak-free default (cache.py contract): pin the |queries|*top_k
+        # result, then release the PQ artifacts and the ADC LUT
+        res = res.localCheckpoint(eager=True)
+        scope.release()
+    return res
 
 
 def scalar_quantize(
@@ -1090,6 +1137,7 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     scale: int = 1000,
     cache_assignments: bool = True,
+    scope=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540): cluster
@@ -1137,11 +1185,11 @@ def semdedup_pairs(
         # ReusedExchange observed) — without the persist the k-means chain
         # and its corpus scans run twice (measured 6.7 s -> 3.0 s at
         # sf0.1).  One row per vector, so the cached footprint is the
-        # corpus itself.  LIFETIME CAVEAT (same contract as
-        # prefix_jaccard_join's cache_shingles): never unpersisted here —
-        # callers composing many semdedup calls should clearCache() or
-        # pass cache_assignments=False.
+        # corpus itself.  Lifetime (cache.py contract): released below
+        # by default; a passed scope keeps the plan lazy and owns it.
         vecs = vecs.persist()
+        if scope is not None:
+            scope.add(vecs)
     a, b = vecs.alias("a"), vecs.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     pairs = (
@@ -1158,10 +1206,16 @@ def semdedup_pairs(
         )
         .filter(F.col("cos") >= tau)
     )
-    return pairs.groupBy("cluster_id", "drop_id").agg(
+    res = pairs.groupBy("cluster_id", "drop_id").agg(
         F.min("keep").alias("keep_id"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+    if cache_assignments and scope is None:
+        # leak-free default: pin the dropped-doc result, release the
+        # corpus-sized assignment cache
+        res = res.localCheckpoint(eager=True)
+        vecs.unpersist(blocking=True)
+    return res
 
 
 def mmr_diverse_topk(
@@ -1174,6 +1228,7 @@ def mmr_diverse_topk(
     id_col: str = "vec_id",
     cache_pool: bool = True,
     cache_picks: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     greedily pick ``k`` results that balance relevance to the query
@@ -1197,10 +1252,10 @@ def mmr_diverse_topk(
     Plan-depth caveat: step ``i`` references the accumulated selection
     lazily, so the logical plan grows ~2^k over the 20-row pool — fine
     for the k<=10 re-ranking regime MMR is for; checkpoint between steps
-    if you need large k.  Like ``prefix_jaccard_join``, the pool and
-    per-step pick persists are never released here; callers composing
-    many MMR calls should ``spark.catalog.clearCache()`` or opt out of
-    the caches.  The two flags are separate on purpose: ``cache_pool``
+    if you need large k.  Lifetime (``cache.py`` contract): by default
+    the k-row result is pinned and the pool + pick persists released
+    before returning; a passed ``scope`` keeps the plan lazy and owns
+    the release.  The two flags are separate on purpose: ``cache_pool``
     governs only the pool frame's cache lifetime, while ``cache_picks``
     memoizes each step's 1-row pick — disabling the PICK memoization
     reinstates the ~2^(k-i) re-execution of every pick, so keep
@@ -1215,8 +1270,12 @@ def mmr_diverse_topk(
         .orderBy(F.desc("rel"), "cand_id")
         .limit(pool)
     )
+    pinned = []
     if cache_pool:
         cand = cand.persist()
+        pinned.append(cand)
+        if scope is not None:
+            scope.add(cand)
 
     picks: list[DataFrame] = []
     selected = None
@@ -1251,6 +1310,9 @@ def mmr_diverse_topk(
             # max-sim AND the final union — uncached, pick i re-executes in
             # ~2^(k-i) subtrees (measured k=5: 6.3 s -> 2.6 s at sf0.1)
             pick = pick.persist()
+            pinned.append(pick)
+            if scope is not None:
+                scope.add(pick)
         picks.append(pick.select(F.lit(step).alias("step"), "cand_id", "v", "score"))
         selected = picks[0].select("cand_id", "v") if step == 1 else selected.unionByName(
             picks[-1].select("cand_id", "v")
@@ -1259,9 +1321,15 @@ def mmr_diverse_topk(
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)
-    return out.select(
+    res = out.select(
         "step", F.col("cand_id").alias("vec_id"), F.round("score", 6).alias("score")
     )
+    if pinned and scope is None:
+        # leak-free default: pin the k-row result, release pool + picks
+        res = res.localCheckpoint(eager=True)
+        for df in pinned:
+            df.unpersist(blocking=True)
+    return res
 
 
 def knn_graph(
@@ -1305,6 +1373,39 @@ def knn_graph(
         )
     )
     return top_k_per_group(edges, ["vec_id"], F.col("cosine"), k, tiebreak=["neighbor_id"])
+
+
+def write_knn_graph(
+    corpus: DataFrame,
+    path: str,
+    k: int = 3,
+    n_tables: int = 2,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the KNN edge artifact (``(vec_id, neighbor_id, cosine)``
+    parquet) — the same build-once/serve-many pattern as
+    ``write_ivfpq_index``, for the GRAPH family's shared input: PageRank,
+    label propagation, triangle counting and component-based semantic
+    dedup all consume the same KNN edges, and each re-running the LSH
+    candidate chain is the dominant cost of every one of them (the edge
+    build is the whole plan below the graph iteration).  Train once,
+    read the edges per algorithm.
+    """
+    knn_graph(
+        corpus, k=k, n_tables=n_tables, planes_per_table=planes_per_table,
+        dim=dim, vec_col=vec_col, id_col=id_col,
+    ).write.mode(mode).parquet(path)
+
+
+def read_knn_graph(spark, path: str) -> DataFrame:
+    """Read a ``write_knn_graph`` artifact: a plain columnar edge scan —
+    every graph algorithm downstream starts from a parquet read instead
+    of the LSH self-join chain."""
+    return spark.read.parquet(path)
 
 
 def lsh_link_pairs(
@@ -1496,12 +1597,15 @@ def write_pq_index(
     state (s, n) keeps served distances bit-identical to training-time
     ADC.
     """
-    codes, books = product_quantize(
-        corpus, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
-        scale=scale, cache_artifacts=True,
-    )
-    codes.write.mode(mode).parquet(f"{path}/codes")
-    books.write.mode(mode).parquet(f"{path}/codebooks")
+    from ..cache import CacheScope
+
+    with CacheScope() as s:
+        codes, books = product_quantize(
+            corpus, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
+            scale=scale, cache_artifacts=True, scope=s,
+        )
+        codes.write.mode(mode).parquet(f"{path}/codes")
+        books.write.mode(mode).parquet(f"{path}/codebooks")
 
 
 def pq_index_topk(
@@ -1523,7 +1627,8 @@ def pq_index_topk(
     codes = spark.read.parquet(f"{path}/codes")
     books = spark.read.parquet(f"{path}/codebooks")
     return pq_adc_topk(
-        codes, books, queries, k=k, m=m, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
+        codes, books, queries, k=k, m=m, vec_col=vec_col, id_col=id_col, dim=dim,
+        scale=scale, cache_lut=False,
     )
 
 
@@ -1552,19 +1657,24 @@ def write_ivfpq_index(
             "v"
         ),
     )
+    from ..cache import CacheScope
+
     assigned, coarse = _lloyd_quantized(qz, nlist, iters)
-    codes, books = product_quantize(
-        corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
-        scale=scale, cache_artifacts=True,
-    )
-    (
-        codes.join(assigned.select("vec_id", F.col("cid").alias("ivf_list")), on="vec_id")
-        .write.mode(mode)
-        .partitionBy("ivf_list")
-        .parquet(f"{path}/codes")
-    )
-    coarse.write.mode(mode).parquet(f"{path}/coarse")
-    books.write.mode(mode).parquet(f"{path}/codebooks")
+    with CacheScope() as s:
+        codes, books = product_quantize(
+            corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
+            scale=scale, cache_artifacts=True, scope=s,
+        )
+        (
+            codes.join(
+                assigned.select("vec_id", F.col("cid").alias("ivf_list")), on="vec_id"
+            )
+            .write.mode(mode)
+            .partitionBy("ivf_list")
+            .parquet(f"{path}/codes")
+        )
+        coarse.write.mode(mode).parquet(f"{path}/coarse")
+        books.write.mode(mode).parquet(f"{path}/codebooks")
 
 
 def ivfpq_index_topk(
@@ -1627,6 +1737,7 @@ def ivfpq_index_topk(
         dim=dim,
         scale=scale,
         _prejoined=True,
+        cache_lut=False,
     )
 
 

@@ -205,7 +205,12 @@ def time_weighted_avg(
 
     Engine parity: each value·duration product is one IEEE-754 multiply
     quantized to integer nanos; the per-group numerator is an EXACT long
-    sum (order-free), and the final estimate divides once.
+    sum (order-free), and the final estimate divides once.  Unlike the
+    other nano-unit chains (bounded quantities), value·dt grows with
+    both magnitude and gap length, so a contribution whose nanos would
+    exceed the long range (|value·dt| > ~9.2e9 value·seconds) raises
+    loudly instead of letting the non-ANSI double→long cast clamp to a
+    silently wrong average.
 
     Shape: ONE shuffle on the group key (the LEAD window), then a
     map-side-combined aggregate — state per group is O(1).
@@ -216,9 +221,22 @@ def time_weighted_avg(
         F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
     )
     dt = (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long")
-    contrib_ni = F.floor(
-        F.col(value_col).cast("double") * dt.cast("double") * 1e9 + F.lit(0.5)
-    ).cast("long")
+    vd = F.col(value_col).cast("double") * dt.cast("double")
+    contrib_ni = F.when(
+        F.abs(vd) > 9.2e9,  # ×1e9 would exceed the exact long range
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "time_weighted_avg: |value*dt| overflows the nano-long "
+                    "accumulator (value="
+                ),
+                F.col(value_col).cast("string"),
+                F.lit(", dt_s="),
+                dt.cast("string"),
+                F.lit("); rescale the value column or pre-split long gaps"),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(vd * 1e9 + F.lit(0.5)).cast("long"))
     agg = (
         df.select(*group_cols, dt.alias("_dt"), contrib_ni.alias("_ni"))
         .filter(F.col("_dt").isNotNull())

@@ -1258,14 +1258,20 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an m*k LUT + a codes-only scan — no vector arithmetic per corpus row.
     # Distances add in fixed subspace order (left-associated chain) so the
     # doubles are bit-identical to the oracle's.
+    from ..cache import CacheScope
     from ..operators.similarity import pq_adc_topk, product_quantize
 
     emb = load(spark, sf_dir, "embeddings")
-    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True)
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)
+    with CacheScope() as s:
+        codes, books = product_quantize(
+            emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True, scope=s
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # pq_adc_topk's default path materializes its |queries|*k result,
+        # so the PQ artifacts can be released before returning
+        return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)
 
 
 _PQ_REFINE_SQL = f"""
@@ -1658,20 +1664,26 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m=4 x k=4 codebook is expected to lose neighbors (production uses
     # k=256).  Completes the audit family: LSH (llm_ann_recall), IVF
     # (llm_ivf_recall), PQ (here).
+    from ..cache import CacheScope
     from ..operators.relational import top_k_per_group
     from ..operators.similarity import pq_adc_topk, product_quantize
 
     emb = load(spark, sf_dir, "embeddings")
-    codes, books = product_quantize(emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True)
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    cand = codes.crossJoin(
-        F.broadcast(queries.select("query_id"))
-    ).filter(F.col("vec_id") != F.col("query_id"))
-    pq = pq_adc_topk(cand, books, queries, k=5, m=_PQ_M, _prejoined=True).select(
-        "query_id", "neighbor_id", F.lit(True).alias("hit")
-    )
+    with CacheScope() as s:
+        codes, books = product_quantize(
+            emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True, scope=s
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cand = codes.crossJoin(
+            F.broadcast(queries.select("query_id"))
+        ).filter(F.col("vec_id") != F.col("query_id"))
+        # materialized by pq_adc_topk's default path, so the scope can
+        # release the PQ artifacts when this block exits
+        pq = pq_adc_topk(cand, books, queries, k=5, m=_PQ_M, _prejoined=True).select(
+            "query_id", "neighbor_id", F.lit(True).alias("hit")
+        )
     qz = emb.select(
         "vec_id",
         F.transform(
@@ -2023,6 +2035,29 @@ _LPA_SQL = """
 """.replace("{_knn}", _knn_graph_sql())
 
 
+# The graph family (PageRank, label propagation, triangle count) consumes
+# the SAME k=3 KNN edge set, and the LSH edge build dominates each plan.
+# Amortize it with the persisted-artifact form (write_knn_graph /
+# read_knn_graph, same pattern as write_ivfpq_index): the first graph
+# query in a process builds + writes the edges once per sf_dir; every
+# later one is a parquet edge scan.  Process-scoped on purpose — a fresh
+# process rebuilds, so correctness never reads a stale artifact, and the
+# build is deterministic so written == recomputed bit-for-bit.
+_KNN_EDGE_PATHS: dict[str, str] = {}
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import read_knn_graph, write_knn_graph
+
+    if sf_dir not in _KNN_EDGE_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_knn_") + "/edges"
+        write_knn_graph(load(spark, sf_dir, "embeddings"), path, k=3)
+        _KNN_EDGE_PATHS[sf_dir] = path
+    return read_knn_graph(spark, _KNN_EDGE_PATHS[sf_dir])
+
+
 @register("llm_label_propagation", _LPA_SQL)
 def llm_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Semi-supervised label spreading: 50 seed labels extend through the
@@ -2030,10 +2065,9 @@ def llm_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small human-labeled quality set covers the corpus.  Deterministic
     # argmax (count desc, label asc) replayed per round by the oracle.
     from ..operators.graph import label_propagation
-    from ..operators.similarity import knn_graph
 
     emb = load(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, k=3).select(
+    edges = _knn_edges(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     seeds = emb.filter(F.col("vec_id") < 50).select("vec_id", "label")
@@ -2083,10 +2117,8 @@ def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orientation caps wedge fan-out at O(sqrt(m)) per node, the property
     # that survives power-law degree distributions at web scale.
     from ..operators.graph import triangle_count
-    from ..operators.similarity import knn_graph
 
-    emb = load(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, k=3).select(
+    edges = _knn_edges(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return triangle_count(edges)
@@ -2098,10 +2130,9 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterations.  How curation pipelines pick canonical representatives
     # and weight coreset samples; isolated vectors keep the base rank.
     from ..operators.graph import pagerank
-    from ..operators.similarity import knn_graph
 
     emb = load(spark, sf_dir, "embeddings")
-    edges = knn_graph(emb, k=3).select(
+    edges = _knn_edges(spark, sf_dir).select(
         F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     return pagerank(edges, emb.select("vec_id"), iters=3, id_col="vec_id").select(

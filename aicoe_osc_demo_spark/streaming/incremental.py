@@ -260,6 +260,25 @@ def interval_join(
     return l_wm.join(r_wm, cond, how).drop(r_wm[key])
 
 
+def _committed_versions(spark: SparkSession, root_dir: str) -> list[int]:
+    """Sorted batch-ids of committed ``v=<N>`` version directories under
+    ``root_dir`` — committed means the ``_SUCCESS`` marker exists, so a
+    write interrupted mid-overwrite is invisible rather than corrupt."""
+    from ..operators.layout import _hadoop_fs
+
+    fs, root, jvm = _hadoop_fs(spark, root_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
 def streaming_transition_counts(
     spark: SparkSession,
     input_dir: str,
@@ -278,11 +297,24 @@ def streaming_transition_counts(
 
     State is two parquet tables under ``state_dir`` (restart-safe,
     shared with batch readers):
-    - ``carry/``  — one row per entity: the latest (ts, state) seen, the
-      bridge for the next cross-batch transition;
-    - ``counts/`` — an append-only (state, next_state, n) delta log;
-      readers fold it with ``merge_agg_state`` semantics (sum per pair),
-      so writes stay tiny and contention-free.
+    - ``carry_v/v=<batch_id>/`` — one row per entity: the latest
+      (ts, state) seen, the bridge for the next cross-batch transition.
+      Versioned per batch; a version counts as committed only when its
+      ``_SUCCESS`` marker exists, and it is the LAST write of the fold,
+      so its presence proves the whole batch (delta included) landed.
+    - ``counts/batch_id=<N>/`` — per-batch (state, next_state, n)
+      deltas; readers fold them with ``merge_agg_state`` semantics
+      (sum per pair), so writes stay tiny and contention-free.
+
+    Exactly-once despite at-least-once ``foreachBatch``: a replayed
+    micro-batch either (a) finds its committed carry version and skips
+    entirely, or (b) recomputes from the SAME base carry it used before
+    the crash and mode('overwrite')s the same ``counts/batch_id=<N>``
+    directory — the delta can never be applied twice.  An interrupted
+    carry write leaves a version without ``_SUCCESS``, which the replay
+    ignores and overwrites — corruption cannot silently reset state to
+    first-run bootstrap (bootstrap happens only when NO committed
+    version exists).
 
     Ordering contract (same as the streaming SCD2 ledger): per-entity
     event time must be monotone ACROSS batches — a batch row at or
@@ -294,15 +326,21 @@ def streaming_transition_counts(
     """
     from ..operators.temporal import transition_matrix
 
-    carry_dir = f"{state_dir}/carry"
+    carry_root = f"{state_dir}/carry_v"
     counts_dir = f"{state_dir}/counts"
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        try:
-            carry = s.read.parquet(carry_dir)
-        except Exception:
-            # bootstrap: an empty carry with types derived from the batch
+        versions = _committed_versions(s, carry_root)
+        if batch_id in versions:
+            # replayed batch already fully applied (the carry version is
+            # the fold's final write) — idempotent no-op
+            return
+        base = [v for v in versions if v < batch_id]
+        if base:
+            carry = s.read.parquet(f"{carry_root}/v={base[-1]}")
+        else:
+            # first run: an empty carry with types derived from the batch
             carry = batch.select(
                 entity_col,
                 F.col(ts_col).cast("timestamp").alias("_carry_ts"),
@@ -322,7 +360,7 @@ def streaming_transition_counts(
         delta = transition_matrix(seq, entity_col, state_col, ts_col).select(
             "state", "next_state", "n"
         )
-        delta.write.mode("append").parquet(counts_dir)
+        delta.write.mode("overwrite").parquet(f"{counts_dir}/batch_id={batch_id}")
         w = Window.partitionBy(entity_col).orderBy(F.desc(ts_col))
         new_tail = (
             fresh.select(entity_col, ts_col, state_col)
@@ -345,9 +383,17 @@ def streaming_transition_counts(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        staging = f"{state_dir}/.carry_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        s.read.parquet(staging).write.mode("overwrite").parquet(carry_dir)
+        # commit: the carry version's _SUCCESS is the batch's commit marker
+        merged.write.mode("overwrite").parquet(f"{carry_root}/v={batch_id}")
+        # GC superseded versions, keeping the immediate base: a replay of
+        # THIS batch short-circuits on the committed v=batch_id, and the
+        # kept base covers the crash window where the delta landed but
+        # this commit did not (the replay recomputes from the same base)
+        from ..operators.layout import _hadoop_fs
+
+        fs, _, jvm = _hadoop_fs(s, carry_root)
+        for v in base[:-1]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{carry_root}/v={v}"), True)
 
     return incremental_file_pipeline(
         spark, input_dir, checkpoint_dir, fold, fmt="parquet", schema=schema
@@ -359,6 +405,8 @@ def read_transition_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     totals — merge_agg_state semantics over the streaming delta log."""
     from ..operators.relational import merge_agg_state
 
-    log = spark.read.parquet(f"{state_dir}/counts")
+    log = spark.read.parquet(f"{state_dir}/counts").select(
+        "state", "next_state", "n"
+    )
     empty = spark.createDataFrame([], "state string, next_state string, n long")
     return merge_agg_state(empty, log, ["state", "next_state"], ["n"])

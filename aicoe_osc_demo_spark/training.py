@@ -524,6 +524,7 @@ def finetune_qa(
     backend,
     epochs: int = 2,
     feature_cols: list[str] | None = None,
+    allow_driver_merge: bool = False,
 ) -> dict:
     """M6 — distributed QA fine-tune via per-epoch parameter averaging.
 
@@ -538,8 +539,11 @@ def finetune_qa(
     transformer weights (0.5-1.5 GB per state) a per-partition driver
     collect would be the scalability wall; the tree keeps the
     parameter-server step O(state_size) at the driver.  Legacy backends
-    without ``merge_states`` fall back to the per-partition collect +
-    ``average_states``.
+    without ``merge_states`` are REFUSED by default — the per-partition
+    collect + ``average_states`` path ships partition_count x state_size
+    bytes to the driver, a silent scalability wall with real transformer
+    weights; pass ``allow_driver_merge=True`` to opt into it knowingly
+    (small states / few partitions only).
 
     Returns {"state": bytes, "loss_history": [per-epoch mean loss],
     "loss_sums": [per-epoch summed loss], "n_examples": int}.
@@ -607,18 +611,17 @@ def finetune_qa(
                 if hasattr(backend, "finalize_state")
                 else merged
             )
-        else:  # legacy contract: per-partition driver collect
-            import warnings
-
-            warnings.warn(
-                "finetune backend defines no merge_states: falling back to a "
-                "per-partition driver collect, whose driver traffic scales "
-                "with partition count x state size — define "
-                "merge_states/finalize_state for the executor-side tree "
-                "reduction before running a real transformer backend",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+        else:  # legacy contract: per-partition driver collect (opt-in)
+            if not allow_driver_merge:
+                raise ValueError(
+                    "finetune backend defines no merge_states: the fallback "
+                    "is a per-partition driver collect whose driver traffic "
+                    "scales with partition count x state size — define "
+                    "merge_states/finalize_state for the executor-side tree "
+                    "reduction, or pass allow_driver_merge=True to accept "
+                    "the collect knowingly (small states / few partitions "
+                    "only; never with real transformer weights)"
+                )
             rows = partials.collect()
             if not rows:
                 break

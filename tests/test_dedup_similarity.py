@@ -962,3 +962,46 @@ def test_join_explosion_report_exact_products(spark):
     assert [r["k"] for r in out] == ["k1", "k2"]
     # the real join would emit exactly total_out_rows rows
     assert left.join(right, "k").count() == 14
+
+
+def test_knn_graph_persist_and_serve_matches_in_memory(spark, tmp_path):
+    # write_knn_graph / read_knn_graph: the graph family's shared edge
+    # artifact (VERDICT r6 #5) — served edges are bit-identical to the
+    # in-memory build, downstream algorithms agree, and the served plan
+    # is a pure parquet scan (no LSH chain at read time)
+    import random
+
+    random.seed(29)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)], i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.graph import label_propagation
+    from aicoe_osc_demo_spark.operators.similarity import (
+        knn_graph,
+        read_knn_graph,
+        write_knn_graph,
+    )
+
+    path = str(tmp_path / "knn_edges")
+    write_knn_graph(df, path, k=3, dim=8)
+    served = read_knn_graph(spark, path)
+    direct = knn_graph(df, k=3, dim=8)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan and "Window" not in plan
+
+    def lp(edges):
+        e = edges.select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        seeds = df.filter(F.col("vec_id") < 8).select("vec_id", "label")
+        return sorted(
+            map(
+                tuple,
+                label_propagation(e, seeds, iters=2, node_col="vec_id").collect(),
+            )
+        )
+
+    assert lp(served) == lp(direct)

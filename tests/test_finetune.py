@@ -74,7 +74,11 @@ def test_finetune_legacy_backend_collect_path_matches_tree(spark):
 
     df = _qa_df(spark).repartition(5)
     r_tree = finetune_qa(df, full, epochs=2)
-    r_legacy = finetune_qa(df, _Legacy(), epochs=2)
+    # the collect path is opt-in: without the flag, a merge_states-less
+    # backend is refused loudly instead of silently walling the driver
+    with pytest.raises(ValueError, match="allow_driver_merge"):
+        finetune_qa(df, _Legacy(), epochs=2)
+    r_legacy = finetune_qa(df, _Legacy(), epochs=2, allow_driver_merge=True)
     assert r_tree["loss_sums"] == r_legacy["loss_sums"]
     assert pickle.loads(r_tree["state"]) == pickle.loads(r_legacy["state"])
 

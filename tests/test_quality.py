@@ -543,3 +543,48 @@ def test_mad_outliers_flags_tail_and_handles_zero_mad(spark):
     assert out[("g", 100.0)]["med"] == 5.5 and out[("g", 100.0)]["mad"] == 2.5
     assert out[("h", 50.0)]["is_outlier"] is False
     assert out[("h", 50.0)]["robust_z"] is None
+
+
+def test_winsorize_and_mad_approx_switch_matches_exact_at_tolerance(spark):
+    # the documented 100 TB swap: approx_percentile with a tight accuracy
+    # must reproduce the exact operator's decisions on a moderate-sized
+    # group (rank error <= 1/accuracy ~ 0, so bounds coincide here)
+    from aicoe_osc_demo_spark.operators.quality import mad_outliers, winsorize
+
+    rows = [("g", float(i)) for i in range(1, 101)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+
+    exact = {
+        r["v"]: (r["p_lo"], r["p_hi"], r["v_win"], r["clip_flag"])
+        for r in winsorize(df, "v", ["grp"], lo=0.1, hi=0.9).collect()
+    }
+    approx = {
+        r["v"]: (r["p_lo"], r["p_hi"], r["v_win"], r["clip_flag"])
+        for r in winsorize(
+            df, "v", ["grp"], lo=0.1, hi=0.9, approx=True, accuracy=100000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for v in exact:
+        el, eh, ew, ef = exact[v]
+        al, ah, aw, af = approx[v]
+        # bounds within one data-step of the exact interpolated quantile
+        # (approx_percentile returns an actual data value, not an
+        # interpolation, so allow the unit gap of this integer-ish grid)
+        assert abs(al - el) <= 1.0 and abs(ah - eh) <= 1.0
+        assert abs(aw - ew) <= 1.0
+        if abs(v - el) > 1.0 and abs(v - eh) > 1.0:  # off-boundary rows
+            assert af == ef
+
+    ex = {
+        r["v"]: r["is_outlier"]
+        for r in mad_outliers(df, "v", ["grp"]).collect()
+    }
+    ap = {
+        r["v"]: r["is_outlier"]
+        for r in mad_outliers(
+            df, "v", ["grp"], approx=True, accuracy=100000
+        ).collect()
+    }
+    assert ex == ap  # the 1000.0 spike flags either way; cutoffs tolerate
+    assert ex[1000.0] is True

@@ -307,3 +307,27 @@ def test_percentile_bins_plan_broadcasts_cuts(spark):
     # whole operator contains NO sort -- the point vs NTILE
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Sort" not in plan
+
+
+def test_percentile_bins_approx_switch_matches_exact_at_tolerance(spark):
+    # approx=True swaps the cut aggregate to approx_percentile; with a
+    # tight accuracy on a moderate group the assignment is identical for
+    # every row not sitting exactly on a cutpoint
+    from aicoe_osc_demo_spark.operators.relational import percentile_bins
+
+    rows = [("g", float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    exact = {
+        r["v"]: r["bin"]
+        for r in percentile_bins(df, ["grp"], "v", n_bins=4).collect()
+    }
+    approx = {
+        r["v"]: r["bin"]
+        for r in percentile_bins(
+            df, ["grp"], "v", n_bins=4, approx=True, accuracy=100000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    diffs = [v for v in exact if exact[v] != approx[v]]
+    # only rows adjacent to a cutpoint may shift by the rank tolerance
+    assert len(diffs) <= 4 and all(abs(exact[v] - approx[v]) <= 1 for v in diffs)

@@ -161,3 +161,37 @@ def test_fs_link_scores_weights_and_classes(spark):
     assert got[(2, 102)]["weight"] == round(an + dp, 6)
     # cross pairs disagree on everything -> below lower, dropped
     assert (1, 102) not in got and (2, 101) not in got
+
+
+def test_fs_link_scores_null_field_is_neutral(spark):
+    # Fellegi-Sunter missing-data convention: a NULL on either side makes
+    # the comparison weight 0, not the disagreement weight — otherwise
+    # sparse records are systematically pushed toward non-match
+    import math
+
+    from pyspark.sql import functions as F
+    from aicoe_osc_demo_spark.operators.fuzzy import fs_link_scores
+
+    left = spark.createDataFrame(
+        [(1, "blk", "ann", None)],
+        "l_id long, b string, l_n string, l_p string",
+    )
+    right = spark.createDataFrame(
+        [(101, "blk", "ann", "x1")], ["r_id", "b", "r_n", "r_p"]
+    )
+    out = fs_link_scores(
+        left,
+        right,
+        ["b"],
+        [
+            ("n", F.col("l_n") == F.col("r_n"), 0.9, 0.01),
+            ("p", F.col("l_p") == F.col("r_p"), 0.8, 0.05),
+        ],
+        lower_bits=0.0,
+        upper_bits=6.0,
+    )
+    got = {(r["l_id"], r["r_id"]): r for r in out.collect()}
+    an = math.floor(math.log2(0.9 / 0.01) * 1e9 + 0.5) / 1e9
+    # name agreement only; the NULL phone comparison contributes exactly 0
+    assert got[(1, 101)]["weight"] == round(an, 6)
+    assert got[(1, 101)]["match_class"] == "match"

@@ -601,3 +601,55 @@ def test_streaming_transition_counts_cross_batch_and_parity(spark, tmp_path):
     assert got == want
     assert got[("b", "c")] == 1          # the cross-batch bridge for user 1
     assert ("a", "zz") not in got        # late row never spliced in
+
+    # replay idempotence: foreachBatch is at-least-once — simulate the
+    # crash window where the micro-batch's fold fully ran but the engine
+    # died before writing the checkpoint commit marker.  On restart the
+    # engine re-delivers the SAME batch with the SAME batch_id; the
+    # committed carry version must short-circuit it so counts don't
+    # double (pre-fix this appended the delta a second time).
+    import pathlib
+
+    def drop_last_commit():
+        commits = pathlib.Path(ckpt) / "commits"
+        last = sorted(p for p in commits.iterdir() if p.name.isdigit())[-1]
+        last.unlink()
+        crc = commits / f".{last.name}.crc"
+        if crc.exists():
+            crc.unlink()
+
+    drop_last_commit()
+    q3 = streaming_transition_counts(spark, str(inp), state, ckpt, schema)
+    q3.awaitTermination(120)
+    replayed = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in read_transition_counts(spark, state).collect()
+    }
+    assert replayed == want
+
+    # the OTHER crash window: delta landed but the carry commit did not.
+    # The replay must recompute from the kept base version and overwrite
+    # the same counts/batch_id=<N> directory — still no double count.
+    import shutil
+
+    from aicoe_osc_demo_spark.streaming.incremental import _committed_versions
+
+    vs = _committed_versions(spark, f"{state}/carry_v")
+    assert len(vs) >= 2  # latest + kept base
+    drop_last_commit()
+    shutil.rmtree(pathlib.Path(state) / "carry_v" / f"v={vs[-1]}")
+    q4 = streaming_transition_counts(spark, str(inp), state, ckpt, schema)
+    q4.awaitTermination(120)
+    replayed = {
+        (r["state"], r["next_state"]): r["n"]
+        for r in read_transition_counts(spark, state).collect()
+    }
+    assert replayed == want
+
+    # an interrupted carry overwrite (version dir without _SUCCESS) is
+    # invisible to the committed-version listing, not silently treated
+    # as a first-run bootstrap
+    bogus = pathlib.Path(state) / "carry_v" / "v=99"
+    bogus.mkdir(parents=True)
+    (bogus / "part-corrupt.parquet").write_bytes(b"\x00not-parquet")
+    assert 99 not in _committed_versions(spark, f"{state}/carry_v")

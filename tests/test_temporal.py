@@ -281,6 +281,25 @@ def test_time_weighted_avg_locf_hand_computed(spark):
     assert got["u"]["total_s"] == 40 and got["u"]["twa"] == 17.5
 
 
+def test_time_weighted_avg_overflow_raises_not_clamps(spark):
+    # value 1e3 over a ~107-day gap in epoch seconds: value*dt*1e9 passes
+    # the long range; the non-ANSI cast would silently clamp, so the
+    # operator must raise instead of returning a wrong average
+    import pytest
+
+    from aicoe_osc_demo_spark.operators.temporal import time_weighted_avg
+
+    rows = [("u", 0, 1e3), ("u", 107 * 86400, 1e3)]
+    df = spark.createDataFrame(rows, ["u", "s", "val"])
+    with pytest.raises(Exception, match="overflows the nano-long"):
+        time_weighted_avg(df, "s", "val", ["u"]).collect()
+
+    # just inside the envelope still computes exactly (twa = constant)
+    ok = spark.createDataFrame([("u", 0, 1e3), ("u", 86400, 1e3)], ["u", "s", "val"])
+    got = time_weighted_avg(ok, "s", "val", ["u"]).collect()[0]
+    assert got["twa"] == 1000.0
+
+
 def test_transition_matrix_hand_computed(spark):
     from aicoe_osc_demo_spark.operators.temporal import transition_matrix
 
