@@ -155,6 +155,57 @@ def minhash_signatures(
     )
 
 
+def minhash_corpus_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-pair resemblance from per-corpus MinHash signatures — Broder
+    1997's estimator lifted from documents to whole corpora: the min of
+    ``h_i`` over a corpus's shingle UNION is the min over all its rows'
+    shingles, so each corpus compresses to ``n_hashes`` longs and the
+    pairwise resemblance estimate is the fraction of matching signature
+    positions.  The sketch companion of ``corpus_overlap`` (HLL
+    inclusion–exclusion): HLL estimates overlap CARDINALITY, this
+    estimates overlap FRACTION (Jaccard of the shingle unions) — the
+    "how much of source A is re-used in source B" number a mixture
+    designer reads before deduplicating across sources.
+
+    Scale shape: identical to ``minhash_signatures_wide`` keyed by corpus
+    — one md5 per shingle, ONE map-side-combined groupBy whose state is
+    ``n_hashes`` longs per corpus regardless of corpus size (mins merge
+    associatively, so this also works as a streaming/partitioned sketch).
+    The pairwise stage is a broadcast self-comparison of a
+    |corpora|-sized table — corpora are a dimension, never data-scale.
+
+    Output: (src1, src2, n_match, resemblance) for src1 < src2.
+    """
+    toks = _shingles(df, text_col, group_col, shingle_n).withColumn("h", _token_hash())
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])
+    ]
+    sig = toks.groupBy("doc_id").agg(*aggs).withColumnRenamed("doc_id", "corpus")
+    a, b = sig.alias("a"), sig.alias("b")
+    n_match = None
+    for i in range(n_hashes):
+        t = F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        n_match = t if n_match is None else n_match + t
+    return (
+        a.join(F.broadcast(b), F.col("a.corpus") < F.col("b.corpus"))
+        .select(
+            F.col("a.corpus").alias("src1"),
+            F.col("b.corpus").alias("src2"),
+            n_match.cast("long").alias("n_match"),
+            F.round(
+                n_match.cast("double") / F.lit(float(n_hashes)), 6
+            ).alias("resemblance"),
+        )
+    )
+
+
 def _band_stack_expr(n_hashes: int, bands: int) -> str:
     """stack() expression banding a wide signature into (band, bkey) rows;
     bkey = md5 of the band INDEX plus the band's signature slice.  Baking

@@ -254,6 +254,42 @@ def merge_agg_state(
     )
 
 
+def merge_join_state(
+    m_old: DataFrame,
+    a_old: DataFrame,
+    b_old: DataFrame,
+    d_a: DataFrame,
+    d_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of a materialized INNER equi-join view
+    M = A ⋈ B under insert-only deltas — the classic Δ-rule of
+    incremental view maintenance:
+
+        ΔM = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB),   M' = M ∪ ΔM
+
+    The join companion of :func:`merge_agg_state`: every term touches at
+    least one DELTA side, so a refresh costs delta-proportional work —
+    at 100 TB the difference between joining gigabytes against the base
+    (with the delta side broadcastable when small) and re-running the
+    full base⋈base shuffle.  The three delta joins shuffle (or
+    broadcast) only delta rows plus the matched base rows; ``m_old`` is
+    appended to, never rescanned.
+
+    Correctness contract (the oracle check): with A' = A ∪ ΔA and
+    B' = B ∪ ΔB, ``merge_join_state(...) == A' ⋈ B'`` exactly, because
+    inner-join distributes over union.  Insert-only by design —
+    retractions need differential dataflow's signed multiplicities;
+    pair with :func:`apply_cdc` upstream to compact updates first.
+    """
+    dm = (
+        d_a.join(b_old, on)
+        .unionByName(a_old.join(d_b, on))
+        .unionByName(d_a.join(d_b, on))
+    )
+    return m_old.unionByName(dm)
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

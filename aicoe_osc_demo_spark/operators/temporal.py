@@ -255,6 +255,49 @@ def time_weighted_avg(
     )
 
 
+def lag_features(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    state_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-entity lag/delta feature builder — the sequence-model feature
+    staple (churn models, session features, time-series windows): for
+    each row, the previous event's state, the gap to it, the value
+    delta, and the 1-based sequence index within the entity.
+
+    ``ts_col`` must be NUMERIC epoch units (the ``time_weighted_avg``
+    contract), so the gap is an exact integer difference.  First events
+    carry NULL lags — the honest encoding (imputation is a modeling
+    choice, not an engine one).
+
+    Shape: ONE shuffle on the entity key feeds every output column (all
+    four windows share the same partition/order spec, so Catalyst plans
+    a single Sort + Window); per-group state is O(1).  Adds
+    ``prev_state`` (when ``state_col`` given), ``gap_s``,
+    ``value_delta`` (rounded 6), ``seq``.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    w = Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    out = df
+    if state_col is not None:
+        out = out.withColumn("prev_state", F.lag(state_col).over(w))
+    return (
+        out.withColumn(
+            "gap_s", (F.col(ts_col) - F.lag(ts_col).over(w)).cast("long")
+        )
+        .withColumn(
+            "value_delta",
+            F.round(F.col(value_col) - F.lag(value_col).over(w), 6),
+        )
+        .withColumn("seq", F.row_number().over(w))
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     entity_col: str,

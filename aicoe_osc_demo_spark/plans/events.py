@@ -909,6 +909,49 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_lag_features",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           LAG(event_type) OVER w AS prev_state,
+           CAST(s - LAG(s) OVER w AS BIGINT) AS gap_s,
+           ROUND(value - LAG(value) OVER w, 6) AS value_delta,
+           CAST(ROW_NUMBER() OVER w AS INT) AS seq
+    FROM d
+    WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+    """,
+)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-user lag/delta feature builder (sequence-model staple): previous
+    # event type, gap seconds, value delta, sequence index — all four
+    # columns off ONE shared Sort+Window (single shuffle on user_id).
+    # First events keep NULL lags.
+    from ..operators.temporal import lag_features
+
+    e = load(spark, sf_dir, "events").withColumn(
+        "epoch_s",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        ).cast("long"),
+    )
+    out = lag_features(
+        e, "user_id", "epoch_s", "value",
+        state_col="event_type", tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "event_type",
+        "prev_state", "gap_s", "value_delta", "seq",
+    )
+
+
+@register(
     "events_transition_matrix",
     """
     WITH s AS (

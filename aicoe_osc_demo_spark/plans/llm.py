@@ -2343,6 +2343,41 @@ def llm_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_overlap_pairs(items, "token", "source")
 
 
+_CORPUS_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "llm_corpus_resemblance",
+    f"""
+    WITH sig AS (
+      SELECT doc_id AS corpus,
+             {_MINS_SQL}
+      FROM (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+        FROM (SELECT source AS doc_id, unnest({_GRAMS_SQL}) AS w
+              FROM documents)
+      )
+      GROUP BY doc_id
+    )
+    SELECT a.corpus AS src1, b.corpus AS src2,
+           CAST({_CORPUS_MATCH_SQL} AS BIGINT) AS n_match,
+           ROUND(CAST({_CORPUS_MATCH_SQL} AS DOUBLE) / 8.0, 6) AS resemblance
+    FROM sig a JOIN sig b ON a.corpus < b.corpus
+    """,
+)
+def llm_corpus_resemblance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-pair resemblance (Broder's estimator over whole sources):
+    # each source's shingle union compresses to 8 MinHash longs; the
+    # matching-position fraction estimates the Jaccard between source
+    # vocabular unions.  Overlap FRACTION to llm_corpus_overlap's overlap
+    # CARDINALITY — both one-pass, sketch-sized state.
+    from ..operators.dedup import minhash_corpus_similarity
+
+    return minhash_corpus_similarity(load(spark, sf_dir, "documents"))
+
+
 @register(
     "llm_source_divergence",
     """

@@ -835,6 +835,53 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_join_maintenance",
+    """
+    SELECT o_custkey AS custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(c_acctbal, 2) AS acctbal,
+           c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental JOIN-view maintenance (the Δ-rule): pre-1997 orders ⋈
+    # established customers plays the persisted view; late orders and
+    # newly-onboarded customers arrive as insert deltas, and the refresh
+    # runs the three delta joins — never base⋈base again.  Inner join
+    # distributes over union, so the maintained view must equal the full
+    # recompute — which IS the oracle.
+    from ..operators.relational import merge_join_state
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal", "c_mktsegment"
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    a_old = od.filter(F.col("o_orderdate") < cutoff).drop("o_orderdate")
+    d_a = od.filter(F.col("o_orderdate") >= cutoff).drop("o_orderdate")
+    b_old = c.filter(F.col("custkey") % 20 != 0)
+    d_b = c.filter(F.col("custkey") % 20 == 0)
+    m_old = a_old.join(b_old, ["custkey"])
+    view = merge_join_state(m_old, a_old, b_old, d_a, d_b, ["custkey"])
+    return view.select(
+        "custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+@register(
     "diag_table_diff",
     """
     WITH old_t AS (

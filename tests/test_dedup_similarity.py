@@ -1005,3 +1005,24 @@ def test_knn_graph_persist_and_serve_matches_in_memory(spark, tmp_path):
         )
 
     assert lp(served) == lp(direct)
+
+
+def test_minhash_corpus_similarity_bounds(spark):
+    # identical corpora -> every signature position matches (resemblance 1);
+    # disjoint-vocabulary corpora share no shingles -> resemblance ~0;
+    # output is strictly upper-triangular (src1 < src2)
+    from aicoe_osc_demo_spark.operators.dedup import minhash_corpus_similarity
+
+    rows = (
+        [("A", f"alpha beta gamma delta epsilon {i}") for i in range(5)]
+        + [("B", f"alpha beta gamma delta epsilon {i}") for i in range(5)]
+        + [("C", f"zork quux fnord blag wibble {i}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        (r["src1"], r["src2"]): r
+        for r in minhash_corpus_similarity(df, "source", "text").collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert got[("A", "B")]["resemblance"] == 1.0 and got[("A", "B")]["n_match"] == 8
+    assert got[("A", "C")]["resemblance"] <= 0.25  # 8 hashes: chance collisions only

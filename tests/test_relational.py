@@ -331,3 +331,43 @@ def test_percentile_bins_approx_switch_matches_exact_at_tolerance(spark):
     diffs = [v for v in exact if exact[v] != approx[v]]
     # only rows adjacent to a cutpoint may shift by the rank tolerance
     assert len(diffs) <= 4 and all(abs(exact[v] - approx[v]) <= 1 for v in diffs)
+
+
+def test_merge_join_state_equals_full_recompute(spark):
+    # Δ-rule maintenance: M ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) == (A∪ΔA)⋈(B∪ΔB),
+    # including keys where both deltas land (the ΔA⋈ΔB term)
+    from aicoe_osc_demo_spark.operators.relational import merge_join_state
+
+    a_old = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "av"])
+    d_a = spark.createDataFrame([(2, "a2new"), (3, "a3")], ["k", "av"])
+    b_old = spark.createDataFrame([(1, "b1"), (3, "b3")], ["k", "bv"])
+    d_b = spark.createDataFrame([(2, "b2"), (3, "b3new")], ["k", "bv"])
+    m_old = a_old.join(b_old, ["k"])
+    got = merge_join_state(m_old, a_old, b_old, d_a, d_b, ["k"])
+    want = a_old.unionByName(d_a).join(b_old.unionByName(d_b), ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_lag_features_hand_computed(spark):
+    from aicoe_osc_demo_spark.operators.temporal import lag_features
+
+    rows = [
+        ("u", 10, "a", 1.0),
+        ("u", 25, "b", 4.5),
+        ("u", 25, "c", 2.0),   # tie on ts -> tiebreak on state col value? use id
+        ("v", 5, "x", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["u", "s", "ev", "val"])
+    out = {
+        (r["u"], r["seq"]): r
+        for r in lag_features(
+            df, "u", "s", "val", state_col="ev", tiebreak_cols=["ev"]
+        ).collect()
+    }
+    assert out[("u", 1)]["prev_state"] is None
+    assert out[("u", 1)]["gap_s"] is None and out[("u", 1)]["value_delta"] is None
+    assert out[("u", 2)]["prev_state"] == "a" and out[("u", 2)]["gap_s"] == 15
+    assert out[("u", 2)]["value_delta"] == 3.5
+    assert out[("u", 3)]["prev_state"] == "b" and out[("u", 3)]["gap_s"] == 0
+    assert out[("u", 3)]["value_delta"] == -2.5
+    assert out[("v", 1)]["prev_state"] is None and len(out) == 4
