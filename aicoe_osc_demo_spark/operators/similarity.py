@@ -1512,6 +1512,47 @@ def write_ivf_index(
     )
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF index maintenance (FAISS ``add`` semantics): route
+    each NEW vector to its nearest existing centroid — the same cosine
+    rule ``ivf_index_topk``'s query router uses, so adds and probes can
+    never disagree about a list — and APPEND it to that list's partition.
+    Centroids stay FROZEN: an add touches |new| rows plus a
+    broadcast-sized centroid table, never the existing index.  The
+    standard trade: sustained drift in the data distribution skews list
+    populations, and the fix is a periodic offline retrain + rewrite
+    (``train_ivf_quantizer`` + ``write_ivf_index``), exactly as FAISS
+    re-trains its quantizer.
+
+    Append lands as new files under the existing ``ivf_list=<l>``
+    partitions — a metadata-level operation; serving continues to prune
+    partitions and simply lists the extra files.
+    """
+    cent = spark.read.parquet(f"{path}/centroids")
+    from .relational import top_k_per_group
+
+    nv = new_vectors.select(F.col(id_col), F.col(vec_col))
+    scored = nv.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "ivf_list",
+        (
+            _dot(F.col(vec_col), F.col("centroid"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("centroid")))
+        ).alias("csim"),
+    )
+    assigned = top_k_per_group(
+        scored, [id_col], F.col("csim"), 1, tiebreak=["ivf_list"]
+    ).select(id_col, vec_col, "ivf_list")
+    assigned.write.mode("append").partitionBy("ivf_list").parquet(f"{path}/vectors")
+
+
 def ivf_index_topk(
     spark,
     path: str,

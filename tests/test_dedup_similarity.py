@@ -1026,3 +1026,58 @@ def test_minhash_corpus_similarity_bounds(spark):
     assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
     assert got[("A", "B")]["resemblance"] == 1.0 and got[("A", "B")]["n_match"] == 8
     assert got[("A", "C")]["resemblance"] <= 0.25  # 8 hashes: chance collisions only
+
+
+def test_ivf_index_add_appends_and_serves(spark, tmp_path):
+    # incremental index maintenance: new vectors route to their nearest
+    # FROZEN centroid (the exact rule the query router uses) and append
+    # into the existing ivf_list partitions; serving sees them without a
+    # rebuild, and the add never touches the pre-existing index rows
+    import math
+    import random
+
+    random.seed(53)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import (
+        ivf_index_add,
+        ivf_index_topk,
+        train_ivf_quantizer,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(train_ivf_quantizer(base, n_lists=4), path)
+
+    new_rows = [(100 + i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(10)]
+    new = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+    ivf_index_add(spark, path, new)
+
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert vecs.count() == 50
+    # pre-existing rows untouched (same ids, same list membership count)
+    assert vecs.filter(F.col("vec_id") < 100).count() == 40
+
+    # a query equal to an added vector probes its own list first (add rule
+    # == router rule) and finds itself at cosine 1 even with nprobe=1
+    probe_vec = new_rows[0][1]
+    q = spark.createDataFrame([(0, probe_vec)], ["vec_id", "embedding"])
+    top = ivf_index_topk(spark, path, q, k=1, nprobe=1).collect()[0]
+    assert top["neighbor_id"] == 100 and top["cosine"] == 1.0
+
+    # the stored assignment equals the direct argmax-cosine centroid
+    cents = {
+        r["ivf_list"]: r["centroid"]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    stored = {r["vec_id"]: r["ivf_list"] for r in vecs.filter(F.col("vec_id") >= 100).collect()}
+    for vid, v in new_rows[:3]:
+        want = max(sorted(cents), key=lambda l: (cos(v, cents[l]), -l))
+        assert stored[vid] == want
