@@ -1673,6 +1673,60 @@ def pq_index_topk(
     )
 
 
+def pq_index_refine_topk(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 20,
+    top_k: int = 5,
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage refine search served from a ``write_pq_index`` layout:
+    ADC over the persisted codes selects the shortlist (no training at
+    query time, LUT lineage is a broadcast-sized codebook read), then
+    only the shortlist's full vectors are fetched from ``corpus`` and
+    re-ranked by exact cosine — ``pq_refine_topk``'s stage 2 verbatim,
+    so served results are bit-identical to the training-time operator
+    (test-pinned).  Self-matches excluded, consistent with
+    ``cosine_topk``."""
+    from .relational import top_k_per_group
+
+    codes = spark.read.parquet(f"{path}/codes")
+    books = spark.read.parquet(f"{path}/codebooks")
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    short = pq_adc_topk(
+        codes,
+        books,
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+        k=shortlist,
+        m=m,
+        vec_col=vec_col,
+        id_col="query_id",
+        dim=dim,
+        scale=scale,
+        cache_lut=False,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(F.broadcast(short.select("query_id", "neighbor_id")), on="neighbor_id")
+    scored = cand.join(F.broadcast(q), on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+        ).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], F.col("cosine"), top_k, tiebreak=["neighbor_id"]
+    )
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     path: str,

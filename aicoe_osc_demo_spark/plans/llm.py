@@ -1148,11 +1148,9 @@ def llm_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compress to 4 codes via 4 independent deterministic codebooks — the
     # representation that keeps a billion-vector index in RAM.  Registered
     # exploded (vec_id, sub, code) so the output is flat-canonical.
-    from ..operators.similarity import product_quantize
-
-    codes, _books = product_quantize(
-        load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K, iters=2
-    )
+    # Served from the process-scoped written index (_pq_index): training
+    # runs once per sf_dir; this is a parquet codes scan.
+    codes = spark.read.parquet(f"{_pq_index(spark, sf_dir)}/codes")
     return codes.select("vec_id", F.posexplode("codes").alias("sub", "code"))
 
 
@@ -1243,13 +1241,17 @@ def llm_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned (nprobe=2 of nlist=4 inverted lists per query), PQ codes
     # shrink WHAT is scanned (ADC over m=4 codes).  Fully oracle-replayed:
     # coarse Lloyd chain + probe ranking + per-subspace codebooks + LUT.
-    from ..operators.similarity import ivfpq_topk
+    # Served from the process-scoped written index (partition-pruned codes
+    # scan); served == retrained is pinned by the index persist/serve test.
+    from ..operators.similarity import ivfpq_index_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivfpq_topk(emb, queries, nlist=4, nprobe=2, m=_PQ_M, k_pq=_PQ_K, top_k=5)
+    return ivfpq_index_topk(
+        spark, _ivfpq_index(spark, sf_dir), queries, k=5, nprobe=2, m=_PQ_M
+    )
 
 
 @register("llm_pq_adc_topk", _PQ_ADC_SQL)
@@ -1258,20 +1260,16 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an m*k LUT + a codes-only scan — no vector arithmetic per corpus row.
     # Distances add in fixed subspace order (left-associated chain) so the
     # doubles are bit-identical to the oracle's.
-    from ..cache import CacheScope
-    from ..operators.similarity import pq_adc_topk, product_quantize
+    # Served from the process-scoped written index: no training at query
+    # time, the LUT builds off the broadcast-sized persisted codebooks,
+    # and the plan is fully lazy with zero cached artifacts.
+    from ..operators.similarity import pq_index_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    with CacheScope() as s:
-        codes, books = product_quantize(
-            emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True, scope=s
-        )
-        queries = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        # pq_adc_topk's default path materializes its |queries|*k result,
-        # so the PQ artifacts can be released before returning
-        return pq_adc_topk(codes, books, queries, k=5, m=_PQ_M)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_index_topk(spark, _pq_index(spark, sf_dir), queries, k=5, m=_PQ_M)
 
 
 _PQ_REFINE_SQL = f"""
@@ -1324,13 +1322,17 @@ def llm_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codes table picks a 20-candidate shortlist per query, exact cosine
     # re-ranks ONLY those candidates' full vectors to the final top-5 —
     # the approximate index bounds how many full vectors are ever read.
-    from ..operators.similarity import pq_refine_topk
+    # Served from the process-scoped written index; bit-identical to the
+    # training-time pq_refine_topk (test-pinned).
+    from ..operators.similarity import pq_index_refine_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_refine_topk(emb, queries, shortlist=20, top_k=5, m=_PQ_M, k_pq=_PQ_K)
+    return pq_index_refine_topk(
+        spark, _pq_index(spark, sf_dir), emb, queries, shortlist=20, top_k=5, m=_PQ_M
+    )
 
 
 # --- Scalar quantization (int8 embedding compression) ------------------------
@@ -1664,26 +1666,24 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # m=4 x k=4 codebook is expected to lose neighbors (production uses
     # k=256).  Completes the audit family: LSH (llm_ann_recall), IVF
     # (llm_ivf_recall), PQ (here).
-    from ..cache import CacheScope
     from ..operators.relational import top_k_per_group
-    from ..operators.similarity import pq_adc_topk, product_quantize
+    from ..operators.similarity import pq_adc_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    with CacheScope() as s:
-        codes, books = product_quantize(
-            emb, m=_PQ_M, k=_PQ_K, iters=2, cache_artifacts=True, scope=s
-        )
-        queries = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        cand = codes.crossJoin(
-            F.broadcast(queries.select("query_id"))
-        ).filter(F.col("vec_id") != F.col("query_id"))
-        # materialized by pq_adc_topk's default path, so the scope can
-        # release the PQ artifacts when this block exits
-        pq = pq_adc_topk(cand, books, queries, k=5, m=_PQ_M, _prejoined=True).select(
-            "query_id", "neighbor_id", F.lit(True).alias("hit")
-        )
+    # served from the process-scoped written index: lazy plan, no training
+    # at query time, nothing persisted (cache_lut=False)
+    path = _pq_index(spark, sf_dir)
+    codes = spark.read.parquet(f"{path}/codes")
+    books = spark.read.parquet(f"{path}/codebooks")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = codes.crossJoin(
+        F.broadcast(queries.select("query_id"))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    pq = pq_adc_topk(
+        cand, books, queries, k=5, m=_PQ_M, _prejoined=True, cache_lut=False
+    ).select("query_id", "neighbor_id", F.lit(True).alias("hit"))
     qz = emb.select(
         "vec_id",
         F.transform(
@@ -1708,6 +1708,131 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     return (
         exact.join(pq, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.col("hit")).alias("n_matched"),
+            F.round(F.count(F.col("hit")).cast("double") / F.lit(5.0), 6).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+_IVFPQ_RECALL_SQL = f"""
+    WITH {_IVF_COARSE},
+    {_PQ_CTES},
+    lists AS (SELECT vec_id, cid AS list_id FROM a29),
+    probed AS (
+      SELECT query_id, cid AS list_id FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                          i -> (c.n * q.v[i] - c.s[i]) * (c.n * q.v[i] - c.s[i]))) AS DOUBLE)
+                        / CAST(c.n * c.n AS DOUBLE) ASC, c.cid ASC) AS rn
+        FROM (SELECT * FROM q9 WHERE vec_id < 3) q CROSS JOIN c19 c
+      ) WHERE rn <= 2
+    ),
+    codes AS (
+      SELECT a20.vec_id AS vec_id, a20.cid AS k0, a21.cid AS k1,
+             a22.cid AS k2, a23.cid AS k3
+      FROM a20 JOIN a21 USING (vec_id) JOIN a22 USING (vec_id) JOIN a23 USING (vec_id)
+    ),
+    {_PQ_LUT},
+    scored AS (
+      SELECT p.query_id AS query_id, c.vec_id AS neighbor_id,
+             round(((l0.d + l1.d) + l2.d) + l3.d, 6) AS adc_dist
+      FROM codes c
+      JOIN lists ls ON c.vec_id = ls.vec_id
+      JOIN probed p ON ls.list_id = p.list_id
+      JOIN lut0 l0 ON c.k0 = l0.cid AND l0.query_id = p.query_id
+      JOIN lut1 l1 ON c.k1 = l1.cid AND l1.query_id = p.query_id
+      JOIN lut2 l2 ON c.k2 = l2.cid AND l2.query_id = p.query_id
+      JOIN lut3 l3 ON c.k3 = l3.cid AND l3.query_id = p.query_id
+      WHERE c.vec_id != p.query_id
+    ),
+    served AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ),
+    bq AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS l2
+      FROM bq c CROSS JOIN (SELECT * FROM bq WHERE vec_id < 3) q
+      WHERE c.vec_id != q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY l2 ASC, neighbor_id ASC) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN served p ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
+@register("llm_ivfpq_recall", _IVFPQ_RECALL_SQL)
+def llm_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall@5 audit of the END-TO-END IVF-PQ path against the exact L2
+    # ranking — unlike llm_pq_recall (pure quantization loss) this also
+    # counts PROBE loss (nprobe=2 of nlist=4 lists), the two knobs a
+    # production tuner trades off.  Completes the audit family:
+    # LSH / IVF / PQ / IVF-PQ.  Self-exclusion: take top-6 served (the
+    # query may rank itself first), drop self, re-rank to 5 — exact under
+    # the shared (adc_dist, neighbor_id) total order.
+    from ..operators.relational import top_k_per_group
+    from ..operators.similarity import ivfpq_index_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served6 = ivfpq_index_topk(
+        spark, _ivfpq_index(spark, sf_dir), queries, k=6, nprobe=2, m=_PQ_M
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    served = top_k_per_group(
+        served6, ["query_id"], -F.col("adc_dist"), 5, tiebreak=["neighbor_id"]
+    ).select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("v"),
+    )
+    qs = qz.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    ex_scored = (
+        qz.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), l2.alias("l2"))
+    )
+    exact = top_k_per_group(
+        ex_scored, ["query_id"], -F.col("l2"), 5, tiebreak=["neighbor_id"]
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(served, on=["query_id", "neighbor_id"], how="left")
         .groupBy("query_id")
         .agg(
             F.count(F.col("hit")).alias("n_matched"),
@@ -2056,6 +2181,47 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_knn_graph(load(spark, sf_dir, "embeddings"), path, k=3)
         _KNN_EDGE_PATHS[sf_dir] = path
     return read_knn_graph(spark, _KNN_EDGE_PATHS[sf_dir])
+
+
+# Same build-once/serve-many amortization for the PQ family: the whole
+# point of a PQ / IVF-PQ index is that the Lloyd training runs OFFLINE
+# once and every query batch reads the codes tables — so the catalog
+# entries serve from a process-scoped written index (first touch per
+# sf_dir trains + writes; training is deterministic integer state, so
+# served results are bit-identical to retraining, test-pinned by the
+# index persist/serve tests).  This also keeps the entries leak-free:
+# the serving paths run cache_lut=False with zero persisted artifacts.
+_PQ_INDEX_PATHS: dict[str, str] = {}
+_IVFPQ_INDEX_PATHS: dict[str, str] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.similarity import write_pq_index
+
+    if sf_dir not in _PQ_INDEX_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_pq_") + "/index"
+        write_pq_index(
+            load(spark, sf_dir, "embeddings"), path, m=_PQ_M, k=_PQ_K, iters=2
+        )
+        _PQ_INDEX_PATHS[sf_dir] = path
+    return _PQ_INDEX_PATHS[sf_dir]
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.similarity import write_ivfpq_index
+
+    if sf_dir not in _IVFPQ_INDEX_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_ivfpq_") + "/index"
+        write_ivfpq_index(
+            load(spark, sf_dir, "embeddings"), path, nlist=4, m=_PQ_M, k_pq=_PQ_K,
+            iters=2,
+        )
+        _IVFPQ_INDEX_PATHS[sf_dir] = path
+    return _IVFPQ_INDEX_PATHS[sf_dir]
 
 
 @register("llm_label_propagation", _LPA_SQL)

@@ -421,6 +421,56 @@ def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores(load(spark, sf_dir, "documents"))
 
 
+_PPL_BUCKETS_SQL = f"""
+    WITH ppl AS (
+      SELECT p.doc_id, p.avg_logp, d2.lang
+      FROM ({_LM_SQL}) p JOIN documents d2 ON p.doc_id = d2.doc_id
+    ),
+    cuts AS (
+      SELECT lang,
+             quantile_cont(avg_logp,
+                           [0.3333333333333333, 0.6666666666666666]) AS qs
+      FROM ppl GROUP BY 1
+    )
+    SELECT p.lang,
+           CASE len(list_filter(c.qs, q -> p.avg_logp >= q))
+             WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(MIN(p.avg_logp), 6) AS lo,
+           ROUND(MAX(p.avg_logp), 6) AS hi
+    FROM ppl p JOIN cuts c ON p.lang = c.lang
+    GROUP BY 1, 2
+"""
+
+
+@register("llm_perplexity_buckets", _PPL_BUCKETS_SQL)
+def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet's head/middle/tail split (Wenzek et al. 2020): per-language
+    # perplexity TERCILES partition the corpus into quality tiers —
+    # training mixtures upsample the head, audit the tail.  Composes the
+    # self-trained bigram LM score with the no-sort percentile_bins
+    # cutpoint binning (one combine-friendly percentile aggregate +
+    # broadcast fold; NTILE's global sort never appears).
+    from ..operators.quality import lm_perplexity_scores
+    from ..operators.relational import percentile_bins
+
+    docs = load(spark, sf_dir, "documents")
+    scores = lm_perplexity_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    binned = percentile_bins(scores, ["lang"], "avg_logp", 3)
+    bucket = (
+        F.when(F.col("bin") == 2, F.lit("head"))
+        .when(F.col("bin") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return binned.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_logp"), 6).alias("lo"),
+        F.round(F.max("avg_logp"), 6).alias("hi"),
+    )
+
+
 @register("llm_quality_resample", _RESAMPLE_SQL)
 def llm_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quality-weighted subsampling: keep rate (bucket+1)/5 via md5 threshold

@@ -1081,3 +1081,34 @@ def test_ivf_index_add_appends_and_serves(spark, tmp_path):
     for vid, v in new_rows[:3]:
         want = max(sorted(cents), key=lambda l: (cos(v, cents[l]), -l))
         assert stored[vid] == want
+
+
+def test_pq_index_refine_serves_bit_identical(spark, tmp_path):
+    # pq_index_refine_topk (serve-from-index two-stage search) returns
+    # exactly what the training-time pq_refine_topk computes — training is
+    # deterministic integer state, so written == retrained
+    import random
+
+    random.seed(61)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.similarity import (
+        pq_index_refine_topk,
+        pq_refine_topk,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pqr")
+    write_pq_index(df, path, m=2, k=4, dim=8)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = pq_index_refine_topk(
+        spark, path, df, queries, shortlist=10, top_k=3, m=2, dim=8
+    ).collect()
+    direct = pq_refine_topk(
+        df, queries, shortlist=10, top_k=3, m=2, k_pq=4, dim=8
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
