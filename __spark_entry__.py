@@ -36,10 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # proj_select_columns.  No new r7 queries are placed inside the window --
 # they are local-oracle-verified this round (LOCAL_CORRECTNESS_r7.txt)
 # and front the r8 window instead, so the 45-entry verification debt
-# clears in one pass.  Still rolling after this window (r8 rotation
-# backlog, all r02-green, code paths unchanged): the remaining 25 r02-era
-# entries (reshape_struct_unpack, sample_*, set_*, text_* families,
-# text_bpe_token_count, window_argmax/rank/topk).
+# clears in one pass.  The r8 window should lead with the 8 NEW r7
+# entries (events_lag_features, events_retention_cohorts,
+# events_rfm_scores, incremental_join_maintenance,
+# llm_corpus_resemblance, llm_ivfpq_recall, llm_perplexity_buckets,
+# llm_dedup_rate_by_source) and the PQ-family entries whose serving path
+# changed to the written index (llm_pq_codes, llm_pq_adc_topk,
+# llm_pq_refine_topk, llm_pq_recall, llm_ivfpq_topk), then continue the
+# rotation backlog (r02-green, code paths unchanged):
+# reshape_struct_unpack, sample_*, set_*, text_* families,
+# text_bpe_token_count, window_argmax/rank/topk.
 _DRIVER_CHECK_PRIORITY = [
     # --- 26 late-r6 additions: first driver check ---
     "incremental_agg_maintenance",

@@ -1060,3 +1060,130 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("long").alias("n_outliers"),
         F.round(F.max("robust_z"), 6).alias("max_z"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS cohort FROM d GROUP BY 1),
+    r AS (
+      SELECT d.user_id, f.cohort,
+             CAST(datediff('day', f.cohort, d.d) AS INT) AS day_offset
+      FROM d JOIN f USING (user_id)
+    ),
+    g AS (
+      SELECT cohort, day_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM r GROUP BY 1, 2
+    ),
+    s AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1)
+    SELECT CAST(g.cohort AS VARCHAR) AS cohort, day_offset, n_users, cohort_size,
+           ROUND(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+    FROM g JOIN s USING (cohort)
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cohort retention matrix — the canonical product-analytics rollup:
+    # users grouped by first-seen day, distinct actives per (cohort, day
+    # offset), rate against cohort size.  Two keyed aggregates + one
+    # broadcast-sized cohort join; the events table is scanned once per
+    # aggregate, never per cohort.
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    r = e.join(first, "user_id").select(
+        "user_id", "cohort", F.datediff("d", "cohort").alias("day_offset")
+    )
+    g = r.groupBy("cohort", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    s = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return g.join(s, "cohort").select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "events_rfm_scores",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    mx AS (SELECT MAX(d) AS md FROM d),
+    u AS (
+      SELECT user_id,
+             CAST(datediff('day', MAX(d), (SELECT md FROM mx)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(cents) AS BIGINT) AS monetary_cents
+      FROM d GROUP BY user_id
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+             quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+      FROM u
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(4 - len(list_filter(c.rq, q -> u.recency_days >= q)) + 1 AS INT)
+             AS r_score,
+           CAST(len(list_filter(c.fq, q -> u.frequency >= q)) + 1 AS INT)
+             AS f_score,
+           CAST(len(list_filter(c.mq, q -> u.monetary_cents >= q)) + 1 AS INT)
+             AS m_score
+    FROM u CROSS JOIN cuts c
+    """,
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation (recency / frequency / monetary quintiles) — the
+    # classic lifecycle scoring, built on the no-sort percentile_bins
+    # cutpoint pattern: one user rollup, three broadcast quantile folds,
+    # no NTILE global sort anywhere.  Scores are 1-5; recency inverts
+    # (recent = high).  Monetary in exact integer cents.
+    from ..operators.relational import percentile_bins
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    mx = e.agg(F.max("d").alias("md"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("md", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .withColumn("g", F.lit(1))
+    )
+    b = percentile_bins(u, ["g"], "recency_days", 5, bin_col="rb")
+    b = percentile_bins(b, ["g"], "frequency", 5, bin_col="fb")
+    b = percentile_bins(b, ["g"], "monetary_cents", 5, bin_col="mb")
+    return b.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(4) - F.col("rb") + F.lit(1)).cast("int").alias("r_score"),
+        (F.col("fb") + F.lit(1)).cast("int").alias("f_score"),
+        (F.col("mb") + F.lit(1)).cast("int").alias("m_score"),
+    )

@@ -2039,10 +2039,10 @@ def llm_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus-wide approximate KNN graph: LSH self-join candidates ->
     # symmetrized edges -> top-3 per vector.  The graph artifact behind
     # graph dedup / label propagation / NN-Descent seeding; no broadcast,
-    # no all-pairs.
-    from ..operators.similarity import knn_graph
-
-    return knn_graph(load(spark, sf_dir, "embeddings"), k=3)
+    # no all-pairs.  Served from the process-scoped written artifact —
+    # this IS the artifact the graph family consumes (bit-identical to
+    # the in-memory build, test-pinned).
+    return _knn_edges(spark, sf_dir)
 
 
 # --- PageRank over the KNN similarity graph ----------------------------------
@@ -2589,3 +2589,38 @@ def llm_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
     return kl_divergence_by_group(tokens, "source", "token", buckets=256)
+
+
+@register(
+    "llm_dedup_rate_by_source",
+    """
+    WITH fp AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT f) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source exact-duplicate rate — the first number a mixture
+    # designer reads per corpus source (high dup_rate sources get
+    # deduplicated or downweighted before training).  One fingerprint
+    # projection + one map-side-combined aggregate per source.
+    from ..functions.analysis import doc_fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("source", doc_fingerprint(F.col("text")).alias("f"))
+    return fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("f").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
