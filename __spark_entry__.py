@@ -32,20 +32,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # at sf0.01 in the r6 judging pass) and the 19 entries that rolled past
 # position 50 in r6 (pipeline_llm_curation, join_multiway_revenue_by_nation,
 # and the r02-era agg/join/dedup block).  The remaining 5 slots start the
-# oldest-green rotation (last driver-green r02): the filter family and
-# proj_select_columns.  No new r7 queries are placed inside the window --
-# they are local-oracle-verified this round (LOCAL_CORRECTNESS_r7.txt)
-# and front the r8 window instead, so the 45-entry verification debt
-# clears in one pass.  The r8 window should lead with the 8 NEW r7
-# entries (events_lag_features, events_retention_cohorts,
-# events_rfm_scores, incremental_join_maintenance,
-# llm_corpus_resemblance, llm_ivfpq_recall, llm_perplexity_buckets,
-# llm_dedup_rate_by_source) and the PQ-family entries whose serving path
-# changed to the written index (llm_pq_codes, llm_pq_adc_topk,
-# llm_pq_refine_topk, llm_pq_recall, llm_ivfpq_topk), then continue the
-# rotation backlog (r02-green, code paths unchanged):
-# reshape_struct_unpack, sample_*, set_*, text_* families,
-# text_bpe_token_count, window_argmax/rank/topk.
+# five entries whose CODE PATH changed this round -- the PQ family now
+# serves from a process-scoped written index (train once per sf_dir,
+# read the codes tables), so the changed path re-verifies under the
+# driver per the changed-code-outranks-rotation norm.  No new r7
+# queries are placed inside the window -- the 9 new entries
+# (events_lag_features, events_retention_cohorts, events_rfm_scores,
+# incremental_join_maintenance, llm_corpus_resemblance,
+# llm_ivfpq_recall, llm_perplexity_buckets, llm_dedup_rate_by_source,
+# llm_knn_graph's artifact-served rewrite) are local-oracle-verified
+# this round (LOCAL_CORRECTNESS_r7.txt) and front the r8 window, so
+# the 45-entry verification debt clears in one pass.  Still rolling
+# after this window (r8 rotation backlog, r02-green, code unchanged):
+# the filter family, proj_select_columns, reshape_struct_unpack,
+# sample_*, set_*, text_* families, window_argmax/rank/topk.
 _DRIVER_CHECK_PRIORITY = [
     # --- 26 late-r6 additions: first driver check ---
     "incremental_agg_maintenance",
@@ -94,12 +94,12 @@ _DRIVER_CHECK_PRIORITY = [
     "join_top_unshipped_orders",
     "order_limit",
     "reshape_melt",
-    # --- oldest-green rotation (last driver-green r02) ---
-    "filter_conjunctive",
-    "filter_dropna",
-    "filter_isin",
-    "filter_anti_isin",
-    "proj_select_columns",
+    # --- code paths changed in r7 (PQ family -> index serving) ---
+    "llm_pq_codes",
+    "llm_pq_adc_topk",
+    "llm_pq_refine_topk",
+    "llm_pq_recall",
+    "llm_ivfpq_topk",
 ]
 
 
