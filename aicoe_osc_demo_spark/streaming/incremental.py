@@ -410,3 +410,141 @@ def read_transition_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     )
     empty = spark.createDataFrame([], "state string, next_state string, n long")
     return merge_agg_state(empty, log, ["state", "next_state"], ["n"])
+
+
+def streaming_lag_features(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    state_col: str = "event_type",
+) -> StreamingQuery:
+    """Continuous lag/delta feature building: the streaming form of
+    ``operators/temporal.py:lag_features``, maintained incrementally
+    because lags CROSS micro-batch boundaries — the first event of an
+    entity in a batch must take its prev_state / gap / delta from the
+    entity's LAST event in an earlier batch, and the sequence index must
+    keep counting where the previous batch stopped.
+
+    State layout (the exactly-once contract of
+    ``streaming_transition_counts``):
+    - ``carry_v/v=<batch_id>/`` — per entity: latest (ts, state, value)
+      plus the cumulative sequence count; committed via ``_SUCCESS``,
+      written LAST so its presence proves the whole batch landed;
+    - ``features/batch_id=<N>/`` — the batch's feature rows, written
+      with mode('overwrite') so a replayed batch can never double-emit.
+
+    Ordering contract: per-entity event time must be monotone ACROSS
+    batches (late rows — at or before the carried timestamp — are
+    dropped); in-batch disorder is fine, the window sorts.
+
+    Each micro-batch touches batch-sized plus entity-sized data only.
+    Read results with ``read_lag_features``.
+    """
+    from pyspark.sql import Window as W
+
+    carry_root = f"{state_dir}/carry_v"
+    feat_dir = f"{state_dir}/features"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        versions = _committed_versions(s, carry_root)
+        if batch_id in versions:
+            return  # replay of a fully-applied batch — idempotent no-op
+        base = [v for v in versions if v < batch_id]
+        if base:
+            carry = s.read.parquet(f"{carry_root}/v={base[-1]}")
+        else:
+            carry = batch.select(
+                entity_col,
+                F.col(ts_col).cast("timestamp").alias("_c_ts"),
+                F.col(state_col).alias("_c_state"),
+                F.col(value_col).cast("double").alias("_c_value"),
+                F.lit(0).cast("long").alias("_c_seq"),
+            ).limit(0)
+        fresh = batch.join(carry, on=entity_col, how="left").filter(
+            F.col("_c_ts").isNull() | (F.col(ts_col) > F.col("_c_ts"))
+        )
+        w = W.partitionBy(entity_col).orderBy(F.col(ts_col))
+        out = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "prev_state",
+                F.coalesce(F.lag(state_col).over(w), F.col("_c_state")),
+            )
+            .withColumn(
+                "_prev_ts",
+                F.coalesce(F.lag(ts_col).over(w), F.col("_c_ts")),
+            )
+            .withColumn(
+                "_prev_value",
+                F.coalesce(
+                    F.lag(F.col(value_col).cast("double")).over(w),
+                    F.col("_c_value"),
+                ),
+            )
+            .withColumn(
+                "gap_s",
+                (
+                    F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                    - F.unix_timestamp(F.col("_prev_ts").cast("timestamp"))
+                ).cast("long"),
+            )
+            .withColumn(
+                "value_delta",
+                F.round(F.col(value_col).cast("double") - F.col("_prev_value"), 6),
+            )
+            .withColumn(
+                "seq", (F.coalesce(F.col("_c_seq"), F.lit(0)) + F.col("_rn")).cast("long")
+            )
+        )
+        feats = out.select(
+            entity_col, ts_col, state_col, value_col,
+            "prev_state", "gap_s", "value_delta", "seq",
+        )
+        feats.write.mode("overwrite").parquet(f"{feat_dir}/batch_id={batch_id}")
+        new_tail = (
+            out.withColumn(
+                "_rn_last",
+                F.row_number().over(W.partitionBy(entity_col).orderBy(F.desc(ts_col))),
+            )
+            .filter(F.col("_rn_last") == 1)
+            .select(
+                entity_col,
+                F.col(ts_col).cast("timestamp").alias("_c_ts"),
+                F.col(state_col).alias("_c_state"),
+                F.col(value_col).cast("double").alias("_c_value"),
+                F.col("seq").alias("_c_seq"),
+            )
+        )
+        merged = (
+            carry.unionByName(new_tail)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(entity_col).orderBy(F.desc("_c_ts"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged.write.mode("overwrite").parquet(f"{carry_root}/v={batch_id}")
+        from ..operators.layout import _hadoop_fs
+
+        fs, _, jvm = _hadoop_fs(s, carry_root)
+        for v in base[:-1]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{carry_root}/v={v}"), True)
+
+    return incremental_file_pipeline(
+        spark, input_dir, checkpoint_dir, fold, fmt="parquet", schema=schema
+    )
+
+
+def read_lag_features(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All feature rows emitted so far (batch_id partition column
+    included for lineage)."""
+    return spark.read.parquet(f"{state_dir}/features")

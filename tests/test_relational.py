@@ -371,3 +371,27 @@ def test_lag_features_hand_computed(spark):
     assert out[("u", 3)]["prev_state"] == "b" and out[("u", 3)]["gap_s"] == 0
     assert out[("u", 3)]["value_delta"] == -2.5
     assert out[("v", 1)]["prev_state"] is None and len(out) == 4
+
+
+def test_merge_join_state_random_multisets(spark):
+    # seeded multiset stress for the Δ-rule: duplicate keys on every side
+    # (join multiplicities multiply), keys present only in deltas, keys
+    # with no match at all — maintained view must equal full recompute
+    import random
+
+    from aicoe_osc_demo_spark.operators.relational import merge_join_state
+
+    rnd = random.Random(7)
+
+    def tbl(n, tag):
+        return [(rnd.randint(0, 5), f"{tag}{i}") for i in range(n)]
+
+    a_old = spark.createDataFrame(tbl(15, "a"), ["k", "av"])
+    d_a = spark.createDataFrame(tbl(8, "A"), ["k", "av"])
+    b_old = spark.createDataFrame(tbl(12, "b"), ["k", "bv"])
+    d_b = spark.createDataFrame(tbl(6, "B"), ["k", "bv"])
+    got = merge_join_state(
+        a_old.join(b_old, ["k"]), a_old, b_old, d_a, d_b, ["k"]
+    ).collect()
+    want = a_old.unionByName(d_a).join(b_old.unionByName(d_b), ["k"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

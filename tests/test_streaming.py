@@ -653,3 +653,72 @@ def test_streaming_transition_counts_cross_batch_and_parity(spark, tmp_path):
     bogus.mkdir(parents=True)
     (bogus / "part-corrupt.parquet").write_bytes(b"\x00not-parquet")
     assert 99 not in _committed_versions(spark, f"{state}/carry_v")
+
+
+def test_streaming_lag_features_cross_batch_parity_and_replay(spark, tmp_path):
+    # lags cross micro-batch boundaries via the per-entity carry: the
+    # folded feature log equals the batch lag_features over the full
+    # kept history (late rows dropped), seq keeps counting across
+    # batches, and a replayed micro-batch cannot double-emit
+    import datetime as dt
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.temporal import lag_features
+    from aicoe_osc_demo_spark.streaming.incremental import (
+        read_lag_features,
+        streaming_lag_features,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(u, mins, e, v):
+        return (u, t0 + dt.timedelta(minutes=mins), e, float(v))
+
+    b1 = [ev(1, 0, "a", 1.0), ev(1, 10, "b", 4.0), ev(2, 5, "a", 2.0)]
+    spark.createDataFrame(b1, schema).write.parquet(str(inp / "f1"))
+    q = streaming_lag_features(spark, str(inp), state, ckpt, schema)
+    q.awaitTermination(120)
+
+    # batch 2: user 1 bridges (b -> c), user 2 gets a LATE row (dropped)
+    b2 = [ev(1, 20, "c", 6.5), ev(2, 1, "zz", 9.0), ev(2, 30, "c", 5.0)]
+    spark.createDataFrame(b2, schema).write.parquet(str(inp / "f2"))
+    q2 = streaming_lag_features(spark, str(inp), state, ckpt, schema)
+    q2.awaitTermination(120)
+
+    def key(rows):
+        return sorted(
+            (r["user_id"], r["seq"], r["prev_state"], r["gap_s"], r["value_delta"])
+            for r in rows
+        )
+
+    got = key(read_lag_features(spark, state).collect())
+    kept = [r for r in b1 + b2 if r[2] != "zz"]
+    full = spark.createDataFrame(kept, schema).withColumn(
+        "s", F.col("ts").cast("timestamp").cast("long")
+    )
+    want = key(
+        lag_features(full, "user_id", "s", "value", state_col="event_type").collect()
+    )
+    assert got == want
+    # the cross-batch bridge: user 1's batch-2 row has prev_state 'b',
+    # gap 600 s, delta 2.5, seq 3
+    assert (1, 3, "b", 600, 2.5) in got
+
+    # replay the last micro-batch (crash before checkpoint commit):
+    # features/batch_id=<N> is overwritten, not appended — no double rows
+    commits = pathlib.Path(ckpt) / "commits"
+    last = sorted(p for p in commits.iterdir() if p.name.isdigit())[-1]
+    last.unlink()
+    crc = commits / f".{last.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    q3 = streaming_lag_features(spark, str(inp), state, ckpt, schema)
+    q3.awaitTermination(120)
+    assert key(read_lag_features(spark, state).collect()) == want
