@@ -179,6 +179,7 @@ def vocab_coverage(
     id_col: str = "doc_id",
     round_to: int = 6,
     cache_tokens: bool = True,
+    scope=None,
 ) -> DataFrame:
     """Vocabulary coverage / OOV-rate audit: build the corpus's top-V token
     vocabulary by total occurrence count and score every document by the
@@ -197,16 +198,18 @@ def vocab_coverage(
 
     The exploded token frame feeds BOTH the vocab aggregate and the
     per-doc join side; ``cache_tokens`` persists it so the corpus is
-    scanned and split once, not twice (same convention as
-    ``dsir_resample``'s feature cache — callers composing many audits can
-    opt out and manage caching themselves).  Blocks release at
-    ``spark.catalog.clearCache()`` or application end.
+    scanned and split once, not twice.  Lifetime (``cache.py``
+    contract): the per-doc result is pinned and the token persist
+    released by default; a passed ``scope`` keeps the plan lazy and
+    owns the release.
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).filter(F.col("tok") != "")
     if cache_tokens:
         toks = toks.persist()
+        if scope is not None:
+            scope.add(toks)
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -214,7 +217,7 @@ def vocab_coverage(
         .limit(vocab_size)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
-    return (
+    res = (
         toks.join(F.broadcast(vocab), on="tok", how="left")
         .groupBy(id_col)
         .agg(
@@ -225,6 +228,12 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+    if cache_tokens and scope is None:
+        # leak-free default: pin the per-doc rates, release the
+        # token-sized cache
+        res = res.localCheckpoint(eager=True)
+        toks.unpersist(blocking=True)
+    return res
 
 
 def tfidf_keywords(

@@ -250,6 +250,7 @@ def dsir_resample(
     buckets: int = 256,
     k: int = 50,
     cache_features: bool = True,
+    scope=None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling", NeurIPS 2023): select the ``k`` raw documents
@@ -304,9 +305,12 @@ def dsir_resample(
         # raw_feats feeds BOTH the q-distribution aggregate and the
         # per-doc bucket counts; uncached, the expensive featurization
         # (interpreted bigram HOF + one md5 per token over the whole raw
-        # corpus) executes twice.  Same cache-lifetime contract as
-        # semdedup_pairs' cache_assignments.
+        # corpus) executes twice.  Lifetime (cache.py contract): the
+        # k-row result is pinned and this released by default; a passed
+        # scope keeps the plan lazy and owns the release.
         raw_feats = raw_feats.persist()
+        if scope is not None:
+            scope.add(raw_feats)
     raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
     # "tot_p", not "Np": Spark's resolver is case-insensitive, so a column
     # named Np would collide with the per-bucket np after the join
@@ -349,7 +353,7 @@ def dsir_resample(
         + F.lit(0.5)
     ) / F.lit(float(2**32))
     gumbel_ni = F.floor(-F.log(-F.log(u)) * 1e9 + F.lit(0.5)).cast("long")
-    return (
+    res = (
         scored.withColumn("score_ni", F.col("logw_ni") + gumbel_ni)
         .orderBy(F.desc("score_ni"), "doc_id")
         .limit(k)
@@ -360,6 +364,11 @@ def dsir_resample(
             F.round(F.col("score_ni").cast("double") / 1e9, 6).alias("score"),
         )
     )
+    if cache_features and scope is None:
+        # leak-free default: pin the k-row pick, release the feature cache
+        res = res.localCheckpoint(eager=True)
+        raw_feats.unpersist(blocking=True)
+    return res
 
 
 def c4_rule_filter(

@@ -137,12 +137,21 @@ class TestVocabCoverage:
         assert out[1] == pytest.approx(0.5) and out[2] == pytest.approx(0.5)
 
     def test_vocab_join_is_broadcast(self, spark):
+        from aicoe_osc_demo_spark.cache import CacheScope
         from aicoe_osc_demo_spark.operators.corpus import vocab_coverage
 
         docs = spark.createDataFrame(
             [(i, f"tok{i} common") for i in range(10)], "doc_id long, text string"
         )
-        plan = vocab_coverage(docs, vocab_size=3)._jdf.queryExecution().executedPlan().toString()
+        # the scope keeps the plan lazy (the default path pins the result
+        # and would show only an ExistingRDD scan)
+        with CacheScope() as s:
+            plan = (
+                vocab_coverage(docs, vocab_size=3, scope=s)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
         assert "BroadcastHashJoin" in plan
         # the top-V selection must be a bounded take, not a global sort
         assert "TakeOrderedAndProject" in plan
