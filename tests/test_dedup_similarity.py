@@ -720,6 +720,35 @@ def test_mmr_trades_relevance_for_diversity(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_mmr_driver_greedy_bit_identical_to_spark_path(spark):
+    # The driver-side greedy (default) must replay the all-Spark lazy
+    # plan's float chain exactly — same picks, bit-identical rounded
+    # scores, same schema — on an irregular random pool where ties and
+    # near-ties would expose any summation-order or rounding drift.
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import mmr_diverse_topk
+
+    rng = random.Random(41)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(1, 41)
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = spark.createDataFrame(
+        [(0, [rng.uniform(-1, 1) for _ in range(16)])], ["vec_id", "embedding"]
+    )
+    fast = mmr_diverse_topk(corpus, query, k=5, lam=0.7, pool=12)
+    slow = mmr_diverse_topk(
+        corpus, query, k=5, lam=0.7, pool=12, driver_greedy=False
+    )
+    got_fast = sorted((r.step, r.vec_id, r.score) for r in fast.collect())
+    got_slow = sorted((r.step, r.vec_id, r.score) for r in slow.collect())
+    assert got_fast == got_slow
+    assert [f.name for f in fast.schema.fields] == [
+        f.name for f in slow.schema.fields
+    ]
+
+
 def test_knn_graph_finds_planted_neighbors(spark):
     # Scaled clones collide in every LSH table (sign bits are scale
     # invariant), so each vector's top neighbor must be its clone with
