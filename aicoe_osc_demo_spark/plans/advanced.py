@@ -775,3 +775,72 @@ def layout_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_histograms(
         load(spark, sf_dir, "orders"), ["o_totalprice", "o_custkey"], bins=10
     )
+
+
+# --- Bucketed co-located join ------------------------------------------------
+# Process-scoped memo, same contract as plans/llm.py's _pq_index: the
+# first call per (session, sf_dir) pays the one-time bucketed ingest
+# (the amortized shuffle), later calls join shuffle-free through the
+# session catalog.  Results are plain join output either way, so the
+# oracle is the ordinary SQL join — the bucketing is a physical
+# property, pinned by test_physical_layout's no-Exchange assertion.
+_BUCKETED_READY: set[tuple[int, str]] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re
+    import tempfile
+
+    from ..sources.files import write_bucketed_table
+
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_READY or not spark.catalog.tableExists(ot):
+        base = tempfile.mkdtemp(prefix="spark_graft_bkt_")
+        write_bucketed_table(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            ot,
+            "o_custkey",
+            n_buckets=8,
+            sort_col="o_custkey",
+            path=f"{base}/orders",
+        )
+        write_bucketed_table(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            ct,
+            "c_custkey",
+            n_buckets=8,
+            sort_col="c_custkey",
+            path=f"{base}/customer",
+        )
+        _BUCKETED_READY.add(key)
+    return ot, ct
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact⋈dim equi-join served from co-bucketed tables: the ingest
+    # already hash-routed both sides on the customer key, so the join
+    # runs per-bucket with no Exchange on either side (the dominant
+    # recurring shuffle of a 100 TB pipeline, paid once at write time).
+    # Catalog read path (spark.table) is load-bearing: a plain path read
+    # loses the bucket spec and re-shuffles.
+    ot, ct = _bucketed_tables(spark, sf_dir)
+    joined = spark.table(ot).join(
+        spark.table(ct), on=F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -402,3 +402,21 @@ def test_delete_where_rewrites_only_overlapping_files(spark, tmp_path):
     # disjoint box: pure no-op
     res2 = delete_where(spark, path, {"x": (300, 400)})
     assert res2["files_rewritten"] == 0 and res2["rows_deleted"] == 0
+
+
+def test_layout_bucketed_join_entry_elides_join_exchange(spark):
+    # The catalog entry must actually get the co-located join: with
+    # broadcast disabled, the only hashpartitioning Exchange in the plan
+    # is the groupBy's — the join itself adds none (both sides arrive
+    # pre-bucketed on the customer key).
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["layout_bucketed_join"](spark, "/root/testdata/sf0.001")
+        plan = _explain(df)
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "SortMergeJoin" in plan
+        assert df.count() == 5  # one row per market segment
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

@@ -153,12 +153,26 @@ def test_bm25_joins_all_broadcast(spark):
 def test_dsir_lambda_join_is_broadcast(spark):
     # the B-row lambda table must broadcast into the per-doc scoring join
     # (a shuffled join there would move the whole (doc_id, bucket, count)
-    # stream through an exchange keyed on bucket — wrong at corpus scale)
-    plan = explain(QUERIES["llm_dsir_resample"](spark, SF_DIR), "simple")
-    assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 1
-    # global top-k is a bounded TakeOrdered, never a full sort
-    assert "TakeOrdered" in plan
+    # stream through an exchange keyed on bucket — wrong at corpus scale).
+    # The catalog entry eagerly checkpoints to release its feature cache
+    # (plan collapses to Scan ExistingRDD), so inspect the LAZY plan via a
+    # caller-owned scope — same operator, same arguments.
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.cache import CacheScope
+    from aicoe_osc_demo_spark.operators.quality import dsir_resample
+    from aicoe_osc_demo_spark.plans import load
+
+    docs = load(spark, SF_DIR, "documents")
+    with CacheScope() as s:
+        out = dsir_resample(
+            docs, docs.filter(F.col("lang") == "en"), buckets=256, k=50, scope=s
+        )
+        plan = explain(out, "simple")
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 1
+        # global top-k is a bounded TakeOrdered, never a full sort
+        assert "TakeOrdered" in plan
 
 
 def test_c4_rules_is_shuffle_free(spark):
