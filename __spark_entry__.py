@@ -36,10 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # serves from a process-scoped written index (train once per sf_dir,
 # read the codes tables), so the changed path re-verifies under the
 # driver per the changed-code-outranks-rotation norm.  No new r7
-# queries are placed inside the window -- the 9 new entries
+# queries are placed inside the window -- the 11 new entries
 # (events_lag_features, events_retention_cohorts, events_rfm_scores,
 # incremental_join_maintenance, llm_corpus_resemblance,
 # llm_ivfpq_recall, llm_perplexity_buckets, llm_dedup_rate_by_source,
+# layout_bucketed_join, llm_keep_canonical,
 # llm_knn_graph's artifact-served rewrite) are local-oracle-verified
 # this round (LOCAL_CORRECTNESS_r7.txt) and front the r8 window, so
 # the 45-entry verification debt clears in one pass.  Still rolling

@@ -1063,3 +1063,51 @@ def ngram_novelty(
             ).alias("novelty_pct"),
         )
     )
+
+
+def keep_canonical(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Collapse near-dup clusters to one surviving row each — the final
+    step of a near-dedup pipeline (pairs → ``dedup_clusters`` → THIS).
+
+    Unlike the min-id convention baked into ``dedup_clusters``'s label
+    choice, the survivor here is chosen by QUALITY: the cluster member with
+    the highest ``score_col`` (ties broken by ascending ``id_col``), which
+    is what production curation does — when a document has near-duplicates,
+    keep the longest / highest-quality copy, not an arbitrary one.  With
+    ``score_col=None`` the minimum-id member survives (the reference's
+    keep-first convention, P8 ``farm_trainer.py:73``).
+
+    ``labels`` is ``(id_col, cluster_col)`` as produced by
+    ``dedup_clusters``; documents absent from it are singletons and survive
+    unconditionally (their ``cluster_col`` is backfilled with their own id,
+    so the output is a total partition of the corpus into survivors).
+
+    Scale shape: one left equi-join on the id (labels carries two ids per
+    clustered doc — tiny next to the corpus, and broadcast-able since the
+    pair list is output-bounded), then one hash shuffle on ``cluster_col``
+    for the row_number window.  Cluster sizes are near-dup group sizes
+    (single digits in practice), so no partition skew; document text moves
+    through exactly one exchange.
+    """
+    from pyspark.sql import Window
+
+    labeled = df.join(labels, on=id_col, how="left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    order = (
+        [F.col(score_col).desc(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -802,6 +802,81 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_keep_canonical",
+    # Brute-force oracle: exact cosine pairs → recursive-CTE connected
+    # components → per-cluster argmax on vector norm (ties: min vec_id);
+    # singletons survive as their own cluster.
+    """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    clones AS (
+      SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 0.5) AS v
+      FROM base WHERE vec_id < 25
+    ),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+    pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.99
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    labeled AS (SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    all_docs AS (
+      SELECT c.vec_id,
+             COALESCE(l.cluster_id, c.vec_id) AS cluster_id,
+             sqrt(list_dot_product(c.v, c.v)) AS norm
+      FROM corpus c LEFT JOIN labeled l ON c.vec_id = l.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, cluster_id, norm,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY norm DESC, vec_id ASC
+             ) AS rk
+      FROM all_docs
+    )
+    SELECT vec_id, cluster_id, ROUND(norm, 6) AS norm FROM ranked WHERE rk = 1
+    """,
+)
+def llm_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-based cluster collapse — the last stage of near-dedup: LSH
+    # cosine pairs → connected components → keep_canonical with the vector
+    # L2 norm as the quality score, so the full-strength original survives
+    # and its 0.5-scaled clone (cosine-identical, hence same cluster) is
+    # dropped.  Exercises the survivor-selection semantics llm_semantic_dedup
+    # (min-id keep flag) does not: the survivor is chosen by score argmax,
+    # value-checked against the brute-force + recursive-CTE oracle.
+    from ..operators.dedup import dedup_clusters, keep_canonical
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(clones)
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+    )
+    labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+    scored = corpus.withColumn(
+        "norm",
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    survivors = keep_canonical(scored, labels, id_col="vec_id", score_col="norm")
+    return survivors.select("vec_id", "cluster_id", F.round("norm", 6).alias("norm"))
+
+
 @register("llm_ann_lsh_topk", _ann_lsh_oracle_sql())
 def llm_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Banded multi-table LSH ANN: equi-join on (table, bucket) + 1-bit-flip

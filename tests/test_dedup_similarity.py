@@ -1141,3 +1141,40 @@ def test_pq_index_refine_serves_bit_identical(spark, tmp_path):
         df, queries, shortlist=10, top_k=3, m=2, k_pq=4, dim=8
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, direct))
+
+
+def test_keep_canonical_score_argmax_and_singletons(spark):
+    from aicoe_osc_demo_spark.operators.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [
+            # cluster 1: survivor must be the HIGHEST-score member (id 3),
+            # not the min-id label holder (id 1)
+            (1, 10.0),
+            (2, 30.0),
+            (3, 30.0),  # tie with 2 on score -> min id among tied wins: 2
+            # cluster 7: score order disagrees with id order
+            (7, 1.0),
+            (8, 5.0),
+            # singleton, absent from labels: survives, cluster = own id
+            (9, 0.5),
+        ],
+        "doc_id int, score double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc_id int, cluster_id int"
+    )
+    out = keep_canonical(docs, labels, score_col="score").collect()
+    by_cluster = {r.cluster_id: r for r in out}
+    assert len(out) == 3
+    assert by_cluster[1].doc_id == 2  # max score 30.0, tie broken by min id
+    assert by_cluster[7].doc_id == 8  # max score wins over min id
+    assert by_cluster[9].doc_id == 9 and by_cluster[9].score == 0.5
+
+    # score_col=None -> reference keep-first (min id) convention
+    out2 = keep_canonical(docs, labels).collect()
+    assert {r.cluster_id: r.doc_id for r in out2} == {1: 1, 7: 7, 9: 9}
+
+    # exactly one survivor per cluster, all corpus ids partitioned
+    labeled_ids = {r.doc_id for r in out}
+    assert labeled_ids == {2, 8, 9}
