@@ -26,81 +26,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r7 window = the 45 entries the driver has
-# never (or not since r02) confirmed green, exactly as VERDICT r6 asked:
-# the 26 late-r6 additions (all judge-verified via tools/check_correctness.py
-# at sf0.01 in the r6 judging pass) and the 19 entries that rolled past
-# position 50 in r6 (pipeline_llm_curation, join_multiway_revenue_by_nation,
-# and the r02-era agg/join/dedup block).  The remaining 5 slots start the
-# five entries whose CODE PATH changed this round -- the PQ family now
-# serves from a process-scoped written index (train once per sf_dir,
-# read the codes tables), so the changed path re-verifies under the
-# driver per the changed-code-outranks-rotation norm.  No new r7
-# queries are placed inside the window -- the 11 new entries
-# (events_lag_features, events_retention_cohorts, events_rfm_scores,
-# incremental_join_maintenance, llm_corpus_resemblance,
-# llm_ivfpq_recall, llm_perplexity_buckets, llm_dedup_rate_by_source,
-# layout_bucketed_join, llm_keep_canonical,
-# llm_knn_graph's artifact-served rewrite) are local-oracle-verified
-# this round (LOCAL_CORRECTNESS_r7.txt) and front the r8 window, so
-# the 45-entry verification debt clears in one pass.  Still rolling
-# after this window (r8 rotation backlog, r02-green, code unchanged):
-# the filter family, proj_select_columns, reshape_struct_unpack,
-# sample_*, set_*, text_* families, window_argmax/rank/topk.
+# FIRST 50 registry entries.  r8 window = (a) the 11 entries added late in
+# r7 that the driver has never checked (all local-oracle green in
+# LOCAL_CORRECTNESS_r7.txt; llm_fuzzy_ratio_join and
+# ml_relevance_training_metrics are the two documented rows-only-by-design
+# entries and get the driver's weaker rows-only record), (b) llm_knn_graph,
+# whose code path changed in r7 (now served from the persisted edge
+# artifact) after its last driver check, and (c) the oldest-green rotation:
+# the 31 r02-era entries (filter/proj/sample/set/text/window families) plus
+# the 7 oldest r03-era entries, so no entry's driver evidence is more than
+# ~5 rounds stale.  Still rolling after this window (r9 rotation backlog,
+# r03/r04-green, code unchanged): the remaining r03 block (llm_chunk_documents,
+# llm_fuzzy_jaccard_join, llm_heavy_hitters_sketch, llm_mixture_sample,
+# llm_per_host_cap, llm_pii_scrub, llm_quality_resample, llm_url_host_stats,
+# ml_* inference entries, reshape_flatten/gather) and the r04 agg/events
+# block.  New r8 entries are local-oracle-verified this round
+# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window.
 _DRIVER_CHECK_PRIORITY = [
-    # --- 26 late-r6 additions: first driver check ---
-    "incremental_agg_maintenance",
-    "layout_column_stats",
-    "diag_skew_report",
-    "llm_triangle_count",
-    "privacy_k_anonymity",
-    "llm_label_propagation",
-    "diag_table_diff",
-    "events_sliding_hll_users",
-    "diag_join_explosion",
-    "events_winsorize",
-    "quality_rater_kappa",
-    "llm_novelty_score",
-    "llm_rand_projection",
-    "llm_corpus_overlap",
-    "llm_weighted_sample",
-    "events_cooccurrence_lift",
-    "llm_source_divergence",
-    "events_time_weighted_avg",
-    "events_transition_matrix",
-    "linkage_fs_scores",
-    "agg_grouping_sets",
-    "window_ntile_deciles",
-    "window_percentile_bins",
-    "events_decayed_counts",
-    "events_mad_outliers",
-    "layout_column_histograms",
-    # --- 19 rolled past position 50 in r6 ---
-    "pipeline_llm_curation",
-    "join_multiway_revenue_by_nation",
-    "agg_count_by_group",
-    "agg_distinct_count",
-    "agg_global_sum",
-    "agg_having_groups",
-    "agg_pricing_summary",
-    "agg_sum_avg_by_group",
-    "agg_summary_stats",
-    "dedup_distinct_rows",
-    "dedup_keep_first_per_key",
-    "incremental_skip_processed",
-    "join_broadcast_dims",
-    "join_cross_small",
-    "join_left_orders_customer",
-    "join_semi",
-    "join_top_unshipped_orders",
-    "order_limit",
-    "reshape_melt",
-    # --- code paths changed in r7 (PQ family -> index serving) ---
-    "llm_pq_codes",
-    "llm_pq_adc_topk",
-    "llm_pq_refine_topk",
-    "llm_pq_recall",
-    "llm_ivfpq_topk",
+    # --- 11 late-r7 additions: first driver check ---
+    "events_lag_features",
+    "events_rfm_scores",
+    "incremental_join_maintenance",
+    "llm_corpus_resemblance",
+    "llm_ivfpq_recall",
+    "llm_perplexity_buckets",
+    "llm_dedup_rate_by_source",
+    "layout_bucketed_join",
+    "llm_keep_canonical",
+    "llm_fuzzy_ratio_join",
+    "ml_relevance_training_metrics",
+    # --- code path changed in r7 after last driver check ---
+    "llm_knn_graph",
+    # --- oldest-green rotation: 31 r02-era entries ---
+    "filter_anti_isin",
+    "filter_conjunctive",
+    "filter_dropna",
+    "filter_isin",
+    "proj_select_columns",
+    "reshape_struct_unpack",
+    "sample_deterministic_shuffle",
+    "sample_train_split",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "text_bpe_token_count",
+    "text_clean_curator",
+    "text_clean_kpi",
+    "text_clean_page",
+    "text_clean_paragraph",
+    "text_filename_repair",
+    "text_group_concat",
+    "text_lang_id",
+    "text_numeric_repair",
+    "text_page_shift",
+    "text_parse_string_list",
+    "text_quality_score",
+    "text_regex_filter",
+    "text_remove_html",
+    "text_snakify_columns",
+    "text_token_stats",
+    "text_year_in_question",
+    "window_argmax_per_group",
+    "window_rank_within_group",
+    "window_topk_per_group",
+    # --- oldest-green rotation: 7 r03-era entries ---
+    "agg_exact_percentiles",
+    "curation_answer_containment",
+    "curation_extra_answerable",
+    "curation_valid_pairs",
+    "events_daily_type_matrix",
+    "events_hypertable_rollup",
+    "events_range_join",
 ]
 
 
