@@ -50,6 +50,108 @@ def zorder_key(x: Column, y: Column, bits: int = 12) -> Column:
     return z
 
 
+def hilbert_key(
+    df: DataFrame, x: Column, y: Column, out: str = "hkey", bits: int = 12
+) -> DataFrame:
+    """Append column ``out``: the Hilbert-curve index of two non-negative
+    ints in ``[0, 2**bits)`` (the `xy2d` walk: descend ``bits`` quadrant
+    levels, accumulating the quadrant rank and rotating/reflecting the
+    frame — Hamilton, "Compact Hilbert Indices", and the classic
+    public-domain xy2d form).
+
+    Same contract as :func:`zorder_key` but with strictly better
+    locality: consecutive Hilbert codes are ALWAYS adjacent cells (the
+    Morton walk teleports across the square every power-of-two
+    boundary), so range-partitioning by this code gives each file a
+    tighter (x, y) bounding box and the stats manifest prunes more
+    files for the same predicate — Delta/Iceberg expose exactly this
+    switch (``OPTIMIZE ... HILBERT``) for wide tables.
+
+    DataFrame-level (not a bare Column) because each level rewrites
+    (x, y) in terms of the previous level's — as one Column the CASE
+    trees would inline 3x per level (3^bits nodes); as a chain of named
+    projections each level stays one alias and the whole walk is a flat
+    O(bits) whole-stage-codegen'd expression chain, bit-identical in
+    any engine (the oracle replays the same chain; see
+    :func:`hilbert_sql`).
+    """
+    n = 1 << bits
+    passthrough = df.columns
+    cur = df.select(
+        "*",
+        x.cast("long").alias("_hx"),
+        y.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        xc, yc, dc = F.col("_hx"), F.col("_hy"), F.col("_hd")
+        rx = F.shiftright(xc, level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(yc, level).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            *passthrough,
+            F.when(ry == 1, xc)
+            .when(rx == 1, F.lit(n - 1).cast("long") - yc)
+            .otherwise(yc)
+            .alias("_hx"),
+            F.when(ry == 1, yc)
+            .when(rx == 1, F.lit(n - 1).cast("long") - xc)
+            .otherwise(xc)
+            .alias("_hy"),
+            (dc + F.lit(s * s).cast("long") * (rx * F.lit(3)).bitwiseXOR(ry)).alias(
+                "_hd"
+            ),
+        )
+    return cur.select(*passthrough, F.col("_hd").alias(out))
+
+
+def hilbert_sql(x_expr: str, y_expr: str, bits: int = 12) -> str:
+    """DuckDB-replayable SQL computing the identical Hilbert chain as
+    :func:`hilbert_key` — chained subqueries, one per level, each
+    rewriting (x, y, d) with the same integer CASE arithmetic.  Shared
+    generator so the Spark plan and the oracle can never drift."""
+    n = 1 << bits
+    inner = f"SELECT *, CAST({x_expr} AS BIGINT) AS x, CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM __HILBERT_BASE__"
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"((x >> {level}) & 1)"
+        ry = f"((y >> {level}) & 1)"
+        inner = f"""
+        SELECT * REPLACE (
+          CASE WHEN {ry} = 1 THEN x
+               WHEN {rx} = 1 THEN {n - 1} - y ELSE y END AS x,
+          CASE WHEN {ry} = 1 THEN y
+               WHEN {rx} = 1 THEN {n - 1} - x ELSE x END AS y,
+          d + {s * s} * xor(3 * {rx}, {ry}) AS d
+        ) FROM ({inner})
+        """
+    return inner
+
+
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 12,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Hilbert index of (x_col, y_col) —
+    same range-partition-and-sort layout as :func:`zorder_write` with
+    the tighter-locality curve (each file's (x, y) box is a connected
+    curve segment, never the two disjoint stripes Morton files get at
+    power-of-two seams)."""
+    keyed = hilbert_key(df, F.col(x_col), F.col(y_col), out="_hkey", bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

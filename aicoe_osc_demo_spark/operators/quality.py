@@ -859,3 +859,75 @@ def mad_outliers(
             "is_outlier"
         ),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private group counts: Laplace(1/ε) noise added to
+    each COUNT(*) (the classic counting-query mechanism; COUNT has
+    sensitivity 1, so noise scale 1/ε gives ε-DP per release).
+
+    The noise is DETERMINISTIC — inverse-CDF of a uniform drawn from
+    md5(salt|group-key) — so the release is replayable anywhere (same
+    integer-nano quantization as ``weighted_sample_topk``; a production
+    deployment swaps the salt for a secret per-release value, which is
+    the standard seeded-noise practice for reproducible DP releases).
+    True counts are aggregated once map-side-combined and never emitted;
+    noise is applied AFTER the aggregate, one expression per group row.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = -F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u)) / F.lit(
+        float(epsilon)
+    )
+    noise_ni = F.floor(noise * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .select(
+            *group_cols,
+            F.lit(float(epsilon)).alias("epsilon"),
+            F.round(
+                F.col("_n").cast("double") + noise_ni.cast("double") / 1e9, 6
+            ).alias("noisy_count"),
+        )
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: Column,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.): per quasi-identifier
+    equivalence class, the number of DISTINCT sensitive values.  A class
+    that is k-anonymous but carries one sensitive value still leaks it —
+    this is the release gate k-anonymity alone misses (companion of
+    ``k_anonymity_report``; same single keyed aggregate, the distinct
+    count is Spark's partial-aggregated COUNT DISTINCT, no second
+    shuffle of payload rows).
+    """
+    return (
+        df.select(*qi_cols, sensitive.alias("_sens"))
+        .groupBy(*qi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("_sens").cast("long").alias("l_distinct"),
+        )
+        .select(
+            *qi_cols,
+            "n",
+            "l_distinct",
+            (F.col("l_distinct") < l_threshold).alias("at_risk"),
+        )
+    )

@@ -445,3 +445,22 @@ def percentile_bins(
         ),
     )
     return binned.drop("_cuts")
+
+
+def group_regression(
+    df: DataFrame, group_cols: list[str], y: Column, x: Column
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x`` via the built-in
+    regression aggregates (``regr_slope``/``regr_intercept``/``regr_r2``)
+    — grouped model fitting WITHOUT applyInPandas: each aggregate is a
+    map-side-combinable moment sum (Σx, Σy, Σxy, Σx², n), so 100 TB of
+    observations reduce per-partition and only five numbers per group
+    cross the shuffle.  The applyInPandas formulation ships every row of
+    every group to one executor; this ships none.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

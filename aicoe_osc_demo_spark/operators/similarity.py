@@ -1985,3 +1985,58 @@ def jl_project(
         corpus.select(F.col(id_col), F.explode(comps).alias("e"))
         .select(id_col, "e.j", "e.proj")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per query,
+    the ``k`` corpus vectors MOST similar by cosine whose ``label_col``
+    differs from the query's — the near-miss negatives that carry the
+    training signal random negatives lack (DPR / SimCSE practice).
+
+    Exact form: the query side broadcasts (queries are the small side by
+    construction), the label filter runs BEFORE ranking so positives never
+    occupy shortlist slots, and ranking is a window top-k on (query)
+    partitions.  At corpus scale, compose with the ANN family instead of
+    this exact scorer: generate candidates via ``ivf_topk``/``lsh_topk``
+    with k' > k, anti-join the positive pairs, re-rank the remainder —
+    same contract, index-bounded cost.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("_q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("_n_label"),
+    )
+    scores = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("_n_label") != F.col("_q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_n_label").alias("neg_label"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from .relational import top_k_per_group
+
+    return top_k_per_group(
+        scores, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"]
+    )

@@ -373,3 +373,92 @@ def decayed_counts(
             F.round(F.sum("_w_ni").cast("double") / 1e9, 6).alias("decayed_count"),
         )
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: float,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """:func:`asof_join` with a max-staleness bound (kdb/QuestDB
+    ``ASOF ... TOLERANCE``, pandas ``merge_asof(tolerance=...)``): a match
+    older than ``tolerance_seconds`` is treated as no match — the joined
+    values come back NULL and ``staleness_s`` reports the age of the match
+    that WAS taken (NULL when none qualified).
+
+    Why it matters: an as-of feature join against a sensor/price stream
+    silently serves arbitrarily stale values across gaps; the tolerance
+    bound is what makes the feature NULL (imputable) instead of wrong.
+
+    Same single-shuffle union+window plan as :func:`asof_join` — the bound
+    is a post-fill map-side filter, not a second join.  Staleness is
+    computed on integer epoch-microseconds so the cutoff is exact and
+    engine-portable (no float truncation at sub-second resolution).
+    """
+    r2 = right.withColumn("_matched_ts", F.col(right_ts))
+    out = asof_join(
+        left, r2, on, left_ts, right_ts, value_cols + ["_matched_ts"], suffix=suffix
+    )
+    mts = F.col(f"_matched_ts{suffix}")
+    age_us = F.unix_micros(F.col(left_ts).cast("timestamp")) - F.unix_micros(
+        mts.cast("timestamp")
+    )
+    stale = mts.isNull() | (age_us > F.lit(int(round(tolerance_seconds * 1e6))))
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+        )
+    out = out.withColumn(
+        "staleness_s",
+        F.when(stale, F.lit(None).cast("double")).otherwise(
+            F.round(age_us.cast("double") / 1e6, 6)
+        ),
+    )
+    return out.drop(f"_matched_ts{suffix}")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: list[str],
+    bucket: str = "day",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Downsample a point series to OHLC bars (the hypertable/financial
+    ``time_bucket`` first/last/min/max rollup): per (bucket, keys) emit
+    open (value at earliest timestamp), high, low, close (value at latest
+    timestamp), plus row count.
+
+    ``open``/``close`` use ``min_by``/``max_by`` over a (ts, id) struct so
+    ties at the same timestamp break deterministically under any
+    partitioning.  One map-side-combinable aggregate — min_by/max_by
+    partials merge like MIN/MAX, so 100 TB of ticks reduce per-partition
+    before the single keyed shuffle (contrast the window-ranking
+    formulation, which shuffles every row to sort whole groups).
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(id_col))
+        if id_col
+        else F.struct(F.col(ts_col))
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+            *key_cols,
+        )
+        .agg(
+            F.round(F.min_by(v, order), 6).alias("open"),
+            F.round(F.max(v), 6).alias("high"),
+            F.round(F.min(v), 6).alias("low"),
+            F.round(F.max_by(v, order), 6).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

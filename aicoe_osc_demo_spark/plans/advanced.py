@@ -432,6 +432,35 @@ _ZORDER_SQL = f"""
 """
 
 
+from ..operators.layout import hilbert_sql as _hilbert_sql  # noqa: E402
+
+_HILBERT_SQL = f"""
+    SELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM (
+      {_hilbert_sql('x', 'y', bits=12).replace(
+          '__HILBERT_BASE__',
+          '(SELECT o_orderkey, o_custkey % 4096 AS x, '
+          'CAST(floor(o_totalprice) AS BIGINT) % 4096 AS y FROM orders)')}
+    )
+"""
+
+
+@register("layout_hilbert_key", _HILBERT_SQL)
+def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hilbert index over the same (custkey, totalprice) grid as
+    # layout_zorder_key — the tighter-locality clustering switch
+    # (consecutive codes are always adjacent cells; Morton teleports at
+    # every power-of-two seam, so Hilbert files carry smaller min/max
+    # boxes and the manifest prunes more of them for the same box
+    # predicate).  Unrolled integer CASE chain, bit-identical to the
+    # oracle's generated replay of the same walk.
+    from ..operators.layout import hilbert_key
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    x = F.pmod(F.col("o_custkey"), F.lit(4096))
+    y = F.pmod(F.floor("o_totalprice").cast("long"), F.lit(4096))
+    return hilbert_key(o, x, y, out="hkey", bits=12).select("o_orderkey", "hkey")
+
+
 @register("layout_zorder_key", _ZORDER_SQL)
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton code over (custkey, totalprice) — the clustering key behind

@@ -1187,3 +1187,85 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fb") + F.lit(1)).cast("int").alias("f_score"),
         (F.col("mb") + F.lit(1)).cast("int").alias("m_score"),
     )
+
+
+@register(
+    "events_ohlc_bars",
+    # Window-ranked oracle (DuckDB arg_min/arg_max cannot order by a
+    # composite): open/close = value at the (ts, event_id)-first/last row
+    # per bar, identical tiebreak to the engine's min_by/max_by struct.
+    """
+    WITH ranked AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT bucket, event_type,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n
+    FROM ranked GROUP BY bucket, event_type
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLC downsampling (hypertable first/last/min/max rollup): ONE
+    # map-side-combinable aggregate — min_by/max_by partials merge like
+    # MIN/MAX, so ticks reduce per-partition before the keyed shuffle,
+    # unlike the oracle's whole-group window sort.
+    from ..operators.temporal import ohlc_bars
+
+    return ohlc_bars(
+        load(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        key_cols=["event_type"],
+        bucket="day",
+        id_col="event_id",
+    )
+
+
+@register(
+    "events_asof_tolerance",
+    # DuckDB ASOF LEFT JOIN + the identical integer-microsecond staleness
+    # cutoff: matches older than 30 min come back NULL.
+    """
+    SELECT t.event_id, t.user_id,
+           CASE WHEN q.ts IS NULL OR epoch_us(t.ts) - epoch_us(q.ts) > 1800000000
+                THEN NULL ELSE q.value END AS view_value_asof,
+           CASE WHEN q.ts IS NULL OR epoch_us(t.ts) - epoch_us(q.ts) > 1800000000
+                THEN NULL
+                ELSE ROUND((epoch_us(t.ts) - epoch_us(q.ts)) / 1e6, 6)
+           END AS staleness_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    """,
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded-staleness as-of join (merge_asof tolerance / kdb ASOF
+    # TOLERANCE): same single-shuffle union+window plan as
+    # events_asof_join, the 30-min bound applied as a map-side filter on
+    # exact epoch-microseconds — stale feature values become NULL instead
+    # of silently wrong.
+    from ..operators.temporal import asof_join_tolerance
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join_tolerance(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        value_cols=["view_value"],
+        tolerance_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "view_value_asof", "staleness_s")

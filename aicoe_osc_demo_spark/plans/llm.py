@@ -2699,3 +2699,38 @@ def llm_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "llm_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS q_label
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label AS n_label FROM embeddings),
+    scores AS (
+      SELECT query_id, neighbor_id, n_label AS neg_label,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM c CROSS JOIN q
+      WHERE neighbor_id != query_id AND n_label != q_label
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scores
+    ) WHERE rn <= 5
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hard-negative mining for contrastive training (DPR practice): per
+    # query, the 5 most-similar DIFFERENT-label vectors — the near-miss
+    # negatives that carry gradient signal.  Label filter before ranking;
+    # exact scorer here, ANN-shortlist composition at corpus scale (see
+    # operators.similarity.hard_negatives).
+    from ..operators.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)

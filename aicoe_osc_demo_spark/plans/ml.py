@@ -240,3 +240,28 @@ def ml_qa_finetune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, loss_sum in enumerate(result["loss_sums"])
     ]
     return spark.createDataFrame(rows, "epoch int, loss_sum bigint, n_examples bigint")
+
+
+@register(
+    "ml_group_regression",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY 1
+    """,
+)
+def ml_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Grouped OLS (price ~ quantity per return flag) via the built-in
+    # moment-sum regression aggregates — per-group model fitting with NO
+    # applyInPandas: five map-side-combined numbers per group cross the
+    # shuffle instead of every observation.
+    from ..operators.relational import group_regression
+
+    return group_regression(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        y=F.col("l_extendedprice"),
+        x=F.col("l_quantity"),
+    )

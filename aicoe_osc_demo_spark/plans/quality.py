@@ -1003,3 +1003,62 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return weighted_sample_topk(docs, F.col("n_chars"), k=20, strata_cols=["lang"])
+
+
+@register(
+    "privacy_dp_counts",
+    # Identical deterministic Laplace chain: md5-seeded uniform in
+    # (-0.5, 0.5), inverse CDF at scale 1/eps, quantized to integer nanos.
+    """
+    WITH g AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+             (CAST('0x' || substr(md5('dp|' || c_mktsegment || '|'
+                                       || CAST(c_nationkey AS VARCHAR)), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS u
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, CAST(1.0 AS DOUBLE) AS epsilon,
+           ROUND(CAST(n AS DOUBLE)
+                 + CAST(floor((-sign(u) * ln(1.0 - 2.0 * abs(u)) / 1.0) * 1e9 + 0.5)
+                        AS BIGINT) / 1e9, 6) AS noisy_count
+    FROM g
+    """,
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ε-DP noisy release of the (segment, nation) contingency table —
+    # the privacy-preserving publication path next to the k-anonymity /
+    # l-diversity gates.  Laplace(1/ε) per cell, seeded from the cell key
+    # so the release replays bit-identically; true counts never leave the
+    # aggregate.
+    from ..operators.quality import dp_noisy_counts
+
+    return dp_noisy_counts(
+        load(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        epsilon=1.0,
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    """
+    SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS l_distinct,
+           COUNT(DISTINCT floor(c_acctbal / 1000.0)) < 8 AS at_risk
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l-diversity audit over the same quasi-identifier pair as
+    # privacy_k_anonymity, sensitive attribute = account-balance band: a
+    # class can be k-anonymous yet carry a single sensitive value — this
+    # distinct-count gate is what catches it.  One keyed aggregate,
+    # partial-combined COUNT DISTINCT.
+    from ..operators.quality import l_diversity_report
+
+    return l_diversity_report(
+        load(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        sensitive=F.floor(F.col("c_acctbal") / F.lit(1000.0)),
+        l_threshold=8,
+    )

@@ -1,0 +1,260 @@
+"""Round-8 operator batch: Hilbert layout key, OHLC bars, tolerance as-of
+join, deterministic DP counts, l-diversity, grouped OLS, hard negatives."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def _xy2d(n: int, x: int, y: int) -> int:
+    """Reference xy2d Hilbert walk (classic public-domain formulation)."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+class TestHilbert:
+    def test_matches_reference_walk(self, spark):
+        from aicoe_osc_demo_spark.operators.layout import hilbert_key
+
+        import random
+
+        rng = random.Random(7)
+        pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(100)]
+        pts += [(0, 0), (4095, 4095), (0, 4095), (4095, 0), (1, 0), (0, 1)]
+        df = spark.createDataFrame(pts, "x0 long, y0 long")
+        out = hilbert_key(df, F.col("x0"), F.col("y0"), out="d", bits=12).collect()
+        for r in out:
+            assert r.d == _xy2d(4096, r.x0, r.y0), (r.x0, r.y0)
+
+    def test_is_a_bijection_with_unit_steps(self, spark):
+        # Over the full 16x16 grid (bits=4): codes are a permutation of
+        # 0..255 and consecutive codes are ALWAYS grid neighbours — the
+        # locality property Morton lacks (Z teleports across seams).
+        from aicoe_osc_demo_spark.operators.layout import hilbert_key
+
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x0 long, y0 long")
+        rows = hilbert_key(df, F.col("x0"), F.col("y0"), out="d", bits=4).collect()
+        by_d = {r.d: (r.x0, r.y0) for r in rows}
+        assert sorted(by_d) == list(range(256))
+        for d in range(255):
+            (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+            assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+    def test_sql_generator_matches_spark(self, spark):
+        from aicoe_osc_demo_spark.operators.layout import hilbert_key, hilbert_sql
+
+        import random
+
+        rng = random.Random(11)
+        pts = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(64)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(x0 BIGINT, y0 BIGINT)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+        sql = hilbert_sql("x0", "y0", 12).replace("__HILBERT_BASE__", "pts")
+        duck = {
+            (x, y): d for x, y, d in con.sql(f"SELECT x0, y0, d FROM ({sql})").fetchall()
+        }
+        df = spark.createDataFrame(pts, "x0 long, y0 long")
+        for r in hilbert_key(df, F.col("x0"), F.col("y0"), out="d", bits=12).collect():
+            assert duck[(r.x0, r.y0)] == r.d
+
+    def test_hilbert_write_clusters_files(self, spark, tmp_path):
+        # Files land as consecutive curve ranges: every file's (x, y)
+        # bounding box must be a strict sub-rectangle of the full grid.
+        from aicoe_osc_demo_spark.operators.layout import (
+            collect_file_stats,
+            hilbert_write,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        pts = [(i, rng.randrange(256), rng.randrange(256)) for i in range(4096)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        path = str(tmp_path / "hilbert")
+        hilbert_write(df, path, "x", "y", bits=8, n_files=8)
+        stats = collect_file_stats(spark, path, ["x", "y"]).collect()
+        assert len(stats) == 8
+        full_area = 256 * 256
+        for s in stats:
+            box = (s["max_x"] - s["min_x"] + 1) * (s["max_y"] - s["min_y"] + 1)
+            assert box < full_area * 0.75, "file box should be a compact sub-rectangle"
+
+
+class TestOhlcBars:
+    def test_open_close_tiebreak_by_id(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import ohlc_bars
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            # two rows share the opening timestamp: id 1 must win open
+            (1, t0, "a", 10.0),
+            (2, t0, "a", 99.0),
+            (3, t0 + dt.timedelta(minutes=5), "a", 1.0),
+            (4, t0 + dt.timedelta(minutes=9), "a", 42.0),
+            (5, t0, "b", 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string, value double"
+        )
+        out = {
+            r.event_type: r
+            for r in ohlc_bars(
+                df, "ts", "value", ["event_type"], bucket="hour", id_col="event_id"
+            ).collect()
+        }
+        a = out["a"]
+        assert (a.open, a.high, a.low, a.close, a.n) == (10.0, 99.0, 1.0, 42.0, 4)
+        b = out["b"]
+        assert (b.open, b.close, b.n) == (7.0, 7.0, 1)
+
+
+class TestAsofTolerance:
+    def test_fresh_stale_and_missing(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import asof_join_tolerance
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        left = spark.createDataFrame(
+            [
+                (1, "u1", t0),  # fresh match (10 min old)
+                (2, "u2", t0),  # stale match (2 h old) -> NULL
+                (3, "u3", t0),  # no match at all -> NULL
+            ],
+            "event_id long, user_id string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                ("u1", t0 - dt.timedelta(minutes=10), 1.5),
+                ("u2", t0 - dt.timedelta(hours=2), 2.5),
+            ],
+            "user_id string, rts timestamp, price double",
+        )
+        out = {
+            r.event_id: r
+            for r in asof_join_tolerance(
+                left,
+                right,
+                on=["user_id"],
+                left_ts="ts",
+                right_ts="rts",
+                value_cols=["price"],
+                tolerance_seconds=1800,
+            ).collect()
+        }
+        assert out[1].price_asof == 1.5 and out[1].staleness_s == 600.0
+        assert out[2].price_asof is None and out[2].staleness_s is None
+        assert out[3].price_asof is None and out[3].staleness_s is None
+
+
+class TestDpCounts:
+    def test_deterministic_and_epsilon_scaled(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(g, i) for g in ("a", "b", "c") for i in range(20)], "g string, i long"
+        )
+        r1 = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+        r2 = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+        assert r1 == r2, "seeded noise must replay identically"
+        # noise is present (md5-uniform exactly 0 has probability ~2^-32)
+        assert any(v != 20.0 for v in r1.values())
+        # doubling epsilon halves the Laplace scale -> |noise| shrinks
+        r_tight = {
+            r.g: r.noisy_count
+            for r in dp_noisy_counts(df, ["g"], epsilon=100.0).collect()
+        }
+        for g in r1:
+            assert abs(r_tight[g] - 20.0) < abs(r1[g] - 20.0)
+
+    def test_true_count_not_emitted(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import dp_noisy_counts
+
+        df = spark.createDataFrame([("a", 1)], "g string, i long")
+        cols = dp_noisy_counts(df, ["g"]).columns
+        assert cols == ["g", "epsilon", "noisy_count"]
+
+
+class TestLDiversity:
+    def test_flags_homogeneous_class(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import l_diversity_report
+
+        rows = [("q1", "flu")] * 5 + [("q2", "flu"), ("q2", "cold"), ("q2", "ok")]
+        df = spark.createDataFrame(rows, "qi string, disease string")
+        out = {
+            r.qi: r
+            for r in l_diversity_report(
+                df, ["qi"], F.col("disease"), l_threshold=2
+            ).collect()
+        }
+        # q1 is 5-anonymous but 1-diverse: exactly the leak k-anonymity misses
+        assert out["q1"].l_distinct == 1 and out["q1"].at_risk
+        assert out["q2"].l_distinct == 3 and not out["q2"].at_risk
+
+
+class TestGroupRegression:
+    def test_exact_line_recovered(self, spark):
+        from aicoe_osc_demo_spark.operators.relational import group_regression
+
+        rows = [("g", float(x), 2.0 * x + 1.0) for x in range(10)]
+        rows += [("h", float(x), -0.5 * x + 4.0) for x in range(10)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {
+            r.g: r
+            for r in group_regression(df, ["g"], y=F.col("y"), x=F.col("x")).collect()
+        }
+        assert (out["g"].slope, out["g"].intercept, out["g"].r2) == (2.0, 1.0, 1.0)
+        assert (out["h"].slope, out["h"].intercept, out["h"].r2) == (-0.5, 4.0, 1.0)
+        assert out["g"].n == 10
+
+
+class TestHardNegatives:
+    def test_same_label_never_selected(self, spark):
+        from aicoe_osc_demo_spark.operators.similarity import hard_negatives
+
+        # id 0 (label 0) is most similar to id 1 (label 0) — a positive —
+        # so mining must skip it and return the hardest DIFFERENT-label one.
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.14], 0),  # near-identical, same label
+            (2, [0.9, 0.43], 1),  # hard negative
+            (3, [0.0, 1.0], 1),  # easy negative
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+        got = [(r.neighbor_id, r.neg_label) for r in out]
+        assert got == [(2, 1), (3, 1)]
+        assert out[0].cosine > out[1].cosine
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "layout_hilbert_key",
+        "events_ohlc_bars",
+        "events_asof_tolerance",
+        "privacy_dp_counts",
+        "privacy_l_diversity",
+        "ml_group_regression",
+        "llm_hard_negatives",
+    ],
+)
+def test_round8_entries_registered_with_oracle(name):
+    from aicoe_osc_demo_spark.plans import ORACLE, QUERIES
+
+    assert name in QUERIES and name in ORACLE
