@@ -584,3 +584,32 @@ def column_histograms(
             "n",
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation for every column pair in ONE scan -- the
+    profiling companion of ``analyze_column_stats``.  ``corr`` is a
+    combinable moment aggregate (n, sum x, sum y, sum xy, sum x^2,
+    sum y^2 per pair), so all C(k,2) pairs reduce map-side in a single
+    pass; only k(k-1)/2 moment tuples cross the shuffle regardless of
+    row count.  Output is long-form (col_a, col_b, corr) so downstream
+    joins/filters don't need to know k.
+    """
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = df.agg(
+        *[
+            F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"{a} {b}")
+            for a, b in pairs
+        ]
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"`{a} {b}`").alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

@@ -931,3 +931,49 @@ def l_diversity_report(
             (F.col("l_distinct") < l_threshold).alias("at_risk"),
         )
     )
+
+
+def ab_test_report(
+    df: DataFrame,
+    unit_col: str,
+    variant_col: str,
+    converted: Column,
+) -> DataFrame:
+    """Two-proportion A/B test rollup: per-unit conversion (a unit counts
+    once no matter how many events it emits), per-variant rates, relative
+    lift, and the pooled two-proportion z statistic.
+
+    Two map-side-combinable aggregates -- events reduce to units, units
+    reduce to two variant rows -- then the final statistics form in a
+    1-row conditional aggregate; nothing row-sized survives the second
+    shuffle.  All ratios are emitted from integer numerators so the
+    report replays exactly in any engine.
+    """
+    units = df.groupBy(F.col(unit_col), F.col(variant_col).alias("variant")).agg(
+        F.max(F.when(converted, 1).otherwise(0)).alias("_conv")
+    )
+    a = F.col("variant") == "A"
+    out = units.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(a, 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(a, F.col("_conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(a, 0).otherwise(F.col("_conv"))).cast("long").alias("conv_b"),
+    )
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((rb - ra) / ra, 6).alias("lift_b_vs_a"),
+        F.round((rb - ra) / se, 6).alias("z_score"),
+    )

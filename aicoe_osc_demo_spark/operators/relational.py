@@ -464,3 +464,63 @@ def group_regression(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    weight: Column,
+    qs: list[float],
+) -> DataFrame:
+    """Exact weighted quantiles per group: the q-quantile is the smallest
+    value whose cumulative weight reaches q * total_weight (Type-1 /
+    lower weighted quantile).  No builtin covers this -- percentile
+    aggregates are unweighted, and repeating rows weight-many times
+    explodes the input -- so the engine forms it from ONE ordered window:
+
+    1. one shuffle on the group key, rows ordered by value (ties need no
+       tiebreak: permuting equal values only permutes cumulative weights
+       among rows whose value is identical, so the selected cut -- the
+       MIN qualifying value -- is invariant under any tie order);
+    2. running cumulative weight (integer-exact when weights are
+       integral, which callers should prefer for cross-engine replay);
+    3. every requested q answers from the same pass via a conditional
+       MIN in one group aggregate -- adding quantiles is free.
+
+    Per-group ordering is the honest cost (same class as NTILE); unlike
+    NTILE the weighted cut has no percentile-aggregate rewrite, so the
+    window IS the scale path -- groups parallelize across executors and
+    nothing but (group, value, cum_weight) survives the window scan.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*group_cols)
+    cum = (
+        df.select(*group_cols, value.alias("_v"), weight.cast("double").alias("_w"))
+        .withColumn("_cw", F.sum("_w").over(w))
+        .withColumn("_tw", F.sum("_w").over(wg))
+    )
+    aggs = []
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), F.col("_v"))
+            ).alias(f"q{q}")
+        )
+    wide = cum.groupBy(*group_cols).agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.round(F.col(f"`q{q}`").cast("double"), 6).alias("wq_value"),
+            )
+            for q in qs
+        ]
+    )
+    return wide.select(*group_cols, F.explode(structs).alias("p")).select(
+        *group_cols, "p.*"
+    )

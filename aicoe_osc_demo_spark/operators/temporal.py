@@ -462,3 +462,139 @@ def ohlc_bars(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    bucket_col: Column,
+    metric: Column,
+) -> DataFrame:
+    """CUSUM change-point detection per group (Page 1954, the classic
+    level-shift detector): bucket the series (e.g. daily counts), form the
+    running sum of deviations from the group mean, and report the bucket
+    where |CUSUM| peaks — the most likely shift point — plus its magnitude.
+
+    Scale shape: the raw stream reduces to (group, bucket) rows in ONE
+    map-side-combined aggregate; every window/argmax after that runs on
+    the bucket-sized table (groups x buckets, thousands of rows per 100 TB
+    of input).  The running sum is ordered by bucket, so float summation
+    order is deterministic and the result replays bit-identically in any
+    engine.
+    """
+    per_bucket = df.groupBy(
+        *group_cols, bucket_col.alias("bucket")
+    ).agg(F.sum(metric).cast("double").alias("x"))
+    wg = Window.partitionBy(*group_cols)
+    wrun = wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        per_bucket.withColumn("_mean", F.avg("x").over(wg))
+        .withColumn("cusum", F.sum(F.col("x") - F.col("_mean")).over(wrun))
+        .withColumn("_n_days", F.count(F.lit(1)).over(wg))
+    )
+    best = Window.partitionBy(*group_cols).orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *group_cols,
+            F.col("bucket").alias("change_bucket"),
+            F.round(F.col("cusum"), 6).alias("peak_cusum"),
+            F.col("_n_days").alias("n_buckets"),
+        )
+    )
+
+
+def path_ngrams(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    n: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Frequent n-step paths over per-entity event sequences (the
+    MATCH_RECOGNIZE / funnel-discovery staple): order each entity's events
+    by time, slide an n-gram window over the state sequence, and count
+    every observed path corpus-wide.
+
+    One shuffle on the entity key produces every n-gram via chained LEADs
+    (no self-joins — the k-step path join formulation shuffles the fact
+    table k times); the count aggregate is map-side combinable on the
+    tiny path vocabulary.  Tie timestamps are broken by ``tiebreak_col``
+    so the sequence — and therefore every n-gram — is deterministic under
+    any partitioning.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    keep = [entity_col, ts_col, state_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    steps = df.select(*keep)
+    names = []
+    for i in range(n):
+        name = f"step{i + 1}"
+        names.append(name)
+        steps = steps.withColumn(
+            name, F.lead(F.col(state_col), i).over(w) if i else F.col(state_col)
+        )
+    return (
+        steps.dropna(subset=names)
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval x interval overlap join for LARGE-both-sides inputs — the
+    primitive behind incident attribution ("which sessions overlapped
+    which outage windows").  A direct theta-join on the overlap predicate
+    is a cartesian product; this is the standard binned reduction:
+
+    1. explode each interval to the time bins it covers (``sequence`` of
+       epoch-second bins, bin width = ``bin_seconds``);
+    2. equi-join on the bin — shuffle cost is rows x bins-per-interval,
+       never |L| x |R|;
+    3. keep a pair only in the bin containing ``greatest(l_start,
+       r_start)`` — every overlapping pair shares that bin, so each pair
+       is emitted EXACTLY once with no DISTINCT re-shuffle;
+    4. residual exact predicate ``l_start <= r_end AND r_start <= l_end``.
+
+    Choose ``bin_seconds`` near the typical interval length: shorter bins
+    multiply the explode factor, longer bins pack unrelated intervals
+    into one bin (skew).  All comparisons run on integer epoch
+    MICROseconds so sub-second boundaries resolve exactly (and replay
+    exactly in any engine).
+    """
+    bin_us = int(bin_seconds) * 1_000_000
+
+    def us(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def bins(s: str, e: str) -> Column:
+        return F.sequence(
+            F.floor(us(s) / bin_us).cast("long"),
+            F.floor(us(e) / bin_us).cast("long"),
+        )
+
+    lb = left.withColumn("_bin", F.explode(bins(l_start, l_end)))
+    rb = right.withColumn("_bin", F.explode(bins(r_start, r_end)))
+    anchor = F.floor(F.greatest(us(l_start), us(r_start)) / bin_us).cast("long")
+    return (
+        lb.join(rb, on="_bin")
+        .filter(F.col("_bin") == anchor)
+        .filter((us(l_start) <= us(r_end)) & (us(r_start) <= us(l_end)))
+        .drop("_bin")
+    )

@@ -873,3 +873,77 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+_CORR_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for a, b in _CORR_PAIRS
+)
+
+
+@register("diag_correlation_matrix", _CORR_SQL)
+def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson correlation of the lineitem measures in ONE scan:
+    # corr is a combinable moment aggregate, so all 6 pairs reduce
+    # map-side and only 6 moment tuples cross the shuffle -- the
+    # column-relationship companion of layout_column_stats.
+    from ..operators.layout import correlation_matrix
+
+    return correlation_matrix(
+        load(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+@register(
+    "agg_weighted_percentiles",
+    # Type-1 lower weighted quantile: smallest value whose cumulative
+    # weight reaches q * total.  Quantity weights are integral so the
+    # running sums are exact; tie order among equal values cannot change
+    # the selected cut.
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    ), w AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN cw >= 0.25 * tw THEN v END) AS q25,
+             MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS q50,
+             MIN(CASE WHEN cw >= 0.75 * tw THEN v END) AS q75,
+             MIN(CASE WHEN cw >= 0.9 * tw THEN v END) AS q90
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q, ROUND(q25, 6) AS wq_value FROM w
+    UNION ALL
+    SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, ROUND(q50, 6) AS wq_value FROM w
+    UNION ALL
+    SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q, ROUND(q75, 6) AS wq_value FROM w
+    UNION ALL
+    SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS q, ROUND(q90, 6) AS wq_value FROM w
+    """,
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantity-weighted price percentiles per return flag: the exact
+    # weighted quantile no percentile builtin covers.  One ordered window
+    # per group feeds every requested q via conditional MINs in a single
+    # aggregate -- adding quantiles costs nothing.
+    from ..operators.relational import weighted_quantiles
+
+    return weighted_quantiles(
+        load(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        [0.25, 0.5, 0.75, 0.9],
+    )

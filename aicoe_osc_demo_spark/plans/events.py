@@ -1269,3 +1269,212 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_seconds=1800,
     )
     return out.select("event_id", "user_id", "view_value_asof", "staleness_s")
+
+
+@register(
+    "events_cusum_changepoint",
+    # Same CUSUM chain: daily counts (integral -> exact mean), running
+    # sum of deviations ordered by day, peak |CUSUM| with min-day ties.
+    """
+    WITH per AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT *, AVG(x) OVER (PARTITION BY event_type) AS mean,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_buckets
+      FROM per
+    ), c AS (
+      SELECT *, SUM(x - mean) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM m
+    )
+    SELECT event_type, bucket AS change_bucket,
+           ROUND(cusum, 6) AS peak_cusum,
+           CAST(n_buckets AS BIGINT) AS n_buckets
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY abs(cusum) DESC, bucket ASC) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM level-shift detection on the per-type daily count series: the
+    # raw stream reduces to (type, day) in one map-side-combined pass;
+    # the running-deviation window and peak argmax run on the tiny daily
+    # table.  Counts are integral so the mean is exact and the ordered
+    # cumsum replays bit-identically in the oracle.
+    from ..operators.temporal import cusum_changepoints
+
+    return cusum_changepoints(
+        load(spark, sf_dir, "events"),
+        ["event_type"],
+        F.date_trunc("day", F.col("ts")),
+        F.lit(1),
+    )
+
+
+@register(
+    "events_path_trigrams",
+    """
+    WITH s AS (
+      SELECT event_type AS step1,
+             LEAD(event_type, 1) OVER w AS step2,
+             LEAD(event_type, 2) OVER w AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequent 3-step behavioral paths: chained LEADs over ONE user_id
+    # shuffle (the k-step self-join formulation shuffles the fact table
+    # k times), then a map-side-combined count on the path vocabulary.
+    # event_id breaks timestamp ties so every n-gram is deterministic.
+    from ..operators.temporal import path_ngrams
+
+    return path_ngrams(
+        load(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "event_type",
+        n=3,
+        tiebreak_col="event_id",
+    )
+
+
+@register(
+    "events_incident_overlap",
+    # Oracle replays the two interval derivations and checks the overlap
+    # with a plain predicate join -- the binned plan must emit exactly
+    # the pairs the naive theta-join finds.
+    """
+    WITH act AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             MIN(ts) AS l_start, MAX(ts) AS l_end
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1, 2
+    ), hr AS (
+      SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_err
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ), inc AS (
+      SELECT hour_start, hour_start + INTERVAL 1 HOUR AS hour_end
+      FROM hr WHERE n_err > 1.5 * (SELECT AVG(n_err) FROM hr)
+    )
+    SELECT a.user_id, a.day, i.hour_start,
+           ROUND((least(epoch_us(a.l_end), epoch_us(i.hour_end))
+                  - greatest(epoch_us(a.l_start), epoch_us(i.hour_start))) / 1e6,
+                 6) AS overlap_s
+    FROM act a JOIN inc i
+      ON epoch_us(a.l_start) <= epoch_us(i.hour_end)
+     AND epoch_us(i.hour_start) <= epoch_us(a.l_end)
+    """,
+)
+def events_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval x interval overlap join, binned: per-user daily activity
+    # intervals vs error-burst incident hours (count > 1.5x the mean
+    # hourly error rate).  Both sides explode to hour bins, equi-join on
+    # the bin, and each pair is emitted exactly once in the bin holding
+    # greatest(l_start, r_start) -- no DISTINCT pass, never |L| x |R|.
+    from ..operators.temporal import interval_overlap_join
+
+    e = load(spark, sf_dir, "events")
+    act = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.min("ts").alias("l_start"), F.max("ts").alias("l_end"))
+    )
+    hr = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    avg_err = hr.agg(F.avg("n_err").alias("_avg"))
+    inc = (
+        hr.crossJoin(F.broadcast(avg_err))
+        .filter(F.col("n_err") > 1.5 * F.col("_avg"))
+        .select(
+            "hour_start",
+            (F.col("hour_start") + F.expr("INTERVAL 1 HOUR")).alias("hour_end"),
+        )
+    )
+    out = interval_overlap_join(
+        act, inc, "l_start", "l_end", "hour_start", "hour_end", bin_seconds=3600
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "user_id",
+        "day",
+        "hour_start",
+        F.round(
+            (
+                F.least(us("l_end"), us("hour_end"))
+                - F.greatest(us("l_start"), us("hour_start"))
+            )
+            / 1e6,
+            6,
+        ).alias("overlap_s"),
+    )
+
+
+@register(
+    "events_ab_test",
+    # Identical md5-parity variant assignment + per-unit conversion and
+    # the pooled two-proportion z statistic.
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                      THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 'A' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 'A' THEN 0 ELSE conv END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                 / (conv_a / CAST(n_a AS DOUBLE)), 6) AS lift_b_vs_a,
+           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM s
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-proportion A/B readout: deterministic md5-parity variant split
+    # (a null experiment by construction -- the z statistic is the
+    # product), unit = user, conversion = any purchase >= 150.  Events
+    # reduce to units, units to two variant rows; every ratio forms from
+    # integer numerators so the oracle replays it exactly.
+    from ..operators.quality import ab_test_report
+
+    e = load(spark, sf_dir, "events")
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    e = e.withColumn("variant", F.when(parity == 0, "A").otherwise("B"))
+    return ab_test_report(
+        e,
+        "user_id",
+        "variant",
+        (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
+    )

@@ -258,3 +258,179 @@ def test_round8_entries_registered_with_oracle(name):
     from aicoe_osc_demo_spark.plans import ORACLE, QUERIES
 
     assert name in QUERIES and name in ORACLE
+
+
+class TestCusum:
+    def test_level_shift_detected(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import cusum_changepoints
+
+        rows = [("g", b, 10.0 if b <= 5 else 20.0) for b in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, b int, x double")
+        out = cusum_changepoints(df, ["g"], F.col("b"), F.col("x")).collect()
+        assert len(out) == 1
+        r = out[0]
+        # mean 15; cusum hits -25 at bucket 5 (the shift point), then recovers
+        assert r.change_bucket == 5
+        assert r.peak_cusum == -25.0
+        assert r.n_buckets == 10
+
+    def test_tie_breaks_to_earliest_bucket(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import cusum_changepoints
+
+        # symmetric V: |cusum| peaks equally at buckets 2 and ... pick min
+        rows = [("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 2.0), ("g", 4, 2.0)]
+        df = spark.createDataFrame(rows, "g string, b int, x double")
+        r = cusum_changepoints(df, ["g"], F.col("b"), F.col("x")).collect()[0]
+        # mean 1: cusums -1,-2,-1,0 -> unique peak at 2
+        assert r.change_bucket == 2 and r.peak_cusum == -2.0
+
+
+class TestPathNgrams:
+    def test_trigram_counts_and_tiebreak(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import path_ngrams
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            (1, t0 + 0 * s, "A", 10),
+            (1, t0 + 1 * s, "B", 11),
+            (1, t0 + 2 * s, "C", 12),
+            (1, t0 + 3 * s, "D", 13),
+            (2, t0, "A", 20),
+            (2, t0 + s, "B", 21),  # too short for a trigram
+            # user 3: two events at the SAME ts — id order decides
+            (3, t0, "X", 31),
+            (3, t0, "Y", 32),
+            (3, t0 + s, "Z", 33),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, ev string, eid long")
+        out = path_ngrams(df, "u", "ts", "ev", n=3, tiebreak_col="eid")
+        got = {(r.step1, r.step2, r.step3): r.n for r in out.collect()}
+        assert got == {("A", "B", "C"): 1, ("B", "C", "D"): 1, ("X", "Y", "Z"): 1}
+
+    def test_bigrams_match_transition_counts(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import path_ngrams
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [(1, t0 + i * s, ev, i) for i, ev in enumerate("ABAB")]
+        df = spark.createDataFrame(rows, "u long, ts timestamp, ev string, eid long")
+        got = {
+            (r.step1, r.step2): r.n
+            for r in path_ngrams(df, "u", "ts", "ev", n=2, tiebreak_col="eid").collect()
+        }
+        assert got == {("A", "B"): 2, ("B", "A"): 1}
+
+
+class TestIntervalOverlap:
+    def _mk(self, spark, rows, pre):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=a),
+              dt.datetime(2024, 1, 1) + dt.timedelta(seconds=b)) for i, a, b in rows],
+            f"{pre}_id long, {pre}_s timestamp, {pre}_e timestamp",
+        )
+
+    def test_pairs_emitted_exactly_once_and_match_naive(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import interval_overlap_join
+
+        import random
+
+        rng = random.Random(13)
+        lrows = [(i, a, a + rng.randrange(1, 500)) for i, a in
+                 ((i, rng.randrange(0, 3000)) for i in range(40))]
+        rrows = [(i, a, a + rng.randrange(1, 500)) for i, a in
+                 ((i, rng.randrange(0, 3000)) for i in range(40))]
+        L = self._mk(spark, lrows, "l")
+        R = self._mk(spark, rrows, "r")
+        got = {
+            (r.l_id, r.r_id)
+            for r in interval_overlap_join(
+                L, R, "l_s", "l_e", "r_s", "r_e", bin_seconds=100
+            ).collect()
+        }
+        naive = {
+            (li, ri)
+            for li, la, lb in lrows
+            for ri, ra, rb in rrows
+            if la <= rb and ra <= lb
+        }
+        assert got == naive
+        # exactly-once: collect() without the set must have no dup pairs
+        n_rows = interval_overlap_join(
+            L, R, "l_s", "l_e", "r_s", "r_e", bin_seconds=100
+        ).count()
+        assert n_rows == len(naive)
+
+    def test_subsecond_boundaries_exact(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import interval_overlap_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        us = dt.timedelta(microseconds=1)
+        L = spark.createDataFrame(
+            [(1, t0, t0 + 10 * us)], "l_id long, l_s timestamp, l_e timestamp"
+        )
+        # starts 1 microsecond AFTER the left interval ends -> no overlap
+        R = spark.createDataFrame(
+            [(1, t0 + 11 * us, t0 + 20 * us)],
+            "r_id long, r_s timestamp, r_e timestamp",
+        )
+        assert (
+            interval_overlap_join(L, R, "l_s", "l_e", "r_s", "r_e", 60).count() == 0
+        )
+        # touching exactly (closed semantics) -> overlap
+        R2 = spark.createDataFrame(
+            [(1, t0 + 10 * us, t0 + 20 * us)],
+            "r_id long, r_s timestamp, r_e timestamp",
+        )
+        assert (
+            interval_overlap_join(L, R2, "l_s", "l_e", "r_s", "r_e", 60).count() == 1
+        )
+
+
+class TestCorrelationMatrix:
+    def test_exact_pairs(self, spark):
+        from aicoe_osc_demo_spark.operators.layout import correlation_matrix
+
+        rows = [(float(i), 2.0 * i, -3.0 * i) for i in range(1, 9)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {(r.col_a, r.col_b): r.corr for r in
+               correlation_matrix(df, ["a", "b", "c"]).collect()}
+        assert got == {("a", "b"): 1.0, ("a", "c"): -1.0, ("b", "c"): -1.0}
+
+
+class TestAbTest:
+    def test_hand_computed_z(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import ab_test_report
+
+        # unit 1 converts via its SECOND event (units count once)
+        rows = [
+            (1, "A", 0), (1, "A", 1), (2, "A", 0),
+            (3, "B", 1), (4, "B", 1),
+        ]
+        df = spark.createDataFrame(rows, "u long, variant string, c int")
+        r = ab_test_report(df, "u", "variant", F.col("c") == 1).collect()[0]
+        assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (2, 2, 1, 2)
+        assert (r.rate_a, r.rate_b, r.lift_b_vs_a) == (0.5, 1.0, 1.0)
+        # pooled p = 3/4, se = sqrt(.75*.25*(1/2+1/2)) = 0.4330127
+        assert r.z_score == pytest.approx(0.5 / 0.4330127, abs=1e-5)
+
+
+class TestWeightedQuantiles:
+    def test_type1_weighted_cut(self, spark):
+        from aicoe_osc_demo_spark.operators.relational import weighted_quantiles
+
+        rows = [("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 1), ("g", 4.0, 7)]
+        df = spark.createDataFrame(rows, "g string, v double, w int")
+        got = {r.q: r.wq_value for r in weighted_quantiles(
+            df, ["g"], F.col("v"), F.col("w"), [0.25, 0.5, 0.9]).collect()}
+        # total weight 10; cum weights 1,2,3,10
+        assert got == {0.25: 3.0, 0.5: 4.0, 0.9: 4.0}
+
+    def test_ties_do_not_move_the_cut(self, spark):
+        from aicoe_osc_demo_spark.operators.relational import weighted_quantiles
+
+        rows = [("g", 5.0, 3), ("g", 5.0, 3), ("g", 9.0, 4)]
+        df = spark.createDataFrame(rows, "g string, v double, w int")
+        got = {r.q: r.wq_value for r in weighted_quantiles(
+            df, ["g"], F.col("v"), F.col("w"), [0.5, 0.7]).collect()}
+        assert got == {0.5: 5.0, 0.7: 9.0}
