@@ -472,55 +472,161 @@ def weighted_quantiles(
     value: Column,
     weight: Column,
     qs: list[float],
+    n_bins: int | None = 1024,
 ) -> DataFrame:
     """Exact weighted quantiles per group: the q-quantile is the smallest
     value whose cumulative weight reaches q * total_weight (Type-1 /
     lower weighted quantile).  No builtin covers this -- percentile
     aggregates are unweighted, and repeating rows weight-many times
-    explodes the input -- so the engine forms it from ONE ordered window:
+    explodes the input.
 
-    1. one shuffle on the group key, rows ordered by value (ties need no
-       tiebreak: permuting equal values only permutes cumulative weights
-       among rows whose value is identical, so the selected cut -- the
-       MIN qualifying value -- is invariant under any tie order);
-    2. running cumulative weight (integer-exact when weights are
-       integral, which callers should prefer for cross-engine replay);
-    3. every requested q answers from the same pass via a conditional
-       MIN in one group aggregate -- adding quantiles is free.
+    Default path (``n_bins`` set): two-pass binned exact resolve --
+    1. ONE map-side-combined histogram: per (group, value-bin) weight
+       sums; cumulative/total run on the tiny bin table;
+    2. the cut bin per q is the first whose cumulative reaches
+       q * total; only rows IN cut bins are re-scanned, and a window
+       over those few rows resolves the exact cut value.
+    Nothing sorts whole groups: the first pass is aggregate-only and the
+    second sorts ~n/n_bins rows per cut, so 100 TB of observations cost
+    two scans + a bin-sized shuffle.  Bin boundaries never affect the
+    answer (equal values share a bin, and pass 2 is exact within the
+    bin), so any n_bins returns the identical result.
 
-    Per-group ordering is the honest cost (same class as NTILE); unlike
-    NTILE the weighted cut has no percentile-aggregate rewrite, so the
-    window IS the scale path -- groups parallelize across executors and
-    nothing but (group, value, cum_weight) survives the window scan.
+    ``n_bins=None`` falls back to the one-window form (running
+    cumulative weight over value order, every q answered by conditional
+    MINs) -- simpler plan, but it sorts each whole group, the NTILE-class
+    cost; use it only for small inputs or many-group data.  Ties need no
+    tiebreak in either path: permuting equal values only permutes
+    cumulative weights among rows whose value is identical, so the MIN
+    qualifying value is invariant.  Prefer integral weights: running
+    sums stay exact, so both paths and any replay agree bitwise.
     """
+    base = df.select(
+        *group_cols, value.cast("double").alias("_v"), weight.cast("double").alias("_w")
+    )
+    if n_bins is None:
+        out = _weighted_quantiles_window(base, group_cols, qs)
+    else:
+        out = _weighted_quantiles_binned(base, group_cols, qs, n_bins)
+    return out.select(
+        *group_cols, "q", F.round(F.col("wq_value").cast("double"), 6).alias("wq_value")
+    )
+
+
+def _weighted_quantiles_window(
+    base: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(F.col("_v").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wg = Window.partitionBy(*group_cols)
-    cum = (
-        df.select(*group_cols, value.alias("_v"), weight.cast("double").alias("_w"))
-        .withColumn("_cw", F.sum("_w").over(w))
-        .withColumn("_tw", F.sum("_w").over(wg))
+    cum = base.withColumn("_cw", F.sum("_w").over(w)).withColumn(
+        "_tw", F.sum("_w").over(wg)
     )
-    aggs = []
-    for q in qs:
-        aggs.append(
+    wide = cum.groupBy(*group_cols).agg(
+        *[
             F.min(
                 F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_tw"), F.col("_v"))
             ).alias(f"q{q}")
-        )
-    wide = cum.groupBy(*group_cols).agg(*aggs)
+            for q in qs
+        ]
+    )
     structs = F.array(
         *[
             F.struct(
-                F.lit(float(q)).alias("q"),
-                F.round(F.col(f"`q{q}`").cast("double"), 6).alias("wq_value"),
+                F.lit(float(q)).alias("q"), F.col(f"`q{q}`").alias("wq_value")
             )
             for q in qs
         ]
     )
     return wide.select(*group_cols, F.explode(structs).alias("p")).select(
         *group_cols, "p.*"
+    )
+
+
+def _weighted_quantiles_binned(
+    base: DataFrame, group_cols: list[str], qs: list[float], n_bins: int
+) -> DataFrame:
+    rng = base.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    binned = base.join(F.broadcast(rng), on=group_cols).withColumn(
+        "_bin",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("long"),
+    )
+    hist = binned.groupBy(*group_cols, "_bin").agg(F.sum("_w").alias("_bw"))
+    hist = hist.withColumn(
+        "_cum",
+        F.sum("_bw").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("_tw", F.sum("_bw").over(Window.partitionBy(*group_cols)))
+    # every q's cut bin from ONE pass over the tiny histogram: min-struct
+    # (ordered by _bin first) of the qualifying bins per q
+    spec_wide = hist.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.lit(float(q)) * F.col("_tw"),
+                    F.struct(
+                        F.col("_bin").alias("_qbin"),
+                        (F.col("_cum") - F.col("_bw")).alias("_cum_before"),
+                        F.col("_tw").alias("_qtw"),
+                    ),
+                )
+            ).alias(f"s{q}")
+            for q in qs
+        ]
+    )
+    spec = spec_wide.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"), F.col(f"`s{q}`").alias("s")
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        *group_cols, "p.q", "p.s._qbin", "p.s._cum_before", "p.s._qtw"
+    )
+    b, s = binned.alias("b"), spec.alias("s")
+    cond = F.col("b._bin") == F.col("s._qbin")
+    for c in group_cols:
+        cond = cond & (F.col(f"b.{c}") == F.col(f"s.{c}"))
+    cand = b.join(F.broadcast(s), cond).select(
+        *[F.col(f"b.{c}") for c in group_cols],
+        F.col("s.q").alias("q"),
+        F.col("b._v").alias("_v"),
+        F.col("b._w").alias("_w"),
+        F.col("s._cum_before").alias("_cum_before"),
+        F.col("s._qtw").alias("_qtw"),
+    )
+    wq = (
+        Window.partitionBy(*group_cols, "q")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = cand.withColumn("_cw", F.col("_cum_before") + F.sum("_w").over(wq))
+    return resolved.groupBy(*group_cols, "q").agg(
+        F.min(
+            F.when(F.col("_cw") >= F.col("q") * F.col("_qtw"), F.col("_v"))
+        ).alias("wq_value")
     )

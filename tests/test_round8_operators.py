@@ -434,3 +434,23 @@ class TestWeightedQuantiles:
         got = {r.q: r.wq_value for r in weighted_quantiles(
             df, ["g"], F.col("v"), F.col("w"), [0.5, 0.7]).collect()}
         assert got == {0.5: 5.0, 0.7: 9.0}
+
+    def test_binned_path_equals_window_path(self, spark):
+        from aicoe_osc_demo_spark.operators.relational import weighted_quantiles
+
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (rng.choice("AB"), float(rng.randrange(1, 1000)) / 4, rng.randrange(1, 9))
+            for _ in range(3000)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w int")
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        args = (["g"], F.col("v"), F.col("w"), qs)
+        win = sorted(map(tuple, weighted_quantiles(df, *args, n_bins=None).collect()))
+        for nb in (16, 1024):
+            binned = sorted(
+                map(tuple, weighted_quantiles(df, *args, n_bins=nb).collect())
+            )
+            assert binned == win, nb
