@@ -222,3 +222,37 @@ def numeric_only_cell(c: Column) -> Column:
     """F15 — detector for number-only table cells, dropped before gathering
     table text (ref: farm_trainer.py:88-91)."""
     return c.rlike("^\\W*[0-9]*\\W?[0-9]*?\\W*$")
+
+
+def char_entropy(text_col: str) -> Column:
+    """Shannon entropy (bits/char) of a string's character distribution --
+    the information-density quality signal: boilerplate and repeated
+    filler score low, natural prose ~4 bits, random noise high.  Useful
+    next to the repetition/C4 rules as a cheap model-free filter.
+
+    Pure codegen'd expression -- chars, counts and the entropy sum all
+    evaluate within the row (transform/aggregate higher-order functions),
+    so 100 TB of documents score at scan speed with NO shuffle.  Each
+    term -p*log2(p) is quantized to integer nanobits before the sum, so
+    the per-document value is independent of char iteration order and
+    replays bit-identically in any engine.
+
+    Takes the column NAME (the expression inlines it several times).
+    """
+    t = text_col
+    chars = f"transform(sequence(1, length({t})), i -> substring({t}, i, 1))"
+    p = f"(size(filter({chars}, c -> c = d)) / cast(length({t}) AS double))"
+    terms = (
+        f"transform(array_distinct({chars}), "
+        f"d -> bigint(floor(-({p} * (ln({p}) / ln(2.0))) * 1e9 + 0.5)))"
+    )
+    return F.when(
+        F.length(F.col(t)) > 0,
+        F.round(
+            F.expr(
+                f"aggregate({terms}, bigint(0), (acc, x) -> acc + x)"
+            ).cast("double")
+            / 1e9,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))

@@ -977,3 +977,118 @@ def ab_test_report(
         F.round((rb - ra) / ra, 6).alias("lift_b_vs_a"),
         F.round((rb - ra) / se, 6).alias("z_score"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    grid: int = 1000,
+) -> DataFrame:
+    """Cross-source score calibration by quantile normalization: each row's
+    score is replaced by the POOLED distribution's value at the row's
+    within-group percentile -- after which every group's score
+    distribution is identical, so a single global threshold or mixture
+    weight treats sources fairly (scores from different quality models /
+    length regimes are otherwise incomparable).
+
+    Plan: one window shuffle on the group key for percent_rank, ONE exact
+    percentile aggregate for the pooled grid (grid+1 cut points, a plan
+    literal once broadcast), then a map-side array lookup -- no second
+    row-sized shuffle.  The grid makes the mapping exact-on-grid and
+    engine-replayable: both the rank and the pooled quantile function use
+    the standard linear-interpolation definition.
+    """
+    wg = Window.partitionBy(group_col).orderBy(score.asc())
+    pcts = [i / grid for i in range(grid + 1)]
+    ranked = df.withColumn("_qn_score", score).withColumn(
+        "_pct", F.percent_rank().over(wg)
+    )
+    pooled = ranked.agg(
+        F.expr(
+            f"percentile(_qn_score, array({', '.join(str(p) for p in pcts)}))"
+        ).alias("_grid")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pooled))
+        .withColumn(
+            "norm_score",
+            F.round(
+                F.element_at(
+                    F.col("_grid"),
+                    (F.floor(F.col("_pct") * grid) + 1).cast("int"),
+                ),
+                6,
+            ),
+        )
+        .drop("_grid", "_qn_score")
+        .withColumn("_pct", F.round(F.col("_pct"), 6))
+        .withColumnRenamed("_pct", "pct_in_group")
+    )
+
+
+def benford_audit(df: DataFrame, amount: Column) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (the classic
+    fabricated-numbers screen for financial / generated data): per digit
+    1-9, observed share against the expected log10(1 + 1/d), plus each
+    digit's chi-square contribution (N * (obs - exp)^2 / exp; the audit
+    statistic is their sum).
+
+    One map-side-combined 9-group count -- the digit extraction is a
+    codegen'd log10/pow expression, nothing but 9 counters crosses the
+    shuffle.  Non-positive amounts are excluded (no leading digit).
+    """
+    digit = F.floor(
+        amount / F.pow(F.lit(10.0), F.floor(F.log10(amount)))
+    ).cast("int")
+    counts = (
+        df.filter(amount > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    obs = F.col("n") / F.col("_tot")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_p"),
+        F.round(exp, 6).alias("expected_p"),
+        F.round(F.col("_tot") * (obs - exp) * (obs - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, amount: Column
+) -> DataFrame:
+    """Gini coefficient of a value's concentration across keys (revenue
+    per customer, tokens per source, ...): the inequality audit behind
+    per-host caps and mixture reweighting -- a corpus whose token mass is
+    nearly all one source has a Gini near 1 no matter how many sources
+    the row counts claim.
+
+    Form: G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n over the
+    ascending-sorted per-key totals.  The raw table reduces to per-key
+    totals map-side; the rank window runs on the key-sized table (the
+    honest global sort, but over keys, not rows).  Totals are quantized
+    to integer cents so both sums are exact longs -- tie order among
+    equal totals provably cannot change sum(i * x_i) (equal x share the
+    rank block), so the result is deterministic without a tiebreak.
+    """
+    per_key = df.groupBy(key_col).agg(
+        F.floor(F.sum(amount) * 100 + F.lit(0.5)).cast("long").alias("_cents")
+    )
+    w = Window.orderBy(F.col("_cents").asc(), F.col(key_col).asc())
+    ranked = per_key.withColumn("_i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(F.sum("_cents").cast("double") / 100, 6).alias("total"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("_i") * F.col("_cents")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("_cents")).cast("double")
+            - (F.count(F.lit(1)) + F.lit(1)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

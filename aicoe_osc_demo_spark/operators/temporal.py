@@ -598,3 +598,49 @@ def interval_overlap_join(
         .filter((us(l_start) <= us(r_end)) & (us(r_start) <= us(l_end)))
         .drop("_bin")
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    order_col: str,
+    x: Column,
+    y: Column,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation function (CCF) between two aligned
+    series: corr(x_t, y_{t-k}) for k = 0..max_lag -- "do errors predict
+    purchases two days later?".  The input is an already-bucketed series
+    (one row per ``order_col`` tick), so the window ordering runs on the
+    bucket-sized table, never raw rows: callers aggregate first (the
+    daily rollup is a map-side-combined count) and correlate second.
+
+    All lags come from ONE ordered window (chained LAGs) and ONE
+    aggregate of corr moment sums; output is long-form (lag, ccf, n).
+    """
+    w = Window.orderBy(F.col(order_col).asc())
+    cur = series.select(order_col, x.alias("_x"), y.alias("_y"))
+    for k in range(1, max_lag + 1):
+        cur = cur.withColumn(f"_y{k}", F.lag(F.col("_y"), k).over(w))
+    wide = cur.agg(
+        *[
+            F.round(
+                F.corr(F.col("_x"), F.col("_y" if k == 0 else f"_y{k}")), 6
+            ).alias(f"c{k}")
+            for k in range(max_lag + 1)
+        ],
+        *[
+            F.count(F.col("_y" if k == 0 else f"_y{k}")).cast("long").alias(f"n{k}")
+            for k in range(max_lag + 1)
+        ],
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                F.col(f"c{k}").alias("ccf"),
+                F.col(f"n{k}").alias("n"),
+            )
+            for k in range(max_lag + 1)
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")

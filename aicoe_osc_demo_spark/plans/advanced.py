@@ -947,3 +947,35 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity"),
         [0.25, 0.5, 0.75, 0.9],
     )
+
+
+@register(
+    "agg_gini_concentration",
+    # Integer-cent totals -> exact long rank-weighted sums; tie order
+    # among equal totals cannot change sum(i * x).
+    """
+    WITH pk AS (
+      SELECT o_custkey,
+             CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM pk
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 6) AS total,
+           ROUND(2.0 * CAST(SUM(i * cents) AS DOUBLE)
+                     / CAST(COUNT(*) * SUM(cents) AS DOUBLE)
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of revenue concentration across customers -- the
+    # inequality audit behind per-host caps and mixture reweighting.  Raw
+    # orders reduce to per-customer totals map-side; the rank window runs
+    # on the key-sized table.
+    from ..operators.quality import gini_concentration
+
+    return gini_concentration(
+        load(spark, sf_dir, "orders"), "o_custkey", F.col("o_totalprice")
+    )

@@ -1478,3 +1478,53 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         (F.col("event_type") == "purchase") & (F.col("value") >= 150.0),
     )
+
+
+@register(
+    "events_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT x, y,
+             LAG(y, 1) OVER w AS y1, LAG(y, 2) OVER w AS y2,
+             LAG(y, 3) OVER w AS y3, LAG(y, 4) OVER w AS y4,
+             LAG(y, 5) OVER w AS y5
+      FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT 0 AS lag, ROUND(corr(x, y), 6) AS ccf, CAST(COUNT(y) AS BIGINT) AS n FROM lagged
+    UNION ALL
+    SELECT 1, ROUND(corr(x, y1), 6), CAST(COUNT(y1) AS BIGINT) FROM lagged
+    UNION ALL
+    SELECT 2, ROUND(corr(x, y2), 6), CAST(COUNT(y2) AS BIGINT) FROM lagged
+    UNION ALL
+    SELECT 3, ROUND(corr(x, y3), 6), CAST(COUNT(y3) AS BIGINT) FROM lagged
+    UNION ALL
+    SELECT 4, ROUND(corr(x, y4), 6), CAST(COUNT(y4) AS BIGINT) FROM lagged
+    UNION ALL
+    SELECT 5, ROUND(corr(x, y5), 6), CAST(COUNT(y5) AS BIGINT) FROM lagged
+    """,
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lead-lag CCF between the daily purchase and error series ("do error
+    # bursts predict purchase dips k days later?").  Raw events reduce to
+    # the 30-row daily table map-side; lags and all corr moment sums run
+    # on that table in one window + one aggregate.
+    from ..operators.temporal import cross_correlation
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("double")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    return cross_correlation(daily, "day", F.col("x"), F.col("y"), max_lag=5)

@@ -1062,3 +1062,65 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sensitive=F.floor(F.col("c_acctbal") / F.lit(1000.0)),
         l_threshold=8,
     )
+
+
+_QN_GRID = 100
+_QN_PCTS = ", ".join(str(i / _QN_GRID) for i in range(_QN_GRID + 1))
+
+
+@register(
+    "quality_quantile_normalize",
+    # Same chain: within-source percent_rank -> pooled exact-percentile
+    # grid (linear interpolation both engines) -> grid lookup.
+    f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pct
+      FROM documents
+    ), g AS (
+      SELECT quantile_cont(n_chars, [{_QN_PCTS}]) AS grid FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           ROUND(pct, 6) AS pct_in_group,
+           ROUND(list_extract(grid, CAST(floor(pct * {_QN_GRID}) AS INT) + 1), 6)
+             AS norm_score
+    FROM r, g
+    """,
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source score calibration: each doc's length score is replaced
+    # by the pooled distribution's value at the doc's within-source
+    # percentile -- after which one global threshold treats all 20
+    # sources fairly.  One window shuffle + one broadcast percentile
+    # grid; the lookup is map-side.
+    from ..operators.quality import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quantile_normalize(docs, "source", F.col("n_chars"), grid=_QN_GRID)
+
+
+@register(
+    "quality_benford_audit",
+    """
+    WITH c AS (
+      SELECT CAST(floor(l_extendedprice
+                        / power(10, floor(log10(l_extendedprice)))) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+    SELECT digit, n,
+           ROUND(n / CAST(tot AS DOUBLE), 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+           ROUND(tot * (n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit))
+                     * (n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM c, t
+    """,
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-digit distribution of extended prices vs Benford's law -- the
+    # fabricated-data screen.  One map-side-combined 9-group count; the
+    # digit is a codegen'd log10/pow expression.
+    from ..operators.quality import benford_audit
+
+    return benford_audit(load(spark, sf_dir, "lineitem"), F.col("l_extendedprice"))

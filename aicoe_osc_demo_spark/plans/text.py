@@ -612,3 +612,43 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(f, 1).alias("min_fp"),
         F.element_at(f, -1).alias("max_fp"),
     )
+
+
+@register(
+    "text_char_entropy",
+    # Identical nanobit-quantized -p*log2(p) terms summed as integers, so
+    # the per-doc sum is independent of char iteration order.
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(split(text, '')) AS c, length(text) AS len
+      FROM documents WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, len, c, COUNT(*) AS k FROM ch GROUP BY 1, 2, 3
+    ), term AS (
+      SELECT doc_id, len,
+             CAST(floor(-((k / CAST(len AS DOUBLE))
+                          * (ln(k / CAST(len AS DOUBLE)) / ln(2.0))) * 1e9 + 0.5)
+                  AS BIGINT) AS t
+      FROM cnt
+    )
+    SELECT doc_id, CAST(MAX(len) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(t) AS BIGINT) / 1e9, 6) AS entropy_bits
+    FROM term GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document Shannon entropy of the character distribution -- the
+    # model-free information-density filter next to the repetition/C4
+    # rules.  Pure codegen'd higher-order-function expression: zero
+    # shuffles, documents score at scan speed.
+    from ..functions.text import char_entropy
+
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            char_entropy("text").alias("entropy_bits"),
+        )
+    )

@@ -454,3 +454,85 @@ class TestWeightedQuantiles:
                 map(tuple, weighted_quantiles(df, *args, n_bins=nb).collect())
             )
             assert binned == win, nb
+
+
+class TestQuantileNormalize:
+    def test_groups_map_onto_pooled_distribution(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import quantile_normalize
+
+        rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+                ("B", 10.0), ("B", 20.0), ("B", 30.0)]
+        df = spark.createDataFrame(rows, "g string, s double")
+        out = quantile_normalize(df, "g", F.col("s"), grid=100).collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r.g, []).append((r.pct_in_group, r.norm_score))
+        # after normalization both groups carry IDENTICAL distributions:
+        # pooled values at ranks 0, .5, 1 over [1,2,3,10,20,30]
+        expect = [(0.0, 1.0), (0.5, 6.5), (1.0, 30.0)]
+        assert sorted(by_group["A"]) == expect
+        assert sorted(by_group["B"]) == expect
+
+
+class TestBenford:
+    def test_digit_extraction_counts_and_chi2(self, spark):
+        import math
+
+        from aicoe_osc_demo_spark.operators.quality import benford_audit
+
+        rows = [(1.5,), (19.0,), (25.0,), (3.2,), (0.0,), (-5.0,)]
+        df = spark.createDataFrame(rows, "a double")
+        got = {r.digit: r for r in benford_audit(df, F.col("a")).collect()}
+        assert {d: got[d].n for d in got} == {1: 2, 2: 1, 3: 1}
+        e1 = math.log10(2.0)
+        assert got[1].observed_p == 0.5
+        assert got[1].expected_p == round(e1, 6)
+        assert got[1].chi2_term == pytest.approx(
+            4 * (0.5 - e1) ** 2 / e1, abs=1e-6
+        )
+
+
+class TestGini:
+    def test_equal_and_concentrated(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import gini_concentration
+
+        eq = spark.createDataFrame([(i, 10.0) for i in range(5)], "k long, a double")
+        r = gini_concentration(eq, "k", F.col("a")).collect()[0]
+        assert (r.n_keys, r.total, r.gini) == (5, 50.0, 0.0)
+        conc = spark.createDataFrame(
+            [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k long, a double"
+        )
+        r = gini_concentration(conc, "k", F.col("a")).collect()[0]
+        assert r.gini == pytest.approx((5 - 1) / 5, abs=1e-6)
+
+
+class TestCrossCorrelation:
+    def test_shifted_series_peaks_at_its_lag(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import cross_correlation
+
+        y = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5]
+        rows = [(t, (y[t - 2] if t >= 2 else 0.0), y[t]) for t in range(10)]
+        df = spark.createDataFrame(rows, "t int, x double, y double")
+        got = {r.lag: r for r in
+               cross_correlation(df, "t", F.col("x"), F.col("y"), max_lag=3).collect()}
+        assert got[2].ccf == 1.0          # x_t == y_{t-2} exactly
+        assert got[2].n == 8              # first 2 lags are null
+        assert got[0].n == 10 and abs(got[0].ccf) < 1.0
+
+
+class TestCharEntropy:
+    def test_hand_values(self, spark):
+        from aicoe_osc_demo_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame(
+            [("aaaa",), ("abab",), ("abcd",), ("",)], "t string"
+        )
+        got = dict((r.t, r.h) for r in df.select("t", char_entropy("t").alias("h")).collect())
+        assert got == {"aaaa": 0.0, "abab": 1.0, "abcd": 2.0, "": 0.0}
+
+    def test_plan_is_shuffle_free(self, spark):
+        from aicoe_osc_demo_spark.functions.text import char_entropy
+
+        df = spark.createDataFrame([("hello",)], "t string")
+        plan = df.select(char_entropy("t").alias("h"))._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
