@@ -971,6 +971,7 @@ def leakage_safe_split(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     salt: str = "split",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup-aware train/eval split: documents that are near-duplicates
     of each other NEVER straddle the split boundary.  A plain per-row hash
@@ -988,13 +989,19 @@ def leakage_safe_split(
     retries, and incremental reruns).
 
     Output: (doc_id, cluster_id, split) with split in {'train', 'eval'}.
+
+    Pass ``labels`` (a ``(doc_id, cluster_id)`` frame, e.g. from
+    ``read_dedup_labels``) to serve the split from a persisted cluster
+    artifact instead of re-running the MinHash+LSH+components chain --
+    the build-once/serve-many pattern shared with ``write_knn_graph``.
     """
     from ..functions.hashing import deterministic_split_flag
 
-    pairs = minhash_dedup_pairs(
-        docs, text_col, id_col, n_hashes, bands, jaccard_threshold
-    )
-    labels = dedup_clusters(pairs)
+    if labels is None:
+        pairs = minhash_dedup_pairs(
+            docs, text_col, id_col, n_hashes, bands, jaccard_threshold
+        )
+        labels = dedup_clusters(pairs)
     singles = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, on="doc_id", how="left_anti")
@@ -1111,3 +1118,32 @@ def keep_canonical(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def write_dedup_labels(
+    pairs: DataFrame,
+    path: str,
+    d1: str = "d1",
+    d2: str = "d2",
+    max_iter: int = 15,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the near-dup cluster label artifact (``(doc_id,
+    cluster_id)`` parquet) -- the build-once/serve-many pattern shared
+    with ``write_knn_graph``/``write_ivfpq_index``, for the dedup
+    family's shared output: survivor selection (``keep_canonical``),
+    leakage-safe splitting, dedup-rate reporting and incremental
+    near-dedup ledgers all consume the same component labels, and the
+    pairs->pointer-jumping chain is the dominant cost of each.  Cluster
+    once, read the labels per consumer.
+    """
+    dedup_clusters(pairs, d1=d1, d2=d2, max_iter=max_iter).write.mode(
+        mode
+    ).parquet(path)
+
+
+def read_dedup_labels(spark, path: str) -> DataFrame:
+    """Read a ``write_dedup_labels`` artifact: a plain columnar label scan
+    -- every cluster consumer downstream starts from a parquet read
+    instead of the LSH self-join + components chain."""
+    return spark.read.parquet(path)

@@ -536,3 +536,46 @@ class TestCharEntropy:
         df = spark.createDataFrame([("hello",)], "t string")
         plan = df.select(char_entropy("t").alias("h"))._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestDedupLabelArtifact:
+    def test_served_consumers_match_inmemory_chain(self, spark, tmp_path):
+        from aicoe_osc_demo_spark.operators.dedup import (
+            dedup_clusters,
+            keep_canonical,
+            leakage_safe_split,
+            minhash_dedup_pairs,
+            read_dedup_labels,
+            write_dedup_labels,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again today"),
+                (2, "the quick brown fox jumps over the lazy dog again now"),
+                (3, "completely different text about spark physical planning"),
+                (4, "another unrelated document discussing shuffle partitions"),
+                (5, "the quick brown fox jumps over the lazy dog again today"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = minhash_dedup_pairs(docs, "text", "doc_id", 8, 4, 0.5)
+        path = str(tmp_path / "labels")
+        write_dedup_labels(pairs, path)
+        served = read_dedup_labels(spark, path)
+
+        in_mem = dedup_clusters(pairs)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, in_mem.collect())
+        )
+        # survivor selection from the artifact == from the live chain
+        a = sorted(map(tuple, keep_canonical(docs, served).collect()))
+        b = sorted(map(tuple, keep_canonical(docs, in_mem).collect()))
+        assert a == b and len(a) < docs.count()
+        # leakage-safe split served from the artifact == recomputed
+        s1 = sorted(map(tuple, leakage_safe_split(docs, labels=served).collect()))
+        s2 = sorted(map(tuple, leakage_safe_split(docs).collect()))
+        assert s1 == s2
+        # the served path is a parquet scan, not an LSH chain
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan and "Window" not in plan
