@@ -256,3 +256,36 @@ def char_entropy(text_col: str) -> Column:
             6,
         ),
     ).otherwise(F.lit(0.0))
+
+
+def readability_features(text_col: str) -> list[Column]:
+    """Flesch reading-ease features from three regexp counts -- words,
+    sentences ([.!?] runs), and a vowel-group syllable estimate (the
+    standard cheap heuristic).  All map-side codegen'd counts; the score
+    is 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), the
+    classic curation-side readability gate (too-low = dense boilerplate,
+    too-high = fragment noise).  Returns [n_words, n_sentences,
+    n_syllables, flesch] columns; rows need n_words/n_sentences > 0
+    guards upstream (the engine emits NULL score otherwise).
+    """
+    t = text_col
+    words = F.expr(f"size(regexp_extract_all({t}, '[A-Za-z]+', 0))").cast("long")
+    sents = F.expr(f"size(regexp_extract_all({t}, '[.!?]+', 0))").cast("long")
+    sylls = F.expr(
+        f"size(regexp_extract_all(lower({t}), '[aeiouy]+', 0))"
+    ).cast("long")
+    flesch = F.when(
+        (words > 0) & (sents > 0),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+            - F.lit(84.6) * (sylls.cast("double") / words.cast("double")),
+            6,
+        ),
+    )
+    return [
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        sylls.alias("n_syllables"),
+        flesch.alias("flesch"),
+    ]

@@ -644,3 +644,84 @@ def cross_correlation(
         ]
     )
     return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-neighbour as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each left row takes the right row with the SMALLEST
+    absolute time distance per key, earlier match winning exact-distance
+    ties (pandas' backward preference).  ``asof_join`` covers
+    at-or-before; sensor alignment and price marking often want the
+    closest reading on either side instead.
+
+    Same single-shuffle union pattern, run in both directions inside ONE
+    keyed exchange: the ascending window carries the latest at-or-before
+    (value, ts), the descending window the earliest at-or-after, and a
+    map-side integer-microsecond comparison picks the closer.  No range
+    explosion, no per-row lookups, and Catalyst reuses one Exchange for
+    both window specs (same partition keys).
+    """
+    vt = dict(right.dtypes)[value_col]
+    lt = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_v", F.lit(None).cast(vt))
+    )
+    rt = right.select(
+        *on,
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        F.col(value_col).alias("_v"),
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    merged = lt.select(rt.columns).unionByName(rt)
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    # right rows sort before left rows at equal _ts in BOTH directions, so
+    # a left row at t sees a right row at exactly t from either side
+    w_b = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(*frame)
+    )
+    w_f = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+        .rowsBetween(*frame)
+    )
+    rv = F.when(F.col("_side") == 0, F.col("_v"))
+    rts = F.when(F.col("_side") == 0, F.col("_ts"))
+    filled = merged.select(
+        "*",
+        F.last(rv, ignorenulls=True).over(w_b).alias("_bv"),
+        F.last(rts, ignorenulls=True).over(w_b).alias("_bts"),
+        F.last(rv, ignorenulls=True).over(w_f).alias("_fv"),
+        F.last(rts, ignorenulls=True).over(w_f).alias("_fts"),
+    ).filter(F.col("_side") == 1)
+
+    t = F.unix_micros(F.col("_ts").cast("timestamp"))
+    db = t - F.unix_micros(F.col("_bts").cast("timestamp"))
+    df_ = F.unix_micros(F.col("_fts").cast("timestamp")) - t
+    take_b = F.col("_fts").isNull() | (F.col("_bts").isNotNull() & (db <= df_))
+    out = filled.withColumn(
+        f"{value_col}{suffix}", F.when(take_b, F.col("_bv")).otherwise(F.col("_fv"))
+    ).withColumn(
+        "nearest_distance_s",
+        F.round(
+            F.when(take_b, db.cast("double") / 1e6).otherwise(
+                df_.cast("double") / 1e6
+            ),
+            6,
+        ),
+    )
+    return out.drop("_side", "_ts", "_v", "_bv", "_bts", "_fv", "_fts")

@@ -1528,3 +1528,197 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross_correlation(daily, "day", F.col("x"), F.col("y"), max_lag=5)
+
+
+@register(
+    "events_asof_nearest",
+    # Same union + two-direction window construction: backward fill,
+    # forward fill, integer-microsecond distance pick (ties -> backward).
+    """
+    WITH m AS (
+      SELECT user_id, ts, CAST(NULL AS DOUBLE) AS v, 1 AS side, event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, value AS v, 0 AS side, NULL
+      FROM events WHERE event_type = 'view'
+    ), f AS (
+      SELECT *,
+        last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wb AS bv,
+        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wb AS bts,
+        last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS) OVER wf AS fv,
+        last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER wf AS fts
+      FROM m
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts DESC, side ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN fts IS NULL
+                 OR (bts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+                THEN bv ELSE fv END AS view_value_asof,
+           ROUND(CASE WHEN fts IS NULL
+                       OR (bts IS NOT NULL
+                           AND epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+                      THEN (epoch_us(ts) - epoch_us(bts)) / 1e6
+                      ELSE (epoch_us(fts) - epoch_us(ts)) / 1e6 END,
+                 6) AS nearest_distance_s
+    FROM f WHERE side = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # merge_asof(direction='nearest'): each purchase takes the view
+    # reading closest in time on EITHER side (ties -> earlier), one keyed
+    # exchange shared by both direction windows.
+    from ..operators.temporal import asof_join_nearest
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    out = asof_join_nearest(
+        purchases, views, ["user_id"], "ts", "view_ts", "view_value"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_value_asof").alias("view_value_asof"),
+        "nearest_distance_s",
+    )
+
+
+@register(
+    "events_timed_funnel",
+    # Funnel with per-step deadlines: click within 1 h of the first view,
+    # purchase within 24 h of that click.
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ), w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+                          AND epoch_us(ts) - epoch_us(t1) <= 3600000000
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ), w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                          AND epoch_us(ts) - epoch_us(t2) <= 86400000000
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ), per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_click_1h,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase_24h
+    FROM per_user
+    """,
+)
+def events_timed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production funnel shape: each step only counts within its
+    # deadline (click <=1h after view, purchase <=24h after click) --
+    # unbounded funnels overstate conversion.  Same three chained windows
+    # over ONE user_id shuffle as events_funnel_counts, the deadlines are
+    # map-side integer-microsecond predicates.
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d = d.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1"))
+                & (us(F.col("ts")) - us(F.col("t1")) <= 3600 * 1_000_000),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2"))
+                & (us(F.col("ts")) - us(F.col("t2")) <= 86400 * 1_000_000),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("user_id").cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click_1h"),
+        F.count("t3").cast("long").alias("n_purchase_24h"),
+    )
+
+
+@register(
+    "events_dow_seasonality",
+    # Day-of-week profile: average daily count per (type, weekday) vs the
+    # type's overall daily average; weekday 0 = Monday both engines.
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             isodow(date_trunc('day', ts)) - 1 AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2, 3
+    ), per_dow AS (
+      SELECT event_type, dow, AVG(x) AS avg_count,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1, 2
+    ), overall AS (
+      SELECT event_type, AVG(x) AS overall_avg FROM daily GROUP BY 1
+    )
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_days,
+           ROUND(p.avg_count, 6) AS avg_count,
+           ROUND(p.avg_count / o.overall_avg, 6) AS seasonality_index
+    FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weekly seasonality profile: raw events reduce to (type, day)
+    # map-side; the dow rollup and the overall-average broadcast join run
+    # on the daily table.  Integral daily counts keep both averages exact
+    # ratios of integers.
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr("weekday(ts)").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    per_dow = daily.groupBy("event_type", "dow").agg(
+        F.avg("x").alias("avg_count"), F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    overall = daily.groupBy("event_type").agg(F.avg("x").alias("overall_avg"))
+    return (
+        per_dow.join(F.broadcast(overall), on="event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            F.round(F.col("avg_count"), 6).alias("avg_count"),
+            F.round(F.col("avg_count") / F.col("overall_avg"), 6).alias(
+                "seasonality_index"
+            ),
+        )
+    )

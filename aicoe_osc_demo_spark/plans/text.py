@@ -652,3 +652,33 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             char_entropy("text").alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "text_readability",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+')) > 0
+                 AND len(regexp_extract_all(text, '[.!?]+')) > 0
+                THEN ROUND(206.835
+                     - 1.015 * (len(regexp_extract_all(text, '[A-Za-z]+'))
+                                / CAST(len(regexp_extract_all(text, '[.!?]+')) AS DOUBLE))
+                     - 84.6 * (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                               / CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)),
+                     6)
+           END AS flesch
+    FROM documents
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch reading-ease per document from three map-side regexp counts
+    # -- the readability gate next to quality_score/C4 rules; zero
+    # shuffles, documents score at scan speed.
+    from ..functions.text import readability_features
+
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", *readability_features("text")
+    )

@@ -579,3 +579,128 @@ class TestDedupLabelArtifact:
         # the served path is a parquet scan, not an LSH chain
         plan = served._jdf.queryExecution().executedPlan().toString()
         assert "Scan parquet" in plan and "Window" not in plan
+
+
+class TestAsofNearest:
+    def test_direction_pick_ties_and_missing(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import asof_join_nearest
+
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        left = spark.createDataFrame(
+            [(1, t0 + 10 * s, 100), (1, t0 + 17 * s, 101),
+             (1, t0 + 20 * s, 102), (2, t0, 200)],
+            "k long, ts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [(1, t0 + 8 * s, 8.0), (1, t0 + 18 * s, 18.0), (1, t0 + 22 * s, 22.0)],
+            "k long, rts timestamp, val double",
+        )
+        out = {r.lid: r for r in asof_join_nearest(
+            left, right, ["k"], "ts", "rts", "val").collect()}
+        assert out[100].val_asof == 8.0 and out[100].nearest_distance_s == 2.0
+        assert out[101].val_asof == 18.0 and out[101].nearest_distance_s == 1.0
+        # t=20: backward 18 (d=2) vs forward 22 (d=2) -> tie -> backward
+        assert out[102].val_asof == 18.0 and out[102].nearest_distance_s == 2.0
+        # key 2 has no right rows at all
+        assert out[200].val_asof is None and out[200].nearest_distance_s is None
+
+    def test_both_windows_share_one_exchange(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import asof_join_nearest
+
+        t0 = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame([(1, t0, 1)], "k long, ts timestamp, lid int")
+        right = spark.createDataFrame([(1, t0, 1.0)], "k long, rts timestamp, val double")
+        plan = (
+            asof_join_nearest(left, right, ["k"], "ts", "rts", "val")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+
+
+class TestTimedFunnel:
+    def test_deadlines_gate_steps(self, spark):
+        from aicoe_osc_demo_spark.plans.events import events_timed_funnel  # noqa: F401
+
+        # semantic test on the operator shape via a tiny frame + the same
+        # chained-window logic inline: user 1 converts in time, user 2's
+        # click misses the 1 h deadline
+        t0 = dt.datetime(2024, 1, 1)
+
+        def ev(u, mins, typ):
+            return (u, typ, t0 + dt.timedelta(minutes=mins))
+
+        df = spark.createDataFrame(
+            [ev(1, 0, "view"), ev(1, 30, "click"), ev(1, 60, "purchase"),
+             ev(2, 0, "view"), ev(2, 90, "click"), ev(2, 100, "purchase")],
+            "user_id long, event_type string, ts timestamp",
+        )
+        df.createOrReplaceTempView("t8_funnel")
+        got = spark.sql("""
+          WITH w1 AS (
+            SELECT user_id, event_type, ts,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)
+                     OVER (PARTITION BY user_id) AS t1
+            FROM t8_funnel
+          ), w2 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+                                AND unix_micros(ts) - unix_micros(t1) <= 3600000000
+                               THEN ts END) OVER (PARTITION BY user_id) AS t2
+            FROM w1
+          ), w3 AS (
+            SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                                AND unix_micros(ts) - unix_micros(t2) <= 86400000000
+                               THEN ts END) OVER (PARTITION BY user_id) AS t3
+            FROM w2
+          )
+          SELECT count(DISTINCT user_id) AS n,
+                 count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n2,
+                 count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n3
+          FROM w3
+        """).collect()[0]
+        assert (got.n, got.n2, got.n3) == (2, 1, 1)
+
+
+class TestDowSeasonality:
+    def test_weekday_profile_hand_computed(self, spark):
+        # two Mondays with 3 and 1 events, one Tuesday with 2: overall
+        # daily avg = 2, Monday index = 1.0, Tuesday index = 1.0
+        from aicoe_osc_demo_spark.plans.events import events_dow_seasonality  # noqa: F401
+
+        rows = []
+        days = [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 2)]
+        counts = [3, 1, 2]
+        for d, n in zip(days, counts):
+            rows += [("e", d + dt.timedelta(minutes=i)) for i in range(n)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        daily = df.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.expr("weekday(ts)").alias("dow"),
+        ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+        per_dow = daily.groupBy("event_type", "dow").agg(
+            F.avg("x").alias("avg_count"), F.count(F.lit(1)).alias("n_days")
+        )
+        got = {r.dow: (r.avg_count, r.n_days) for r in per_dow.collect()}
+        assert got == {0: (2.0, 2), 1: (2.0, 1)}
+
+
+class TestReadability:
+    def test_hand_flesch(self, spark):
+        from aicoe_osc_demo_spark.functions.text import readability_features
+
+        df = spark.createDataFrame(
+            [("The cat sat. The dog ran!",), ("",)], "text string"
+        )
+        rows = df.select("text", *readability_features("text")).collect()
+        r = {x.text: x for x in rows}
+        a = r["The cat sat. The dog ran!"]
+        assert (a.n_words, a.n_sentences) == (6, 2)
+        # syllable estimate: vowel groups in 'the cat sat the dog ran' = 6
+        assert a.n_syllables == 6
+        expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert a.flesch == pytest.approx(expected, abs=1e-6)
+        b = r[""]
+        assert b.n_words == 0 and b.flesch is None
