@@ -548,3 +548,41 @@ def read_lag_features(spark: SparkSession, state_dir: str) -> DataFrame:
     """All feature rows emitted so far (batch_id partition column
     included for lineage)."""
     return spark.read.parquet(f"{state_dir}/features")
+
+
+def windowed_ohlc_bars(
+    events: DataFrame,
+    window: str = "1 hour",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    id_col: str | None = "event_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """OHLC bars as a batch/streaming-dual aggregate: the same
+    min_by/max_by tumbling-window rollup as ``operators.temporal.
+    ohlc_bars`` expressed over ``F.window`` so it runs unchanged on a
+    Structured Streaming source (min_by/max_by partials merge like
+    MIN/MAX, so the streaming state per (window, keys) is one bar --
+    bounded, watermark-evictable).  Ties at the same timestamp break by
+    ``id_col`` exactly as in the batch operator, so foldded micro-batches
+    replay to the identical bars a batch run produces (test-pinned).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    keys = key_cols or []
+    order = (
+        F.struct(F.col("ts"), F.col(id_col)) if id_col else F.struct(F.col("ts"))
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), *keys)
+        .agg(
+            F.round(F.min_by(v, order), 6).alias("open"),
+            F.round(F.max(v), 6).alias("high"),
+            F.round(F.min(v), 6).alias("low"),
+            F.round(F.max_by(v, order), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(F.col("w.start").alias("bucket"), *keys, "open", "high", "low", "close", "n")
+    )

@@ -704,3 +704,63 @@ class TestReadability:
         assert a.flesch == pytest.approx(expected, abs=1e-6)
         b = r[""]
         assert b.n_words == 0 and b.flesch is None
+
+
+class TestStreamingOhlc:
+    def test_streaming_bars_match_batch_operator(self, spark, tmp_path):
+        import os
+
+        from aicoe_osc_demo_spark.operators.temporal import ohlc_bars
+        from aicoe_osc_demo_spark.streaming.incremental import windowed_ohlc_bars
+
+        inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+        os.makedirs(inp)
+        rows = [
+            (1, "2024-01-01 10:05:00", "s1", 5.0),
+            (2, "2024-01-01 10:15:00", "s1", 9.0),
+            (3, "2024-01-01 10:45:00", "s1", 2.0),
+            (4, "2024-01-01 10:45:00", "s1", 7.0),  # tie ts -> id decides close
+            (5, "2024-01-01 11:10:00", "s2", 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, ["event_id", "ts", "sym", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # split across two files -> two micro-batch folds of the same bar
+        df.filter("event_id <= 2").coalesce(1).write.parquet(inp + "/f1.parquet")
+        df.filter("event_id > 2").coalesce(1).write.parquet(inp + "/f2.parquet")
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, sym string, value double"
+            )
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+        agg = windowed_ohlc_bars(stream, "1 hour", key_cols=["sym"])
+        assert agg.isStreaming
+        latest: dict = {}
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _e: latest.update(
+                    {(str(r.bucket), r.sym): (r.open, r.high, r.low, r.close, r.n)
+                     for r in bdf.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # close: tie at 10:45 -> larger event_id wins max_by(struct(ts, id)),
+        # the same convention as the batch operator (parity asserted below)
+        assert latest[("2024-01-01 10:00:00", "s1")] == (5.0, 9.0, 2.0, 7.0, 4)
+        assert latest[("2024-01-01 11:00:00", "s2")] == (4.0, 4.0, 4.0, 4.0, 1)
+        # exact parity with the batch operator over the full history
+        batch = {
+            (str(r.bucket), r.sym): (r.open, r.high, r.low, r.close, r.n)
+            for r in ohlc_bars(df, "ts", "value", ["sym"], bucket="hour",
+                               id_col="event_id").collect()
+        }
+        assert latest == batch
