@@ -979,3 +979,58 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(
         load(spark, sf_dir, "orders"), "o_custkey", F.col("o_totalprice")
     )
+
+
+@register(
+    "join_top_supplier_share",
+    # Per part: the argmax supplier and its quantity share; per supplier:
+    # how many parts it leads and its mean leading share.
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), pt AS (
+      SELECT l_partkey, SUM(qty) AS total FROM ps GROUP BY 1
+    ), top AS (
+      SELECT l_partkey, l_suppkey, qty / total AS share
+      FROM (
+        SELECT ps.*, pt.total,
+               ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                                  ORDER BY ps.qty DESC, ps.l_suppkey ASC) AS rn
+        FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+      ) WHERE rn = 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_top_parts,
+           ROUND(AVG(share), 6) AS avg_top_share
+    FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def join_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-source concentration audit (the TPC-H Q20 family question
+    # asked scale-robustly): per part the DOMINANT supplier by shipped
+    # quantity and its share, rolled up per supplier.  lineitem reduces
+    # to (part, supplier) totals map-side; the argmax window runs on that
+    # small table; the supplier dimension joins broadcast.
+    from ..operators.relational import argmax_per_group
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    scored = ps.join(pt, on="l_partkey")
+    top = argmax_per_group(
+        scored, ["l_partkey"], F.col("qty"), tiebreak=["l_suppkey"]
+    ).withColumn("share", F.col("qty") / F.col("total"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        top.join(F.broadcast(sup), top.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top_parts"),
+            F.round(F.avg("share"), 6).alias("avg_top_share"),
+        )
+    )

@@ -1722,3 +1722,97 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_cumulative_new_users",
+    # Growth accounting per event type: each user's first day DOING that
+    # type, then a running sum over the (type, day) table.
+    """
+    WITH first_seen AS (
+      SELECT event_type, user_id, MIN(date_trunc('day', ts)) AS day
+      FROM events GROUP BY 1, 2
+    ), per_day AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+)
+def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adoption curve per event type WITHOUT a distinct-per-day blowup:
+    # first-appearance day per (type, user) -- one map-side-combinable MIN
+    # -- daily adopter counts, and a running sum over the (type, day)
+    # table (9-19 days per type at check scale, non-vacuous at any sf).
+    from pyspark.sql import Window
+
+    first_seen = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("day"))
+    )
+    per_day = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_time_to_convert",
+    # First view -> first-purchase-after-it latency distribution; exact
+    # interpolated percentiles over the per-user latency table.
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id,
+             MIN(epoch_us(e.ts) - epoch_us(u.t_view)) / 1e6 AS delta_s
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u.t_view
+      GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+           ROUND(AVG(delta_s), 6) AS mean_s
+    FROM c
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Conversion-latency distribution: per user the first view and the
+    # first purchase after it (two map-side MIN aggregates + one keyed
+    # join), then exact percentiles on the per-user latency table.
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    c = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u, on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(((F.min(us("ts") - us("t_view"))) / 1e6).alias("delta_s"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(delta_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.avg("delta_s"), 6).alias("mean_s"),
+    )

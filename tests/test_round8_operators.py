@@ -764,3 +764,79 @@ class TestStreamingOhlc:
                                id_col="event_id").collect()
         }
         assert latest == batch
+
+
+class TestBatch5Entries:
+    def test_top_supplier_share_hand(self, spark):
+        # part 1: s10 ships 6 of 10 (share .6); part 2: tie 5/5 -> min suppkey
+        li = spark.createDataFrame(
+            [(1, 10, 6.0), (1, 11, 4.0), (2, 10, 5.0), (2, 11, 5.0)],
+            "l_partkey long, l_suppkey long, l_quantity double",
+        )
+        from aicoe_osc_demo_spark.operators.relational import argmax_per_group
+
+        ps = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum("l_quantity").cast("double").alias("qty")
+        )
+        pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+        top = argmax_per_group(
+            ps.join(pt, on="l_partkey"), ["l_partkey"], F.col("qty"),
+            tiebreak=["l_suppkey"],
+        ).withColumn("share", F.col("qty") / F.col("total"))
+        got = {(r.l_partkey, r.l_suppkey): r.share for r in top.collect()}
+        assert got == {(1, 10): 0.6, (2, 10): 0.5}
+
+    def test_cumulative_new_users_running_sum(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", 1, t0), ("a", 1, t0 + dt.timedelta(days=2)),  # u1 first day 0
+            ("a", 2, t0 + dt.timedelta(days=1)),                # u2 first day 1
+            ("b", 1, t0 + dt.timedelta(days=1)),
+        ]
+        df = spark.createDataFrame(rows, "event_type string, user_id long, ts timestamp")
+        from pyspark.sql import Window
+
+        first_seen = df.groupBy("event_type", "user_id").agg(
+            F.min(F.date_trunc("day", F.col("ts"))).alias("day")
+        )
+        per_day = first_seen.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).cast("long").alias("new_users")
+        )
+        w = (Window.partitionBy("event_type").orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        got = {
+            (r.event_type, str(r.day)[:10]): (r.new_users, r.cum)
+            for r in per_day.select(
+                "event_type", "day", "new_users",
+                F.sum("new_users").over(w).cast("long").alias("cum")).collect()
+        }
+        assert got == {
+            ("a", "2024-01-01"): (1, 1),
+            ("a", "2024-01-02"): (1, 2),
+            ("b", "2024-01-02"): (1, 1),
+        }
+
+    def test_time_to_convert_first_purchase_after_first_view(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            (1, "purchase", t0 - 5 * s),   # before first view: ignored
+            (1, "view", t0),
+            (1, "purchase", t0 + 10 * s),  # first qualifying: 10 s
+            (1, "purchase", t0 + 99 * s),
+            (2, "view", t0),               # never converts
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        u = df.groupBy("user_id").agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+        )
+        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        c = (
+            df.filter(F.col("event_type") == "purchase")
+            .join(u, on="user_id")
+            .filter(F.col("ts") > F.col("t_view"))
+            .groupBy("user_id")
+            .agg(((F.min(us("ts") - us("t_view"))) / 1e6).alias("delta_s"))
+        )
+        got = {r.user_id: r.delta_s for r in c.collect()}
+        assert got == {1: 10.0}
