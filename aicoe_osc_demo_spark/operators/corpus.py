@@ -612,3 +612,46 @@ def bpe_encode_with_merges(
         .groupBy(id_col)
         .agg(F.sum("w_tokens").alias("n_tokens"))
     )
+
+
+def rank_fusion(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    rankings: fused score = sum over rankers of 1/(k + rank), the
+    standard zero-tuning way to combine lexical and vector retrieval
+    (BM25 + dense, hybrid search's default).  Each input carries
+    (q_id, doc_id, rank).
+
+    Cost is candidate-sized: a union of the top-k lists, one keyed
+    aggregate, one window -- the corpora themselves are never touched.
+    Each 1/(k+rank) term is quantized to integer nanos before the sum,
+    so fusing any number of rankers stays order-free and replays
+    bit-identically in any engine.
+    """
+    from functools import reduce
+
+    terms = [
+        r.select(
+            "q_id",
+            "doc_id",
+            F.floor(F.lit(1e9) / (F.lit(k) + F.col("rank")) + F.lit(0.5))
+            .cast("long")
+            .alias("_t"),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionByName, terms)
+    scored = u.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("_t").cast("double") / 1e9, 6).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_rankers"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= topk)
+    )

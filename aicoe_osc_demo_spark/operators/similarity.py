@@ -2040,3 +2040,79 @@ def hard_negatives(
     return top_k_per_group(
         scores, ["query_id"], F.col("cosine"), k, tiebreak=["neighbor_id"]
     )
+
+
+def centroid_outliers(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    pct: float = 0.05,
+) -> DataFrame:
+    """Per-group prototype distance audit: each group's centroid (the
+    class prototype), every member's cosine to its own centroid, and an
+    outlier flag for the bottom ``pct`` tail -- the embedding-space
+    label-noise screen (mislabeled or off-topic members sit far from
+    their prototype; SemDeDup's complement, which prunes the CENTER).
+
+    Scale shape: components quantize to integer nanos and reduce to ONE
+    (group, dim) sum -- the centroid is an exact ratio of integers, so
+    the whole chain replays bit-identically.  The per-row cosine is a
+    map-side zip_with against the broadcast centroid table; the flag
+    threshold is one grouped exact percentile broadcast back.  Nothing
+    row-sized shuffles twice.
+    """
+    base = corpus.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: (F.floor(x.cast("double") * 1e9 + F.lit(0.5)) / 1e9),
+        ).alias("_v"),
+    )
+    comps = base.select(
+        id_col, "_g", F.posexplode("_v").alias("_j", "_x")
+    )
+    cent = (
+        comps.groupBy("_g", "_j")
+        .agg(
+            (
+                F.sum(F.floor(F.col("_x") * 1e9 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / 1e9
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_c")
+        )
+        .groupBy("_g")
+        .agg(F.array_sort(F.collect_list(F.struct("_j", "_c"))).alias("_cs"))
+        .select("_g", F.transform("_cs", lambda s: s["_c"]).alias("_cvec"))
+    )
+    joined = base.join(F.broadcast(cent), on="_g")
+    dot = F.aggregate(
+        F.zip_with("_v", "_cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = joined.select(
+        id_col,
+        F.col("_g").alias(group_col),
+        F.round(dot / (F.sqrt(sq(F.col("_v"))) * F.sqrt(sq(F.col("_cvec")))), 6).alias(
+            "cosine"
+        ),
+    )
+    cuts = scored.groupBy(group_col).agg(
+        F.expr(f"percentile(cosine, {pct})").alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), on=group_col)
+        .select(
+            id_col,
+            group_col,
+            "cosine",
+            (F.col("cosine") < F.col("_cut")).alias("is_outlier"),
+        )
+    )

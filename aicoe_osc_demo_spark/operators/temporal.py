@@ -725,3 +725,39 @@ def asof_join_nearest(
         ),
     )
     return out.drop("_side", "_ts", "_v", "_bv", "_bts", "_fv", "_fts")
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j - y_i) / (x_j - x_i), i < j -- breakdown point 29%, so a
+    burst of outlier days cannot drag the trend the way OLS's mean-based
+    slope can (the robust companion of ``group_regression``).
+
+    The pairwise self-join is quadratic IN THE BUCKET COUNT, not the row
+    count: callers aggregate raw rows to buckets first (a daily series is
+    ~30 rows per group -> ~435 slope pairs), so the exact all-pairs
+    median is bucket-table work no matter how many raw events feed it.
+    Slopes are exact ratios of integral deltas when x and y are integral
+    (counts over day numbers), so the interpolated median replays
+    bit-identically.
+    """
+    a = series.select(
+        *group_cols, x.cast("double").alias("_x"), y.cast("double").alias("_y")
+    )
+    b = a.select(
+        *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    pairs = a.join(b, on=group_cols).filter(F.col("_x2") > F.col("_x"))
+    slopes = pairs.select(
+        *group_cols,
+        ((F.col("_y2") - F.col("_y")) / (F.col("_x2") - F.col("_x"))).alias("_s"),
+    )
+    return slopes.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(_s, 0.5)"), 6).alias("theil_sen_slope"),
+    )

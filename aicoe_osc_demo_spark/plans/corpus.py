@@ -8,7 +8,7 @@ scores are additionally rounded to 6dp before ranking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.corpus import bm25_topk, chunk_documents, pack_offset_bins
@@ -422,3 +422,82 @@ def llm_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import feature_hash_embed
 
     return feature_hash_embed(load(spark, sf_dir, "documents"), dim=64)
+
+
+# RRF hybrid fusion: reuse the BM25 chain, add a plain term-frequency
+# ranker over the same postings, fuse with nanoquantized 1/(60+rank).
+_RRF_SQL = _BM25_SQL.replace(
+    """
+    SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+""",
+    """
+    , bm25_ranked AS (
+      SELECT q_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), tf_scored AS (
+      SELECT qt.q_id, p.doc_id, SUM(p.tf) AS score
+      FROM postings p JOIN qt ON p.term = qt.term GROUP BY 1, 2
+    ), tf_ranked AS (
+      SELECT q_id, doc_id, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+        FROM tf_scored
+      ) WHERE rank <= 10
+    ), fused AS (
+      SELECT q_id, doc_id,
+             SUM(CAST(floor(1e9 / (60 + rank) + 0.5) AS BIGINT)) AS t,
+             CAST(COUNT(*) AS INT) AS n_rankers
+      FROM (SELECT * FROM bm25_ranked UNION ALL SELECT * FROM tf_ranked)
+      GROUP BY 1, 2
+    )
+    SELECT q_id, doc_id, ROUND(CAST(t AS DOUBLE) / 1e9, 6) AS rrf_score, n_rankers,
+           CAST(rn AS INT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY ROUND(CAST(t AS DOUBLE) / 1e9, 6) DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 10
+""",
+)
+
+
+@register("llm_rank_fusion", _RRF_SQL)
+def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid-search fusion (the BM25 + second-ranker RRF default): two
+    # top-10 lists per query fused by reciprocal rank -- cost is
+    # candidate-sized (a union of the lists + one keyed aggregate), the
+    # corpus is never rescanned.  The second ranker here is the plain
+    # term-frequency score over the same postings, a genuinely different
+    # ordering; swapping in llm_cosine_topk's dense ranking is the same
+    # one-line call.
+    from ..operators.corpus import rank_fusion
+
+    d = load(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("q_text"),
+    )
+    bm25 = bm25_topk(d, queries, k=10, k1=1.5, b=0.75).select(
+        "q_id", "doc_id", "rank"
+    )
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    qt = queries.select(
+        "q_id",
+        F.explode(F.array_distinct(F.split(F.col("q_text"), " "))).alias("term"),
+    )
+    tf_scored = (
+        postings.join(F.broadcast(qt), on="term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("tf").alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    tf_ranked = (
+        tf_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "doc_id", "rank")
+    )
+    return rank_fusion([bm25, tf_ranked], k=60, topk=10)

@@ -1816,3 +1816,42 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delta_s, 0.9)"), 6).alias("p90_s"),
         F.round(F.avg("delta_s"), 6).alias("mean_s"),
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    # Median pairwise slope of the per-type daily count series.
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE))
+               AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.x > a.x
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(s, 0.5), 6) AS theil_sen_slope
+    FROM pairs GROUP BY 1
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust daily trend per event type: raw events reduce to the 30-row
+    # daily table map-side; the all-pairs slope median is bucket-table
+    # work (~435 pairs per type), immune to burst days OLS would chase.
+    from ..operators.temporal import theil_sen_trend
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    return theil_sen_trend(daily, ["event_type"], F.col("x"), F.col("y"))

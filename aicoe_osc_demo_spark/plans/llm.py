@@ -2734,3 +2734,47 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "llm_centroid_outliers",
+    # Identical nanoquantized component chain: exact integer centroid
+    # sums, list_dot_product cosine, per-label 5th-percentile cut.
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1e9 + 0.5) / 1e9) AS v
+      FROM embeddings
+    ), comps AS (
+      SELECT q.label, i.i AS j, CAST(floor(v[i.i] * 1e9 + 0.5) AS BIGINT) AS xn
+      FROM q, (SELECT unnest(generate_series(1, 64)) AS i) i
+    ), cent AS (
+      SELECT label, j,
+             CAST(SUM(xn) AS DOUBLE) / 1e9 / COUNT(*) AS c
+      FROM comps GROUP BY 1, 2
+    ), cvec AS (
+      SELECT label, list(c ORDER BY j) AS cv FROM cent GROUP BY 1
+    ), scored AS (
+      SELECT q.vec_id, q.label,
+             ROUND(list_dot_product(q.v, cv.cv)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(cv.cv, cv.cv))), 6) AS cosine
+      FROM q JOIN cvec cv ON q.label = cv.label
+    ), cuts AS (
+      SELECT label, quantile_cont(cosine, 0.05) AS cut FROM scored GROUP BY 1
+    )
+    SELECT s.vec_id, s.label, s.cosine, s.cosine < c.cut AS is_outlier
+    FROM scored s JOIN cuts c ON s.label = c.label
+    """,
+)
+def llm_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label-noise screen in embedding space: per-label prototype
+    # (exact-integer centroid), member-to-prototype cosine, bottom-5%
+    # outlier flags.  One (label, dim) reduce + broadcast centroid table
+    # + map-side cosines -- rows shuffle once.
+    from ..operators.similarity import centroid_outliers
+
+    return centroid_outliers(
+        load(spark, sf_dir, "embeddings"), "label", "embedding", "vec_id", 0.05
+    )

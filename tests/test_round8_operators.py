@@ -840,3 +840,55 @@ class TestBatch5Entries:
         )
         got = {r.user_id: r.delta_s for r in c.collect()}
         assert got == {1: 10.0}
+
+
+class TestRankFusion:
+    def test_rrf_math_and_missing_ranker(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import rank_fusion
+
+        r1 = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2)], "q_id long, doc_id long, rank int"
+        )
+        r2 = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2)], "q_id long, doc_id long, rank int"
+        )
+        got = {r.doc_id: r for r in rank_fusion([r1, r2], k=60, topk=10).collect()}
+        # doc 11: 1/62 + 1/61; doc 10: 1/61; doc 12: 1/62 (nanoquantized)
+        q = lambda r: int(1e9 / (60 + r) + 0.5) / 1e9  # noqa: E731
+        assert got[11].rrf_score == round(q(2) + q(1), 6)
+        assert got[10].rrf_score == round(q(1), 6)
+        assert got[11].n_rankers == 2 and got[10].n_rankers == 1
+        assert got[11].fused_rank == 1  # fused winner appears in both lists
+
+
+class TestCentroidOutliers:
+    def test_far_member_flagged(self, spark):
+        from aicoe_osc_demo_spark.operators.similarity import centroid_outliers
+
+        import random
+
+        rng = random.Random(2)
+        rows = []
+        for i in range(30):  # tight cluster along +e1
+            v = [1.0] + [rng.uniform(-0.05, 0.05) for _ in range(7)]
+            rows.append((i, 0, v))
+        rows.append((99, 0, [-1.0] + [0.0] * 7))  # opposite direction
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        out = {r.vec_id: r for r in
+               centroid_outliers(df, "label", "embedding", "vec_id", 0.05).collect()}
+        assert out[99].is_outlier and out[99].cosine < 0
+        flagged = [v for v in out.values() if v.is_outlier]
+        assert len(flagged) <= 2  # ~5% tail only
+
+
+class TestTheilSen:
+    def test_median_slope_resists_outlier(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import theil_sen_trend
+
+        # y = 2x except one wild outlier day; OLS would move, Theil-Sen not
+        rows = [("g", float(x), 2.0 * x) for x in range(10)]
+        rows[5] = ("g", 5.0, 500.0)
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = theil_sen_trend(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+        assert r.n_pairs == 45
+        assert r.theil_sen_slope == 2.0
