@@ -41,7 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_per_host_cap, llm_pii_scrub, llm_quality_resample, llm_url_host_stats,
 # ml_* inference entries, reshape_flatten/gather) and the r04 agg/events
 # block.  New r8 entries are local-oracle-verified this round
-# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window.
+# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window; the 28 of them:
+# layout_hilbert_key, events_ohlc_bars, events_asof_tolerance,
+# privacy_dp_counts, privacy_l_diversity, ml_group_regression,
+# llm_hard_negatives, events_cusum_changepoint, events_path_trigrams,
+# events_incident_overlap, events_ab_test, diag_correlation_matrix,
+# agg_weighted_percentiles (binned rewrite), quality_quantile_normalize,
+# quality_benford_audit, agg_gini_concentration, events_cross_correlation,
+# text_char_entropy (run-length rewrite), events_asof_nearest,
+# events_timed_funnel, events_dow_seasonality, text_readability,
+# join_top_supplier_share, events_cumulative_new_users,
+# events_time_to_convert, llm_rank_fusion, llm_centroid_outliers,
+# events_theil_sen_trend.
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---
     "events_lag_features",
