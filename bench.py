@@ -186,6 +186,54 @@ def checksum_materialize(df):
     return row["n"]
 
 
+# Round-7 and round-8 additions — same treatment as HEADLINE_R3 (timed,
+# counted in total_all_queries only, headline `value` stays comparable).
+HEADLINE_R7 = [
+    "events_lag_features",
+    "events_rfm_scores",
+    "incremental_join_maintenance",
+    "llm_corpus_resemblance",
+    "llm_ivfpq_recall",
+    "llm_perplexity_buckets",
+    "llm_dedup_rate_by_source",
+    "layout_bucketed_join",
+    "llm_keep_canonical",
+    "llm_fuzzy_ratio_join",
+    "ml_relevance_training_metrics",
+]
+
+HEADLINE_R8 = [
+    "layout_hilbert_key",
+    "events_ohlc_bars",
+    "events_asof_tolerance",
+    "privacy_dp_counts",
+    "privacy_l_diversity",
+    "ml_group_regression",
+    "llm_hard_negatives",
+    "events_cusum_changepoint",
+    "events_path_trigrams",
+    "events_incident_overlap",
+    "events_ab_test",
+    "diag_correlation_matrix",
+    "agg_weighted_percentiles",
+    "quality_quantile_normalize",
+    "quality_benford_audit",
+    "agg_gini_concentration",
+    "events_cross_correlation",
+    "text_char_entropy",
+    "events_asof_nearest",
+    "events_timed_funnel",
+    "events_dow_seasonality",
+    "text_readability",
+    "join_top_supplier_share",
+    "events_cumulative_new_users",
+    "events_time_to_convert",
+    "llm_rank_fusion",
+    "llm_centroid_outliers",
+    "events_theil_sen_trend",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -212,14 +260,19 @@ def main() -> None:
     total = 0.0
     total_all = 0.0
     total_count = 0.0
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
+    # entries whose cost is a documented Python-semantics path (difflib
+    # token_set_ratio has no JVM equivalent) are timed ONCE — best-of-3
+    # would triple a 30 s pandas-UDF stage for no extra signal
+    slow_once = {"llm_fuzzy_ratio_join"}
+    for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
+                 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
         # container-contention spike visible as (best vs others) spread —
         # the r3 driver run recorded a +21% phantom regression from exactly
         # such a spike
-        for _ in range(3):
+        for _ in range(1 if name in slow_once else 3):
             t0 = time.time()
             n = checksum_materialize(fn(spark, sf_dir))
             dt = time.time() - t0
