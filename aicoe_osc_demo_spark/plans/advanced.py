@@ -1034,3 +1034,112 @@ def join_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("share"), 6).alias("avg_top_share"),
         )
     )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    SELECT l_returnflag, l_quantity AS mode_quantity,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+      FROM lineitem GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical mode per group with a deterministic tie (smallest value
+    # wins): one map-side-combined (group, value) count, then an argmax
+    # on the value-vocabulary-sized table -- never a sort of raw rows.
+    from ..operators.relational import argmax_per_group
+
+    counts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return argmax_per_group(
+        counts, ["l_returnflag"], F.col("n"), tiebreak=["l_quantity"]
+    ).select("l_returnflag", F.col("l_quantity").alias("mode_quantity"), "n")
+
+
+@register(
+    "agg_distribution_shape",
+    # Skewness/kurtosis from EXACT integer-cent raw-moment sums -- no
+    # dependence on either engine's streaming moment formulas (Spark and
+    # DuckDB disagree on sample-vs-population corrections); central
+    # moments form from the raw sums as exact-ratio doubles.
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2,
+             CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+             CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+      FROM (SELECT l_returnflag,
+                   CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS HUGEINT) AS c
+            FROM lineitem)
+      GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND((s1 / n) / 100, 6) AS mean,
+           ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / power((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / power((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population skewness / excess kurtosis per group, formed from exact
+    # integer-cent raw moments (one map-side-combined aggregate; the
+    # built-in skewness/kurtosis aggregates differ between engines on
+    # sample corrections and accumulation order -- raw integer sums
+    # don't).  Sums fit in DOUBLE exactly up to 2^53: fine at catalog
+    # scales; at warehouse scale swap the cents quantization for DECIMAL
+    # sums.
+    # exact decimal(38) sums: c^4 overflows BIGINT (~1e28 cents^4), and
+    # double-summed per-row terms would be accumulation-order-dependent;
+    # the exact integer sum casts to the identical double in any engine
+    c = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    base = load(spark, sf_dir, "lineitem").select("l_returnflag", c.alias("c"))
+    c2 = (F.col("c") * F.col("c")).cast("decimal(38,0)")
+    base = base.withColumn("c2", c2)
+    base = base.withColumn("c3", (F.col("c2") * F.col("c")).cast("decimal(38,0)"))
+    base = base.withColumn("c4", (F.col("c3") * F.col("c")).cast("decimal(38,0)"))
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s1"),
+        F.sum("c2").cast("double").alias("s2"),
+        F.sum("c3").cast("double").alias("s3"),
+        F.sum("c4").cast("double").alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - m1 * m1
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(m1 / 100, 6).alias("mean"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / F.pow(var, 2)
+            - 3,
+            6,
+        ).alias("excess_kurtosis"),
+    )

@@ -1855,3 +1855,77 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("y"))
     )
     return theil_sen_trend(daily, ["event_type"], F.col("x"), F.col("y"))
+
+
+@register(
+    "events_anomaly_ewma",
+    # EWMA control chart on the daily count series, lambda = 0.3: the
+    # recursion unrolls to a window-weighted sum (exact closed form), the
+    # band is the 2-sigma warning limit (non-vacuous at check scale; the
+    # 3-sigma action limit flags nothing on 30-day series).
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY date_trunc('day', ts))
+               AS i,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), ew AS (
+      SELECT event_type, day, i, x,
+             0.3 * power(0.7, i) * SUM(x * power(0.7, -i)) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             + power(0.7, i) * FIRST_VALUE(x) OVER (
+               PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ewma
+      FROM daily
+    ), resid AS (
+      SELECT *, x - ewma AS r,
+             STDDEV_SAMP(x - ewma) OVER (PARTITION BY event_type) AS sd
+      FROM ew
+    )
+    SELECT event_type, day, CAST(x AS DOUBLE) AS x,
+           ROUND(ewma, 6) AS ewma,
+           abs(r) > 2 * sd AS is_anomaly
+    FROM resid
+    """,
+)
+def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EWMA control chart (the classic process-monitoring detector, and
+    # the streaming-friendly complement of CUSUM's offline shift search):
+    # raw events reduce to the daily table map-side; the EWMA recursion
+    # unrolls to ONE window-weighted sum (exact closed form -- both
+    # engines run the identical float chain in day order), anomalies are
+    # residuals outside the 2-sigma warning band.
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    daily = daily.withColumn("i", F.row_number().over(wo))
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ewma = (
+        F.lit(0.3)
+        * F.pow(F.lit(0.7), F.col("i"))
+        * F.sum(F.col("x") * F.pow(F.lit(0.7), -F.col("i"))).over(w_all)
+        + F.pow(F.lit(0.7), F.col("i")) * F.first("x").over(w_all)
+    )
+    ew = daily.withColumn("ewma", ewma)
+    wg = Window.partitionBy("event_type")
+    resid = ew.withColumn("r", F.col("x") - F.col("ewma")).withColumn(
+        "sd", F.stddev_samp(F.col("x") - F.col("ewma")).over(wg)
+    )
+    return resid.select(
+        "event_type",
+        "day",
+        F.col("x").cast("double").alias("x"),
+        F.round("ewma", 6).alias("ewma"),
+        (F.abs(F.col("r")) > 2 * F.col("sd")).alias("is_anomaly"),
+    )

@@ -892,3 +892,72 @@ class TestTheilSen:
         r = theil_sen_trend(df, ["g"], F.col("x"), F.col("y")).collect()[0]
         assert r.n_pairs == 45
         assert r.theil_sen_slope == 2.0
+
+
+class TestBatch7Entries:
+    def test_ewma_closed_form_equals_recursion(self, spark):
+        from pyspark.sql import Window
+
+        xs = [10.0, 14.0, 9.0, 20.0, 11.0]
+        df = spark.createDataFrame(
+            [("g", i + 1, x) for i, x in enumerate(xs)], "g string, i int, x double"
+        )
+        w_all = (Window.partitionBy("g").orderBy("i")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+        ewma = (
+            F.lit(0.3) * F.pow(F.lit(0.7), F.col("i"))
+            * F.sum(F.col("x") * F.pow(F.lit(0.7), -F.col("i"))).over(w_all)
+            + F.pow(F.lit(0.7), F.col("i")) * F.first("x").over(w_all)
+        )
+        got = [r.e for r in df.select(ewma.alias("e")).orderBy("i").collect()]
+        ref, out = xs[0], []
+        for i, x in enumerate(xs):
+            ref = x if i == 0 else 0.3 * x + 0.7 * ref
+            out.append(ref)
+        for g, r in zip(got, out):
+            assert g == pytest.approx(r, rel=1e-12)
+
+    def test_mode_tie_to_smallest_value(self, spark):
+        from aicoe_osc_demo_spark.operators.relational import argmax_per_group
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 5.0), ("a", 3.0), ("a", 3.0), ("a", 9.0)],
+            "g string, v double",
+        )
+        counts = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("n"))
+        r = argmax_per_group(counts, ["g"], F.col("n"), tiebreak=["v"]).collect()[0]
+        assert (r.v, r.n) == (3.0, 2)  # tie between 3 and 5 -> smaller value
+
+    def test_moment_shape_hand_computed(self, spark):
+        # exact population skewness/kurtosis of a hand set via raw moments
+        vals = [1.0, 2.0, 2.0, 3.0, 10.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, p double")
+        c = F.floor(F.col("p") * 100 + F.lit(0.5)).cast("long").cast("decimal(38,0)")
+        base = df.select("g", c.alias("c"))
+        base = base.withColumn("c2", (F.col("c") * F.col("c")).cast("decimal(38,0)"))
+        base = base.withColumn("c3", (F.col("c2") * F.col("c")).cast("decimal(38,0)"))
+        base = base.withColumn("c4", (F.col("c3") * F.col("c")).cast("decimal(38,0)"))
+        m = base.groupBy("g").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("c").cast("double").alias("s1"),
+            F.sum("c2").cast("double").alias("s2"),
+            F.sum("c3").cast("double").alias("s3"),
+            F.sum("c4").cast("double").alias("s4"),
+        ).collect()[0]
+        import math
+
+        cs = [v * 100 for v in vals]
+        n = len(cs)
+        mu = sum(cs) / n
+        m2 = sum((x - mu) ** 2 for x in cs) / n
+        m3 = sum((x - mu) ** 3 for x in cs) / n
+        m4 = sum((x - mu) ** 4 for x in cs) / n
+        skew_ref = m3 / m2 ** 1.5
+        kurt_ref = m4 / m2 ** 2 - 3
+        m1_, m2_, m3_, m4_ = m.s1 / m.n, m.s2 / m.n, m.s3 / m.n, m.s4 / m.n
+        var = m2_ - m1_ * m1_
+        skew = (m3_ - 3 * m1_ * m2_ + 2 * m1_ ** 3) / var ** 1.5
+        kurt = (m4_ - 4 * m1_ * m3_ + 6 * m1_ ** 2 * m2_ - 3 * m1_ ** 4) / var ** 2 - 3
+        assert skew == pytest.approx(skew_ref, rel=1e-9)
+        assert kurt == pytest.approx(kurt_ref, rel=1e-9)
+        assert math.isfinite(skew) and skew > 1  # the 10.0 tail skews right
