@@ -52,7 +52,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_timed_funnel, events_dow_seasonality, text_readability,
 # join_top_supplier_share, events_cumulative_new_users,
 # events_time_to_convert, llm_rank_fusion, llm_centroid_outliers,
-# events_theil_sen_trend.
+# events_theil_sen_trend, events_anomaly_ewma, agg_mode_per_group,
+# agg_distribution_shape (31 total).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---
     "events_lag_features",

@@ -231,6 +231,9 @@ HEADLINE_R8 = [
     "llm_rank_fusion",
     "llm_centroid_outliers",
     "events_theil_sen_trend",
+    "events_anomaly_ewma",
+    "agg_mode_per_group",
+    "agg_distribution_shape",
 ]
 
 
