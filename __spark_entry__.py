@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_per_host_cap, llm_pii_scrub, llm_quality_resample, llm_url_host_stats,
 # ml_* inference entries, reshape_flatten/gather) and the r04 agg/events
 # block.  New r8 entries are local-oracle-verified this round
-# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window; the 28 of them:
+# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window; the 31 of them:
 # layout_hilbert_key, events_ohlc_bars, events_asof_tolerance,
 # privacy_dp_counts, privacy_l_diversity, ml_group_regression,
 # llm_hard_negatives, events_cusum_changepoint, events_path_trigrams,
