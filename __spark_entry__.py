@@ -53,7 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # join_top_supplier_share, events_cumulative_new_users,
 # events_time_to_convert, llm_rank_fusion, llm_centroid_outliers,
 # events_theil_sen_trend, events_anomaly_ewma, agg_mode_per_group,
-# agg_distribution_shape (31 total).
+# agg_distribution_shape (31 total), plus the batch-B additions
+# events_interval_coverage, events_attribution_last_touch, events_wilson_ci,
+# quality_psi_drift, privacy_t_closeness, join_exists_order_priority,
+# join_part_value_share, join_single_late_supplier, and the
+# events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---
     "events_lag_features",

@@ -1092,3 +1092,187 @@ def gini_concentration(
             6,
         ).alias("gini"),
     )
+
+
+def proportion_wilson_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    success: Column,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group proportion with a Wilson score interval — the
+    experiment-readout / conversion-rate shape with a CI that behaves at
+    small n and extreme p (unlike the Wald interval, which collapses to
+    zero width at p∈{0,1}).
+
+    ONE map-side-combinable aggregate (n, k) per group; the interval is
+    closed-form arithmetic on those two counts, so 100 TB of rows reduce
+    to two longs per group before any math happens.
+
+    Output: group_cols + (n, successes, p, ci_lo, ci_hi), p/bounds
+    rounded to 6 dp.
+    """
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(success, 1).otherwise(0)).cast("long").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return g.select(
+        *group_cols,
+        "n",
+        "successes",
+        F.round(p, 6).alias("p"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    in_baseline: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between a baseline slice and
+    the rest — THE standard drift gate on a model feature or score
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    Shape: one global (min, max) aggregate broadcast back (two doubles),
+    equal-width binning as a map-side expression, then ONE keyed
+    aggregate per (group, bin) with conditional counts for the two
+    slices, and a final per-group rollup of the closed-form PSI terms.
+    Laplace-style smoothing (+0.5 per observed bin) keeps log() finite
+    when a bin empties on one side; bins observed in neither slice
+    contribute nothing (they do not exist as rows).
+
+    Output: group_cols + (n_baseline, n_current, n_bins_used, psi),
+    psi rounded to 6 dp.
+    """
+    rng = df.agg(
+        F.min(value).cast("double").alias("_lo"),
+        F.max(value).cast("double").alias("_hi"),
+    )
+    v = value.cast("double")
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        *group_cols,
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (v - F.col("_lo"))
+                    / F.when(
+                        F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")
+                    ).otherwise(F.lit(1.0))
+                    * n_bins
+                ).cast("int"),
+            ),
+        ).alias("_bin"),
+        F.when(in_baseline, 1).otherwise(0).alias("_isb"),
+    )
+    per_bin = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum("_isb").cast("long").alias("_nb"),
+        F.sum(F.lit(1) - F.col("_isb")).cast("long").alias("_nc"),
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    smoothed = per_bin.select(
+        *group_cols,
+        "_nb",
+        "_nc",
+        F.sum("_nb").over(w_tot).alias("_tb"),
+        F.sum("_nc").over(w_tot).alias("_tc"),
+        F.count(F.lit(1)).over(w_tot).alias("_k"),
+    ).select(
+        *group_cols,
+        "_nb",
+        "_nc",
+        "_tb",
+        "_tc",
+        (
+            (F.col("_nb") + F.lit(0.5))
+            / (F.col("_tb") + F.lit(0.5) * F.col("_k"))
+        ).alias("_pb"),
+        (
+            (F.col("_nc") + F.lit(0.5))
+            / (F.col("_tc") + F.lit(0.5) * F.col("_k"))
+        ).alias("_pc"),
+    )
+    return smoothed.groupBy(*group_cols).agg(
+        F.max("_tb").cast("long").alias("n_baseline"),
+        F.max("_tc").cast("long").alias("n_current"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(
+                (F.col("_pc") - F.col("_pb"))
+                * F.log(F.col("_pc") / F.col("_pb"))
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: Column,
+    t_threshold: float = 0.35,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the release-gate ladder after
+    :func:`k_anonymity_report` and :func:`l_diversity_report`: a class can
+    be k-anonymous AND l-diverse yet still leak when its sensitive-value
+    DISTRIBUTION deviates from the corpus-wide one.  Distance is total
+    variation (the categorical/equal-ground-distance EMD):
+    ``t = 0.5 * Σ_v |p_class(v) − p_global(v)|``.
+
+    Summing only over values PRESENT in the class would drop the
+    ``p_global(v)`` mass of absent values, so the identity
+    ``Σ_all |pc−pg| = Σ_present (|pc−pg| − pg) + 1`` folds the absent
+    terms in without materializing them.
+
+    Shape: one (class, value) aggregate, one value-level aggregate
+    (≤ |values| rows, broadcast back), one class rollup — no value-level
+    join explosion, no per-class scans.
+
+    Output: qi_cols + (n, t, at_risk).
+    """
+    cv = df.select(*qi_cols, sensitive.alias("_v"))
+    class_val = cv.groupBy(*qi_cols, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_ncv")
+    )
+    glob = cv.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_ngv"))
+    n_total = cv.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w_class = Window.partitionBy(*qi_cols)
+    joined = (
+        class_val.join(F.broadcast(glob), "_v")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            *qi_cols,
+            F.sum("_ncv").over(w_class).alias("_nclass"),
+            F.col("_ncv"),
+            (F.col("_ngv").cast("double") / F.col("_n")).alias("_pg"),
+        )
+    )
+    terms = joined.select(
+        *qi_cols,
+        "_nclass",
+        (
+            F.abs(
+                F.col("_ncv").cast("double") / F.col("_nclass") - F.col("_pg")
+            )
+            - F.col("_pg")
+        ).alias("_term"),
+    )
+    return terms.groupBy(*qi_cols).agg(
+        F.max("_nclass").cast("long").alias("n"),
+        F.round(F.lit(0.5) * (F.sum("_term") + F.lit(1.0)), 6).alias("t"),
+    ).withColumn("at_risk", F.col("t") > F.lit(t_threshold))

@@ -761,3 +761,102 @@ def theil_sen_trend(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.expr("percentile(_s, 0.5)"), 6).alias("theil_sen_slope"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union length of possibly-overlapping intervals per key — the
+    uptime / SLA-coverage / "distinct seconds of activity" rollup
+    (TimescaleDB's ``interval coverage``, PostgreSQL range aggregation).
+
+    Shape: ONE window per key partition, ordered by (start, end): each
+    row's contribution to the union is
+    ``max(0, end - max(start, running_max_prior_end))`` — rows swallowed
+    by an earlier interval add 0, rows starting a new island add their
+    full span, overlaps add only the uncovered suffix.  A keyed
+    aggregate then sums contributions and counts islands (rows whose
+    start clears every prior end).  No self-join, no interval explosion:
+    sort-within-partition + one shuffle on the key, so 100 TB of
+    intervals cost one keyed sort each.
+
+    Arithmetic on integer epoch-microseconds (exact, engine-portable);
+    output seconds rounded to 6 dp.
+
+    Output: key_cols + (n_intervals, n_islands, covered_s).
+    """
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = df.select(*key_cols, s_us.alias("_s"), e_us.alias("_e"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_end = F.max("_e").over(w)
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("_e") - F.greatest(F.col("_s"), F.coalesce(prior_end, F.col("_s"))),
+    )
+    new_island = F.when(
+        prior_end.isNull() | (F.col("_s") > prior_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    rows = base.select(
+        *key_cols, contrib.alias("_c"), new_island.alias("_ni")
+    )
+    return rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("_ni").cast("long").alias("n_islands"),
+        F.round(F.sum("_c").cast("double") / 1e6, 6).alias("covered_s"),
+    )
+
+
+def last_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    on: list[str],
+    conv_ts: str,
+    touch_ts: str,
+    channel_col: str,
+    value_col: str,
+    window_seconds: float,
+    unattributed: str = "(none)",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion is credited to
+    the MOST RECENT prior touch (ad click, visit, campaign email) of the
+    same key within an attribution window; conversions with no qualifying
+    touch land in an explicit ``unattributed`` bucket so totals reconcile
+    against the raw conversion count.
+
+    Shape: the tolerance as-of join (one keyed shuffle, union + window
+    fill — no range explosion) followed by a channel rollup.  The classic
+    marketing/growth analytics query, and the same plan serves model-
+    training feature attribution (label event ← latest preceding
+    treatment).
+
+    Output: (channel, n_conversions, revenue) with revenue summed from
+    ``value_col`` on the conversion side, rounded to 2 dp.
+    """
+    out = asof_join_tolerance(
+        conversions,
+        touches.select(*on, touch_ts, F.col(channel_col).alias("_channel")),
+        on,
+        conv_ts,
+        touch_ts,
+        ["_channel"],
+        tolerance_seconds=window_seconds,
+    )
+    return (
+        out.select(
+            F.coalesce(F.col("_channel_asof"), F.lit(unattributed)).alias("channel"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("_v"), 2).alias("revenue"),
+        )
+    )

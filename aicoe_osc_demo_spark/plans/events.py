@@ -1942,3 +1942,135 @@ def events_anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ewma", 6).alias("ewma"),
         (F.abs(F.col("r")) > 2 * F.col("sd")).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_interval_coverage",
+    # Oracle replays the same running-max window algebra on integer
+    # epoch-microseconds; ROWS BETWEEN ... 1 PRECEDING excludes the
+    # current row exactly like the engine's window frame.
+    """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60 * 1000000) AS BIGINT) AS e
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    scan AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pe
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_islands,
+           ROUND(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pe, s)))) / 1e6, 6)
+             AS covered_s
+    FROM scan GROUP BY user_id
+    """,
+)
+def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Union length of overlapping activity intervals per user (uptime /
+    # SLA coverage): each click/view opens a session of `value` minutes;
+    # the rollup reports distinct covered seconds and island count.  One
+    # keyed window + one keyed aggregate — no self-join, no explosion.
+    from ..operators.temporal import interval_coverage
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s_ts"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 60 * 1e6).cast("long")
+        ).alias("_e_us"),
+    ).select(
+        "user_id",
+        "s_ts",
+        F.timestamp_micros(F.col("_e_us")).alias("e_ts"),
+    )
+    return interval_coverage(iv, ["user_id"], "s_ts", "e_ts")
+
+
+@register(
+    "events_attribution_last_touch",
+    # DuckDB native ASOF LEFT JOIN + the identical integer-microsecond
+    # 7-day window is the oracle for the engine's union+window+tolerance
+    # formulation; unmatched conversions land in the '(none)' bucket.
+    """
+    SELECT COALESCE(CASE WHEN q.ts IS NULL
+                         OR epoch_us(t.ts) - epoch_us(q.ts) > 604800000000
+                         THEN NULL ELSE q.event_type END,
+                    '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(t.value), 2) AS revenue
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+    ASOF LEFT JOIN (SELECT * FROM events
+                    WHERE event_type IN ('click', 'view', 'signup')) q
+      ON t.user_id = q.user_id AND t.ts >= q.ts
+    GROUP BY 1
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch conversion attribution: every purchase credits the most
+    # recent prior click/view/signup of the same user within 7 days; the
+    # explicit '(none)' bucket keeps totals reconciled.  One keyed
+    # shuffle (the tolerance as-of join) + a channel rollup.
+    from ..operators.temporal import last_touch_attribution
+
+    e = load(spark, sf_dir, "events")
+    conversions = e.filter(F.col("event_type") == "purchase")
+    touches = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select("user_id", F.col("ts").alias("touch_ts"), "event_type")
+    return last_touch_attribution(
+        conversions,
+        touches,
+        on=["user_id"],
+        conv_ts="ts",
+        touch_ts="touch_ts",
+        channel_col="event_type",
+        value_col="value",
+        window_seconds=7 * 86400,
+    )
+
+
+@register(
+    "events_wilson_ci",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS successes
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, successes,
+           ROUND(successes * 1.0 / n, 6) AS p,
+           ROUND(((successes * 1.0 / n) + 1.96 * 1.96 / (2.0 * n))
+                   / (1.0 + 1.96 * 1.96 / n)
+                 - 1.96 * sqrt((successes * 1.0 / n) * (1.0 - successes * 1.0 / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1.0 + 1.96 * 1.96 / n), 6) AS ci_lo,
+           ROUND(((successes * 1.0 / n) + 1.96 * 1.96 / (2.0 * n))
+                   / (1.0 + 1.96 * 1.96 / n)
+                 + 1.96 * sqrt((successes * 1.0 / n) * (1.0 - successes * 1.0 / n) / n
+                               + 1.96 * 1.96 / (4.0 * n * n))
+                   / (1.0 + 1.96 * 1.96 / n), 6) AS ci_hi
+    FROM g
+    """,
+)
+def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-type high-value-event rate with a Wilson score interval — the
+    # experiment-readout aggregate: two longs per group cross the
+    # shuffle, the interval is closed-form map-side arithmetic.
+    from ..operators.quality import proportion_wilson_ci
+
+    e = load(spark, sf_dir, "events")
+    return proportion_wilson_ci(
+        e, ["event_type"], F.col("value") > 50, z=1.96
+    )

@@ -1124,3 +1124,106 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import benford_audit
 
     return benford_audit(load(spark, sf_dir, "lineitem"), F.col("l_extendedprice"))
+
+
+@register(
+    "quality_psi_drift",
+    # Oracle replays the identical equal-width binning + Laplace
+    # smoothing; bins observed in neither slice never exist as rows in
+    # either engine.
+    """
+    WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             LEAST(9, GREATEST(0, CAST(floor((value - rng.lo)
+                 / (CASE WHEN rng.hi > rng.lo THEN rng.hi - rng.lo ELSE 1.0 END)
+                 * 10) AS INT))) AS bin,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS isb
+      FROM events CROSS JOIN rng
+    ),
+    per_bin AS (
+      SELECT event_type, bin, SUM(isb) AS nb, SUM(1 - isb) AS nc
+      FROM binned GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT event_type, nb, nc,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb,
+             SUM(nc) OVER (PARTITION BY event_type) AS tc,
+             COUNT(*) OVER (PARTITION BY event_type) AS k
+      FROM per_bin
+    )
+    SELECT event_type,
+           CAST(MAX(tb) AS BIGINT) AS n_baseline,
+           CAST(MAX(tc) AS BIGINT) AS n_current,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           ROUND(SUM(((nc + 0.5) / (tc + 0.5 * k) - (nb + 0.5) / (tb + 0.5 * k))
+                     * ln(((nc + 0.5) / (tc + 0.5 * k))
+                          / ((nb + 0.5) / (tb + 0.5 * k)))), 6) AS psi
+    FROM sm GROUP BY event_type
+    """,
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index per event type between the first half of
+    # the month (baseline) and the rest — the standard model-feature
+    # drift gate.  One global (min,max) broadcast, one keyed bin
+    # aggregate, one rollup; no sort, no join explosion.
+    from ..operators.quality import psi_drift
+
+    e = load(spark, sf_dir, "events")
+    return psi_drift(
+        e,
+        ["event_type"],
+        F.col("value"),
+        F.dayofmonth(F.col("ts").cast("timestamp")) <= 15,
+        n_bins=10,
+    )
+
+
+@register(
+    "privacy_t_closeness",
+    # Oracle replays the present-values identity
+    # sum_all |pc-pg| = sum_present (|pc-pg| - pg) + 1 so absent
+    # sensitive values never materialize in either engine.
+    """
+    WITH cv AS (
+      SELECT c_mktsegment, c_nationkey, floor(c_acctbal / 1000.0) AS v
+      FROM customer
+    ),
+    g AS (SELECT v, COUNT(*) AS ngv FROM cv GROUP BY 1),
+    n AS (SELECT COUNT(*) AS nt FROM cv),
+    cvc AS (
+      SELECT c_mktsegment, c_nationkey, v, COUNT(*) AS ncv
+      FROM cv GROUP BY 1, 2, 3
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey, SUM(ncv) AS nclass
+      FROM cvc GROUP BY 1, 2
+    )
+    SELECT c.c_mktsegment, c.c_nationkey,
+           CAST(MAX(cls.nclass) AS BIGINT) AS n,
+           ROUND(0.5 * (SUM(ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
+                            - g.ngv * 1.0 / n.nt) + 1.0), 6) AS t,
+           ROUND(0.5 * (SUM(ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
+                            - g.ngv * 1.0 / n.nt) + 1.0), 6) > 0.35 AS at_risk
+    FROM cvc c
+    JOIN cls ON c.c_mktsegment = cls.c_mktsegment
+            AND c.c_nationkey = cls.c_nationkey
+    JOIN g ON c.v = g.v
+    CROSS JOIN n
+    GROUP BY c.c_mktsegment, c.c_nationkey
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t-closeness audit over the same (segment, nation) quasi-identifier
+    # as privacy_k_anonymity / privacy_l_diversity: total-variation
+    # distance between each class's balance-band distribution and the
+    # corpus-wide one — catches classes that are k-anonymous AND
+    # l-diverse yet skewed toward one sensitive value.
+    from ..operators.quality import t_closeness_report
+
+    return t_closeness_report(
+        load(spark, sf_dir, "customer"),
+        ["c_mktsegment", "c_nationkey"],
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)),
+        t_threshold=0.35,
+    )

@@ -940,3 +940,129 @@ def diag_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "join_exists_order_priority",
+    # TPC-H Q4 shape (ref test query family): order-priority counts for
+    # orders with at least one slow line — a correlated EXISTS the
+    # engine plans as a left SEMI join with a residual cross-side
+    # predicate (no duplicate-order inflation, no DISTINCT pass).
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "join_part_value_share",
+    # TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    # MEAN part revenue (scale-invariant, unlike Q11's fixed fraction,
+    # so the entry stays non-vacuous at every SF) — the scalar threshold
+    # is one tiny aggregate over the |parts|-sized rollup, broadcast.
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (SELECT AVG(val) AS a, SUM(val) AS t FROM pv)
+    SELECT l_partkey, ROUND(val, 2) AS part_value,
+           ROUND(val / m.t, 6) AS share
+    FROM pv CROSS JOIN m
+    WHERE val > 1.5 * m.a
+    """,
+)
+def join_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("_val"))
+    stats = pv.agg(F.avg("_val").alias("_a"), F.sum("_val").alias("_t"))
+    return (
+        pv.crossJoin(F.broadcast(stats))
+        .filter(F.col("_val") > F.lit(1.5) * F.col("_a"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_val"), 2).alias("part_value"),
+            F.round(F.col("_val") / F.col("_t"), 6).alias("share"),
+        )
+    )
+
+
+@register(
+    "join_single_late_supplier",
+    # TPC-H Q21 shape (suppliers who kept the order waiting): orders
+    # with >= 2 suppliers where EXACTLY ONE supplier shipped late — the
+    # EXISTS / NOT-EXISTS pair collapses to one (order, supplier)
+    # aggregate plus one order rollup, both partitioned on l_orderkey so
+    # the second join is co-located.
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    byorder AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM lo GROUP BY 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo
+    JOIN byorder b ON lo.l_orderkey = b.l_orderkey
+    JOIN supplier s ON lo.l_suppkey = s.s_suppkey
+    WHERE b.n_supp >= 2 AND b.n_late = 1 AND lo.late = 1
+    GROUP BY s.s_name
+    """,
+)
+def join_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    byorder = lo.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        lo.join(byorder, "l_orderkey")
+        .filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late") == 1) & (F.col("late") == 1)
+        )
+        .join(F.broadcast(s), lo["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

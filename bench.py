@@ -234,6 +234,14 @@ HEADLINE_R8 = [
     "events_anomaly_ewma",
     "agg_mode_per_group",
     "agg_distribution_shape",
+    "events_interval_coverage",
+    "events_attribution_last_touch",
+    "events_wilson_ci",
+    "quality_psi_drift",
+    "privacy_t_closeness",
+    "join_exists_order_priority",
+    "join_part_value_share",
+    "join_single_late_supplier",
 ]
 
 

@@ -1,0 +1,246 @@
+"""Round-8 batch B: interval coverage, last-touch attribution, Wilson CI,
+PSI drift, t-closeness, and the TPC-H Q4/Q11/Q21 join shapes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+class TestIntervalCoverage:
+    def test_union_length_hand_case(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import interval_coverage
+
+        # key a: [0,10], [5,12] overlap -> 12; [20,25] island -> +5 = 17
+        # key a: [6,8] fully swallowed -> +0
+        # key b: touching [0,5], [5,9] -> one merged run of 9 (touching
+        #   intervals merge: start == prior end is NOT a new island)
+        rows = [
+            ("a", _ts(0), _ts(10)),
+            ("a", _ts(5), _ts(12)),
+            ("a", _ts(6), _ts(8)),
+            ("a", _ts(20), _ts(25)),
+            ("b", _ts(0), _ts(5)),
+            ("b", _ts(5), _ts(9)),
+        ]
+        df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+        out = {
+            r["k"]: r
+            for r in interval_coverage(df, ["k"], "s", "e").collect()
+        }
+        assert out["a"]["covered_s"] == pytest.approx(17.0)
+        assert out["a"]["n_islands"] == 2
+        assert out["a"]["n_intervals"] == 4
+        assert out["b"]["covered_s"] == pytest.approx(9.0)
+        assert out["b"]["n_islands"] == 1
+
+    def test_disjoint_sums_exactly(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import interval_coverage
+
+        rows = [("k", _ts(i * 100), _ts(i * 100 + 3)) for i in range(50)]
+        df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+        r = interval_coverage(df, ["k"], "s", "e").collect()[0]
+        assert r["covered_s"] == pytest.approx(150.0)
+        assert r["n_islands"] == 50
+
+
+class TestLastTouchAttribution:
+    def test_window_cutoff_and_none_bucket(self, spark):
+        from aicoe_osc_demo_spark.operators.temporal import (
+            last_touch_attribution,
+        )
+
+        conv = spark.createDataFrame(
+            [
+                (1, _ts(100.0), 10.0),  # touch at 90 (ads) within window
+                (1, _ts(500.0), 20.0),  # latest touch at 480 (email)
+                (2, _ts(100.0), 30.0),  # only touch is 95s stale > 50s window
+                (3, _ts(100.0), 40.0),  # no touch at all
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+        touch = spark.createDataFrame(
+            [
+                (1, _ts(90.0), "ads"),
+                (1, _ts(480.0), "email"),
+                (1, _ts(470.0), "ads"),  # older than email -> not credited
+                (2, _ts(5.0), "ads"),
+            ],
+            "user_id long, tts timestamp, channel string",
+        )
+        out = {
+            r["channel"]: r
+            for r in last_touch_attribution(
+                conv,
+                touch,
+                on=["user_id"],
+                conv_ts="ts",
+                touch_ts="tts",
+                channel_col="channel",
+                value_col="value",
+                window_seconds=50.0,
+            ).collect()
+        }
+        assert out["ads"]["n_conversions"] == 1
+        assert out["ads"]["revenue"] == pytest.approx(10.0)
+        assert out["email"]["n_conversions"] == 1
+        assert out["email"]["revenue"] == pytest.approx(20.0)
+        assert out["(none)"]["n_conversions"] == 2
+        assert out["(none)"]["revenue"] == pytest.approx(70.0)
+
+
+class TestWilsonCI:
+    def test_matches_closed_form(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import proportion_wilson_ci
+
+        df = spark.createDataFrame(
+            [("g", i < 30) for i in range(100)], "g string, ok boolean"
+        )
+        r = proportion_wilson_ci(df, ["g"], F.col("ok"), z=1.96).collect()[0]
+        n, k, z = 100, 30, 1.96
+        p = k / n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert r["p"] == pytest.approx(0.3)
+        assert r["ci_lo"] == pytest.approx(round(center - half, 6), abs=1e-9)
+        assert r["ci_hi"] == pytest.approx(round(center + half, 6), abs=1e-9)
+        # Wilson interval always contains p and stays inside [0, 1]
+        assert 0 <= r["ci_lo"] < p < r["ci_hi"] <= 1
+
+    def test_extreme_p_nonzero_width(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import proportion_wilson_ci
+
+        df = spark.createDataFrame(
+            [("g", True) for _ in range(20)], "g string, ok boolean"
+        )
+        r = proportion_wilson_ci(df, ["g"], F.col("ok")).collect()[0]
+        # Wald would give a zero-width interval at p=1; Wilson must not.
+        assert r["ci_lo"] < 1.0 and r["ci_hi"] == pytest.approx(1.0)
+
+
+class TestPSIDrift:
+    def test_identical_slices_zero(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import psi_drift
+
+        # identical value multisets in baseline and current -> counts
+        # equal in every bin -> psi exactly 0
+        rows = [("g", float(v), b) for v in range(50) for b in (True, False)]
+        df = spark.createDataFrame(rows, "g string, v double, isb boolean")
+        r = psi_drift(df, ["g"], F.col("v"), F.col("isb"), n_bins=10).collect()[0]
+        assert r["psi"] == pytest.approx(0.0)
+        assert r["n_baseline"] == r["n_current"] == 50
+        assert r["n_bins_used"] == 10
+
+    def test_shifted_distribution_flags(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import psi_drift
+
+        rows = [("g", float(v % 20), True) for v in range(200)] + [
+            ("g", 80.0 + float(v % 20), False) for v in range(200)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, isb boolean")
+        r = psi_drift(df, ["g"], F.col("v"), F.col("isb"), n_bins=10).collect()[0]
+        assert r["psi"] > 0.25  # fully disjoint supports -> drifted
+
+
+class TestTCloseness:
+    def test_hand_distribution(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import t_closeness_report
+
+        # global: v=0 x6, v=1 x2, v=2 x2  (p = .6/.2/.2)
+        # class A: 0,0,0,1,2 (p=.6/.2/.2) -> t = 0
+        # class B: 0,0,0,1,2 same -> 0; class C: 1,1,1,1,1 -> t = TVD
+        rows = (
+            [("A", 0)] * 3 + [("A", 1), ("A", 2)]
+            + [("B", 0)] * 3 + [("B", 1), ("B", 2)]
+        )
+        df = spark.createDataFrame(rows, "qi string, v int")
+        out = {
+            r["qi"]: r
+            for r in t_closeness_report(
+                df, ["qi"], F.col("v"), t_threshold=0.2
+            ).collect()
+        }
+        assert out["A"]["t"] == pytest.approx(0.0)
+        assert not out["A"]["at_risk"]
+
+    def test_single_value_class(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import t_closeness_report
+
+        # class B holds only v=9, which is 5/15 of the corpus:
+        # TVD = 0.5*(|1 - 1/3| + 2/3) = 2/3
+        rows = [("A", v) for v in (0, 1, 2, 3, 4) * 2] + [("B", 9)] * 5
+        df = spark.createDataFrame(rows, "qi string, v int")
+        out = {
+            r["qi"]: r
+            for r in t_closeness_report(
+                df, ["qi"], F.col("v"), t_threshold=0.5
+            ).collect()
+        }
+        assert out["B"]["t"] == pytest.approx(2 / 3, abs=1e-6)
+        assert out["B"]["at_risk"]
+        assert out["B"]["n"] == 5
+
+
+class TestTPCHShapes:
+    def test_exists_semi_no_duplicate_inflation(self, spark, tmp_path):
+        # an order with MANY slow lines counts once
+        o = spark.createDataFrame(
+            [(1, "1-URGENT", _ts(0.0)), (2, "1-URGENT", _ts(0.0))],
+            "o_orderkey long, o_orderpriority string, o_orderdate timestamp",
+        )
+        li = spark.createDataFrame(
+            [(1, _ts(86400.0 * 90)), (1, _ts(86400.0 * 91)), (2, _ts(0.0))],
+            "l_orderkey long, l_shipdate timestamp",
+        )
+        slow = o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+            "left_semi",
+        )
+        out = slow.groupBy("o_orderpriority").count().collect()
+        assert out[0]["count"] == 1
+
+    def test_single_late_supplier_logic(self, spark):
+        # order 1: suppliers 10 (late), 11 (on time) -> supplier 10 waits
+        # order 2: suppliers 10, 11 both late -> nobody counted
+        # order 3: single-supplier order, late -> excluded (n_supp < 2)
+        import __spark_entry__  # noqa: F401  (registry import side effects)
+
+        lo = spark.createDataFrame(
+            [
+                (1, 10, 1),
+                (1, 11, 0),
+                (2, 10, 1),
+                (2, 11, 1),
+                (3, 10, 1),
+            ],
+            "l_orderkey long, l_suppkey long, late int",
+        )
+        byorder = lo.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+        )
+        out = (
+            lo.join(byorder, "l_orderkey")
+            .filter(
+                (F.col("n_supp") >= 2)
+                & (F.col("n_late") == 1)
+                & (F.col("late") == 1)
+            )
+            .groupBy("l_suppkey")
+            .count()
+            .collect()
+        )
+        assert len(out) == 1
+        assert out[0]["l_suppkey"] == 10 and out[0]["count"] == 1
