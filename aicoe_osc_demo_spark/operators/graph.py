@@ -236,3 +236,63 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("n").alias(node_col), F.col("lab").alias(label_col))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """k-core of an undirected graph by iterative peeling: repeatedly
+    drop nodes with degree < k (and their edges) until the minimum
+    degree is >= k.  The classic density filter over similarity/dedup
+    graphs — a node in the 4-core of a near-dup KNN graph sits inside a
+    dense duplicate neighborhood no single-pair threshold would catch,
+    and coreness is the standard seed filter for community mining.
+
+    Peeling is CONFLUENT (the k-core is the unique maximal subgraph of
+    min degree >= k, reached regardless of removal order), so any
+    engine that removes all sub-k nodes per round converges to the
+    identical fixpoint — the property the SQL oracle relies on.
+
+    Shape per round: one keyed degree aggregate + two semi-joins against
+    the surviving node set, state localCheckpoint'ed so plans stay O(1)
+    deep (the dedup_clusters lineage bound).  Rounds are O(peel depth)
+    — bounded by the degeneracy ordering length, a handful on bounded-
+    degree KNN graphs.  Each round strictly shrinks the edge set, so the
+    count-based stop never spins.
+
+    Output: ``(node, deg)`` — nodes in the k-core with their within-core
+    degree; empty when the core is empty.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = und.count()
+    for _ in range(max_iters):
+        if n_cur == 0:
+            break
+        keep = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("a")
+        )
+        nxt = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_cur:
+            break
+        und, n_cur = nxt, n_next
+    return (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )

@@ -2778,3 +2778,67 @@ def llm_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(
         load(spark, sf_dir, "embeddings"), "label", "embedding", "vec_id", 0.05
     )
+
+
+@register(
+    "graph_kcore_copurchase",
+    # Recursive-CTE oracle: peel rounds remove ALL sub-k nodes at once
+    # (same rule as the engine), and k-core confluence guarantees both
+    # engines land on the identical fixpoint regardless of round
+    # boundaries.  The EXISTS guard stops the recursion at fixpoint; the
+    # final min-degree check resolves the peel-to-empty case exactly.
+    """
+    WITH RECURSIVE u AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM u a JOIN u b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (SELECT pa AS a, pb AS b FROM e0
+            UNION ALL SELECT pb, pa FROM e0),
+    core AS (
+      SELECT 0 AS iter, a, b FROM und
+      UNION ALL
+      SELECT e.iter + 1, e.a, e.b FROM core e
+      JOIN (SELECT a FROM core GROUP BY a HAVING COUNT(*) >= 2) ka
+        ON e.a = ka.a
+      JOIN (SELECT a AS b2 FROM core GROUP BY a HAVING COUNT(*) >= 2) kb
+        ON e.b = kb.b2
+      WHERE EXISTS (SELECT a FROM core GROUP BY a HAVING COUNT(*) < 2)
+    ),
+    last AS (SELECT a, b FROM core WHERE iter = (SELECT MAX(iter) FROM core)),
+    degs AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM last GROUP BY 1),
+    ok AS (SELECT MIN(deg) >= 2 AS fix FROM degs)
+    SELECT node, deg FROM degs CROSS JOIN ok WHERE ok.fix
+    """,
+)
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core of the co-purchase graph: parts bought together in >= 2
+    # orders form edges; the 2-core drops every tree-like tendril and
+    # keeps only parts inside cyclic purchase communities — the standard
+    # density filter before community mining, and the graph-family
+    # companion of events_cooccurrence_lift.  Pair volume is bounded by
+    # the per-order distinct-part count squared (never |parts|^2), and
+    # each peel round is one degree aggregate + two semi-joins over a
+    # strictly shrinking edge set (confluent, so the fixpoint is engine-
+    # independent).
+    from ..operators.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem")
+    u = li.select("l_orderkey", "l_partkey").distinct()
+    e0 = (
+        u.select("l_orderkey", F.col("l_partkey").alias("pa"))
+        .join(
+            u.select("l_orderkey", F.col("l_partkey").alias("pb")),
+            "l_orderkey",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    return k_core(e0, k=2, src="pa", dst="pb")

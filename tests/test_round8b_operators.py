@@ -244,3 +244,37 @@ class TestTPCHShapes:
         )
         assert len(out) == 1
         assert out[0]["l_suppkey"] == 10 and out[0]["count"] == 1
+
+
+class TestKCore:
+    def test_clique_plus_tail(self, spark):
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        # 4-clique (3-core) with a path tail 4-5-6 hanging off node 4
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["deg"] for r in k_core(edges, 3).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_peel_cascade(self, spark):
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        # a path graph: every node degree <= 2; 2-core requires a cycle
+        # and peeling must CASCADE from the endpoints inward to empty
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "src long, dst long"
+        )
+        assert k_core(edges, 2).count() == 0
+
+    def test_cycle_survives_two_core(self, spark):
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        # a 5-cycle with a pendant: the cycle is the exact 2-core
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (3, 99)],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
