@@ -56,8 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg_distribution_shape (31 total), plus the batch-B additions
 # events_interval_coverage, events_attribution_last_touch, events_wilson_ci,
 # quality_psi_drift, privacy_t_closeness, join_exists_order_priority,
-# join_part_value_share, join_single_late_supplier, and the
-# events_rfm_scores plan rewrite (re-front after the code change).
+# join_part_value_share, join_single_late_supplier,
+# graph_kcore_copurchase, events_entry_exit_matrix, llm_source_logodds,
+# ml_calibration_bins, events_stickiness_dau_mau, events_stl_decompose,
+# and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---
     "events_lag_features",

@@ -655,3 +655,74 @@ def rank_fusion(
         scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("fused_rank") <= topk)
     )
+
+
+def weighted_logodds(
+    df: DataFrame,
+    text: Column,
+    is_focal: Column,
+    alpha0: float = 100.0,
+    min_count: int = 5,
+) -> DataFrame:
+    """Monroe et al. 2008 ("Fightin' Words") weighted log-odds with an
+    informative Dirichlet prior: which tokens are OVER-represented in a
+    focal slice vs the rest of the corpus, with a sampling-variance-aware
+    z-score.  The standard corpus-comparison statistic — unlike raw
+    frequency ratios it neither explodes on rare words nor drowns the
+    signal in stopwords (the prior shrinks both toward the corpus rate).
+
+        a_w   = alpha0 * (y_fw + y_rw) / (n_f + n_r)      (prior mass)
+        d_w   = ln((y_fw + a_w) / (n_f + alpha0 - y_fw - a_w))
+              - ln((y_rw + a_w) / (n_r + alpha0 - y_rw - a_w))
+        var_w = 1/(y_fw + a_w) + 1/(y_rw + a_w)
+        z_w   = d_w / sqrt(var_w)
+
+    Shape: tokenize (lowercase [a-z]+ runs), ONE (token) aggregate with
+    conditional counts for the two slices (map-side combinable), one
+    1-row total broadcast, then closed-form map-side arithmetic — the
+    whole statistic ships two longs per token across the shuffle.
+
+    Output: (token, y_focal, y_rest, delta, z) for tokens with
+    ``y_focal + y_rest >= min_count``, rounded to 6 dp.
+    """
+    tok = df.select(
+        F.when(is_focal, 1).otherwise(0).alias("_f"),
+        F.explode(
+            F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    per = tok.groupBy("token").agg(
+        F.sum("_f").cast("long").alias("y_focal"),
+        F.sum(F.lit(1) - F.col("_f")).cast("long").alias("y_rest"),
+    )
+    tot = per.agg(
+        F.sum("y_focal").cast("long").alias("_nf"),
+        F.sum("y_rest").cast("long").alias("_nr"),
+    )
+    a0 = F.lit(float(alpha0))
+    aw = (
+        a0
+        * (F.col("y_focal") + F.col("y_rest")).cast("double")
+        / (F.col("_nf") + F.col("_nr")).cast("double")
+    )
+    yf = F.col("y_focal").cast("double")
+    yr = F.col("y_rest").cast("double")
+    nf = F.col("_nf").cast("double")
+    nr = F.col("_nr").cast("double")
+    delta = F.log((yf + aw) / (nf + a0 - yf - aw)) - F.log(
+        (yr + aw) / (nr + a0 - yr - aw)
+    )
+    z = delta / F.sqrt(
+        F.lit(1.0) / (yf + aw) + F.lit(1.0) / (yr + aw)
+    )
+    return (
+        per.filter(F.col("y_focal") + F.col("y_rest") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "y_focal",
+            "y_rest",
+            F.round(delta, 6).alias("delta"),
+            F.round(z, 6).alias("z"),
+        )
+    )

@@ -501,3 +501,48 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "doc_id", "rank")
     )
     return rank_fusion([bm25, tf_ranked], k=60, topk=10)
+
+
+@register(
+    "llm_source_logodds",
+    # Oracle replays the identical prior/variance algebra on the same
+    # conditional token counts; min-count filter applied BEFORE the
+    # totals are consumed (totals are over ALL tokens in both engines).
+    """
+    WITH tok AS (
+      SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS f,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    per AS (
+      SELECT token,
+             CAST(SUM(f) AS BIGINT) AS y_focal,
+             CAST(SUM(1 - f) AS BIGINT) AS y_rest
+      FROM tok GROUP BY 1
+    ),
+    tot AS (SELECT SUM(y_focal) AS nf, SUM(y_rest) AS nr FROM per)
+    SELECT token, y_focal, y_rest,
+           ROUND(ln((y_focal + aw) / (nf + 100.0 - y_focal - aw))
+                 - ln((y_rest + aw) / (nr + 100.0 - y_rest - aw)), 6) AS delta,
+           ROUND((ln((y_focal + aw) / (nf + 100.0 - y_focal - aw))
+                  - ln((y_rest + aw) / (nr + 100.0 - y_rest - aw)))
+                 / sqrt(1.0 / (y_focal + aw) + 1.0 / (y_rest + aw)), 6) AS z
+    FROM (
+      SELECT token, y_focal, y_rest, nf * 1.0 AS nf, nr * 1.0 AS nr,
+             100.0 * (y_focal + y_rest) / (nf * 1.0 + nr) AS aw
+      FROM per CROSS JOIN tot
+      WHERE y_focal + y_rest >= 5
+    )
+    """,
+)
+def llm_source_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus over-representation audit (Monroe et al. weighted log-odds):
+    # which tokens distinguish one source shard from the rest — the
+    # dataset-curation "slop detector" for a suspect source, and the
+    # statistic behind per-domain vocabulary drift reports.
+    from ..operators.corpus import weighted_logodds
+
+    d = load(spark, sf_dir, "documents")
+    return weighted_logodds(
+        d, F.col("text"), F.col("source") == "src0", alpha0=100.0, min_count=5
+    )

@@ -8,7 +8,7 @@ streaming.incremental) — the batch forms here are what the oracle can check.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..streaming.incremental import sessionize, windowed_event_counts
@@ -2073,4 +2073,189 @@ def events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return proportion_wilson_ci(
         e, ["event_type"], F.col("value") > 50, z=1.96
+    )
+
+
+@register(
+    "events_entry_exit_matrix",
+    # Oracle replays the gap sessionization (LAG + running flag sum) and
+    # picks entry/exit with ROW_NUMBER over the (ts, event_id) composite
+    # — the same tiebreak as the engine's min_by/max_by struct.
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, event_id, event_type, ts,
+               epoch(ts) - LAG(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+        FROM events
+      )
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM s
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+             COUNT(*) AS n_events
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events
+    FROM per_session GROUP BY 1, 2
+    """,
+)
+def events_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Entry/exit page matrix (web-analytics bounce/landing analysis):
+    # gap-sessionize, take each session's first and last event type with
+    # the min_by/max_by composite tiebreak, cross-tabulate.  Two keyed
+    # aggregates after the sessionize window — the per-session rollup is
+    # map-side combinable (min_by/max_by partials merge like MIN/MAX).
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30)
+    key = F.struct(
+        F.col("ts").cast("timestamp").alias("ts"), F.col("event_id").alias("eid")
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min_by(F.col("event_type"), key).alias("entry_type"),
+        F.max_by(F.col("event_type"), key).alias("exit_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_session.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "events_stickiness_dau_mau",
+    # Integer day numbers keep the 30-day window arithmetic exact and
+    # engine-portable; target days are restricted to observed days so
+    # both engines emit the same row set.
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1990-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS dn
+      FROM events
+    ),
+    fan AS (
+      SELECT user_id, dn, unnest(generate_series(dn, dn + 29)) AS target
+      FROM ud
+    ),
+    mau AS (
+      SELECT f.target AS dn, COUNT(DISTINCT f.user_id) AS mau
+      FROM fan f
+      WHERE f.target IN (SELECT dn FROM ud)
+      GROUP BY 1
+    ),
+    dau AS (SELECT dn, COUNT(*) AS dau FROM ud GROUP BY 1)
+    SELECT CAST(DATE '1990-01-01' + INTERVAL (d.dn) DAY AS TIMESTAMP) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           ROUND(d.dau * 1.0 / m.mau, 6) AS stickiness
+    FROM dau d JOIN mau m ON d.dn = m.dn
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU/MAU stickiness with an EXACT trailing-30-day distinct count:
+    # each (user, day) fingerprint fans out to the 30 target days it
+    # supports (bounded 30x blow-up of the DEDUPED fingerprint table,
+    # never of raw events), then one distinct-count per target day —
+    # the exact companion of events_sliding_hll_users (estimate path).
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))), F.lit("1990-01-01").cast("date")
+        ).alias("dn"),
+    ).distinct()
+    days = ud.select("dn").distinct()
+    fan = ud.select(
+        "user_id", F.explode(F.sequence(F.col("dn"), F.col("dn") + 29)).alias("target")
+    )
+    mau = (
+        fan.join(days.select(F.col("dn").alias("target")), "target", "left_semi")
+        .groupBy("target")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+        .withColumnRenamed("target", "dn")
+    )
+    dau = ud.groupBy("dn").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return dau.join(mau, "dn").select(
+        F.to_timestamp(
+            F.date_add(F.lit("1990-01-01").cast("date"), F.col("dn"))
+        ).alias("day"),
+        "dau",
+        "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+@register(
+    "events_stl_decompose",
+    # Additive STL-lite: 7-day centered moving-average trend (average of
+    # the rows present in the +/-3 frame, identical partial-edge rule in
+    # both engines), day-of-week seasonal means of the detrended series,
+    # residual = detrended - seasonal.
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, n,
+             AVG(n * 1.0) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS trend
+      FROM daily
+    ),
+    se AS (
+      SELECT event_type, day, n, trend, n - trend AS detrended,
+             AVG(n - trend) OVER (PARTITION BY event_type, dayofweek(day))
+               AS seasonal
+      FROM tr
+    )
+    SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+           ROUND(trend, 6) AS trend,
+           ROUND(seasonal, 6) AS seasonal,
+           ROUND(detrended - seasonal, 6) AS resid
+    FROM se
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal-trend decomposition (STL-lite, additive): per-type daily
+    # counts -> centered 7-day MA trend -> day-of-week seasonal means ->
+    # residual.  All windows partition on event_type (and weekday), so
+    # the decomposition is a per-series sort, never a global one; the
+    # raw-event reduce happens map-side before any window sees a row.
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_tr = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = daily.withColumn("trend", F.avg(F.col("n").cast("double")).over(w_tr))
+    detrended = F.col("n") - F.col("trend")
+    w_se = Window.partitionBy("event_type", F.dayofweek("day"))
+    se = tr.withColumn("seasonal", F.avg(detrended).over(w_se))
+    return se.select(
+        "event_type",
+        F.to_timestamp("day").alias("day"),
+        "n",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(detrended - F.col("seasonal"), 6).alias("resid"),
     )

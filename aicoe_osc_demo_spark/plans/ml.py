@@ -265,3 +265,71 @@ def ml_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         y=F.col("l_extendedprice"),
         x=F.col("l_quantity"),
     )
+
+
+@register(
+    "ml_calibration_bins",
+    f"""
+    WITH scored AS (
+      SELECT ((31 * length(text) + 17 * length('What is the exposure of Brand#13?'))
+              % 1000) / 1000.0 AS score,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    binned AS (
+      SELECT LEAST(9, CAST(floor(score * 10) AS INT)) AS bin, score, label
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(score) AS conf, AVG(label * 1.0) AS acc
+      FROM binned GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS nt FROM per_bin),
+    e AS (SELECT SUM(n * ABS(acc - conf)) / MAX(tot.nt) AS ece
+          FROM per_bin CROSS JOIN tot)
+    SELECT bin, n, ROUND(conf, 6) AS conf, ROUND(acc, 6) AS acc,
+           ROUND(ABS(acc - conf), 6) AS gap, ROUND(e.ece, 6) AS ece
+    FROM per_bin CROSS JOIN e
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram + expected calibration error for the relevance
+    # scorer (stub-scored, so the WHOLE eval replays in SQL; a real
+    # checkpoint swaps in without changing the plan): equal-width score
+    # bins, per-bin confidence vs empirical accuracy, ECE as the
+    # n-weighted gap.  ONE (bin) aggregate + a broadcast 1-row total —
+    # the standard model-monitoring readout (Guo et al. 2017).
+    d = load(spark, sf_dir, "documents")
+    q = "What is the exposure of Brand#13?"
+    scored = d.select(
+        (
+            ((F.lit(31) * F.length("text") + F.lit(17 * len(q))) % 1000)
+            / F.lit(1000.0)
+        ).alias("score"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("label"),
+    )
+    binned = scored.select(
+        F.least(F.lit(9), F.floor(F.col("score") * 10).cast("int")).alias("bin"),
+        "score",
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("score").alias("_conf"),
+        F.avg(F.col("label").cast("double")).alias("_acc"),
+    )
+    e = per_bin.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("_acc") - F.col("_conf")))
+            / F.sum("n")
+        ).alias("_ece")
+    )
+    return per_bin.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n",
+        F.round("_conf", 6).alias("conf"),
+        F.round("_acc", 6).alias("acc"),
+        F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("gap"),
+        F.round("_ece", 6).alias("ece"),
+    )

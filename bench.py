@@ -242,6 +242,12 @@ HEADLINE_R8 = [
     "join_exists_order_priority",
     "join_part_value_share",
     "join_single_late_supplier",
+    "graph_kcore_copurchase",
+    "events_entry_exit_matrix",
+    "llm_source_logodds",
+    "ml_calibration_bins",
+    "events_stickiness_dau_mau",
+    "events_stl_decompose",
 ]
 
 

@@ -278,3 +278,112 @@ class TestKCore:
         )
         out = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
         assert out == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+class TestWeightedLogodds:
+    def test_overrepresented_token_signs(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import weighted_logodds
+
+        docs = [
+            (True, "alpha alpha alpha beta common common"),
+            (True, "alpha alpha common common common"),
+            (False, "beta beta beta common common"),
+            (False, "beta beta common common common"),
+        ]
+        df = spark.createDataFrame(docs, "f boolean, text string")
+        out = {
+            r["token"]: r
+            for r in weighted_logodds(
+                df, F.col("text"), F.col("f"), alpha0=10.0, min_count=1
+            ).collect()
+        }
+        # focal-heavy token scores positive, rest-heavy negative, the
+        # evenly-split token sits near zero and between them
+        assert out["alpha"]["z"] > 0 > out["beta"]["z"]
+        assert abs(out["common"]["z"]) < min(
+            out["alpha"]["z"], -out["beta"]["z"]
+        )
+        assert out["alpha"]["y_focal"] == 5 and out["alpha"]["y_rest"] == 0
+
+    def test_matches_closed_form(self, spark):
+        import math
+
+        from aicoe_osc_demo_spark.operators.corpus import weighted_logodds
+
+        df = spark.createDataFrame(
+            [(True, "x x y"), (False, "x y y y")], "f boolean, text string"
+        )
+        r = {
+            row["token"]: row
+            for row in weighted_logodds(
+                df, F.col("text"), F.col("f"), alpha0=4.0, min_count=1
+            ).collect()
+        }
+        yf, yr, nf, nr, a0 = 2.0, 1.0, 3.0, 4.0, 4.0
+        aw = a0 * (yf + yr) / (nf + nr)
+        d = math.log((yf + aw) / (nf + a0 - yf - aw)) - math.log(
+            (yr + aw) / (nr + a0 - yr - aw)
+        )
+        z = d / math.sqrt(1 / (yf + aw) + 1 / (yr + aw))
+        assert r["x"]["delta"] == pytest.approx(round(d, 6), abs=1e-9)
+        assert r["x"]["z"] == pytest.approx(round(z, 6), abs=1e-9)
+
+
+class TestEntryExitMatrix:
+    def test_hand_sessions(self, spark):
+        from aicoe_osc_demo_spark.plans.events import sessionize
+
+        # user 1: two sessions (gap > 30 min): [view, click], [purchase]
+        rows = [
+            (1, 1, _ts(0.0), "view"),
+            (2, 1, _ts(60.0), "click"),
+            (3, 1, _ts(60.0 + 3600 * 2), "purchase"),
+        ]
+        e = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        s = sessionize(e, gap_minutes=30)
+        key = F.struct(F.col("ts").cast("timestamp"), F.col("event_id"))
+        per = s.groupBy("user_id", "session_id").agg(
+            F.min_by("event_type", key).alias("entry"),
+            F.max_by("event_type", key).alias("exit"),
+        )
+        out = {(r["entry"], r["exit"]) for r in per.collect()}
+        assert out == {("view", "click"), ("purchase", "purchase")}
+
+
+class TestStickinessAndSTL:
+    def test_dau_mau_bounds(self, spark):
+        # stickiness is DAU/MAU with MAU >= DAU always; single-day data
+        # means MAU == DAU == stickiness 1.0
+        import __spark_entry__ as em
+
+        df = em.queries()["events_stickiness_dau_mau"](
+            spark, "/root/testdata/sf0.001"
+        )
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r["mau"] >= r["dau"] > 0
+            assert 0 < r["stickiness"] <= 1.0
+
+    def test_stl_identity(self, spark):
+        # decomposition must satisfy n = trend + seasonal + resid
+        import __spark_entry__ as em
+
+        df = em.queries()["events_stl_decompose"](spark, "/root/testdata/sf0.001")
+        for r in df.collect():
+            assert r["n"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["resid"], abs=2e-6
+            )
+
+    def test_calibration_ece_weighted_gap(self, spark):
+        import __spark_entry__ as em
+
+        rows = em.queries()["ml_calibration_bins"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        n_tot = sum(r["n"] for r in rows)
+        ece = sum(r["n"] * abs(r["acc"] - r["conf"]) for r in rows) / n_tot
+        assert rows[0]["ece"] == pytest.approx(ece, abs=2e-6)
+        assert all(r["ece"] == rows[0]["ece"] for r in rows)
