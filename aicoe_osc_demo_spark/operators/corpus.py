@@ -726,3 +726,104 @@ def weighted_logodds(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+_RAKE_STOPWORDS = (
+    "a an and are as at be but by for from has have in is it its of on or "
+    "that the this to was were will with not no they he she we you i"
+).split()
+
+
+def rake_phrases(
+    df: DataFrame,
+    id_col: str,
+    text: Column,
+    min_words: int = 2,
+    max_words: int = 4,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-aggregated:
+    candidate phrases are maximal runs of non-stopword tokens; a word's
+    score is degree/frequency (degree = summed length of the phrases it
+    appears in — co-occurrence pull), and a phrase scores the sum of its
+    words' scores.  Multi-word domain terms ("supply chain emissions")
+    outrank frequent single words — the thing TF-IDF keywords miss.
+
+    Shape: tokenize, then group CONSECUTIVE non-stopwords into phrases
+    with the island trick — a running sum of stopword flags over a
+    per-document position window (partitioned by doc, so the sort is
+    per-document, never global).  Word statistics are ONE aggregate over
+    exploded phrase words; phrase scores are a broadcast-joined map-side
+    fold.  No Python UDF anywhere.
+
+    Output: (phrase, n_words, n_occurrences, score) for phrases of
+    ``min_words..max_words`` words, score rounded to 6 dp.
+    """
+    stops = stopwords if stopwords is not None else _RAKE_STOPWORDS
+    words = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(text), F.lit("[a-z]+"), 0)
+        ).alias("_pos", "_w"),
+    ).withColumn("_stop", F.col("_w").isin(stops).cast("int"))
+    w_doc = (
+        Window.partitionBy("_doc")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = words.withColumn("_run", F.sum("_stop").over(w_doc)).filter(
+        F.col("_stop") == 0
+    )
+    phrases = (
+        runs.groupBy("_doc", "_run")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_w")))
+            ).alias("_ws")
+        )
+        .select(
+            F.col("_doc"),
+            F.transform("_ws", lambda s: s["_w"]).alias("_words"),
+        )
+        .withColumn("n_words", F.size("_words"))
+        .filter(
+            (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        )
+        .select("_doc", F.concat_ws(" ", "_words").alias("phrase"), "n_words")
+    )
+    word_stats = (
+        phrases.select(
+            F.col("n_words").alias("_len"),
+            F.explode(F.split("phrase", " ")).alias("_w"),
+        )
+        .groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_freq"),
+            F.sum("_len").cast("long").alias("_deg"),
+        )
+        .select(
+            "_w",
+            (F.col("_deg").cast("double") / F.col("_freq")).alias("_wscore"),
+        )
+    )
+    scored = (
+        phrases.select("phrase", "n_words", F.explode(F.split("phrase", " ")).alias("_w"))
+        .join(F.broadcast(word_stats), "_w")
+        .groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("int").alias("n_words"),
+            (F.sum("_wscore") / F.count(F.lit(1)) * F.max("n_words")).alias("_sc"),
+        )
+    )
+    occurrences = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return (
+        scored.join(occurrences, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round("_sc", 6).alias("score"),
+        )
+    )

@@ -546,3 +546,72 @@ def llm_source_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_logodds(
         d, F.col("text"), F.col("source") == "src0", alpha0=100.0, min_count=5
     )
+
+
+def _rake_sql() -> str:
+    from ..operators.corpus import _RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z]+'))))
+               AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS stop
+      FROM toks
+    ),
+    runs0 AS (
+      SELECT doc_id, w, pos, stop,
+             SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM flagged
+    ),
+    runs AS (SELECT doc_id, w, pos, run FROM runs0 WHERE stop = 0),
+    phrases0 AS (
+      SELECT doc_id, run,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             COUNT(*) AS n_words
+      FROM runs GROUP BY 1, 2
+    ),
+    phrases AS (
+      SELECT doc_id, phrase, n_words FROM phrases0
+      WHERE n_words BETWEEN 2 AND 4
+    ),
+    wstats AS (
+      SELECT w, SUM(n_words) * 1.0 / COUNT(*) AS wscore
+      FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM phrases)
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.phrase, MAX(p.n_words) AS n_words,
+             SUM(s.wscore) / COUNT(*) * MAX(p.n_words) AS sc
+      FROM (SELECT phrase, n_words, unnest(string_split(phrase, ' ')) AS w
+            FROM phrases) p
+      JOIN wstats s ON p.w = s.w
+      GROUP BY p.phrase
+    ),
+    occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phrases GROUP BY 1)
+    SELECT s.phrase, CAST(s.n_words AS INT) AS n_words, o.n_occurrences,
+           ROUND(s.sc, 6) AS score
+    FROM scored s JOIN occ o ON s.phrase = o.phrase
+    """
+
+
+@register("llm_rake_keywords", _rake_sql())
+def llm_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RAKE keyword extraction (Rose et al. 2010): stopword-delimited
+    # phrase candidates via the per-document island window, degree/freq
+    # word scores, summed phrase scores — multi-word domain terms
+    # outrank frequent single words.  The islands sort is per-document;
+    # word stats are one aggregate; no Python UDF.
+    from ..operators.corpus import rake_phrases
+
+    d = load(spark, sf_dir, "documents")
+    return rake_phrases(d, "doc_id", F.col("text"), min_words=2, max_words=4)

@@ -248,6 +248,7 @@ HEADLINE_R8 = [
     "ml_calibration_bins",
     "events_stickiness_dau_mau",
     "events_stl_decompose",
+    "llm_rake_keywords",
 ]
 
 

@@ -387,3 +387,44 @@ class TestStickinessAndSTL:
         ece = sum(r["n"] * abs(r["acc"] - r["conf"]) for r in rows) / n_tot
         assert rows[0]["ece"] == pytest.approx(ece, abs=2e-6)
         assert all(r["ece"] == rows[0]["ece"] for r in rows)
+
+
+class TestRake:
+    def test_hand_scores(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import rake_phrases
+
+        df = spark.createDataFrame(
+            [(1, "The quick brown fox and the lazy dog!")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["phrase"]: r
+            for r in rake_phrases(df, "doc_id", F.col("text")).collect()
+        }
+        # each word appears once, degree = its phrase length, so
+        # wscore = len and phrase score = len^2
+        assert out["quick brown fox"]["score"] == pytest.approx(9.0)
+        assert out["lazy dog"]["score"] == pytest.approx(4.0)
+        assert out["quick brown fox"]["n_occurrences"] == 1
+
+    def test_cooccurrence_pull(self, spark):
+        from aicoe_osc_demo_spark.operators.corpus import rake_phrases
+
+        # "carbon" appears in a 3-word phrase and a 2-word phrase:
+        # freq=2, deg=5, wscore=2.5; "tax": freq=1 deg=2 wscore=2;
+        # "carbon tax" scores 4.5 — higher than an isolated pair of
+        # once-seen words (4.0), because carbon travels in longer company
+        df = spark.createDataFrame(
+            [
+                (1, "carbon capture systems of carbon tax"),
+                (2, "lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["phrase"]: r["score"]
+            for r in rake_phrases(df, "doc_id", F.col("text")).collect()
+        }
+        assert out["carbon tax"] == pytest.approx(4.5)
+        assert out["lazy dog"] == pytest.approx(4.0)
+        assert out["carbon capture systems"] == pytest.approx(2.5 + 3 + 3)
