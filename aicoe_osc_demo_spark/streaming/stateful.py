@@ -152,3 +152,111 @@ def user_state_intervals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming last-touch attribution ----------------------------------------
+
+ATTR_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double, channel string"
+)
+ATTR_STATE_SCHEMA = "last_touch_ns long, last_channel string"
+
+_ATTR_TOUCH_TYPES = ("click", "view", "signup")
+_ATTR_CONV_TYPE = "purchase"
+
+
+def _attr_update(key, pdfs, state):
+    """Per-user state = (latest touch ts, its channel).  Rows are replayed
+    in (ts, event_id) order inside the batch; a conversion is credited to
+    the most recent touch at-or-before it within the window, '(none)'
+    otherwise.  Window length rides in on the `_window_ns` column (same
+    value every row) so the state function stays schema-driven."""
+    (user_id,) = key
+    if state.exists:
+        last_ns, last_channel = state.get
+    else:
+        last_ns, last_channel = None, None
+    out: list[tuple] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    window_ns = int(batch["_window_ns"].iloc[0]) if len(batch) else 0
+    for row in batch.itertuples(index=False):
+        ts_ns = int(pd.Timestamp(row.ts).value)
+        if row.event_type in _ATTR_TOUCH_TYPES:
+            if last_ns is None or ts_ns >= last_ns:
+                last_ns, last_channel = ts_ns, row.event_type
+        elif row.event_type == _ATTR_CONV_TYPE:
+            if (
+                last_ns is not None
+                and ts_ns - last_ns <= window_ns
+                and ts_ns >= last_ns
+            ):
+                ch = last_channel
+            else:
+                ch = "(none)"
+            out.append((user_id, row.event_id, row.ts, row.value, ch))
+    if last_ns is not None:
+        state.update((last_ns, last_channel))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ts", "value", "channel"]
+        )
+
+
+def streaming_last_touch_attribution(
+    events: DataFrame, window_seconds: float = 7 * 86400
+) -> DataFrame:
+    """Streaming last-touch conversion attribution: per-user state carries
+    the latest touch (click/view/signup) across micro-batches; each
+    purchase is credited to it when within the attribution window, else
+    to the explicit '(none)' bucket.  Emits one attributed row per
+    conversion (append mode) — roll up downstream for the channel report.
+
+    Batch parity: on a non-streaming frame this degrades to the
+    :func:`~aicoe_osc_demo_spark.operators.temporal.last_touch_attribution`
+    as-of formulation re-keyed per conversion, bit-identical when events
+    arrive in event-time order per user (the same caveat as streaming
+    SCD2: state is append-only; out-of-order touches across batches are
+    ignored rather than retroactively applied).
+    """
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        from ..operators.temporal import asof_join_tolerance
+
+        conv = events.filter(F.col("event_type") == _ATTR_CONV_TYPE)
+        touches = events.filter(
+            F.col("event_type").isin(*_ATTR_TOUCH_TYPES)
+        ).select(
+            "user_id",
+            F.col("ts").alias("touch_ts"),
+            F.col("event_type").alias("_channel"),
+        )
+        out = asof_join_tolerance(
+            conv,
+            touches,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="touch_ts",
+            value_cols=["_channel"],
+            tolerance_seconds=window_seconds,
+        )
+        return out.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.coalesce(F.col("_channel_asof"), F.lit("(none)")).alias("channel"),
+        )
+    from pyspark.sql import functions as F
+
+    tagged = events.withColumn(
+        "_window_ns", F.lit(int(round(window_seconds * 1e9)))
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

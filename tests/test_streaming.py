@@ -722,3 +722,79 @@ def test_streaming_lag_features_cross_batch_parity_and_replay(spark, tmp_path):
     q3 = streaming_lag_features(spark, str(inp), state, ckpt, schema)
     q3.awaitTermination(120)
     assert key(read_lag_features(spark, state).collect()) == want
+
+
+def test_streaming_attribution_cross_batch_and_parity(spark, tmp_path):
+    # last-touch state survives micro-batch boundaries AND restarts; the
+    # full-stream output matches the batch as-of formulation exactly
+    import datetime as dt
+
+    from aicoe_osc_demo_spark.streaming.stateful import (
+        streaming_last_touch_attribution,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 3, 1) + dt.timedelta(minutes=m)
+
+    cols = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    b1 = [
+        (1, 1, ts(0), "click", 0.0),
+        (2, 1, ts(5), "purchase", 10.0),   # -> click
+        (3, 2, ts(0), "view", 0.0),
+        (4, 2, ts(400), "purchase", 20.0),  # 400 min > 60-min window -> none
+    ]
+    b2 = [
+        (5, 1, ts(10), "purchase", 30.0),   # click state carried from b1
+        (6, 1, ts(20), "signup", 0.0),
+        (7, 1, ts(30), "purchase", 40.0),   # -> signup (newer touch wins)
+        (8, 3, ts(0), "purchase", 50.0),    # user never touched -> none
+    ]
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(inp + "/b1.parquet")
+
+    emitted: list[tuple] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+        q = (
+            streaming_last_touch_attribution(stream, window_seconds=3600)
+            .writeStream.foreachBatch(
+                lambda df, _e: emitted.extend(
+                    (r.event_id, r.channel, r.value) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(emitted) == [(2, "click", 10.0), (4, "(none)", 20.0)]
+
+    # restart with a second file: state (user 1's click) must be restored
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(inp + "/b2.parquet")
+    run()
+    assert sorted(emitted) == [
+        (2, "click", 10.0),
+        (4, "(none)", 20.0),
+        (5, "click", 30.0),
+        (7, "signup", 40.0),
+        (8, "(none)", 50.0),
+    ]
+
+    # batch parity on the full event set
+    batch = spark.createDataFrame(b1 + b2, cols)
+    got = {
+        (r.event_id, r.channel, r.value)
+        for r in streaming_last_touch_attribution(
+            batch, window_seconds=3600
+        ).collect()
+    }
+    assert got == set(emitted)
