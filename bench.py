@@ -249,6 +249,7 @@ HEADLINE_R8 = [
     "events_stickiness_dau_mau",
     "events_stl_decompose",
     "llm_rake_keywords",
+    "window_percent_rank_cume",
 ]
 
 

@@ -428,3 +428,59 @@ class TestRake:
         assert out["carbon tax"] == pytest.approx(4.5)
         assert out["lazy dog"] == pytest.approx(4.0)
         assert out["carbon capture systems"] == pytest.approx(2.5 + 3 + 3)
+
+
+class TestNewOperatorProperties:
+    def test_interval_coverage_matches_bruteforce(self, spark):
+        # deterministic pseudo-random intervals; brute-force union via a
+        # second-granularity set is the reference
+        import hashlib
+
+        from aicoe_osc_demo_spark.operators.temporal import interval_coverage
+
+        rows = []
+        ref: dict[str, set] = {}
+        for i in range(120):
+            h = int(hashlib.md5(f"iv{i}".encode()).hexdigest(), 16)
+            k = f"k{h % 4}"
+            s = h // 7 % 500
+            ln = 1 + (h // 11 % 40)
+            rows.append((k, _ts(float(s)), _ts(float(s + ln))))
+            ref.setdefault(k, set()).update(range(s, s + ln))
+        df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+        out = {
+            r["k"]: r["covered_s"]
+            for r in interval_coverage(df, ["k"], "s", "e").collect()
+        }
+        for k, secs in ref.items():
+            assert out[k] == pytest.approx(float(len(secs))), k
+
+    def test_k_core_matches_python_peel(self, spark):
+        import hashlib
+
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        edges = set()
+        for i in range(150):
+            h = int(hashlib.md5(f"e{i}".encode()).hexdigest(), 16)
+            a, b = h % 30, (h // 31) % 30
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # python reference peel
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        k = 4
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, ns in adj.items() if len(ns) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        df = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "src long, dst long"
+        )
+        got = {r["node"]: r["deg"] for r in k_core(df, k).collect()}
+        assert got == {n: len(ns) for n, ns in adj.items()}
