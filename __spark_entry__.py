@@ -59,7 +59,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # join_part_value_share, join_single_late_supplier,
 # graph_kcore_copurchase, events_entry_exit_matrix, llm_source_logodds,
 # ml_calibration_bins, events_stickiness_dau_mau, events_stl_decompose,
-# llm_rake_keywords, window_percent_rank_cume,
+# llm_rake_keywords, window_percent_rank_cume, events_retention_d1_d7
+# (recovered: was shadowed by a duplicate-name registration),
 # and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---

@@ -19,6 +19,10 @@ ORACLE: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # a duplicate name silently shadows the earlier plan (this bit
+        # events_retention_cohorts in r7/r8) — fail loudly instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql

@@ -293,7 +293,11 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_retention_cohorts",
+    # NOTE: was accidentally registered under the same name as the full
+    # retention-matrix entry below (which silently shadowed this one in
+    # the dict) — renamed to its own slot: the d1/d7 summary is the
+    # dashboard-KPI form, the matrix below is the analysis form.
+    "events_retention_d1_d7",
     """
     WITH d AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -310,7 +314,7 @@ def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j GROUP BY cohort_day
     """,
 )
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_retention_d1_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort retention: users grouped by first-activity day; day+1 / day+7
     # return rates.  (user, day) distinct first -- the shuffle carries one
     # row per user-day, not per event.  Output day as string (DATE dtype

@@ -250,6 +250,7 @@ HEADLINE_R8 = [
     "events_stl_decompose",
     "llm_rake_keywords",
     "window_percent_rank_cume",
+    "events_retention_d1_d7",
 ]
 
 
