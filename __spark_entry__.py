@@ -61,6 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ml_calibration_bins, events_stickiness_dau_mau, events_stl_decompose,
 # llm_rake_keywords, window_percent_rank_cume, events_retention_d1_d7
 # (recovered: was shadowed by a duplicate-name registration),
+# llm_dedup_cluster_sizes, llm_filter_funnel, events_retention_halflife,
+# llm_pack_utilization, join_nation_trade_volume, join_returned_revenue_topk,
+# agg_promo_share, filter_or_of_ands,
 # and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.corpus import bm25_topk, chunk_documents, pack_offset_bins
-from . import load, register
+from . import QUERIES, load, register
 
 _BM25_SQL = """
     WITH q AS (
@@ -615,3 +615,45 @@ def llm_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return rake_phrases(d, "doc_id", F.col("text"), min_words=2, max_words=4)
+
+
+@register(
+    "llm_pack_utilization",
+    # Shard-level packing efficiency over the same offset-bin layout:
+    # bins = ceil(shard tokens / 512); the last (partial) bin of each
+    # shard is the only waste under concat-and-slice packing.
+    f"""
+    WITH p AS ({_PACK_SQL}),
+    shard AS (
+      SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(bin) + 1 AS BIGINT) AS n_bins
+      FROM p GROUP BY 1
+    )
+    SELECT shard, n_docs, total_tokens, n_bins,
+           CAST(n_bins * 512 - total_tokens AS BIGINT) AS pad_tokens,
+           ROUND(total_tokens * 1.0 / (n_bins * 512), 6) AS utilization
+    FROM shard
+    """,
+)
+def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Packing-efficiency report on top of llm_pack_offset_bins: tokens,
+    # bins, pad waste and utilization per shard — the number that says
+    # whether the 512-token training bins are worth their padding.
+    # Metadata-scale rollup of the packing layout (one keyed aggregate).
+    p = QUERIES["llm_pack_offset_bins"](spark, sf_dir)
+    shard = p.groupBy("shard").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+    )
+    return shard.select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        (F.col("n_bins") * 512 - F.col("total_tokens")).cast("long").alias("pad_tokens"),
+        F.round(
+            F.col("total_tokens").cast("double") / (F.col("n_bins") * 512), 6
+        ).alias("utilization"),
+    )

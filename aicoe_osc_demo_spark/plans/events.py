@@ -2263,3 +2263,47 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(detrended - F.col("seasonal"), 6).alias("resid"),
     )
+
+
+def _halflife_sql() -> str:
+    from . import ORACLE
+
+    return f"""
+    WITH m AS ({ORACLE["events_retention_cohorts"]}),
+    pts AS (
+      SELECT cohort, day_offset, retention FROM m
+      WHERE day_offset >= 1 AND retention > 0
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ln(retention), day_offset), 6) AS slope,
+           CASE WHEN regr_slope(ln(retention), day_offset) < 0
+                THEN ROUND(-ln(2) / regr_slope(ln(retention), day_offset), 6)
+                ELSE NULL END AS half_life_days
+    FROM pts GROUP BY cohort HAVING COUNT(*) >= 3
+    """
+
+
+@register("events_retention_halflife", _halflife_sql())
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Retention half-life per cohort: exponential-decay fit by
+    # log-linear OLS over the retention matrix (regr_slope is an exact
+    # moment aggregate — map-side combinable, five numbers per cohort
+    # cross the shuffle), half-life = -ln 2 / slope.  The growth-team
+    # summary number on top of events_retention_cohorts.
+    from . import QUERIES
+
+    m = QUERIES["events_retention_cohorts"](spark, sf_dir)
+    pts = m.filter((F.col("day_offset") >= 1) & (F.col("retention") > 0))
+    slope = F.regr_slope(F.log("retention"), F.col("day_offset").cast("double"))
+    return (
+        pts.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(slope, 6).alias("slope"),
+            F.when(
+                slope < 0, F.round(-F.log(F.lit(2.0)) / slope, 6)
+            ).alias("half_life_days"),
+        )
+        .filter(F.col("n_points") >= 3)
+    )

@@ -32,7 +32,7 @@ from ..operators.quality import (
     repetition_stats,
     resample_by_quality,
 )
-from . import load, register
+from . import QUERIES, load, register
 
 _REP_SQL = """
     WITH base AS (
@@ -1226,4 +1226,114 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_mktsegment", "c_nationkey"],
         F.floor(F.col("c_acctbal") / F.lit(1000.0)),
         t_threshold=0.35,
+    )
+
+
+@register(
+    "llm_dedup_cluster_sizes",
+    _CLUSTER_SQL.replace(
+        "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node",
+        """
+    , clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM clusters GROUP BY 1)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY 1
+    """,
+    ),
+)
+def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster-size histogram over the near-dup components — the dedup
+    # IMPACT report: n_removable = docs beyond each cluster's canonical
+    # survivor, i.e. exactly what a keep-one policy deletes.  Singleton
+    # (unpaired) docs never enter the pair list and are absent by
+    # construction in both engines.  Metadata-scale rollup on top of the
+    # pointer-jumping components.
+    clusters = QUERIES["llm_dedup_clusters"](spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )
+
+
+@register(
+    "llm_filter_funnel",
+    # Oracle replays the one-pass conditional-sum funnel from the same
+    # 1-row aggregate, staged via UNION ALL.
+    """
+    WITH f AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS c1,
+             CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS c2,
+             CASE WHEN len(list_distinct(string_split(text, ' '))) * 1.0
+                       / len(string_split(text, ' ')) >= 0.3
+                  THEN 1 ELSE 0 END AS c3,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS c4
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c1 * c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 * c2 * c3) AS BIGINT) AS n3,
+             CAST(SUM(c1 * c2 * c3 * c4) AS BIGINT) AS n4
+      FROM f
+    )
+    SELECT 0 AS stage, 'all' AS rule, n0 AS n_pass,
+           ROUND(1.0, 6) AS rate FROM a
+    UNION ALL SELECT 1, 'min_chars_200', n1, ROUND(n1 * 1.0 / n0, 6) FROM a
+    UNION ALL SELECT 2, '+min_words_40', n2, ROUND(n2 * 1.0 / n0, 6) FROM a
+    UNION ALL SELECT 3, '+distinct_ratio_030', n3, ROUND(n3 * 1.0 / n0, 6) FROM a
+    UNION ALL SELECT 4, '+lang_en', n4, ROUND(n4 * 1.0 / n0, 6) FROM a
+    """,
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation funnel report — per-stage survivor counts for the chained
+    # quality rules (length -> word count -> repetition -> language),
+    # the first chart of every corpus-curation writeup.  ONE map-side
+    # pass computes every cumulative stage as a conditional sum; the
+    # stage table is exploded from the 1-row aggregate (no re-scan per
+    # stage, no shuffle beyond the single partial-agg exchange).
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    c1 = (F.col("n_chars") >= 200).cast("int")
+    c2 = (F.size(words) >= 40).cast("int")
+    c3 = (
+        F.size(F.array_distinct(words)).cast("double") / F.size(words) >= 0.3
+    ).cast("int")
+    c4 = (F.col("lang") == "en").cast("int")
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(c1).cast("long").alias("n1"),
+        F.sum(c1 * c2).cast("long").alias("n2"),
+        F.sum(c1 * c2 * c3).cast("long").alias("n3"),
+        F.sum(c1 * c2 * c3 * c4).cast("long").alias("n4"),
+    )
+    stages = a.select(
+        F.array(
+            F.struct(F.lit(0).alias("stage"), F.lit("all").alias("rule"),
+                     F.col("n0").alias("n_pass")),
+            F.struct(F.lit(1).alias("stage"), F.lit("min_chars_200").alias("rule"),
+                     F.col("n1").alias("n_pass")),
+            F.struct(F.lit(2).alias("stage"), F.lit("+min_words_40").alias("rule"),
+                     F.col("n2").alias("n_pass")),
+            F.struct(F.lit(3).alias("stage"), F.lit("+distinct_ratio_030").alias("rule"),
+                     F.col("n3").alias("n_pass")),
+            F.struct(F.lit(4).alias("stage"), F.lit("+lang_en").alias("rule"),
+                     F.col("n4").alias("n_pass")),
+        ).alias("_s"),
+        "n0",
+    )
+    return stages.select(F.explode("_s").alias("s"), "n0").select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.rule").alias("rule"),
+        F.col("s.n_pass").alias("n_pass"),
+        F.round(F.col("s.n_pass").cast("double") / F.col("n0"), 6).alias("rate"),
     )

@@ -251,6 +251,14 @@ HEADLINE_R8 = [
     "llm_rake_keywords",
     "window_percent_rank_cume",
     "events_retention_d1_d7",
+    "llm_dedup_cluster_sizes",
+    "llm_filter_funnel",
+    "events_retention_halflife",
+    "llm_pack_utilization",
+    "join_nation_trade_volume",
+    "join_returned_revenue_topk",
+    "agg_promo_share",
+    "filter_or_of_ands",
 ]
 
 
