@@ -827,3 +827,104 @@ def rake_phrases(
             F.round("_sc", 6).alias("score"),
         )
     )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the BM25 inverted index — the build-once/serve-many form
+    of :func:`bm25_topk` (same pattern as ``write_ivfpq_index`` /
+    ``write_knn_graph``): three parquet artifacts,
+
+    - ``postings``: (term, doc_id, dl, tf) — PARTITIONED BY the term's
+      first character, so a query touching a handful of terms prunes to
+      a handful of partitions instead of scanning the full posting list
+      (``PartitionFilters`` at serve time),
+    - ``dfreq``: (term, df) over the FULL vocabulary,
+    - ``stats``: the 1-row (n_docs, avgdl).
+
+    df per term is identical whether computed over the full vocabulary
+    or only over query-matched terms (postings are term-keyed), so
+    index-served scores are bit-identical to the in-memory operator —
+    pinned by ``test_bm25_index_serving_matches_inmemory``.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(words).alias("dl"),
+        F.explode(words).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).withColumn(
+        "pfx",
+        # empty tokens would serialize as the Hive default partition and
+        # not round-trip; bucket them under '_'
+        F.when(F.length("term") > 0, F.substring("term", 1, 1)).otherwise("_"),
+    )
+    postings.write.mode(mode).partitionBy("pfx").parquet(path + "/postings")
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    dfreq.write.mode(mode).parquet(path + "/dfreq")
+    docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    ).write.mode(mode).parquet(path + "/stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    q_text_col: str = "q_text",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Serve BM25 top-k from a :func:`write_bm25_index` artifact: the
+    postings scan is pruned to the query terms' first-character
+    partitions AND filtered on the term (both reach the parquet scan),
+    so serve cost scales with matching postings, not corpus size.  The
+    corpus is never re-tokenized — the artifact IS the token work,
+    amortized over every query batch after the first.
+    """
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("term"),
+    )
+    # partition-pruning disjunction: tiny (distinct first chars of the
+    # query terms), collected driver-side — metadata-scale by definition
+    pfxs = [r["p"] for r in qterms.select(
+        F.when(F.length("term") > 0, F.substring("term", 1, 1))
+        .otherwise("_").alias("p")).distinct().collect()]
+    postings = spark.read.parquet(path + "/postings").filter(
+        F.col("pfx").isin(pfxs)
+    )
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), on="term"
+    ).select("term", "doc_id", "dl", "tf")
+    dfreq = spark.read.parquet(path + "/dfreq")
+    stats = spark.read.parquet(path + "/stats")
+    scored = (
+        matched.join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_query = scored.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum(idf * tfn), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )

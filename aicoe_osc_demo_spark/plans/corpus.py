@@ -657,3 +657,32 @@ def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double") / (F.col("n_bins") * 512), 6
         ).alias("utilization"),
     )
+
+
+_BM25_INDEX_PATHS: dict[str, str] = {}
+
+
+@register("llm_bm25_from_index", _BM25_SQL)
+def llm_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 served from the persisted inverted index (write-once postings
+    # partitioned by term prefix + dfreq + stats artifacts): identical
+    # scores to llm_bm25_topk — the oracle is literally the same SQL —
+    # but the corpus is never re-tokenized and the postings scan prunes
+    # to the query terms' partitions (PartitionFilters, test-pinned).
+    # Build-once/serve-many, same artifact pattern as write_ivfpq_index.
+    from ..operators.corpus import bm25_topk_from_index, write_bm25_index
+
+    if sf_dir not in _BM25_INDEX_PATHS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_bm25_") + "/index"
+        write_bm25_index(load(spark, sf_dir, "documents"), path)
+        _BM25_INDEX_PATHS[sf_dir] = path
+    d = load(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("q_text"),
+    )
+    return bm25_topk_from_index(
+        spark, _BM25_INDEX_PATHS[sf_dir], queries, k=10, k1=1.5, b=0.75
+    )

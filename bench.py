@@ -259,6 +259,7 @@ HEADLINE_R8 = [
     "join_returned_revenue_topk",
     "agg_promo_share",
     "filter_or_of_ands",
+    "llm_bm25_from_index",
 ]
 
 

@@ -484,3 +484,52 @@ class TestNewOperatorProperties:
         )
         got = {r["node"]: r["deg"] for r in k_core(df, k).collect()}
         assert got == {n: len(ns) for n, ns in adj.items()}
+
+
+class TestBM25Index:
+    def test_index_serving_matches_inmemory(self, spark, tmp_path):
+        from aicoe_osc_demo_spark.operators.corpus import (
+            bm25_topk,
+            bm25_topk_from_index,
+            write_bm25_index,
+        )
+        from aicoe_osc_demo_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        queries = d.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("q_id"),
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias(
+                "q_text"
+            ),
+        )
+        mem = {
+            (r.q_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk(d, queries, k=10, k1=1.5, b=0.75).collect()
+        }
+        path = str(tmp_path / "bm25")
+        write_bm25_index(d, path)
+        served = {
+            (r.q_id, r.doc_id): (r.score, r.rank)
+            for r in bm25_topk_from_index(
+                spark, path, queries, k=10, k1=1.5, b=0.75
+            ).collect()
+        }
+        assert served == mem and len(mem) > 10
+
+    def test_partition_pruning_reaches_scan(self, spark, tmp_path):
+        from aicoe_osc_demo_spark.operators.corpus import (
+            bm25_topk_from_index,
+            write_bm25_index,
+        )
+
+        d = spark.createDataFrame(
+            [(i, f"alpha{i % 3} beta{i % 5} gamma") for i in range(50)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "ix")
+        write_bm25_index(d, path)
+        q = spark.createDataFrame([(1, "gamma")], "q_id long, q_text string")
+        plan = bm25_topk_from_index(spark, path, q)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # the pruning disjunction pins pfx to the query terms' first chars
+        assert "pfx" in plan
