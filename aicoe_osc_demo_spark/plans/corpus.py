@@ -686,3 +686,84 @@ def llm_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_from_index(
         spark, _BM25_INDEX_PATHS[sf_dir], queries, k=10, k1=1.5, b=0.75
     )
+
+
+@register(
+    "llm_pmi_collocations",
+    # Pointwise mutual information over adjacent-word bigrams:
+    # PMI = ln(n_ab * N / (n_a * n_b)) with integer numerators and one
+    # division — exact cross-engine.  min_count=3 bounds the output to
+    # recurring collocations.
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z]+'))))
+               AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS nt FROM bc)
+    SELECT bc.w1, bc.w2, bc.n_ab,
+           ROUND(ln(CAST(bc.n_ab AS DOUBLE) * tot.nt
+                    / (CAST(u1.n AS DOUBLE) * u2.n)), 6) AS pmi
+    FROM bc
+    JOIN uni u1 ON bc.w1 = u1.w
+    JOIN uni u2 ON bc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE bc.n_ab >= 3
+    """,
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation mining (PMI bigrams) — which word pairs travel
+    # together beyond chance: the phrase-vocabulary builder feeding
+    # tokenizer merges and multi-word-entity dictionaries.  The bigram
+    # list comes from ONE self-alignment on (doc, pos+1) — adjacent
+    # positions only, never token x token — and the unigram table
+    # broadcasts.  Counts reduce map-side; PMI is one exact division.
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "w"),
+    )
+    # adjacent pairs via ONE per-document lead window (positions are
+    # dense from posexplode), not a token-table self-join — half the
+    # shuffles, same pairs
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select(
+            F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = bc.agg(F.sum("n_ab").cast("long").alias("nt"))
+    return (
+        bc.filter(F.col("n_ab") >= 3)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("_n1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("_n2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("nt")
+                    / (F.col("_n1").cast("double") * F.col("_n2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

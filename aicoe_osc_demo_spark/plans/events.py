@@ -2307,3 +2307,168 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_points") >= 3)
     )
+
+
+@register(
+    "events_growth_accounting",
+    # Classic growth accounting over weekly activity: per (user, week)
+    # fingerprints, LAG + running MIN windows classify each active week
+    # as new / retained / resurrected, and churned is last week's
+    # actives minus this week's retained.  Integer week numbers keep
+    # the "previous period" arithmetic exact (weekly, so the synthetic
+    # month of data exercises every state).
+    """
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(datediff('day', DATE '1990-01-01',
+                                 CAST(date_trunc('day', ts) AS DATE)) / 7)
+                  AS BIGINT) AS m
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, m,
+             LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+             MIN(m) OVER (PARTITION BY user_id) AS first_m
+      FROM um
+    ),
+    cls AS (
+      SELECT m,
+             CASE WHEN m = first_m THEN 'new'
+                  WHEN prev_m = m - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged
+    ),
+    act AS (
+      SELECT m,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+             CAST(COUNT(*) AS BIGINT) AS active_users
+      FROM cls GROUP BY m
+    )
+    SELECT a.m AS week_num, a.new_users, a.retained, a.resurrected,
+           a.active_users,
+           CAST(COALESCE(p.active_users - a.retained, 0) AS BIGINT) AS churned
+    FROM act a LEFT JOIN act p ON p.m = a.m - 1
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Growth accounting (the canonical new/retained/resurrected/churned
+    # monthly decomposition): (user, month) fingerprints dedup first, so
+    # every window and aggregate runs on user-months, never raw events;
+    # churned = previous month's actives who didn't retain, via one
+    # self-join on the month-level table (metadata-sized).
+    e = load(spark, sf_dir, "events")
+    um = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.lit("1990-01-01").cast("date"),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w_lag = Window.partitionBy("user_id").orderBy("m")
+    w_min = Window.partitionBy("user_id")
+    lagged = um.select(
+        "m",
+        F.lag("m").over(w_lag).alias("prev_m"),
+        F.min("m").over(w_min).alias("first_m"),
+    )
+    cls = lagged.select(
+        "m",
+        F.when(F.col("m") == F.col("first_m"), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    act = cls.groupBy("m").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).cast("long").alias("new_users"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).cast("long").alias("retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).cast("long").alias("resurrected"),
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+    )
+    prev = act.select(
+        (F.col("m") + 1).alias("m"), F.col("active_users").alias("_prev_active")
+    )
+    return act.join(prev, "m", "left").select(
+        F.col("m").alias("week_num"),
+        "new_users",
+        "retained",
+        "resurrected",
+        "active_users",
+        F.coalesce(F.col("_prev_active") - F.col("retained"), F.lit(0))
+        .cast("long")
+        .alias("churned"),
+    )
+
+
+@register(
+    "events_pareto_deciles",
+    # Lorenz/Pareto concentration table: users binned into volume
+    # deciles by the no-sort percentile-cutpoint pattern (ties share a
+    # bin — the scale-safe NTILE alternative), each decile's share of
+    # total event volume.  Companion of agg_gini_concentration: the
+    # gini is the number, this is the curve.
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    cuts AS (
+      SELECT quantile_cont(n_events, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS qs
+      FROM u
+    ),
+    binned AS (
+      SELECT u.user_id, u.n_events,
+             CAST(len(list_filter(c.qs, q -> u.n_events >= q)) AS INT) AS decile
+      FROM u CROSS JOIN cuts c
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS nu FROM u)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(SUM(n_events) * 1.0 / tot.t, 6) AS volume_share,
+           ROUND(COUNT(*) * 1.0 / tot.nu, 6) AS user_share
+    FROM binned CROSS JOIN tot
+    GROUP BY decile, tot.t, tot.nu
+    """,
+)
+def events_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    ps = ", ".join(f"{i / 10!r}D" for i in range(1, 10))
+    cuts = u.agg(F.expr(f"percentile(n_events, array({ps}))").alias("_qs"))
+    binned = u.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "n_events",
+        F.aggregate(
+            "_qs",
+            F.lit(0),
+            lambda acc, q: acc + F.when(F.col("n_events") >= q, 1).otherwise(0),
+        ).cast("int").alias("decile"),
+    )
+    tot = u.agg(
+        F.sum("n_events").cast("long").alias("_t"),
+        F.count(F.lit(1)).cast("long").alias("_nu"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("_t"), 6).alias("volume_share"),
+            F.round(F.col("n_users").cast("double") / F.col("_nu"), 6).alias("user_share"),
+        )
+    )

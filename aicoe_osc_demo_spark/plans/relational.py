@@ -1266,3 +1266,52 @@ def filter_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "agg_share_to_parent",
+    # Share-to-parent hierarchy report (region > nation): two keyed
+    # rollups of the same fact chain, the region level joined back
+    # broadcast — the drill-down ratio every BI tool labels "% of
+    # parent", without GROUPING SETS re-reading the fact table.
+    """
+    WITH nrev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    ),
+    rrev AS (SELECT region, SUM(rev) AS rrev FROM nrev GROUP BY 1)
+    SELECT n.region, n.nation, ROUND(n.rev, 2) AS revenue,
+           ROUND(n.rev / r.rrev, 6) AS share_of_region
+    FROM nrev n JOIN rrev r ON n.region = r.region
+    """,
+)
+def agg_share_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("_rev"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    nrev = (
+        li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("region", "nation")
+        .agg(F.sum("_rev").alias("_nrev"))
+    )
+    rrev = nrev.groupBy("region").agg(F.sum("_nrev").alias("_rrev"))
+    return nrev.join(F.broadcast(rrev), "region").select(
+        "region",
+        "nation",
+        F.round("_nrev", 2).alias("revenue"),
+        F.round(F.col("_nrev") / F.col("_rrev"), 6).alias("share_of_region"),
+    )

@@ -260,6 +260,10 @@ HEADLINE_R8 = [
     "agg_promo_share",
     "filter_or_of_ands",
     "llm_bm25_from_index",
+    "llm_pmi_collocations",
+    "events_growth_accounting",
+    "events_pareto_deciles",
+    "agg_share_to_parent",
 ]
 
 

@@ -533,3 +533,63 @@ class TestBM25Index:
         assert "PartitionFilters" in plan
         # the pruning disjunction pins pfx to the query terms' first chars
         assert "pfx" in plan
+
+
+class TestGrowthAccounting:
+    def test_lifecycle_states(self, spark):
+        import __spark_entry__ as em
+        import datetime as dt
+
+        # hand-built weekly activity: user 1 weeks 0,1,3 (new, retained,
+        # resurrected); user 2 week 0 only (new, then churned in week 1)
+        def d(week):
+            return dt.datetime(1990, 1, 1) + dt.timedelta(days=7 * week)
+
+        rows = [
+            (1, 1, d(0)), (2, 1, d(1)), (3, 1, d(3)), (4, 2, d(0)),
+        ]
+        e = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        # replicate the plan body on an in-memory frame
+        um = e.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.to_date(F.date_trunc("day", F.col("ts"))),
+                    F.lit("1990-01-01").cast("date"),
+                ) / 7
+            ).cast("long").alias("m"),
+        ).distinct()
+        from pyspark.sql import Window as W
+
+        lagged = um.select(
+            "m",
+            F.lag("m").over(W.partitionBy("user_id").orderBy("m")).alias("prev_m"),
+            F.min("m").over(W.partitionBy("user_id")).alias("first_m"),
+        )
+        cls = lagged.select(
+            "m",
+            F.when(F.col("m") == F.col("first_m"), "new")
+            .when(F.col("prev_m") == F.col("m") - 1, "retained")
+            .otherwise("resurrected").alias("state"),
+        )
+        got = {(r["m"], r["state"]) for r in cls.collect()}
+        assert got == {(0, "new"), (1, "retained"), (3, "resurrected"), (0, "new")} | {(0, "new")}
+        # churn: week 1 has 1 retained of week 0's 2 actives -> 1 churned
+
+
+class TestParetoDeciles:
+    def test_shares_sum_to_one(self, spark):
+        import __spark_entry__ as em
+
+        rows = em.queries()["events_pareto_deciles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r["volume_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+        assert sum(r["user_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+        # top decile's per-user volume must be >= bottom decile's
+        by = {r["decile"]: r for r in rows}
+        lo, hi = min(by), max(by)
+        assert (
+            by[hi]["n_events"] / by[hi]["n_users"]
+            >= by[lo]["n_events"] / by[lo]["n_users"]
+        )
