@@ -65,7 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_pack_utilization, join_nation_trade_volume, join_returned_revenue_topk,
 # agg_promo_share, filter_or_of_ands, llm_bm25_from_index,
 # llm_pmi_collocations, events_growth_accounting, events_pareto_deciles,
-# agg_share_to_parent,
+# agg_share_to_parent, events_stl_anomalies, events_concurrency_peak,
 # and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---

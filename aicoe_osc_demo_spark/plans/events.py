@@ -2472,3 +2472,118 @@ def events_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_users").cast("double") / F.col("_nu"), 6).alias("user_share"),
         )
     )
+
+
+def _stl_resid_sql() -> str:
+    from . import ORACLE
+
+    return f"""
+    WITH s AS ({ORACLE["events_stl_decompose"]}),
+    mad AS (
+      SELECT event_type,
+             quantile_cont(resid, 0.5) AS med,
+             quantile_cont(abs(resid - (SELECT quantile_cont(resid, 0.5)
+                                        FROM s s2
+                                        WHERE s2.event_type = s.event_type)),
+                           0.5) AS mad
+      FROM s GROUP BY event_type
+    )
+    SELECT s.event_type, s.day, s.n, s.resid,
+           ROUND((s.resid - m.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM s JOIN mad m ON s.event_type = m.event_type
+    WHERE ABS(ROUND((s.resid - m.med) / (1.4826 * m.mad), 6)) > 2.5
+    """
+
+
+@register("events_stl_anomalies", _stl_resid_sql())
+def events_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonality-aware anomaly detection: STL-lite residuals scored by
+    # the per-type robust z (median/MAD — outliers can't inflate their
+    # own threshold), flagging days whose count deviates beyond trend
+    # AND weekday pattern.  The composition every ops dashboard wants:
+    # decompose -> robust-score residuals -> flag.  The MAD aggregate
+    # runs on the per-type daily table (metadata-sized).
+    from . import QUERIES
+
+    s = QUERIES["events_stl_decompose"](spark, sf_dir)
+    med = s.groupBy("event_type").agg(
+        F.expr("percentile(resid, 0.5)").alias("_med")
+    )
+    dev = s.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("resid") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("_med").alias("_med"),
+        F.expr("percentile(_adev, 0.5)").alias("_mad"),
+    )
+    z = (F.col("resid") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    return (
+        s.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.round(z, 6)) > 2.5)
+        .select("event_type", "day", "n", "resid", F.round(z, 6).alias("robust_z"))
+    )
+
+
+@register(
+    "events_concurrency_peak",
+    # Sweep-line concurrency: each session interval contributes +1 at
+    # start and -1 at end; the running sum ordered by (time, delta,
+    # event_id) IS the number of concurrent sessions.  Ends sort before
+    # starts at the same instant (delta asc), so back-to-back sessions
+    # never double-count.  Partitioned per day — the window sort is
+    # per-partition; sessions crossing midnight count toward the day
+    # they start in (documented boundary rule, identical both engines).
+    """
+    WITH iv AS (
+      SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60 * 1000000) AS BIGINT) AS e
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pts AS (
+      SELECT day, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta, event_id FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+      FROM pts
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Peak concurrent sessions per day — the capacity-planning number:
+    # classic sweep line as a keyed window (one shuffle on day, one
+    # per-day sort), no interval self-join, no minute-grid explosion.
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    iv = e.select(
+        "event_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.floor(F.col("value") * 60 * 1e6).cast("long")
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("day").agg(
+        F.max("conc").cast("long").alias("peak_concurrency")
+    ).select(F.to_timestamp("day").alias("day"), "peak_concurrency")

@@ -264,6 +264,8 @@ HEADLINE_R8 = [
     "events_growth_accounting",
     "events_pareto_deciles",
     "agg_share_to_parent",
+    "events_stl_anomalies",
+    "events_concurrency_peak",
 ]
 
 

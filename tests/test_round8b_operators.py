@@ -593,3 +593,35 @@ class TestParetoDeciles:
             by[hi]["n_events"] / by[hi]["n_users"]
             >= by[lo]["n_events"] / by[lo]["n_users"]
         )
+
+
+class TestConcurrencySweep:
+    def test_hand_intervals(self, spark):
+        # three overlapping + one disjoint: peak 3
+        import __spark_entry__  # noqa: F401
+
+        from pyspark.sql import Window as W
+
+        iv = spark.createDataFrame(
+            [
+                (1, "d", 0, 10),
+                (2, "d", 5, 15),
+                (3, "d", 9, 12),
+                (4, "d", 20, 25),
+                (5, "d", 25, 30),  # back-to-back with 4: end before start
+            ],
+            "event_id long, day string, s long, e long",
+        )
+        pts = iv.select(
+            "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+        ).unionByName(
+            iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id")
+        )
+        w = (
+            W.partitionBy("day")
+            .orderBy("t", "delta", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        run = pts.select("day", F.sum("delta").over(w).alias("conc"))
+        peak = run.groupBy("day").agg(F.max("conc").alias("p")).collect()[0]["p"]
+        assert peak == 3  # NOT 4: intervals 4/5 touch but don't overlap
