@@ -66,6 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # agg_promo_share, filter_or_of_ands, llm_bm25_from_index,
 # llm_pmi_collocations, events_growth_accounting, events_pareto_deciles,
 # agg_share_to_parent, events_stl_anomalies, events_concurrency_peak,
+# llm_lsh_threshold_curve, llm_zipf_fit, events_backtest_seasonal_naive,
+# ml_time_split_report,
 # and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---

@@ -767,3 +767,61 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "llm_zipf_fit",
+    # Zipf exponent by log-log OLS over the rank-frequency table: rank
+    # via ROW_NUMBER on (count desc, word asc) — deterministic under
+    # count ties — slope of ln(freq) ~ ln(rank) is -s.  Corpus health
+    # number: natural text sits near -1; generated/templated text
+    # flattens or steepens it.
+    """
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rank
+      FROM wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+             AS r2
+    FROM ranked
+    """,
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rank-frequency Zipf fit: one token aggregate (map-side combine),
+    # one VOCABULARY-sized rank sort (metadata scale next to the corpus),
+    # moment-exact regr_slope/r2.  The corpus-statistics smoke alarm for
+    # templated or duplicated text.
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = wc.select(
+        "n",
+        F.row_number()
+        .over(W.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .alias("rank"),
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )

@@ -2587,3 +2587,144 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("conc").cast("long").alias("peak_concurrency")
     ).select(F.to_timestamp("day").alias("day"), "peak_concurrency")
+
+
+@register(
+    "events_backtest_seasonal_naive",
+    # Forecast backtest: for every day with a 7-days-earlier observation,
+    # seasonal-naive predicts last week's same-weekday count and naive-1
+    # predicts yesterday's; per-type MAE/MAPE for both — the sanity
+    # baseline every forecasting deployment must beat.  LAG windows on
+    # the per-type daily table.
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, n,
+             LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred_seasonal,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS pred_naive
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(ABS(n - pred_seasonal) * 1.0), 6) AS mae_seasonal,
+           ROUND(AVG(ABS(n - pred_naive) * 1.0), 6) AS mae_naive,
+           ROUND(AVG(ABS(n - pred_seasonal) * 1.0 / n), 6) AS mape_seasonal,
+           ROUND(AVG(ABS(n - pred_naive) * 1.0 / n), 6) AS mape_naive
+    FROM lagged
+    WHERE pred_seasonal IS NOT NULL AND pred_naive IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        F.lag("n", 7).over(w).alias("pred_seasonal"),
+        F.lag("n", 1).over(w).alias("pred_naive"),
+    ).filter(F.col("pred_seasonal").isNotNull() & F.col("pred_naive").isNotNull())
+    ae_s = F.abs(F.col("n") - F.col("pred_seasonal")).cast("double")
+    ae_n = F.abs(F.col("n") - F.col("pred_naive")).cast("double")
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(ae_s), 6).alias("mae_seasonal"),
+        F.round(F.avg(ae_n), 6).alias("mae_naive"),
+        F.round(F.avg(ae_s / F.col("n")), 6).alias("mape_seasonal"),
+        F.round(F.avg(ae_n / F.col("n")), 6).alias("mape_naive"),
+    )
+
+
+@register(
+    "ml_time_split_report",
+    # Temporal holdout with a leakage audit: train = first 80% of days,
+    # test = rest; report sizes AND the user-overlap rate — the entity
+    # leakage an entity-aware split (llm_leakage_safe_split) would
+    # remove, quantified.  Cut day from one tiny (min, max) broadcast.
+    """
+    WITH rng AS (
+      SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS lo,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS hi
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, event_id,
+             CASE WHEN datediff('day', rng.lo, CAST(date_trunc('day', ts) AS DATE))
+                       < 0.8 * (datediff('day', rng.lo, rng.hi) + 1)
+                  THEN 1 ELSE 0 END AS in_train
+      FROM events CROSS JOIN rng
+    ),
+    sizes AS (
+      SELECT CAST(SUM(in_train) AS BIGINT) AS n_train,
+             CAST(SUM(1 - in_train) AS BIGINT) AS n_test
+      FROM tagged
+    ),
+    u AS (
+      SELECT user_id, MAX(in_train) AS in_tr, MIN(in_train) AS all_tr
+      FROM tagged GROUP BY 1
+    ),
+    ov AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN in_tr = 1 AND all_tr = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap_users
+      FROM u
+    )
+    SELECT s.n_train, s.n_test,
+           ROUND(s.n_train * 1.0 / (s.n_train + s.n_test), 6) AS train_frac,
+           o.n_users, o.n_overlap_users,
+           ROUND(o.n_overlap_users * 1.0 / o.n_users, 6) AS user_overlap_rate
+    FROM sizes s CROSS JOIN ov o
+    """,
+)
+def ml_time_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    rng = e.agg(
+        F.min(F.to_date(F.date_trunc("day", F.col("ts")))).alias("_lo"),
+        F.max(F.to_date(F.date_trunc("day", F.col("ts")))).alias("_hi"),
+    )
+    tagged = e.crossJoin(F.broadcast(rng)).select(
+        "user_id",
+        F.when(
+            F.datediff(F.to_date(F.date_trunc("day", F.col("ts"))), F.col("_lo"))
+            < 0.8 * (F.datediff("_hi", "_lo") + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("in_train"),
+    )
+    sizes = tagged.agg(
+        F.sum("in_train").cast("long").alias("n_train"),
+        F.sum(F.lit(1) - F.col("in_train")).cast("long").alias("n_test"),
+    )
+    u = tagged.groupBy("user_id").agg(
+        F.max("in_train").alias("_in_tr"), F.min("in_train").alias("_all_tr")
+    )
+    ov = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("_in_tr") == 1) & (F.col("_all_tr") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap_users"),
+    )
+    return sizes.crossJoin(F.broadcast(ov)).select(
+        "n_train",
+        "n_test",
+        F.round(
+            F.col("n_train").cast("double") / (F.col("n_train") + F.col("n_test")), 6
+        ).alias("train_frac"),
+        "n_users",
+        "n_overlap_users",
+        F.round(F.col("n_overlap_users").cast("double") / F.col("n_users"), 6).alias(
+            "user_overlap_rate"
+        ),
+    )

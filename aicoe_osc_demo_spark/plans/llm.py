@@ -2842,3 +2842,45 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
     )
     return k_core(e0, k=2, src="pa", dst="pb")
+
+
+@register(
+    "llm_lsh_threshold_curve",
+    # Pure math table (no corpus scan): candidate probability
+    # P = 1 - (1 - s^r)^b for the banding configs the dedup family
+    # actually ships, over a similarity grid — the tuning table that
+    # justifies a (bands, rows) choice.  Generated from the same
+    # integer grid in both engines.
+    """
+    WITH s AS (SELECT x / 20.0 AS sim FROM generate_series(1, 19) AS t(x)),
+    cfg AS (
+      SELECT * FROM (VALUES (8, 2), (4, 4), (16, 8), (32, 4)) c(bands, rows_per_band)
+    )
+    SELECT cfg.bands, cfg.rows_per_band, s.sim,
+           ROUND(1 - pow(1 - pow(s.sim, cfg.rows_per_band), cfg.bands), 6)
+             AS p_candidate
+    FROM s CROSS JOIN cfg
+    """,
+)
+def llm_lsh_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash-LSH S-curve calibration: for each shipped banding config,
+    # the probability a pair at Jaccard s becomes a candidate.  The
+    # design table read before picking (bands, rows); threshold ~
+    # (1/b)^(1/r).  Tiny broadcast cross of two generated dims.
+    sims = spark.range(1, 20).select((F.col("id") / 20.0).alias("sim"))
+    cfg = spark.createDataFrame(
+        [(8, 2), (4, 4), (16, 8), (32, 4)], "bands int, rows_per_band int"
+    )
+    return sims.crossJoin(F.broadcast(cfg)).select(
+        "bands",
+        "rows_per_band",
+        "sim",
+        F.round(
+            F.lit(1)
+            - F.pow(
+                F.lit(1) - F.pow(F.col("sim"), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_candidate"),
+    )

@@ -266,6 +266,10 @@ HEADLINE_R8 = [
     "agg_share_to_parent",
     "events_stl_anomalies",
     "events_concurrency_peak",
+    "llm_lsh_threshold_curve",
+    "llm_zipf_fit",
+    "events_backtest_seasonal_naive",
+    "ml_time_split_report",
 ]
 
 
