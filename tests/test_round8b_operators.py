@@ -625,3 +625,37 @@ class TestConcurrencySweep:
         run = pts.select("day", F.sum("delta").over(w).alias("conc"))
         peak = run.groupBy("day").agg(F.max("conc").alias("p")).collect()[0]["p"]
         assert peak == 3  # NOT 4: intervals 4/5 touch but don't overlap
+
+
+class TestPartitionInvariance:
+    def test_results_independent_of_shuffle_partitions(self, spark):
+        # the determinism claim the oracle gate rests on: identical rows
+        # at any parallelism.  Exercised on the partition-sensitive
+        # shapes of this round (percentile cuts, global windows, sweep
+        # lines, token stats).
+        import __spark_entry__ as em
+
+        names = [
+            "events_rfm_scores",
+            "llm_source_logodds",
+            "events_concurrency_peak",
+            "llm_pmi_collocations",
+            "events_pareto_deciles",
+        ]
+        qs = em.queries()
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        results = {}
+        try:
+            for nparts in ("3", "17"):
+                spark.conf.set("spark.sql.shuffle.partitions", nparts)
+                for n in names:
+                    df = qs[n](spark, "/root/testdata/sf0.001")
+                    rows = sorted(
+                        tuple(r) for r in df.collect()
+                    )
+                    results.setdefault(n, []).append(rows)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs across shuffle partition counts"
+            assert a, f"{n} returned no rows at sf0.001"
