@@ -2728,3 +2728,90 @@ def ml_time_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_overlap_rate"
         ),
     )
+
+
+@register(
+    "events_attribution_linear",
+    # Multi-touch LINEAR attribution: every touch within the 7-day
+    # window before a conversion shares the credit equally (1/k).
+    # Unattributed conversions keep full weight in '(none)' so channel
+    # credits sum EXACTLY to the conversion count.
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts AS tts, event_type AS channel FROM events
+      WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    matched AS (
+      SELECT c.event_id, c.value, t.channel
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.tts <= c.ts
+       AND epoch_us(c.ts) - epoch_us(t.tts) <= 604800000000
+    ),
+    k AS (
+      SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM matched GROUP BY 1
+    ),
+    credited AS (
+      SELECT m.channel, 1.0 / k.n_touches AS credit,
+             m.value / k.n_touches AS rev
+      FROM matched m JOIN k ON m.event_id = k.event_id
+      UNION ALL
+      SELECT '(none)', 1.0, c.value
+      FROM conv c WHERE NOT EXISTS
+        (SELECT 1 FROM matched m WHERE m.event_id = c.event_id)
+    )
+    SELECT channel,
+           ROUND(SUM(credit), 6) AS credited_conversions,
+           ROUND(SUM(rev), 2) AS credited_revenue
+    FROM credited GROUP BY channel
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear multi-touch attribution, the companion of
+    # events_attribution_last_touch: the conversions x touches join is
+    # user-keyed with a time-range residual — per-key volume is bounded
+    # by each user's own touch x conversion product, never |L| x |R| —
+    # and the credit split is one count join back on the conversion id.
+    e = load(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touch = e.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+    )
+    age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("tts").cast("timestamp")
+    )
+    matched = (
+        conv.join(touch, "user_id")
+        .filter((F.col("tts") <= F.col("ts")) & (age_us <= 604800000000))
+        .select("event_id", "value", "channel")
+    )
+    k = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credited = (
+        matched.join(k, "event_id")
+        .select(
+            "channel",
+            (F.lit(1.0) / F.col("n_touches")).alias("credit"),
+            (F.col("value") / F.col("n_touches")).alias("rev"),
+        )
+        .unionByName(
+            conv.join(matched.select("event_id").distinct(), "event_id", "left_anti")
+            .select(
+                F.lit("(none)").alias("channel"),
+                F.lit(1.0).alias("credit"),
+                F.col("value").alias("rev"),
+            )
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.round(F.sum("credit"), 6).alias("credited_conversions"),
+        F.round(F.sum("rev"), 2).alias("credited_revenue"),
+    )

@@ -270,6 +270,7 @@ HEADLINE_R8 = [
     "llm_zipf_fit",
     "events_backtest_seasonal_naive",
     "ml_time_split_report",
+    "events_attribution_linear",
 ]
 
 

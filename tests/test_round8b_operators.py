@@ -659,3 +659,21 @@ class TestPartitionInvariance:
         for n, (a, b) in results.items():
             assert a == b, f"{n} differs across shuffle partition counts"
             assert a, f"{n} returned no rows at sf0.001"
+
+
+class TestLinearAttribution:
+    def test_credits_sum_to_conversions(self, spark):
+        import __spark_entry__ as em
+
+        rows = em.queries()["events_attribution_linear"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        total_credit = sum(r["credited_conversions"] for r in rows)
+        n_purchases = (
+            em.queries()["events_attribution_last_touch"](
+                spark, "/root/testdata/sf0.001"
+            )
+            .agg(F.sum("n_conversions"))
+            .collect()[0][0]
+        )
+        assert total_credit == pytest.approx(float(n_purchases), abs=1e-3)
