@@ -274,8 +274,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_cur = und.count()
+    converged = n_cur == 0
     for _ in range(max_iters):
         if n_cur == 0:
+            converged = True
             break
         keep = (
             und.groupBy("a")
@@ -290,8 +292,17 @@ def k_core(
         )
         n_next = nxt.count()
         if n_next == n_cur:
+            converged = True
             break
         und, n_cur = nxt, n_next
+    if not converged:
+        # a long-chain peel (e.g. a path graph sheds 2 endpoints/round)
+        # can exceed the round budget; returning the partial state would
+        # silently violate the min-degree >= k contract the oracle holds
+        raise RuntimeError(
+            f"k_core did not reach the fixpoint within max_iters={max_iters}; "
+            "raise max_iters (each round strictly shrinks the edge set)"
+        )
     return (
         und.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))

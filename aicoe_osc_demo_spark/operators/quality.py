@@ -1243,9 +1243,17 @@ def t_closeness_report(
     (≤ |values| rows, broadcast back), one class rollup — no value-level
     join explosion, no per-class scans.
 
+    NULL sensitive values are excluded up front (the distribution — and
+    the Σ p_global = 1 identity the absent-terms fold relies on — is
+    defined over observed values; a NULL would otherwise deflate every
+    p_global while the inner value join silently dropped its rows).
+    ``n`` therefore counts rows with a non-null sensitive value.
+
     Output: qi_cols + (n, t, at_risk).
     """
-    cv = df.select(*qi_cols, sensitive.alias("_v"))
+    cv = df.select(*qi_cols, sensitive.alias("_v")).where(
+        sensitive.isNotNull()
+    )
     class_val = cv.groupBy(*qi_cols, "_v").agg(
         F.count(F.lit(1)).cast("long").alias("_ncv")
     )

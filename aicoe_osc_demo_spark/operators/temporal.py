@@ -840,9 +840,16 @@ def last_touch_attribution(
     Output: (channel, n_conversions, revenue) with revenue summed from
     ``value_col`` on the conversion side, rounded to 2 dp.
     """
+    # Same-timestamp touches would make the as-of fill order-dependent
+    # (which channel wins varies with partitioning): collapse them to
+    # one row per (key, ts) with a deterministic MAX(channel) winner —
+    # the rule the oracle and the streaming form replay.
+    t = touches.groupBy(*on, touch_ts).agg(
+        F.max(F.col(channel_col)).alias("_channel")
+    )
     out = asof_join_tolerance(
         conversions,
-        touches.select(*on, touch_ts, F.col(channel_col).alias("_channel")),
+        t,
         on,
         conv_ts,
         touch_ts,

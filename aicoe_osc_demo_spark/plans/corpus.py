@@ -620,14 +620,14 @@ def llm_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_pack_utilization",
     # Shard-level packing efficiency over the same offset-bin layout:
-    # bins = ceil(shard tokens / 512); the last (partial) bin of each
-    # shard is the only waste under concat-and-slice packing.
+    # bins consumed = ceil(shard tokens / 512) — the stream flows across
+    # bin boundaries, so only the final partial bin is padded.
     f"""
     WITH p AS ({_PACK_SQL}),
     shard AS (
       SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(MAX(bin) + 1 AS BIGINT) AS n_bins
+             CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS n_bins
       FROM p GROUP BY 1
     )
     SELECT shard, n_docs, total_tokens, n_bins,
@@ -642,10 +642,13 @@ def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whether the 512-token training bins are worth their padding.
     # Metadata-scale rollup of the packing layout (one keyed aggregate).
     p = QUERIES["llm_pack_offset_bins"](spark, sf_dir)
+    # n_bins = ceil(total/512): under concat-and-slice the stream flows
+    # across bin boundaries, so MAX(start-bin)+1 would drop bins the last
+    # document spills into (negative padding, >100% utilization)
     shard = p.groupBy("shard").agg(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.ceil(F.sum("n_tokens") / F.lit(512.0)).cast("long").alias("n_bins"),
     )
     return shard.select(
         "shard",
@@ -800,8 +803,6 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one VOCABULARY-sized rank sort (metadata scale next to the corpus),
     # moment-exact regr_slope/r2.  The corpus-statistics smoke alarm for
     # templated or duplicated text.
-    from pyspark.sql import Window as W
-
     d = load(spark, sf_dir, "documents")
     wc = (
         d.select(
@@ -815,7 +816,7 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = wc.select(
         "n",
         F.row_number()
-        .over(W.orderBy(F.col("n").desc(), F.col("w").asc()))
+        .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
         .alias("rank"),
     )
     ln_n = F.log(F.col("n").cast("double"))

@@ -2013,8 +2013,10 @@ def events_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
            ROUND(SUM(t.value), 2) AS revenue
     FROM (SELECT * FROM events WHERE event_type = 'purchase') t
-    ASOF LEFT JOIN (SELECT * FROM events
-                    WHERE event_type IN ('click', 'view', 'signup')) q
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_type) AS event_type
+                    FROM events
+                    WHERE event_type IN ('click', 'view', 'signup')
+                    GROUP BY 1, 2) q
       ON t.user_id = q.user_id AND t.ts >= q.ts
     GROUP BY 1
     """,
@@ -2620,13 +2622,11 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    w = W.partitionBy("event_type").orderBy("day")
+    w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.select(
         "event_type",
         "n",

@@ -1041,8 +1041,11 @@ def join_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # orders is a FACT table (grows with SF) — shuffle-join on the order
+    # key like the sibling Q4/Q7/Q10 entries; broadcasting it would hit
+    # the 8 GB broadcast limit long before warehouse scale
     lo = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -1087,10 +1090,8 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already covered).  Sort is per-priority (5 balanced partitions at
     # any SF), with the (price, orderkey) composite making ranks
     # deterministic under ties.
-    from pyspark.sql import Window as W
-
     o = load(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
         "o_orderpriority",

@@ -178,12 +178,23 @@ def _attr_update(key, pdfs, state):
         last_ns, last_channel = None, None
     out: list[tuple] = []
     batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    # tie order matches the batch as-of semantics: at an equal timestamp
+    # a TOUCH is visible to a conversion (asof t.ts >= q.ts includes
+    # equality), so touches sort before conversions; among equal-ts
+    # touches the MAX channel wins (the batch form pre-dedupes to
+    # MAX(channel) per (user, ts))
+    batch = batch.assign(
+        _kind=(batch["event_type"] == _ATTR_CONV_TYPE).astype(int)
+    ).sort_values(["ts", "_kind", "event_id"], kind="mergesort")
     window_ns = int(batch["_window_ns"].iloc[0]) if len(batch) else 0
     for row in batch.itertuples(index=False):
         ts_ns = int(pd.Timestamp(row.ts).value)
         if row.event_type in _ATTR_TOUCH_TYPES:
-            if last_ns is None or ts_ns >= last_ns:
+            if (
+                last_ns is None
+                or ts_ns > last_ns
+                or (ts_ns == last_ns and row.event_type > (last_channel or ""))
+            ):
                 last_ns, last_channel = ts_ns, row.event_type
         elif row.event_type == _ATTR_CONV_TYPE:
             if (
@@ -217,7 +228,10 @@ def streaming_last_touch_attribution(
     as-of formulation re-keyed per conversion, bit-identical when events
     arrive in event-time order per user (the same caveat as streaming
     SCD2: state is append-only; out-of-order touches across batches are
-    ignored rather than retroactively applied).
+    ignored rather than retroactively applied).  Ties replay the batch
+    rule exactly: an equal-timestamp touch IS visible to the conversion
+    (touches sort first within an instant), and among equal-timestamp
+    touches the lexicographically largest channel wins.
     """
     if not events.isStreaming:
         from pyspark.sql import functions as F
@@ -225,12 +239,10 @@ def streaming_last_touch_attribution(
         from ..operators.temporal import asof_join_tolerance
 
         conv = events.filter(F.col("event_type") == _ATTR_CONV_TYPE)
-        touches = events.filter(
-            F.col("event_type").isin(*_ATTR_TOUCH_TYPES)
-        ).select(
-            "user_id",
-            F.col("ts").alias("touch_ts"),
-            F.col("event_type").alias("_channel"),
+        touches = (
+            events.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES))
+            .groupBy("user_id", F.col("ts").alias("touch_ts"))
+            .agg(F.max("event_type").alias("_channel"))
         )
         out = asof_join_tolerance(
             conv,

@@ -677,3 +677,48 @@ class TestLinearAttribution:
             .collect()[0][0]
         )
         assert total_credit == pytest.approx(float(n_purchases), abs=1e-3)
+
+
+class TestReviewFixes:
+    def test_t_closeness_null_sensitive_excluded(self, spark):
+        from aicoe_osc_demo_spark.operators.quality import t_closeness_report
+
+        rows = [("A", 0)] * 3 + [("A", None)] * 4 + [("B", 0)] * 3
+        df = spark.createDataFrame(rows, "qi string, v int")
+        out = {
+            r["qi"]: r
+            for r in t_closeness_report(df, ["qi"], F.col("v")).collect()
+        }
+        # nulls excluded: both classes hold only v=0 = the whole observed
+        # distribution -> t = 0, and n counts non-null rows only
+        assert out["A"]["n"] == 3 and out["B"]["n"] == 3
+        assert out["A"]["t"] == pytest.approx(0.0)
+
+    def test_k_core_raises_when_round_budget_exceeded(self, spark):
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        # 12-node path: sheds 2 endpoints per round, needs ~5 rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            k_core(edges, 2, max_iters=2)
+        # with budget it converges to the (empty) 2-core
+        assert k_core(edges, 2, max_iters=50).count() == 0
+
+    def test_pack_utilization_spill_bins_counted(self, spark):
+        # shard with 300+300 tokens: stream spans 2 bins (600 > 512),
+        # pad must be 1024-600, never negative
+        import __spark_entry__  # noqa: F401
+        from aicoe_osc_demo_spark.operators.corpus import pack_offset_bins
+
+        d = spark.createDataFrame(
+            [(1, "s", 300), (2, "s", 300)], "doc_id long, source string, n_tokens long"
+        )
+        p = pack_offset_bins(d, token_col="n_tokens", budget=512, shard_col="source")
+        shard = p.groupBy("shard").agg(
+            F.sum("n_tokens").alias("t"),
+            F.ceil(F.sum("n_tokens") / F.lit(512.0)).cast("long").alias("n_bins"),
+        ).collect()[0]
+        assert shard["n_bins"] == 2
+        assert shard["n_bins"] * 512 - shard["t"] == 424

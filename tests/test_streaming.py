@@ -798,3 +798,60 @@ def test_streaming_attribution_cross_batch_and_parity(spark, tmp_path):
         ).collect()
     }
     assert got == set(emitted)
+
+
+def test_streaming_attribution_tie_rule_matches_batch(spark):
+    # equal-timestamp touch IS visible to a same-instant conversion, and
+    # among equal-ts touches the lexicographically largest channel wins —
+    # in BOTH the streaming state function and the batch as-of fallback
+    import datetime as dt
+
+    from aicoe_osc_demo_spark.streaming.stateful import (
+        streaming_last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    cols = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    rows = [
+        (1, 1, t0, "click", 0.0),
+        (2, 1, t0, "view", 0.0),      # same ts: 'view' > 'click' wins
+        (3, 1, t0, "purchase", 5.0),  # same-instant conversion sees it
+    ]
+    batch = spark.createDataFrame(rows, cols)
+    got = streaming_last_touch_attribution(batch, window_seconds=60).collect()
+    assert len(got) == 1 and got[0]["channel"] == "view"
+
+
+def test_streaming_attribution_state_fn_tie_rule():
+    # drive the state function directly with a stub GroupState: the
+    # same-instant touch (kind-sorted first) is credited, and among
+    # equal-ts touches the max channel wins
+    import datetime as dt
+
+    import pandas as pd
+
+    from aicoe_osc_demo_spark.streaming.stateful import _attr_update
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    t0 = dt.datetime(2024, 5, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [3, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": [t0, t0, t0],
+            "event_type": ["purchase", "click", "view"],
+            "value": [5.0, 0.0, 0.0],
+            "_window_ns": [60 * 10**9] * 3,
+        }
+    )
+    out = list(_attr_update((1,), iter([pdf]), _State()))
+    assert len(out) == 1 and out[0]["channel"].iloc[0] == "view"
