@@ -256,9 +256,15 @@ def char_entropy(text_col: str) -> Column:
         f"named_struct('p', c, 'r', bigint(1), 'a', s.a + {term('s.r')})), "
         f"s -> s.a + IF(s.r > bigint(0), {term('s.r')}, bigint(0)))"
     )
+    # final 6dp rounding in INTEGER arithmetic: a nanobit sum landing
+    # exactly on the half boundary (e.g. ...7500) rounds differently
+    # under Spark's decimal HALF_UP vs DuckDB's ROUND — floor((nb+500)
+    # /1000) is the same long in any engine (bit this at sf0.1: 3 of
+    # 5000 docs sat exactly on the boundary)
     return F.when(
         F.length(F.col(t)) > 0,
-        F.round(F.expr(agg).cast("double") / 1e9, 6),
+        F.floor((F.expr(agg) + F.lit(500)).cast("double") / 1000.0).cast("double")
+        / F.lit(1e6),
     ).otherwise(F.lit(0.0))
 
 

@@ -617,7 +617,9 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_char_entropy",
     # Identical nanobit-quantized -p*log2(p) terms summed as integers, so
-    # the per-doc sum is independent of char iteration order.
+    # the per-doc sum is independent of char iteration order; the final
+    # 6dp rounding is integer half-up (floor((nb+500)/1000)/1e6) because
+    # engine ROUND disagrees when the sum lands exactly on .5.
     """
     WITH ch AS (
       SELECT doc_id, unnest(split(text, '')) AS c, length(text) AS len
@@ -632,7 +634,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt
     )
     SELECT doc_id, CAST(MAX(len) AS BIGINT) AS n_chars,
-           ROUND(CAST(SUM(t) AS BIGINT) / 1e9, 6) AS entropy_bits
+           floor((CAST(SUM(t) AS BIGINT) + 500) / 1000.0) / 1e6 AS entropy_bits
     FROM term GROUP BY doc_id
     """,
 )
