@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_pmi_collocations, events_growth_accounting, events_pareto_deciles,
 # agg_share_to_parent, events_stl_anomalies, events_concurrency_peak,
 # llm_lsh_threshold_curve, llm_zipf_fit, events_backtest_seasonal_naive,
-# ml_time_split_report, events_attribution_linear,
+# ml_time_split_report, events_attribution_linear, events_error_budget_burn,
+# events_session_depth_histogram, join_cheapest_supplier_per_part,
 # and the events_rfm_scores plan rewrite (re-front after the code change).
 _DRIVER_CHECK_PRIORITY = [
     # --- 11 late-r7 additions: first driver check ---

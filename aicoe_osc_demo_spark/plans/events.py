@@ -2815,3 +2815,95 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("credit"), 6).alias("credited_conversions"),
         F.round(F.sum("rev"), 2).alias("credited_revenue"),
     )
+
+
+@register(
+    "events_error_budget_burn",
+    # SLO burn-rate: daily error share vs a 2% budget, plus the
+    # cumulative fraction of the month's budget consumed — the SRE
+    # error-budget readout.  One conditional daily aggregate + one
+    # running-sum window over the day table.
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_events) AS te FROM daily)
+    SELECT CAST(day AS TIMESTAMP) AS day, n_events, n_errors,
+           ROUND(n_errors * 1.0 / n_events, 6) AS error_rate,
+           ROUND((n_errors * 1.0 / n_events) / 0.02, 6) AS burn_rate,
+           (n_errors * 1.0 / n_events) / 0.02 > 1.0 AS over_budget,
+           ROUND(SUM(n_errors) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (0.02 * tot.te), 6) AS budget_consumed
+    FROM daily CROSS JOIN tot
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The day-level window is a ~30-row table — the ORDER BY day running
+    # sum is metadata-scale work after the map-side daily reduce.
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    tot = daily.agg(F.sum("n_events").alias("_te"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_errors").cast("double") / F.col("n_events")
+    return daily.crossJoin(F.broadcast(tot)).select(
+        F.to_timestamp("day").alias("day"),
+        "n_events",
+        "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / 0.02, 6).alias("burn_rate"),
+        (rate / 0.02 > 1.0).alias("over_budget"),
+        F.round(
+            F.sum("n_errors").over(w) / (F.lit(0.02) * F.col("_te")), 6
+        ).alias("budget_consumed"),
+    )
+
+
+@register(
+    "events_session_depth_histogram",
+    # Session-depth distribution: gap-sessionize, count events per
+    # session, histogram the depths — the engagement-shape metric next
+    # to the entry/exit matrix.  Two keyed aggregates after the
+    # sessionize window.
+    """
+    WITH s AS (
+      SELECT user_id,
+             SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (
+        SELECT user_id, ts,
+               epoch(ts) - LAG(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS gap_s
+        FROM events
+      )
+    ),
+    per AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS depth
+      FROM s GROUP BY 1, 2
+    )
+    SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per GROUP BY depth
+    """,
+)
+def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("depth")
+    )
+    return per.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

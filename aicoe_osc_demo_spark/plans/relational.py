@@ -1316,3 +1316,53 @@ def agg_share_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_nrev", 2).alias("revenue"),
         F.round(F.col("_nrev") / F.col("_rrev"), 6).alias("share_of_region"),
     )
+
+
+@register(
+    "join_cheapest_supplier_per_part",
+    # TPC-H Q2 shape (min-cost supplier per part): per-(part, supplier)
+    # price rollup, then a deterministic per-part argmin via min_by on
+    # the (price, suppkey) composite — no window sort, one keyed
+    # aggregate each, supplier dim broadcast for the name.
+    """
+    WITH ps AS (
+      -- integer half-up at 6dp (floor(x*1e6+0.5)/1e6): engine ROUND
+      -- disagrees on exact .5 boundaries, which unit-price ratios hit
+      SELECT l_partkey, l_suppkey,
+             floor(AVG(l_extendedprice / l_quantity) * 1e6 + 0.5) / 1e6
+               AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_price AS best_price FROM (
+        SELECT ps.*, ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                        ORDER BY unit_price, l_suppkey) AS rn
+        FROM ps
+      ) WHERE rn = 1
+    )
+    SELECT b.l_partkey, s.s_name, b.best_price
+    FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    """,
+)
+def join_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.floor(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("unit_price")
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min_by(
+            F.col("l_suppkey"), F.struct(F.col("unit_price"), F.col("l_suppkey"))
+        ).alias("_sk"),
+        F.min("unit_price").alias("best_price"),
+    )
+    return best.join(F.broadcast(s), best["_sk"] == s["s_suppkey"]).select(
+        "l_partkey", "s_name", "best_price"
+    )

@@ -271,6 +271,9 @@ HEADLINE_R8 = [
     "events_backtest_seasonal_naive",
     "ml_time_split_report",
     "events_attribution_linear",
+    "events_error_budget_burn",
+    "events_session_depth_histogram",
+    "join_cheapest_supplier_per_part",
 ]
 
 
