@@ -26,105 +26,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r8 window = (a) the 11 entries added late in
-# r7 that the driver has never checked (all local-oracle green in
-# LOCAL_CORRECTNESS_r7.txt; llm_fuzzy_ratio_join and
-# ml_relevance_training_metrics are the two documented rows-only-by-design
-# entries and get the driver's weaker rows-only record), (b) llm_knn_graph,
-# whose code path changed in r7 (now served from the persisted edge
-# artifact) after its last driver check, and (c) the oldest-green rotation:
-# the 31 r02-era entries (filter/proj/sample/set/text/window families) plus
-# the 7 oldest r03-era entries, so no entry's driver evidence is more than
-# ~5 rounds stale.  Still rolling after this window (r9 rotation backlog,
-# r03/r04-green, code unchanged): the remaining r03 block (llm_chunk_documents,
-# llm_fuzzy_jaccard_join, llm_heavy_hitters_sketch, llm_mixture_sample,
-# llm_per_host_cap, llm_pii_scrub, llm_quality_resample, llm_url_host_stats,
-# ml_* inference entries, reshape_flatten/gather) and the r04 agg/events
-# block.  New r8 entries are local-oracle-verified this round
-# (LOCAL_CORRECTNESS_r8.txt) and front the r9 window; the 31 of them:
-# layout_hilbert_key, events_ohlc_bars, events_asof_tolerance,
-# privacy_dp_counts, privacy_l_diversity, ml_group_regression,
-# llm_hard_negatives, events_cusum_changepoint, events_path_trigrams,
-# events_incident_overlap, events_ab_test, diag_correlation_matrix,
-# agg_weighted_percentiles (binned rewrite), quality_quantile_normalize,
-# quality_benford_audit, agg_gini_concentration, events_cross_correlation,
-# text_char_entropy (run-length rewrite), events_asof_nearest,
-# events_timed_funnel, events_dow_seasonality, text_readability,
-# join_top_supplier_share, events_cumulative_new_users,
-# events_time_to_convert, llm_rank_fusion, llm_centroid_outliers,
-# events_theil_sen_trend, events_anomaly_ewma, agg_mode_per_group,
-# agg_distribution_shape (31 total), plus the batch-B additions
-# events_interval_coverage, events_attribution_last_touch, events_wilson_ci,
-# quality_psi_drift, privacy_t_closeness, join_exists_order_priority,
-# join_part_value_share, join_single_late_supplier,
-# graph_kcore_copurchase, events_entry_exit_matrix, llm_source_logodds,
-# ml_calibration_bins, events_stickiness_dau_mau, events_stl_decompose,
-# llm_rake_keywords, window_percent_rank_cume, events_retention_d1_d7
-# (recovered: was shadowed by a duplicate-name registration),
-# llm_dedup_cluster_sizes, llm_filter_funnel, events_retention_halflife,
-# llm_pack_utilization, join_nation_trade_volume, join_returned_revenue_topk,
-# agg_promo_share, filter_or_of_ands, llm_bm25_from_index,
-# llm_pmi_collocations, events_growth_accounting, events_pareto_deciles,
-# agg_share_to_parent, events_stl_anomalies, events_concurrency_peak,
-# llm_lsh_threshold_curve, llm_zipf_fit, events_backtest_seasonal_naive,
-# ml_time_split_report, events_attribution_linear, events_error_budget_burn,
-# events_session_depth_histogram, join_cheapest_supplier_per_part,
-# and the events_rfm_scores plan rewrite (re-front after the code change).
+# FIRST 50 registry entries.  r9 window = the 50 oracled entries added during
+# r7/r8 that the driver has never hash-checked (all local-oracle green in
+# LOCAL_CORRECTNESS_r8.txt and the three-scale sweep), fronted by the four
+# entries whose code changes this round (ADVICE fixes: events_stl_anomalies
+# MAD-zero guard, join_returned_revenue_topk integer-cent rank key,
+# llm_bm25_from_index cache keying, graph_kcore_copurchase self-loop guard).
+# The two rows-only-by-design entries (llm_fuzzy_ratio_join,
+# ml_relevance_training_metrics) got their rows-only driver record in r8 and
+# are pytest-pinned, so they do not take r9 slots even though the fuzzy join
+# gains a pruned fast path this round.  Still rolling after this window
+# (r10 backlog, all local-oracle green at three scales since r8):
+# agg_gini_concentration, agg_weighted_percentiles, diag_correlation_matrix,
+# events_ab_test, events_asof_nearest, events_asof_tolerance,
+# events_cross_correlation, events_cumulative_new_users, events_cusum_changepoint,
+# events_dow_seasonality, events_incident_overlap, events_ohlc_bars,
+# events_path_trigrams, events_timed_funnel, layout_hilbert_key,
+# llm_hard_negatives, ml_group_regression, privacy_dp_counts,
+# privacy_l_diversity, quality_benford_audit, quality_quantile_normalize
+# plus whatever lands new in r9 (new entries get a local-oracle record the
+# round they land and front the next round's window), and then the r03/r04
+# oldest-green rotation resumes (llm_chunk_documents block, agg/events r04
+# block) so no entry's driver evidence goes >~5 rounds stale.
 _DRIVER_CHECK_PRIORITY = [
-    # --- 11 late-r7 additions: first driver check ---
-    "events_lag_features",
-    "events_rfm_scores",
-    "incremental_join_maintenance",
-    "llm_corpus_resemblance",
-    "llm_ivfpq_recall",
-    "llm_perplexity_buckets",
-    "llm_dedup_rate_by_source",
-    "layout_bucketed_join",
-    "llm_keep_canonical",
-    "llm_fuzzy_ratio_join",
-    "ml_relevance_training_metrics",
-    # --- code path changed in r7 after last driver check ---
-    "llm_knn_graph",
-    # --- oldest-green rotation: 31 r02-era entries ---
-    "filter_anti_isin",
-    "filter_conjunctive",
-    "filter_dropna",
-    "filter_isin",
-    "proj_select_columns",
-    "reshape_struct_unpack",
-    "sample_deterministic_shuffle",
-    "sample_train_split",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "text_bpe_token_count",
-    "text_clean_curator",
-    "text_clean_kpi",
-    "text_clean_page",
-    "text_clean_paragraph",
-    "text_filename_repair",
-    "text_group_concat",
-    "text_lang_id",
-    "text_numeric_repair",
-    "text_page_shift",
-    "text_parse_string_list",
-    "text_quality_score",
-    "text_regex_filter",
-    "text_remove_html",
-    "text_snakify_columns",
-    "text_token_stats",
-    "text_year_in_question",
-    "window_argmax_per_group",
-    "window_rank_within_group",
-    "window_topk_per_group",
-    # --- oldest-green rotation: 7 r03-era entries ---
-    "agg_exact_percentiles",
-    "curation_answer_containment",
-    "curation_extra_answerable",
-    "curation_valid_pairs",
-    "events_daily_type_matrix",
-    "events_hypertable_rollup",
-    "events_range_join",
+    # --- code changed this round (ADVICE fixes) ---
+    "events_stl_anomalies",
+    "join_returned_revenue_topk",
+    "llm_bm25_from_index",
+    "graph_kcore_copurchase",
+    # --- never-driver-checked r7/r8 additions (46) ---
+    "join_exists_order_priority",
+    "join_part_value_share",
+    "join_single_late_supplier",
+    "window_percent_rank_cume",
+    "join_nation_trade_volume",
+    "agg_promo_share",
+    "filter_or_of_ands",
+    "agg_share_to_parent",
+    "join_cheapest_supplier_per_part",
+    "text_char_entropy",
+    "text_readability",
+    "llm_centroid_outliers",
+    "llm_lsh_threshold_curve",
+    "ml_calibration_bins",
+    "events_retention_d1_d7",
+    "events_time_to_convert",
+    "events_theil_sen_trend",
+    "events_anomaly_ewma",
+    "events_interval_coverage",
+    "events_attribution_last_touch",
+    "events_wilson_ci",
+    "events_entry_exit_matrix",
+    "events_stickiness_dau_mau",
+    "events_stl_decompose",
+    "events_retention_halflife",
+    "events_growth_accounting",
+    "events_pareto_deciles",
+    "events_concurrency_peak",
+    "events_backtest_seasonal_naive",
+    "ml_time_split_report",
+    "events_attribution_linear",
+    "events_error_budget_burn",
+    "events_session_depth_histogram",
+    "join_top_supplier_share",
+    "agg_mode_per_group",
+    "agg_distribution_shape",
+    "quality_psi_drift",
+    "privacy_t_closeness",
+    "llm_dedup_cluster_sizes",
+    "llm_filter_funnel",
+    "llm_rank_fusion",
+    "llm_source_logodds",
+    "llm_rake_keywords",
+    "llm_pack_utilization",
+    "llm_pmi_collocations",
+    "llm_zipf_fit",
 ]
 
 
