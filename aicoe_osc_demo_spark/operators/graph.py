@@ -266,10 +266,20 @@ def k_core(
 
     Output: ``(node, deg)`` — nodes in the k-core with their within-core
     degree; empty when the core is empty.
+
+    Self-loops are dropped up front: a src==dst row would survive the
+    undirected union+distinct as a single row and contribute degree 1,
+    peeling (or keeping) its node incorrectly — k-core degree is defined
+    over simple edges.
     """
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("a"), F.col(src).alias("b")
+            )
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

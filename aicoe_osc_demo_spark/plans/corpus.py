@@ -662,7 +662,25 @@ def llm_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_INDEX_PATHS: dict[str, str] = {}
+# Cache key is (sf_dir, documents.parquet mtime): a regenerated dataset
+# under the same path invalidates the entry instead of silently serving a
+# stale index.  The TemporaryDirectory objects are held here so the dirs
+# live while cached and are removed at interpreter exit (no orphan dirs).
+_BM25_INDEX_CACHE: dict[tuple[str, float], tuple[object, str]] = {}
+
+
+def _documents_mtime(sf_dir: str) -> float:
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            return max(
+                os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        return os.path.getmtime(p)
+    except OSError:
+        return -1.0
 
 
 @register("llm_bm25_from_index", _BM25_SQL)
@@ -675,19 +693,24 @@ def llm_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Build-once/serve-many, same artifact pattern as write_ivfpq_index.
     from ..operators.corpus import bm25_topk_from_index, write_bm25_index
 
-    if sf_dir not in _BM25_INDEX_PATHS:
+    key = (sf_dir, _documents_mtime(sf_dir))
+    if key not in _BM25_INDEX_CACHE:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="spark_graft_bm25_") + "/index"
+        tmp = tempfile.TemporaryDirectory(prefix="spark_graft_bm25_")
+        path = tmp.name + "/index"
         write_bm25_index(load(spark, sf_dir, "documents"), path)
-        _BM25_INDEX_PATHS[sf_dir] = path
+        # drop any stale entry for the same sf_dir (data was regenerated)
+        for old in [k for k in _BM25_INDEX_CACHE if k[0] == sf_dir]:
+            _BM25_INDEX_CACHE.pop(old)[0].cleanup()  # type: ignore[attr-defined]
+        _BM25_INDEX_CACHE[key] = (tmp, path)
     d = load(spark, sf_dir, "documents")
     queries = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ").alias("q_text"),
     )
     return bm25_topk_from_index(
-        spark, _BM25_INDEX_PATHS[sf_dir], queries, k=10, k1=1.5, b=0.75
+        spark, _BM25_INDEX_CACHE[key][1], queries, k=10, k1=1.5, b=0.75
     )
 
 

@@ -2493,7 +2493,8 @@ def _stl_resid_sql() -> str:
     SELECT s.event_type, s.day, s.n, s.resid,
            ROUND((s.resid - m.med) / (1.4826 * m.mad), 6) AS robust_z
     FROM s JOIN mad m ON s.event_type = m.event_type
-    WHERE ABS(ROUND((s.resid - m.med) / (1.4826 * m.mad), 6)) > 2.5
+    WHERE m.mad > 0
+      AND ABS(ROUND((s.resid - m.med) / (1.4826 * m.mad), 6)) > 2.5
     """
 
 
@@ -2519,9 +2520,12 @@ def events_stl_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(_adev, 0.5)").alias("_mad"),
     )
     z = (F.col("resid") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad"))
+    # MAD == 0 (a majority of residuals equal the median) would make z a
+    # NULL in Spark but +/-inf in DuckDB's IEEE division — exclude the
+    # degenerate series explicitly so both engines agree by construction.
     return (
         s.join(F.broadcast(mad), "event_type")
-        .filter(F.abs(F.round(z, 6)) > 2.5)
+        .filter((F.col("_mad") > 0) & (F.abs(F.round(z, 6)) > 2.5))
         .select("event_type", "day", "n", "resid", F.round(z, 6).alias("robust_z"))
     )
 

@@ -1155,18 +1155,23 @@ def join_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q10 shape: customers ranked by revenue lost to returns —
     # fact-fact join on orderkey, customer dim joined AFTER the rollup
     # (the aggregate shrinks the fact side to |customers| rows first).
+    # The rank key is INTEGER half-up cents, not the raw double sum:
+    # Spark and DuckDB accumulate doubles in different orders, so the
+    # rank-20/21 boundary on the unrounded sum could flip between
+    # engines (same guard as join_cheapest_supplier_per_part).
     """
     WITH r AS (
       SELECT o.o_custkey,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+             CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
+                        + 0.5) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE l.l_returnflag = 'R'
       GROUP BY 1
     )
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
-           ROUND(r.rev, 2) AS revenue
+           ROUND(r.cents / 100.0, 2) AS revenue
     FROM r JOIN customer c ON r.o_custkey = c.c_custkey
-    ORDER BY r.rev DESC, c.c_custkey LIMIT 20
+    ORDER BY r.cents DESC, c.c_custkey LIMIT 20
     """,
 )
 def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1176,13 +1181,26 @@ def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
-        .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("_rev"))
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_cents")
+        )
     )
     return (
         r.join(c, r["o_custkey"] == c["c_custkey"])
-        .orderBy(F.col("_rev").desc(), F.col("c_custkey"))
+        .orderBy(F.col("_cents").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "c_mktsegment", F.round("_rev", 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+        )
     )
 
 

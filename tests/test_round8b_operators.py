@@ -279,6 +279,19 @@ class TestKCore:
         out = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
         assert out == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
 
+    def test_self_loops_ignored(self, spark):
+        from aicoe_osc_demo_spark.operators.graph import k_core
+
+        # node 6 has only a self-loop plus one edge to the 5-cycle: the
+        # loop must NOT count toward degree, so 6 peels out of the 2-core
+        # (a self-loop used to survive as one undirected row = degree 1)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (6, 6), (6, 1)],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["deg"] for r in k_core(edges, 2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
 
 class TestWeightedLogodds:
     def test_overrepresented_token_signs(self, spark):
