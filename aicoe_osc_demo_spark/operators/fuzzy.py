@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from .relational import argmax_per_group
+from .relational import argmax_per_group, ensure_parallelism
 
 try:  # optional fast path
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
@@ -42,13 +42,17 @@ try:  # optional fast path
 except Exception:  # pragma: no cover - depends on container contents
     import re as _re
     from difflib import SequenceMatcher
+    from functools import lru_cache
 
     _non_word = _re.compile(r"(?u)\W")
 
+    @lru_cache(maxsize=16384)
     def _full_process(s: str) -> str:
         """fuzzywuzzy utils.full_process: non-word chars -> space, lowercase,
         trim — applied by fuzz.token_set_ratio before tokenizing, so scores
-        are case- and punctuation-insensitive."""
+        are case- and punctuation-insensitive.  Cached: in a best-match join
+        every left text is processed once per candidate, so the regex over a
+        multi-KB document would otherwise rerun |block| times."""
         return _non_word.sub(" ", s).lower().strip()
 
     def _ratio(a: str, b: str) -> float:
@@ -56,7 +60,12 @@ except Exception:  # pragma: no cover - depends on container contents
         stdlib SequenceMatcher: full_process both sides, then compare the
         sorted token intersection against intersection+remainder strings and
         take the max.  Rounded to integer scores like fuzzywuzzy's intr
-        (round commutes with max, so one final round is equivalent)."""
+        (round commutes with max, so one final round is equivalent).
+
+        The pairwise SequenceMatcher calls are laddered behind difflib's own
+        ``real_quick_ratio``/``quick_ratio`` upper bounds: a pair whose bound
+        cannot exceed the running max contributes nothing to the max, so
+        skipping it is exact (ratio <= quick_ratio <= real_quick_ratio)."""
         a, b = _full_process(a), _full_process(b)
         if not a or not b:  # fuzzywuzzy's empty-string guard returns 0
             return 0.0
@@ -64,13 +73,91 @@ except Exception:  # pragma: no cover - depends on container contents
         inter = " ".join(sorted(sa & sb))
         t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
         t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
-        pairs = [(inter, t1), (inter, t2), (t1, t2)]
-        return float(round(100.0 * max(SequenceMatcher(None, x, y).ratio() for x, y in pairs)))
+        best = 0.0
+        for x, y in ((inter, t1), (inter, t2), (t1, t2)):
+            sm = SequenceMatcher(None, x, y)
+            if sm.real_quick_ratio() <= best or sm.quick_ratio() <= best:
+                continue
+            r = sm.ratio()
+            if r > best:
+                best = r
+        return float(round(100.0 * best))
 
 
 @F.pandas_udf(DoubleType())
 def fuzzy_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([_ratio(x or "", y or "") for x, y in zip(a, b)])
+
+
+def _processed_tokens(c: Column) -> Column:
+    """fuzzywuzzy ``utils.full_process`` token set, JVM-side: non-word chars
+    -> space, lowercase, split, drop empties, distinct.  ``(?U)`` makes Java's
+    ``\\W`` use Unicode character classes, matching Python's default ``\\W``
+    so these tokens agree with the pandas-UDF scorer's."""
+    return F.array_distinct(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(c), r"(?U)\W", " "), " "),
+            lambda x: x != F.lit(""),
+        )
+    )
+
+
+def _joined_len(arr: Column) -> Column:
+    """Length of ``" ".join(arr)`` without materializing (or sorting) the
+    string — joined length is order-independent."""
+    return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
+        F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+        + F.size(arr)
+        - 1
+    )
+
+
+def _ub_from_token_arrays(sa: Column, sb: Column) -> Column:
+    """Integer UPPER BOUND on ``round(100 * token_set_ratio)`` from two
+    pre-tokenized (processed, distinct) token arrays — per-pair cost is one
+    array intersect/except pass, no regex and no sort.
+
+    token_set_ratio = max of three SequenceMatcher ratios over (inter,
+    inter+diff_a, inter+diff_b), where inter is the sorted token
+    intersection joined by spaces.  Each ratio is 2M/(len_x+len_y) with M
+    <= min(len_x, len_y), and inter is a PREFIX of both combined strings,
+    so every component is bounded by a pure function of the three string
+    LENGTHS (L0 = |inter|, L1 = |inter+diff_a|, L2 = |inter+diff_b|):
+
+        ratio(inter, t1) <= 2*L0/(L0+L1)      (M <= |shorter| = L0)
+        ratio(inter, t2) <= 2*L0/(L0+L2)
+        ratio(t1, t2)    <= 2*min(L1,L2)/(L1+L2)
+
+    difflib's autojunk can only LOWER M, and Spark's HALF_UP round
+    dominates Python's round-half-even, so the bound survives both.  Empty
+    processed sides score exactly 0 (the scorer's guard).
+    """
+    inter = F.array_intersect(sa, sb)
+    l0 = _joined_len(inter)
+    da = _joined_len(F.array_except(sa, sb))
+    db = _joined_len(F.array_except(sb, sa))
+    # |inter + " " + diff| with the reference's strip(): the joining space
+    # exists only when both pieces are non-empty
+    l1 = l0 + da + F.when((l0 > 0) & (da > 0), 1).otherwise(0)
+    l2 = l0 + db + F.when((l0 > 0) & (db > 0), 1).otherwise(0)
+    two = F.lit(2.0)
+    ub = F.greatest(
+        two * l0 / (l0 + l1),
+        two * l0 / (l0 + l2),
+        two * F.least(l1, l2) / (l1 + l2),
+    )
+    return (
+        F.when((F.size(sa) == 0) | (F.size(sb) == 0), F.lit(0))
+        .otherwise(F.round(F.lit(100.0) * ub, 0))
+        .cast("int")
+    )
+
+
+def token_set_ratio_upper_bound(a: Column, b: Column) -> Column:
+    """``_ub_from_token_arrays`` over raw text columns.  Inside a join,
+    tokenize each SIDE first and use the array form — tokenizing inside the
+    pair expression reruns the regex |block| times per document."""
+    return _ub_from_token_arrays(_processed_tokens(a), _processed_tokens(b))
 
 
 def token_jaccard(a: Column, b: Column) -> Column:
@@ -91,7 +178,10 @@ def _best_match(
     left_id: list[str],
     min_score: float,
 ) -> DataFrame:
-    cand = left.join(right, on=on)
+    # the blocked join is typically broadcast (small left side) and inherits
+    # the right side's partitioning — spread the pairs before the Python
+    # scorer or a single-file input scores single-threaded
+    cand = ensure_parallelism(left.join(right, on=on))
     scored = cand.withColumn("match_score", score)
     best = argmax_per_group(
         scored.filter(F.col("match_score") >= min_score),
@@ -125,11 +215,72 @@ def fuzzy_best_match_join(
     right_text: str,
     left_id: list[str],
     min_score: float = 0.0,
+    prune: bool = True,
+    seed_k: int = 1,
 ) -> DataFrame:
     """Candidate-pruned fuzzy join with the token_set_ratio pandas UDF —
-    exact reference scoring semantics (J4/J5)."""
-    return _best_match(
-        left, right, on, fuzzy_ratio_udf(F.col(left_text), F.col(right_text)), left_id, min_score
+    exact reference scoring semantics (J4/J5).
+
+    With ``prune=True`` (default) the Python scorer runs on a PRUNED
+    candidate set instead of the whole block, with bit-identical results:
+
+    1. each SIDE is tokenized once (regex + distinct per document, not per
+       pair), then every blocked pair gets the JVM-side integer upper bound
+       (``_ub_from_token_arrays`` — one array-intersect pass, codegen);
+    2. the ``seed_k`` top-bound candidates per key are scored exactly,
+       establishing a per-key lower bound ``best`` (``seed_k=1`` uses a
+       ``max_by`` aggregate — map-side combine, so candidate TEXTS never
+       shuffle; larger ``seed_k`` falls back to a window);
+    3. pairs with ``ub < best`` cannot win (their true score <= ub < best,
+       strictly below, so they can't even tie into the tiebreak) and are
+       dropped before the Arrow transfer; survivors are scored exactly.
+
+    The argmax over survivors equals the argmax over all pairs because
+    the seeds themselves survive (ub >= own score) and every pruned pair
+    is strictly beaten.  On corpora where the best match is clear-cut the
+    Python scorer sees a fraction of the block, and the laddered scorer
+    (quick-ratio skips) does less work per surviving pair."""
+    from .relational import top_k_per_group
+
+    score = fuzzy_ratio_udf(F.col(left_text), F.col(right_text))
+    if not prune:
+        return _best_match(left, right, on, score, left_id, min_score)
+    tiebreak = [c for c in right.columns if c not in on][:1]
+    # spread the pairs BEFORE the per-pair bound: the broadcast join output
+    # inherits the right side's partitioning (often one file = one thread)
+    cand = (
+        ensure_parallelism(
+            left.withColumn("_ta", _processed_tokens(F.col(left_text))).join(
+                right.withColumn("_tb", _processed_tokens(F.col(right_text))),
+                on=on,
+            )
+        )
+        .withColumn("_ub", _ub_from_token_arrays(F.col("_ta"), F.col("_tb")))
+        .drop("_ta", "_tb")
+        .localCheckpoint(eager=False)
+    )
+    if seed_k == 1:
+        # any top-bound candidate is a valid seed (ties included), so the
+        # nondeterministic-under-ties max_by is fine here
+        seeds = cand.groupBy(*left_id).agg(
+            F.max_by(F.struct(F.col(left_text), F.col(right_text)), F.col("_ub")).alias("_m")
+        ).select(*left_id, F.col(f"_m.{left_text}").alias(left_text), F.col(f"_m.{right_text}").alias(right_text))
+    else:
+        seeds = top_k_per_group(cand, left_id, F.col("_ub"), seed_k, tiebreak=tiebreak)
+    best = (
+        seeds.withColumn("_s", score)
+        .groupBy(*left_id)
+        .agg(F.max("_s").alias("_best"))
+    )
+    survivors = cand.join(F.broadcast(best), on=left_id, how="left").filter(
+        F.col("_ub") >= F.coalesce(F.col("_best"), F.lit(0))
+    )
+    scored = survivors.withColumn("match_score", score).drop("_ub", "_best")
+    return argmax_per_group(
+        scored.filter(F.col("match_score") >= min_score),
+        left_id,
+        F.col("match_score"),
+        tiebreak=tiebreak,
     )
 
 

@@ -98,6 +98,61 @@ def test_fuzzy_ratio_fuzzywuzzy_semantics():
     assert _ratio("a-b c", "a b c") == 100.0  # punctuation -> whitespace
 
 
+def test_fuzzy_prune_matches_unpruned_exactly(spark):
+    # the UB-pruned path must be BIT-IDENTICAL to scoring every blocked
+    # pair — adversarial corpus: empty/punctuation-only texts, token
+    # subsets/supersets, shared-prefix near-ties, unicode words, and many
+    # candidates with equal scores (tiebreak on cid must agree too)
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "Zeta", "CO2",
+             "émissions", "scope", "2020", "a", "bb", "ccc", "x-y", "..."]
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+
+    left = spark.createDataFrame(
+        [(i, text(), rng.choice(["en", "fr"])) for i in range(15)],
+        ["qid", "qtext", "lang"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, text(), rng.choice(["en", "fr"])) for i in range(80)]
+        + [(900, "", "en"), (901, "!!!", "fr")],
+        ["cid", "ctext", "lang"],
+    )
+    cols = ["qid", "cid", "match_score"]
+    a = sorted(tuple(r) for r in fuzzy_best_match_join(
+        left, right, ["lang"], "qtext", "ctext", ["qid"], prune=False).select(*cols).collect())
+    b = sorted(tuple(r) for r in fuzzy_best_match_join(
+        left, right, ["lang"], "qtext", "ctext", ["qid"], prune=True).select(*cols).collect())
+    assert a == b
+
+
+def test_token_set_ratio_upper_bound_is_valid(spark):
+    # the JVM bound must dominate the exact scorer for every pair
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.fuzzy import (
+        _ratio,
+        token_set_ratio_upper_bound,
+    )
+
+    rng = random.Random(13)
+    vocab = ["aa", "b", "ccc", "Dd", "e2", "ff-g", "émis", "h", "2020"]
+    rows = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for _ in range(300)
+    ] + [("", ""), ("...", "x"), ("a a a", "a")]
+    df = spark.createDataFrame(rows, ["a", "b"]).withColumn(
+        "ub", token_set_ratio_upper_bound(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert _ratio(r["a"], r["b"]) <= r["ub"], (r["a"], r["b"], r["ub"])
+
+
 def test_relevance_pipeline_stub_scores(spark):
     paragraphs = spark.createDataFrame([(1, "some paragraph text")], ["doc_id", "text"])
     questions = spark.createDataFrame([("k1", "What is X?")], ["kpi_id", "question"])
