@@ -1204,6 +1204,142 @@ def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bucketed-served fact⋈fact variants --------------------------------------
+# The unbucketed Q4/Q10 entries above shuffle BOTH fact sides on the order
+# key every run — the honest plan for unbucketed input, and the documented
+# 100 TB bottleneck (SCALE.md).  These variants serve the same queries from
+# orders/lineitem co-bucketed on the order key at ingest: the join runs
+# per-bucket with NO Exchange on either fact side (pinned by
+# test_physical_layout), demonstrating the remedy layout_bucketed_join
+# introduced on the fact⋈dim case.  Same memo contract as
+# plans/advanced.py's _BUCKETED_READY.
+_BUCKETED_FACTS_READY: set[tuple[int, str]] = set()
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re
+    import tempfile
+
+    from ..sources.files import write_bucketed_table
+
+    tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
+    ot, lt = f"bkt_orders_ok_{tag}", f"bkt_lineitem_ok_{tag}"
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_FACTS_READY or not spark.catalog.tableExists(ot):
+        base = tempfile.mkdtemp(prefix="spark_graft_bktf_")
+        write_bucketed_table(
+            load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            ot,
+            "o_orderkey",
+            n_buckets=8,
+            sort_col="o_orderkey",
+            path=f"{base}/orders",
+        )
+        write_bucketed_table(
+            load(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                "l_shipdate",
+                "l_returnflag",
+                "l_extendedprice",
+                "l_discount",
+            ),
+            lt,
+            "l_orderkey",
+            n_buckets=8,
+            sort_col="l_orderkey",
+            path=f"{base}/lineitem",
+        )
+        _BUCKETED_FACTS_READY.add(key)
+    return ot, lt
+
+
+@register(
+    "join_exists_order_priority_bkt",
+    # identical result to join_exists_order_priority — bucketing is a
+    # physical property, so the oracle is the plain EXISTS
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_exists_order_priority_bkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q4 served from co-bucketed facts: the semi join consumes both
+    # sides' bucket layout directly (zero Exchange before the join; the
+    # only shuffle left is the priority rollup on ~5 groups).
+    ot, lt = _bucketed_fact_tables(spark, sf_dir)
+    o, li = spark.table(ot), spark.table(lt).select("l_orderkey", "l_shipdate")
+    slow = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "join_returned_revenue_topk_bkt",
+    # identical result (and integer-cent rank key) as
+    # join_returned_revenue_topk
+    """
+    WITH r AS (
+      SELECT o.o_custkey,
+             CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
+                        + 0.5) AS BIGINT) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           ROUND(r.cents / 100.0, 2) AS revenue
+    FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+    ORDER BY r.cents DESC, c.c_custkey LIMIT 20
+    """,
+)
+def join_returned_revenue_topk_bkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q10 served from co-bucketed facts: the orderkey join is
+    # exchange-free; the only remaining fact-sized shuffle is the custkey
+    # rollup (inherent — it changes the key), already reduced map-side.
+    ot, lt = _bucketed_fact_tables(spark, sf_dir)
+    o = spark.table(ot).select("o_orderkey", "o_custkey")
+    li = spark.table(lt).filter(F.col("l_returnflag") == "R")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    return (
+        r.join(F.broadcast(c), r["o_custkey"] == c["c_custkey"])
+        .orderBy(F.col("_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
 @register(
     "agg_promo_share",
     # TPC-H Q14 shape: promo revenue share per month — one conditional

@@ -420,3 +420,29 @@ def test_layout_bucketed_join_entry_elides_join_exchange(spark):
         assert df.count() == 5  # one row per market segment
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_bucketed_fact_join_entries_elide_fact_exchanges(spark):
+    # The Q4/Q10 bucketed-served variants must join the two FACT tables
+    # with zero Exchange before the join — the remedy SCALE.md cites for
+    # the two honest orderkey fact-shuffles.
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q4 = QUERIES["join_exists_order_priority_bkt"](spark, "/root/testdata/sf0.001")
+        plan4 = _explain(q4)
+        # only the tiny priority-rollup exchange remains
+        assert plan4.count("Exchange hashpartitioning") == 1
+        assert "SortMergeJoin" in plan4 and "LeftSemi" in plan4
+        assert q4.count() == 5
+
+        q10 = QUERIES["join_returned_revenue_topk_bkt"](spark, "/root/testdata/sf0.001")
+        plan10 = _explain(q10)
+        # custkey rollup is the only fact-sized exchange (inherent — the
+        # key changes); the orderkey join itself adds none
+        assert plan10.count("Exchange hashpartitioning") <= 2
+        assert "SortMergeJoin" in plan10
+        assert q10.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
