@@ -203,3 +203,55 @@ def test_entire_catalog_has_no_cartesian_product(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def _walk_physical(node):
+    # AQE and query-stage wrappers hide their subtree from children():
+    # unwrap to the initial plan / wrapped stage or the walk sees nothing
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_physical(node.initialPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_physical(node.plan())
+        return
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_physical(ch.apply(i))
+
+
+def test_unpartitioned_windows_and_single_part_exchanges_are_post_reduction(spark):
+    # the invariant behind PLAN_AUDIT's ~60 benign 1-part nodes: a global
+    # (partition-less) Window or an Exchange SinglePartition is only safe
+    # when its input is already REDUCED — an aggregate, a limit, a literal
+    # table, or a cached/checkpointed reduced artifact.  A future entry
+    # that windows over a raw fact scan must fail here, not at 100 TB.
+    REDUCED_MARKERS = (
+        "Aggregate",        # Hash/ObjectHash/SortAggregateExec
+        "Limit",            # Local/Global/CollectLimitExec
+        "TakeOrderedAndProject",  # fused ORDER BY + LIMIT (k-row output)
+        "LocalTableScan",   # literal frames (math tables, manifests)
+        "InMemoryTableScan",  # cached reduced artifacts (token budgets)
+        "ReusedExchange",   # alias of an exchange already checked
+        "ScanExistingRDD",  # localCheckpoint'ed iterative state (peeling)
+        "RDDScan",
+    )
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            root = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan()
+        except Exception as e:  # noqa: BLE001
+            offenders.append((name, f"plan error: {e}"[:120]))
+            continue
+        for node in _walk_physical(root):
+            cls = node.getClass().getSimpleName()
+            is_global_window = cls in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty()
+            is_single_part = cls == "ShuffleExchangeExec" and node.outputPartitioning().toString() == "SinglePartition"
+            if not (is_global_window or is_single_part):
+                continue
+            subtree = [n.getClass().getSimpleName() for n in _walk_physical(node)][1:]
+            if not any(any(m in s for m in REDUCED_MARKERS) for s in subtree):
+                offenders.append((name, f"{cls} over {subtree[:6]}"))
+        spark.catalog.clearCache()
+    assert not offenders, offenders
