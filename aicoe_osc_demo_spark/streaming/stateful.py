@@ -272,3 +272,148 @@ def streaming_last_touch_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming LINEAR multi-touch attribution ---------------------------------
+
+LINEAR_ATTR_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts timestamp, value double,"
+    " channel string, credit double, rev double"
+)
+LINEAR_ATTR_STATE_SCHEMA = "touch_ns array<long>, channels array<string>"
+
+
+def _linear_attr_update(key, pdfs, state):
+    """Per-user state = EVERY touch row (ts, channel) still inside the
+    trailing attribution window — linear credit counts duplicate and
+    equal-timestamp touches individually (the batch join matches touch
+    ROWS, not distinct channels), so nothing is deduped.  Each conversion
+    emits one row per in-window touch with credit 1/k (rev value/k), or a
+    single full-credit '(none)' row when k = 0; credits therefore sum
+    EXACTLY to the conversion count across channels."""
+    (user_id,) = key
+    if state.exists:
+        ns_list, ch_list = list(state.get[0]), list(state.get[1])
+    else:
+        ns_list, ch_list = [], []
+    out: list[tuple] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # same tie order as last-touch: an equal-timestamp touch IS visible to
+    # a same-instant conversion (batch rule tts <= ts), so touches sort
+    # first within an instant
+    batch = batch.assign(
+        _kind=(batch["event_type"] == _ATTR_CONV_TYPE).astype(int)
+    ).sort_values(["ts", "_kind", "event_id"], kind="mergesort")
+    window_ns = int(batch["_window_ns"].iloc[0]) if len(batch) else 0
+    max_ns = max(ns_list) if ns_list else None
+    for row in batch.itertuples(index=False):
+        ts_ns = int(pd.Timestamp(row.ts).value)
+        max_ns = ts_ns if max_ns is None else max(max_ns, ts_ns)
+        if row.event_type in _ATTR_TOUCH_TYPES:
+            ns_list.append(ts_ns)
+            ch_list.append(row.event_type)
+        elif row.event_type == _ATTR_CONV_TYPE:
+            hits = [
+                ch
+                for ns, ch in zip(ns_list, ch_list)
+                if ns <= ts_ns and ts_ns - ns <= window_ns
+            ]
+            if hits:
+                k = len(hits)
+                out.extend(
+                    (user_id, row.event_id, row.ts, row.value, ch, 1.0 / k,
+                     (row.value or 0.0) / k)
+                    for ch in hits
+                )
+            else:
+                out.append(
+                    (user_id, row.event_id, row.ts, row.value, "(none)", 1.0,
+                     row.value)
+                )
+    # prune touches that can never credit a future in-order conversion
+    if max_ns is not None:
+        kept = [(ns, ch) for ns, ch in zip(ns_list, ch_list)
+                if max_ns - ns <= window_ns]
+        ns_list = [ns for ns, _ in kept]
+        ch_list = [ch for _, ch in kept]
+    state.update((ns_list, ch_list))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts", "value", "channel",
+                     "credit", "rev"],
+        )
+
+
+def streaming_linear_attribution(
+    events: DataFrame, window_seconds: float = 7 * 86400
+) -> DataFrame:
+    """Streaming linear multi-touch attribution — the streaming twin of the
+    batch ``events_attribution_linear`` credit rule: every touch in the
+    7-day window before a conversion shares the credit equally, and
+    unattributed conversions keep full weight in '(none)', so per-channel
+    credits conserve the conversion count exactly.
+
+    Emits one credited row PER (conversion, touch) in append mode; roll up
+    ``SUM(credit) / SUM(rev)`` by channel downstream.  Same in-order
+    caveat as :func:`streaming_last_touch_attribution`: state is
+    append-only across micro-batches; late cross-batch touches are not
+    retroactively applied.
+
+    Batch parity: on a non-streaming frame this runs the batch join
+    formulation at per-credit granularity (bit-identical rollups when
+    events arrive in event-time order per user).
+    """
+    from pyspark.sql import functions as F
+
+    if not events.isStreaming:
+        window_us = int(round(window_seconds * 1e6))
+        conv = events.filter(F.col("event_type") == _ATTR_CONV_TYPE).select(
+            "user_id", "event_id", "ts", "value"
+        )
+        touch = events.filter(F.col("event_type").isin(*_ATTR_TOUCH_TYPES)).select(
+            "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+        )
+        age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+            F.col("tts").cast("timestamp")
+        )
+        matched = (
+            conv.join(touch, "user_id")
+            .filter((F.col("tts") <= F.col("ts")) & (age_us <= window_us))
+            .select("user_id", "event_id", "ts", "value", "channel")
+        )
+        k = matched.groupBy("event_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_k")
+        )
+        credited = matched.join(k, "event_id").select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            "channel",
+            (F.lit(1.0) / F.col("_k")).alias("credit"),
+            (F.col("value") / F.col("_k")).alias("rev"),
+        )
+        none_rows = conv.join(
+            matched.select("event_id").distinct(), "event_id", "left_anti"
+        ).select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.lit("(none)").alias("channel"),
+            F.lit(1.0).alias("credit"),
+            F.col("value").alias("rev"),
+        )
+        return credited.unionByName(none_rows)
+
+    tagged = events.withColumn(
+        "_window_ns", F.lit(int(round(window_seconds * 1e9)))
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _linear_attr_update,
+        outputStructType=LINEAR_ATTR_OUTPUT_SCHEMA,
+        stateStructType=LINEAR_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -855,3 +855,153 @@ def test_streaming_attribution_state_fn_tie_rule():
     )
     out = list(_attr_update((1,), iter([pdf]), _State()))
     assert len(out) == 1 and out[0]["channel"].iloc[0] == "view"
+
+
+def test_streaming_linear_attribution_cross_batch_restart_and_parity(spark, tmp_path):
+    # linear credit state (ALL in-window touches, duplicates kept) survives
+    # micro-batch boundaries and restarts; full-stream rollup matches the
+    # batch join formulation exactly and conserves the conversion count
+    import datetime as dt
+
+    from aicoe_osc_demo_spark.streaming.stateful import (
+        streaming_linear_attribution,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 3, 1) + dt.timedelta(minutes=m)
+
+    cols = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    b1 = [
+        (1, 1, ts(0), "click", 0.0),
+        (2, 1, ts(2), "view", 0.0),
+        (3, 1, ts(5), "purchase", 10.0),    # click+view -> 0.5 each
+        (4, 2, ts(0), "view", 0.0),
+        (5, 2, ts(400), "purchase", 20.0),  # outside 60-min window -> none
+    ]
+    b2 = [
+        (6, 1, ts(10), "purchase", 30.0),   # click+view carried from b1
+        (7, 1, ts(20), "signup", 0.0),
+        (8, 1, ts(30), "purchase", 40.0),   # click+view+signup -> 1/3 each
+        (9, 3, ts(0), "purchase", 50.0),    # never touched -> none
+    ]
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(inp + "/b1.parquet")
+
+    emitted: list[tuple] = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+        q = (
+            streaming_linear_attribution(stream, window_seconds=3600)
+            .writeStream.foreachBatch(
+                lambda df, _e: emitted.extend(
+                    (r.event_id, r.channel, round(r.credit, 6), round(r.rev, 2))
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sorted(emitted) == [
+        (3, "click", 0.5, 5.0),
+        (3, "view", 0.5, 5.0),
+        (5, "(none)", 1.0, 20.0),
+    ]
+
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(inp + "/b2.parquet")
+    run()
+    want = [
+        (3, "click", 0.5, 5.0),
+        (3, "view", 0.5, 5.0),
+        (5, "(none)", 1.0, 20.0),
+        (6, "click", 0.5, 15.0),
+        (6, "view", 0.5, 15.0),
+        (8, "click", 0.333333, 13.33),
+        (8, "signup", 0.333333, 13.33),
+        (8, "view", 0.333333, 13.33),
+        (9, "(none)", 1.0, 50.0),
+    ]
+    assert sorted(emitted) == want
+
+    # exact credit conservation: credits sum to the conversion count (5)
+    assert abs(sum(c for _, _, c, _ in emitted) - 5.0) < 1e-4
+
+    # batch parity on the full event set (per-credit rollup)
+    batch = spark.createDataFrame(b1 + b2, cols)
+    got = sorted(
+        (r.event_id, r.channel, round(r.credit, 6), round(r.rev, 2))
+        for r in streaming_linear_attribution(batch, window_seconds=3600).collect()
+    )
+    assert got == sorted(emitted)
+
+
+def test_streaming_linear_attribution_counts_duplicate_touches(spark):
+    # the batch join matches touch ROWS: two same-channel touches both
+    # count toward k (credit 1/3 each + the other channel), in both the
+    # batch fallback and the state function
+    import datetime as dt
+
+    import pandas as pd
+
+    from aicoe_osc_demo_spark.streaming.stateful import (
+        _linear_attr_update,
+        streaming_linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    cols = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    rows = [
+        (1, 1, t0, "click", 0.0),
+        (2, 1, t0, "click", 0.0),
+        (3, 1, t0, "view", 0.0),
+        (4, 1, t0, "purchase", 9.0),
+    ]
+    got = sorted(
+        (r.channel, round(r.credit, 6), round(r.rev, 2))
+        for r in streaming_linear_attribution(
+            spark.createDataFrame(rows, cols), window_seconds=60
+        ).collect()
+    )
+    assert got == [
+        ("click", 0.333333, 3.0),
+        ("click", 0.333333, 3.0),
+        ("view", 0.333333, 3.0),
+    ]
+
+    class _State:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [4, 1, 2, 3],
+            "user_id": [1, 1, 1, 1],
+            "ts": [t0] * 4,
+            "event_type": ["purchase", "click", "click", "view"],
+            "value": [9.0, 0.0, 0.0, 0.0],
+            "_window_ns": [60 * 10**9] * 4,
+        }
+    )
+    st = _State()
+    out = pd.concat(list(_linear_attr_update((1,), iter([pdf]), st)))
+    assert sorted(
+        (r.channel, round(r.credit, 6)) for r in out.itertuples()
+    ) == [("click", 0.333333), ("click", 0.333333), ("view", 0.333333)]
+    # state pruned to the in-window touches, duplicates retained
+    assert len(st.get[0]) == 3
