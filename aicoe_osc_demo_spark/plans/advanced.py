@@ -701,23 +701,36 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Equi-depth decile assignment per group (NTILE) reduced to the
-    # per-decile envelope — the binning behind quantile-bucketed reports.
-    # Fully deterministic tiebreak so both engines cut identical tiles.
+    # DOCUMENTED CONTRAST CASE — the catalog's one intentionally
+    # scale-unsafe plan shape, kept to demonstrate WHY the cutpoint
+    # rewrite exists.  Equi-depth decile assignment per group (NTILE)
+    # reduced to the per-decile envelope.  Fully deterministic tiebreak so
+    # both engines cut identical tiles.
     # Scale note (measured 0.49x/row at 10x): NTILE is a full sort per
     # PARTITION KEY — with few groups everything funnels through a few
     # reducers.  At 100 TB bin by percentile CUTPOINTS instead — that
     # operator exists as percentile_bins / window_percentile_bins below;
     # exact ranking is only needed when tile POPULATIONS must be exactly
-    # equal.
+    # equal.  The guard below makes the contract executable: the entry
+    # REFUSES unbounded input instead of silently funneling it through a
+    # handful of reducers (test_ntile_contrast_case_refuses_unbounded_input).
     from pyspark.sql import Window
 
+    li = load(spark, sf_dir, "lineitem")
+    _NTILE_ROW_CEILING = 10_000_000
+    n = li.count()
+    if n > _NTILE_ROW_CEILING:
+        raise ValueError(
+            f"window_ntile_deciles is a bounded contrast case: input has"
+            f" {n} rows > ceiling {_NTILE_ROW_CEILING}; use"
+            f" window_percentile_bins (percentile cutpoints, no per-group"
+            f" global sort) at this scale"
+        )
     w = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     return (
-        load(spark, sf_dir, "lineitem")
-        .withColumn("decile", F.ntile(10).over(w))
+        li.withColumn("decile", F.ntile(10).over(w))
         .groupBy("l_returnflag", "decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -255,3 +255,25 @@ def test_unpartitioned_windows_and_single_part_exchanges_are_post_reduction(spar
                 offenders.append((name, f"{cls} over {subtree[:6]}"))
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_ntile_contrast_case_refuses_unbounded_input(spark, tmp_path, monkeypatch):
+    # the documented contrast case must raise on over-ceiling input rather
+    # than run NTILE's per-group global sort at scale
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.plans import advanced as adv
+
+    # normal path still works at test scale
+    assert QUERIES["window_ntile_deciles"](spark, SF_DIR).count() > 0
+
+    big = spark.range(10_000_001).select(
+        F.lit("A").alias("l_returnflag"),
+        (F.col("id") % 1000).cast("double").alias("l_extendedprice"),
+        F.col("id").alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+    )
+    monkeypatch.setattr(adv, "load", lambda _s, _d, _t: big)
+    with _pytest.raises(ValueError, match="bounded contrast case"):
+        adv.window_ntile_deciles(spark, SF_DIR)
