@@ -181,3 +181,88 @@ def test_relevance_minibatch_boundary_exact_multiple(monkeypatch):
     scores = model.predict_relevance(q, t)
     assert batches == [2, 2]  # exact multiple: no ghost empty batch
     assert len(scores) == 4
+
+
+# --- Real-runtime swap-point tests (skipped unless torch/transformers exist) --
+#
+# This container ships neither torch nor transformers, so these record a
+# skip; in any environment that has them they build a TINY real checkpoint
+# on the fly and drive the genuine (non-stub, non-fake) loading branches.
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has("torch"), reason="torch not installed in this "
+                    "container; the TorchScript branch executes wherever it is")
+def test_load_detector_checkpoint_real_torchscript(tmp_path):
+    import torch
+
+    from aicoe_osc_demo_spark.sources.extraction import load_detector_checkpoint
+
+    class TinyDetector(torch.nn.Module):
+        def forward(self, x):
+            s = float(x.to(torch.float32).sum() % 97) / 97.0
+            return torch.tensor([[0.0, 1.0, 2.0, 3.0, 4.0, s]])
+
+    path = str(tmp_path / "detector.pt")
+    torch.jit.script(TinyDetector()).save(path)
+    det = load_detector_checkpoint(path)
+    boxes = det.detect("doc.pdf", 1, "some page payload")
+    assert len(boxes) == 1 and len(boxes[0]) == 6
+    assert 0.0 <= boxes[0][5] <= 1.0
+
+
+@pytest.mark.skipif(
+    not (_has("torch") and _has("transformers")),
+    reason="transformers/torch not installed in this container; the HF "
+    "checkpoint branch executes wherever they are",
+)
+def test_load_hf_checkpoint_real_tiny_bert(tmp_path):
+    from transformers import BertConfig, BertForSequenceClassification, BertTokenizer
+
+    from aicoe_osc_demo_spark.operators.inference import load_hf_checkpoint
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "what",
+                                "is", "x", "some", "text"]))
+    tok = BertTokenizer(str(vocab))
+    cfg = BertConfig(vocab_size=tok.vocab_size, hidden_size=8,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=16, num_labels=2,
+                     architectures=["BertForSequenceClassification"])
+    model = BertForSequenceClassification(cfg)
+    ckpt = str(tmp_path / "ckpt")
+    model.save_pretrained(ckpt)
+    tok.save_pretrained(ckpt)
+
+    m = load_hf_checkpoint(ckpt)
+    assert m.is_qa is False
+    scores = m.predict_relevance(
+        pd.Series(["what is x", "what is x"]), pd.Series(["some text", "x"])
+    )
+    assert len(scores) == 2 and all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_swap_points_raise_actionable_errors_without_runtimes():
+    # the branch this container CAN execute: both loaders must fail loud
+    # with the install hint, never fall back silently
+    if _has("torch"):
+        pytest.skip("torch installed — error branch not reachable here")
+    from aicoe_osc_demo_spark.operators.inference import (
+        ModelLoadError,
+        load_hf_checkpoint,
+    )
+    from aicoe_osc_demo_spark.sources.extraction import (
+        DetectorLoadError,
+        load_detector_checkpoint,
+    )
+
+    with pytest.raises(ModelLoadError, match="transformers"):
+        load_hf_checkpoint("/nonexistent/ckpt")
+    with pytest.raises(DetectorLoadError, match="torch"):
+        load_detector_checkpoint("/nonexistent/detector.pt")
