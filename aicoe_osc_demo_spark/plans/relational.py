@@ -1520,3 +1520,180 @@ def join_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFra
     return best.join(F.broadcast(s), best["_sk"] == s["s_suppkey"]).select(
         "l_partkey", "s_name", "best_price"
     )
+
+
+@register(
+    "agg_custdist",
+    # TPC-H Q13 shape: distribution of customers by order count, INCLUDING
+    # zero-order customers (the left join), reduced to a count-of-counts
+    # histogram — two keyed aggregates, output is |distinct counts| rows.
+    """
+    WITH oc AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM oc GROUP BY 1
+    """,
+)
+def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    oc = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return oc.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "join_large_quantity_orders",
+    # TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    # exceeds 2x the MEAN per-order quantity (scale-invariant threshold —
+    # TPC-H's fixed 300 goes vacuous or degenerate across SFs), top 50 by
+    # quantity.  Quantities are integral so the rank key is exact in both
+    # engines; the scalar threshold broadcasts.
+    """
+    WITH oq AS (
+      SELECT l_orderkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY 1
+    ),
+    m AS (SELECT AVG(qty) AS a FROM oq)
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(oq.qty, 2) AS total_qty
+    FROM oq CROSS JOIN m
+    JOIN orders o ON o.o_orderkey = oq.l_orderkey
+    WHERE oq.qty > 2 * m.a
+    ORDER BY oq.qty DESC, o.o_orderkey LIMIT 50
+    """,
+)
+def join_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    oq = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_qty"))
+    m = oq.agg(F.avg("_qty").alias("_a"))
+    return (
+        oq.crossJoin(F.broadcast(m))
+        .filter(F.col("_qty") > 2 * F.col("_a"))
+        .join(o, oq["l_orderkey"] == o["o_orderkey"])
+        .orderBy(F.col("_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "join_dormant_rich_customers",
+    # TPC-H Q22 essence (high-balance, low-activity customers), made
+    # scale-invariant: above-average positive balance AND order count
+    # under half the mean orders-per-customer (the literal "no orders"
+    # predicate is vacuous on this data — every customer orders).  Both
+    # scalar thresholds broadcast; the order counts are one keyed
+    # aggregate; output is a per-segment rollup.
+    """
+    WITH ab AS (SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+    oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+    m AS (SELECT AVG(n) AS an FROM oc)
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    CROSS JOIN ab CROSS JOIN m
+    LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > ab.a AND COALESCE(oc.n, 0) < 0.5 * m.an
+    GROUP BY 1
+    """,
+)
+def join_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    ab = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_a"))
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("_n"))
+    m = oc.agg(F.avg("_n").alias("_an"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .crossJoin(F.broadcast(m))
+        .join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+        .filter(
+            (F.col("c_acctbal") > F.col("_a"))
+            & (F.coalesce(F.col("_n"), F.lit(0)) < 0.5 * F.col("_an"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "join_market_share",
+    # TPC-H Q8 shape: each supplier nation's share of yearly revenue to
+    # ASIA-region customers — the 6-table multiway join reduces to a
+    # (year, supp_nation) rollup BEFORE the share window, so the window
+    # runs on a metadata-sized table; all dims broadcast.
+    """
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr, n2.n_name AS supp_nation,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    )
+    SELECT yr, supp_nation, ROUND(v, 2) AS revenue,
+           ROUND(v / SUM(v) OVER (PARTITION BY yr), 6) AS mkt_share
+    FROM rev
+    """,
+)
+def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    asia_nations = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+               n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"),
+                             F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(asia_nations), c["c_nationkey"] == F.col("_cnk"), "left_semi")
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), "supp_nation"
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("_v"))
+    )
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "yr",
+        "supp_nation",
+        F.round("_v", 2).alias("revenue"),
+        F.round(F.col("_v") / F.sum("_v").over(w), 6).alias("mkt_share"),
+    )
