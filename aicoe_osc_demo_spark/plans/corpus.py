@@ -849,3 +849,263 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+@register(
+    "llm_heaps_law",
+    # Heaps-law fit per language: vocabulary growth V(n) ~ k * n^beta,
+    # estimated by log-log OLS over 20 CUMULATIVE checkpoints of the
+    # doc-ordered corpus.  The heavy parts are one vocabulary-sized
+    # first-seen aggregate (min doc_id per word) and one token count per
+    # bucket — the cumulative window runs on the 20-row-per-lang bucket
+    # table.  Generated/templated corpora bend beta away from the
+    # 0.4-0.6 band natural text sits in.
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    toks AS (
+      SELECT d.lang, d.doc_id,
+             CAST(floor(d.doc_id * 20.0 / (mx.mid + 1)) AS BIGINT) AS bucket,
+             unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS w
+      FROM documents d CROSS JOIN mx
+    ),
+    tok_per_bucket AS (
+      SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY 1, 2
+    ),
+    first_seen AS (
+      SELECT lang, w, MIN(bucket) AS fb FROM toks GROUP BY 1, 2
+    ),
+    new_per_bucket AS (
+      SELECT lang, fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT t.lang, t.bucket,
+             SUM(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.bucket) AS cum_tok,
+             SUM(COALESCE(nb.n_new, 0)) OVER (PARTITION BY t.lang ORDER BY t.bucket)
+               AS cum_vocab
+      FROM tok_per_bucket t
+      LEFT JOIN new_per_bucket nb ON t.lang = nb.lang AND t.bucket = nb.bucket
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(cum_tok) AS BIGINT) AS total_tokens,
+           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
+                            ln(CAST(cum_tok AS DOUBLE))), 6) AS heaps_beta,
+           ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
+                                ln(CAST(cum_tok AS DOUBLE))), 6) AS heaps_lnk
+    FROM pts WHERE cum_tok > 0 AND cum_vocab > 0
+    GROUP BY 1
+    """,
+)
+def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    mid = d.agg(F.max("doc_id").alias("_mid"))
+    toks = (
+        d.crossJoin(F.broadcast(mid))
+        .select(
+            "lang",
+            F.floor(F.col("doc_id") * 20.0 / (F.col("_mid") + 1))
+            .cast("long")
+            .alias("bucket"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+    )
+    tok_per_bucket = toks.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    first_seen = toks.groupBy("lang", "w").agg(F.min("bucket").alias("fb"))
+    new_per_bucket = first_seen.groupBy("lang", F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        tok_per_bucket.join(F.broadcast(new_per_bucket), ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
+    )
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    ln_t = F.log(F.col("cum_tok").cast("double"))
+    return pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("cum_tok").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("vocab_size"),
+        F.round(F.regr_slope(ln_v, ln_t), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(ln_v, ln_t), 6).alias("heaps_lnk"),
+    )
+
+
+@register(
+    "llm_bigram_entropy",
+    # Per-language unigram entropy and bigram CONDITIONAL entropy (bits):
+    # H(W) over token frequencies and H(W2|W1) over adjacent-pair counts
+    # — the sequence-predictability profile (templated text collapses
+    # the conditional entropy long before the unigram one moves).
+    # Bigrams come from ONE per-doc lead window; both entropies are
+    # integer-count ratios inside logs, summed per lang.
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z]+'))))
+               AS pos
+      FROM documents
+    ),
+    uni AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+    ut AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM uni GROUP BY 1),
+    h_uni AS (
+      SELECT u.lang,
+             SUM(-(CAST(u.n AS DOUBLE) / t.nt) * log2(CAST(u.n AS DOUBLE) / t.nt))
+               AS h
+      FROM uni u JOIN ut t ON u.lang = t.lang GROUP BY 1
+    ),
+    bi AS (
+      SELECT a.lang, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    bc AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM bi GROUP BY 1, 2, 3),
+    m1 AS (SELECT lang, w1, CAST(SUM(n_ab) AS BIGINT) AS n1 FROM bc GROUP BY 1, 2),
+    bt AS (SELECT lang, CAST(SUM(n_ab) AS BIGINT) AS nt FROM bc GROUP BY 1),
+    h_bi AS (
+      SELECT bc.lang,
+             SUM(-(CAST(bc.n_ab AS DOUBLE) / bt.nt)
+                 * log2(CAST(bc.n_ab AS DOUBLE) / m1.n1)) AS h
+      FROM bc
+      JOIN m1 ON bc.lang = m1.lang AND bc.w1 = m1.w1
+      JOIN bt ON bc.lang = bt.lang
+      GROUP BY 1
+    )
+    SELECT u.lang, t.nt AS n_tokens,
+           ROUND(u.h, 6) AS h_unigram,
+           ROUND(b.h, 6) AS h_bigram_cond,
+           ROUND(power(2.0, u.h), 6) AS ppl_unigram,
+           ROUND(power(2.0, b.h), 6) AS ppl_bigram
+    FROM h_uni u
+    JOIN h_bi b ON u.lang = b.lang
+    JOIN ut t ON u.lang = t.lang
+    """,
+)
+def llm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("pos", "w"),
+    )
+    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ut = uni.groupBy("lang").agg(F.sum("n").cast("long").alias("nt"))
+    p_u = F.col("n").cast("double") / F.col("nt")
+    h_uni = (
+        uni.join(F.broadcast(ut), "lang")
+        .groupBy("lang")
+        .agg(F.sum(-p_u * F.log2(p_u)).alias("_hu"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("lang", F.col("w").alias("w1"),
+                    F.lead("w").over(w_doc).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    bc = bi.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    m1 = bc.groupBy("lang", "w1").agg(F.sum("n_ab").cast("long").alias("n1"))
+    bt = bc.groupBy("lang").agg(F.sum("n_ab").cast("long").alias("bnt"))
+    h_bi = (
+        bc.join(m1, ["lang", "w1"])
+        .join(F.broadcast(bt), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                -(F.col("n_ab").cast("double") / F.col("bnt"))
+                * F.log2(F.col("n_ab").cast("double") / F.col("n1"))
+            ).alias("_hb")
+        )
+    )
+    return (
+        h_uni.join(h_bi, "lang")
+        .join(F.broadcast(ut), "lang")
+        .select(
+            "lang",
+            F.col("nt").alias("n_tokens"),
+            F.round("_hu", 6).alias("h_unigram"),
+            F.round("_hb", 6).alias("h_bigram_cond"),
+            F.round(F.pow(F.lit(2.0), F.col("_hu")), 6).alias("ppl_unigram"),
+            F.round(F.pow(F.lit(2.0), F.col("_hb")), 6).alias("ppl_bigram"),
+        )
+    )
+
+
+@register(
+    "llm_temperature_mixture",
+    # Temperature-scaled data-mixing weights (the T5/LLaMA multinomial
+    # mix): per source, w_i(alpha) = n_i^alpha / sum_j n_j^alpha over
+    # token counts, plus the implied effective epochs w_i * N / n_i —
+    # how many passes over source i one epoch of the mixture makes.
+    # Alpha < 1 upweights small sources; alpha = 1 is proportional.
+    # One token count per source, then pure broadcast math.
+    """
+    WITH sc AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT)
+               AS n_tok
+      FROM documents GROUP BY 1
+    ),
+    alphas AS (SELECT unnest([0.3, 0.5, 0.7, 1.0]) AS alpha),
+    pw AS (
+      SELECT s.source, a.alpha, s.n_tok,
+             power(CAST(s.n_tok AS DOUBLE), a.alpha) AS p
+      FROM sc s CROSS JOIN alphas a
+    ),
+    z AS (SELECT alpha, SUM(p) AS zp FROM pw GROUP BY 1),
+    nt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM sc)
+    SELECT pw.source, pw.alpha, pw.n_tok,
+           ROUND(pw.p / z.zp, 6) AS weight,
+           ROUND((pw.p / z.zp) * nt.total / pw.n_tok, 6) AS effective_epochs
+    FROM pw JOIN z ON pw.alpha = z.alpha CROSS JOIN nt
+    """,
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sc = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0))
+        )
+        .cast("long")
+        .alias("n_tok")
+    )
+    alphas = d.sparkSession.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (1.0,)], "alpha double"
+    )
+    pw = sc.crossJoin(F.broadcast(alphas)).withColumn(
+        "p", F.pow(F.col("n_tok").cast("double"), F.col("alpha"))
+    )
+    z = pw.groupBy("alpha").agg(F.sum("p").alias("zp"))
+    nt = sc.agg(F.sum("n_tok").cast("long").alias("total"))
+    return (
+        pw.join(F.broadcast(z), "alpha")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "alpha",
+            "n_tok",
+            F.round(F.col("p") / F.col("zp"), 6).alias("weight"),
+            F.round(
+                (F.col("p") / F.col("zp")) * F.col("total") / F.col("n_tok"), 6
+            ).alias("effective_epochs"),
+        )
+    )
