@@ -44,10 +44,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # events_path_trigrams, events_timed_funnel, layout_hilbert_key,
 # llm_hard_negatives, ml_group_regression, privacy_dp_counts,
 # privacy_l_diversity, quality_benford_audit, quality_quantile_normalize
-# plus whatever lands new in r9 (new entries get a local-oracle record the
-# round they land and front the next round's window), and then the r03/r04
-# oldest-green rotation resumes (llm_chunk_documents block, agg/events r04
-# block) so no entry's driver evidence goes >~5 rounds stale.
+# plus the NINE r9-session additions (local-oracle green at all three
+# scales this round, LOCAL_CORRECTNESS_r9.txt): join_exists_order_priority_bkt,
+# join_returned_revenue_topk_bkt, agg_custdist, join_large_quantity_orders,
+# join_dormant_rich_customers, join_market_share, llm_heaps_law,
+# llm_bigram_entropy, llm_temperature_mixture — these front the r10 window
+# per the rotation convention, then the r03/r04 oldest-green rotation
+# resumes (llm_chunk_documents block, agg/events r04 block) so no entry's
+# driver evidence goes >~5 rounds stale.
 _DRIVER_CHECK_PRIORITY = [
     # --- code changed this round (ADVICE fixes) ---
     "events_stl_anomalies",

@@ -276,6 +276,19 @@ HEADLINE_R8 = [
     "join_cheapest_supplier_per_part",
 ]
 
+# Round-9 additions — same treatment (timed, counted in total_all_queries).
+HEADLINE_R9 = [
+    "join_exists_order_priority_bkt",
+    "join_returned_revenue_topk_bkt",
+    "agg_custdist",
+    "join_large_quantity_orders",
+    "join_dormant_rich_customers",
+    "join_market_share",
+    "llm_heaps_law",
+    "llm_bigram_entropy",
+    "llm_temperature_mixture",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -308,7 +321,7 @@ def main() -> None:
     # would triple a 30 s pandas-UDF stage for no extra signal
     slow_once = {"llm_fuzzy_ratio_join"}
     for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
-                 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8):
+                 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
