@@ -854,7 +854,8 @@ def write_bm25_index(
     """
     words = F.split(F.col(text_col), " ")
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.size(words).alias("dl"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(words).alias("dl"),
         F.explode(words).alias("term"),
     )
     postings = toks.groupBy("term", "doc_id", "dl").agg(
@@ -902,14 +903,18 @@ def bm25_topk_from_index(
     pfxs = [r["p"] for r in qterms.select(
         F.when(F.length("term") > 0, F.substring("term", 1, 1))
         .otherwise("_").alias("p")).distinct().collect()]
-    postings = spark.read.parquet(path + "/postings").filter(
-        F.col("pfx").isin(pfxs)
-    )
+    # explicit artifact schemas: an EMPTY corpus writes a file-less
+    # partitioned dir, and schema inference would fail on it — the index
+    # layout is fixed, so declare it (also robust to reading a pruned
+    # subset of partitions)
+    postings = spark.read.schema(
+        "term string, doc_id long, dl int, tf long, pfx string"
+    ).parquet(path + "/postings").filter(F.col("pfx").isin(pfxs))
     matched = postings.join(
         F.broadcast(qterms.select("term").distinct()), on="term"
     ).select("term", "doc_id", "dl", "tf")
-    dfreq = spark.read.parquet(path + "/dfreq")
-    stats = spark.read.parquet(path + "/stats")
+    dfreq = spark.read.schema("term string, df double").parquet(path + "/dfreq")
+    stats = spark.read.schema("n_docs double, avgdl double").parquet(path + "/stats")
     scored = (
         matched.join(F.broadcast(qterms), on="term")
         .join(F.broadcast(dfreq), on="term")

@@ -1723,7 +1723,13 @@ def write_pq_index(
     codebooks are m*k rows (always broadcastable) whose EXACT integer
     state (s, n) keeps served distances bit-identical to training-time
     ADC.
+
+    Refuses an empty corpus (same contract as ``write_ivfpq_index``).
     """
+    if corpus.isEmpty():
+        raise ValueError(
+            "write_pq_index: cannot train PQ codebooks from an empty corpus"
+        )
     from ..cache import CacheScope
 
     with CacheScope() as s:
@@ -1831,7 +1837,18 @@ def write_ivfpq_index(
     partition pruning, as in ``write_ivf_index``) + the exact-integer
     coarse centroids + the PQ codebooks.  Train once; every query batch
     afterwards reads nprobe/nlist of a codes-only table.
+
+    Refuses an empty corpus: k-means/codebook training over 0 vectors is
+    undefined, and the file-less partitioned codes dir it would leave
+    behind cannot even be re-read (schema inference has nothing to
+    infer) — fail at build time with the actionable message instead.
     """
+    if corpus.isEmpty():
+        raise ValueError(
+            "write_ivfpq_index: cannot build an IVF-PQ index from an empty"
+            " corpus (k-means and codebook training need at least one"
+            " vector)"
+        )
     qz = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: F.round(x.cast("double") * scale).cast("long")).alias(

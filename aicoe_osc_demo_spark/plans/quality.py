@@ -1287,11 +1287,11 @@ def llm_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f
     )
     SELECT 0 AS stage, 'all' AS rule, n0 AS n_pass,
-           ROUND(1.0, 6) AS rate FROM a
-    UNION ALL SELECT 1, 'min_chars_200', n1, ROUND(n1 * 1.0 / n0, 6) FROM a
-    UNION ALL SELECT 2, '+min_words_40', n2, ROUND(n2 * 1.0 / n0, 6) FROM a
-    UNION ALL SELECT 3, '+distinct_ratio_030', n3, ROUND(n3 * 1.0 / n0, 6) FROM a
-    UNION ALL SELECT 4, '+lang_en', n4, ROUND(n4 * 1.0 / n0, 6) FROM a
+           ROUND(n0 * 1.0 / NULLIF(n0, 0), 6) AS rate FROM a
+    UNION ALL SELECT 1, 'min_chars_200', n1, ROUND(n1 * 1.0 / NULLIF(n0, 0), 6) FROM a
+    UNION ALL SELECT 2, '+min_words_40', n2, ROUND(n2 * 1.0 / NULLIF(n0, 0), 6) FROM a
+    UNION ALL SELECT 3, '+distinct_ratio_030', n3, ROUND(n3 * 1.0 / NULLIF(n0, 0), 6) FROM a
+    UNION ALL SELECT 4, '+lang_en', n4, ROUND(n4 * 1.0 / NULLIF(n0, 0), 6) FROM a
     """,
 )
 def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1335,5 +1335,9 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.stage").alias("stage"),
         F.col("s.rule").alias("rule"),
         F.col("s.n_pass").alias("n_pass"),
-        F.round(F.col("s.n_pass").cast("double") / F.col("n0"), 6).alias("rate"),
+        # NULLIF guard: an empty corpus makes n0 = 0 and ANSI division
+        # would throw — both engines emit NULL rates instead
+        F.round(
+            F.col("s.n_pass").cast("double") / F.nullif(F.col("n0"), F.lit(0)), 6
+        ).alias("rate"),
     )

@@ -55,7 +55,15 @@ def prepare_pairs(df: DataFrame, question_col: str, text_col: str, label_col: st
 
 
 def train_relevance(train_df: DataFrame, **kwargs):
-    """M5 — fit the baseline relevance classifier."""
+    """M5 — fit the baseline relevance classifier.
+
+    Refuses an empty training frame: MLlib's L-BFGS dies deep in the JVM
+    on 0 rows — fail at the contract boundary with the actionable message
+    instead."""
+    if train_df.isEmpty():
+        raise ValueError(
+            "train_relevance: training data is empty — nothing to fit"
+        )
     return make_relevance_pipeline(**kwargs).fit(train_df)
 
 

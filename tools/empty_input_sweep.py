@@ -1,0 +1,73 @@
+"""Empty-input robustness sweep: run EVERY catalog entry against a
+schema-identical dataset with ZERO rows in each table.
+
+At 100 TB, empty inputs are not hypothetical — a partition-pruned read, a
+quiet day of events, a new tenant's corpus.  Every entry must either
+return a well-formed (possibly empty) DataFrame or raise a DOCUMENTED
+ValueError — never an arbitrary crash (IndexError from a .collect()[0],
+division by an empty count, max() over nothing).
+
+Usage: python tools/empty_input_sweep.py > EDGECHECK_r{N}.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import traceback
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events"
+    " documents embeddings"
+).split()
+
+
+def build_empty_dir(spark, src: str) -> str:
+    out = tempfile.mkdtemp(prefix="spark_graft_empty_")
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from aicoe_osc_demo_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("empty-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    empty = build_empty_dir(spark, src)
+
+    ok, empty_ok, refused, crashed = [], [], [], []
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            rows = fn(spark, empty).collect()
+            (empty_ok if not rows else ok).append((name, len(rows)))
+        except ValueError as e:
+            refused.append((name, str(e)[:100]))
+        except Exception as e:  # noqa: BLE001
+            tb = traceback.format_exc().splitlines()[-1][:160]
+            crashed.append((name, f"{type(e).__name__}: {tb}"))
+        spark.catalog.clearCache()
+
+    print("# Empty-input sweep — every entry on 0-row tables\n")
+    print(f"source schemas: {src}\n")
+    print(f"- returned empty result cleanly: {len(empty_ok)}")
+    print(f"- returned NON-empty result (constant/math tables): {len(ok)}")
+    for n, r in ok:
+        print(f"  - {n}: {r} rows")
+    print(f"- refused with a documented ValueError: {len(refused)}")
+    for n, e in refused:
+        print(f"  - {n}: {e}")
+    print(f"- CRASHED (must be fixed): {len(crashed)}")
+    for n, e in crashed:
+        print(f"  - {n}: {e}")
+    os.system(f"rm -rf {empty}")
+    return 1 if crashed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
