@@ -661,15 +661,20 @@ def rater_agreement(df: DataFrame, raters: dict[str, Column]) -> DataFrame:
     pe_num = F.col("sa") * F.col("sb") + (F.col("n") - F.col("sa")) * (
         F.col("n") - F.col("sb")
     )
+    # NULLIF guards: n = 0 (empty input) or pe = 1 (both raters constant,
+    # e.g. a 1-row frame) zero a denominator — kappa is undefined there
+    # and both engines emit NULL instead of an ANSI division error
     return long_.select(
         "rater_a",
         "rater_b",
         "n",
-        F.round(po_num.cast("double") / F.col("n"), 6).alias("po"),
-        F.round(pe_num.cast("double") / (F.col("n") * F.col("n")), 6).alias("pe"),
+        F.round(po_num.cast("double") / F.nullif(F.col("n"), F.lit(0)), 6).alias("po"),
+        F.round(
+            pe_num.cast("double") / F.nullif(F.col("n") * F.col("n"), F.lit(0)), 6
+        ).alias("pe"),
         F.round(
             (po_num * F.col("n") - pe_num).cast("double")
-            / (F.col("n") * F.col("n") - pe_num),
+            / F.nullif(F.col("n") * F.col("n") - pe_num, F.lit(0)),
             6,
         ).alias("kappa"),
     )
@@ -959,13 +964,19 @@ def ab_test_report(
         F.sum(F.when(a, F.col("_conv")).otherwise(0)).cast("long").alias("conv_a"),
         F.sum(F.when(a, 0).otherwise(F.col("_conv"))).cast("long").alias("conv_b"),
     )
-    ra = F.col("conv_a") / F.col("n_a")
-    rb = F.col("conv_b") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    # NULLIF guards throughout: an empty variant arm or a 0%/100% pooled
+    # rate makes a denominator 0 and ANSI division would throw — the
+    # undefined statistics are emitted as NULL (identically in the oracle)
+    ra = F.col("conv_a") / F.nullif(F.col("n_a"), F.lit(0))
+    rb = F.col("conv_b") / F.nullif(F.col("n_b"), F.lit(0))
+    pooled = (F.col("conv_a") + F.col("conv_b")) / F.nullif(
+        F.col("n_a") + F.col("n_b"), F.lit(0)
+    )
     se = F.sqrt(
         pooled
         * (F.lit(1.0) - pooled)
-        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        * (F.lit(1.0) / F.nullif(F.col("n_a"), F.lit(0))
+           + F.lit(1.0) / F.nullif(F.col("n_b"), F.lit(0)))
     )
     return out.select(
         "n_a",
@@ -974,8 +985,8 @@ def ab_test_report(
         "conv_b",
         F.round(ra, 6).alias("rate_a"),
         F.round(rb, 6).alias("rate_b"),
-        F.round((rb - ra) / ra, 6).alias("lift_b_vs_a"),
-        F.round((rb - ra) / se, 6).alias("z_score"),
+        F.round((rb - ra) / F.nullif(ra, F.lit(0.0)), 6).alias("lift_b_vs_a"),
+        F.round((rb - ra) / F.nullif(se, F.lit(0.0)), 6).alias("z_score"),
     )
 
 

@@ -1101,11 +1101,11 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
            ROUND((s1 / n) / 100, 6) AS mean,
            ROUND(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                 / power((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+                 / NULLIF(power((s2 / n) - (s1 / n) * (s1 / n), 1.5), 0), 6) AS skewness,
            ROUND(((s4 / n) - 4 * (s1 / n) * (s3 / n)
                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-                 / power((s2 / n) - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+                 / NULLIF(power((s2 / n) - (s1 / n) * (s1 / n), 2), 0) - 3, 6) AS excess_kurtosis
     FROM m
     """,
 )
@@ -1146,12 +1146,16 @@ def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("n").cast("long").alias("n_rows"),
         F.round(m1 / 100, 6).alias("mean"),
-        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5), 6).alias(
-            "skewness"
-        ),
+        # NULLIF guards: a degenerate group (one row / all-equal values)
+        # has var = 0 and ANSI division would throw; both engines emit NULL
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / F.nullif(F.pow(var, 1.5), F.lit(0.0)),
+            6,
+        ).alias("skewness"),
         F.round(
             (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
-            / F.pow(var, 2)
+            / F.nullif(F.pow(var, 2), F.lit(0.0))
             - 3,
             6,
         ).alias("excess_kurtosis"),

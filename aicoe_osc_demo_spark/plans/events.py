@@ -1458,14 +1458,18 @@ def events_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT n_a, n_b, conv_a, conv_b,
-           ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
-           ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
-           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
-                 / (conv_a / CAST(n_a AS DOUBLE)), 6) AS lift_b_vs_a,
-           ROUND((conv_b / CAST(n_b AS DOUBLE) - conv_a / CAST(n_a AS DOUBLE))
-                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-                        * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+           ROUND(conv_a / CAST(NULLIF(n_a, 0) AS DOUBLE), 6) AS rate_a,
+           ROUND(conv_b / CAST(NULLIF(n_b, 0) AS DOUBLE), 6) AS rate_b,
+           ROUND((conv_b / CAST(NULLIF(n_b, 0) AS DOUBLE)
+                  - conv_a / CAST(NULLIF(n_a, 0) AS DOUBLE))
+                 / NULLIF(conv_a / CAST(NULLIF(n_a, 0) AS DOUBLE), 0),
+                 6) AS lift_b_vs_a,
+           ROUND((conv_b / CAST(NULLIF(n_b, 0) AS DOUBLE)
+                  - conv_a / CAST(NULLIF(n_a, 0) AS DOUBLE))
+                 / NULLIF(sqrt(((conv_a + conv_b) / CAST(NULLIF(n_a + n_b, 0) AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b) / CAST(NULLIF(n_a + n_b, 0) AS DOUBLE))
+                        * (1.0 / NULLIF(n_a, 0) + 1.0 / NULLIF(n_b, 0))), 0),
+                 6) AS z_score
     FROM s
     """,
 )

@@ -943,12 +943,12 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'words_ok', 'english', n, s_words, s_en, s_words_en FROM s
     )
     SELECT rater_a, rater_b, n,
-           ROUND(CAST(2 * sab + n - sa - sb AS DOUBLE) / n, 6) AS po,
-           ROUND(CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / (n * n), 6)
+           ROUND(CAST(2 * sab + n - sa - sb AS DOUBLE) / NULLIF(n, 0), 6) AS po,
+           ROUND(CAST(sa * sb + (n - sa) * (n - sb) AS DOUBLE) / NULLIF(n * n, 0), 6)
              AS pe,
            ROUND(CAST((2 * sab + n - sa - sb) * n
                       - (sa * sb + (n - sa) * (n - sb)) AS DOUBLE)
-                 / (n * n - (sa * sb + (n - sa) * (n - sb))), 6) AS kappa
+                 / NULLIF(n * n - (sa * sb + (n - sa) * (n - sb)), 0), 6) AS kappa
     FROM p
     """,
 )

@@ -23,10 +23,10 @@ TABLES = (
 ).split()
 
 
-def build_empty_dir(spark, src: str) -> str:
+def build_empty_dir(spark, src: str, n_rows: int = 0) -> str:
     out = tempfile.mkdtemp(prefix="spark_graft_empty_")
     for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet").limit(0)
+        df = spark.read.parquet(f"{src}/{t}.parquet").limit(n_rows)
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     return out
 
@@ -37,9 +37,10 @@ def main() -> int:
     from aicoe_osc_demo_spark.session import get_spark
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     spark = get_spark("empty-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    empty = build_empty_dir(spark, src)
+    empty = build_empty_dir(spark, src, n_rows)
 
     ok, empty_ok, refused, crashed = [], [], [], []
     for name, fn in sorted(entrymod.queries().items()):
@@ -53,7 +54,7 @@ def main() -> int:
             crashed.append((name, f"{type(e).__name__}: {tb}"))
         spark.catalog.clearCache()
 
-    print("# Empty-input sweep — every entry on 0-row tables\n")
+    print(f"# Degenerate-input sweep — every entry on {n_rows}-row tables\n")
     print(f"source schemas: {src}\n")
     print(f"- returned empty result cleanly: {len(empty_ok)}")
     print(f"- returned NON-empty result (constant/math tables): {len(ok)}")
