@@ -67,7 +67,11 @@ def stub_decode(content: bytes) -> dict:
 
 def media_from_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Build an opaque-binary media table from a text column (test harness:
-    the bytes are the utf-8 encoding; the pipeline treats them as opaque)."""
+    the bytes are the utf-8 encoding; the pipeline treats them as opaque).
+
+    Rows with NULL content are excluded — there is nothing to decode, and
+    the Python decode/hash stages require real bytes (buffer protocol)."""
+    df = df.filter(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col).alias("media_id"),
         F.col(text_col).cast("binary").alias("content"),

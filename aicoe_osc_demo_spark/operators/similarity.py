@@ -183,10 +183,18 @@ def _multiprobe_flips(planes_per_table: int):
 def _explode_tables(df: DataFrame, vec_col, n_tables: int, planes_per_table: int, dim: int):
     """One (t, bucket) row per table per vector: posexplode of the per-table
     bucket array.  The downstream candidate join is an equi-join on
-    (t, bucket) — collisions in DIFFERENT tables never meet."""
-    return df.withColumn(
-        "_tb", _table_buckets(vec_col, n_tables, planes_per_table, dim)
-    ).select("*", F.posexplode("_tb").alias("t", "bucket")).drop("_tb")
+    (t, bucket) — collisions in DIFFERENT tables never meet.
+
+    NULL vectors are excluded up front (the SQL-aggregate null contract: a
+    row with no embedding has no bucket and can never be a candidate) —
+    np.stack over a batch containing None would otherwise crash every ANN
+    path on corpora with missing embeddings."""
+    return (
+        df.filter(vec_col.isNotNull())
+        .withColumn("_tb", _table_buckets(vec_col, n_tables, planes_per_table, dim))
+        .select("*", F.posexplode("_tb").alias("t", "bucket"))
+        .drop("_tb")
+    )
 
 
 def train_ivf_quantizer(

@@ -23,10 +23,32 @@ TABLES = (
 ).split()
 
 
-def build_empty_dir(spark, src: str, n_rows: int = 0) -> str:
+# key columns stay intact under null injection — joins/grouping keys are
+# NOT NULL by schema contract; every other column is fair game
+KEY_COLS = {
+    "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "s_suppkey",
+    "p_partkey", "o_orderkey", "o_custkey", "l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "event_id", "user_id", "doc_id", "vec_id",
+    "ts",
+}
+
+
+def build_empty_dir(spark, src: str, n_rows: int = 0, nulls: bool = False) -> str:
+    from pyspark.sql import functions as F
+
     out = tempfile.mkdtemp(prefix="spark_graft_empty_")
     for t in TABLES:
-        df = spark.read.parquet(f"{src}/{t}.parquet").limit(n_rows)
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if n_rows:
+            df = df.limit(n_rows)
+        if nulls:
+            # deterministic ~10% null injection into every non-key column
+            for i, c in enumerate(df.columns):
+                if c in KEY_COLS:
+                    continue
+                keep = (F.xxhash64(F.lit(c), *[F.col(k) for k in df.columns
+                                               if k in KEY_COLS]) % 10) != i % 10
+                df = df.withColumn(c, F.when(keep, F.col(c)))
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     return out
 
@@ -37,10 +59,12 @@ def main() -> int:
     from aicoe_osc_demo_spark.session import get_spark
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    arg2 = sys.argv[2] if len(sys.argv) > 2 else "0"
+    nulls = arg2 == "nulls"
+    n_rows = 0 if nulls else int(arg2)
     spark = get_spark("empty-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    empty = build_empty_dir(spark, src, n_rows)
+    empty = build_empty_dir(spark, src, n_rows, nulls)
 
     ok, empty_ok, refused, crashed = [], [], [], []
     for name, fn in sorted(entrymod.queries().items()):
@@ -54,7 +78,8 @@ def main() -> int:
             crashed.append((name, f"{type(e).__name__}: {tb}"))
         spark.catalog.clearCache()
 
-    print(f"# Degenerate-input sweep — every entry on {n_rows}-row tables\n")
+    mode = "~10%-null non-key columns" if nulls else f"{n_rows}-row tables"
+    print(f"# Degenerate-input sweep — every entry on {mode}\n")
     print(f"source schemas: {src}\n")
     print(f"- returned empty result cleanly: {len(empty_ok)}")
     print(f"- returned NON-empty result (constant/math tables): {len(ok)}")
