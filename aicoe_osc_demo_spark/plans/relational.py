@@ -1697,3 +1697,132 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_v", 2).alias("revenue"),
         F.round(F.col("_v") / F.sum("_v").over(w), 6).alias("mkt_share"),
     )
+
+
+@register(
+    "join_unshipped_topk_revenue",
+    # TPC-H Q3 shape (shipping priority): revenue still unshipped at the
+    # cutoff for one market segment, top 10 orders.  The date range is
+    # FIXED across SFs in this generator (1995-2001), so the literal
+    # cutoff is scale-stable; the rank key is integer half-up cents
+    # (accumulation-order-proof, same guard as Q10).
+    """
+    SELECT l.l_orderkey,
+           ROUND(CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
+                            + 0.5) AS BIGINT) / 100.0, 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
+                        + 0.5) AS BIGINT) DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_unshipped_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("date")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("date")
+    )
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    grouped = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                * 100
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_cents")
+        )
+    )
+    return (
+        grouped.orderBy(F.col("_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "agg_forecast_revenue_delta",
+    # TPC-H Q6 shape: revenue delta from lifting mid-band discounts on
+    # small-quantity 1997 lineitems — one map-only conditional sum;
+    # every predicate reaches the parquet scan (PushedFilters).
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_small_quantity_loss",
+    # TPC-H Q17 shape: yearly revenue lost to sub-20%-of-average-quantity
+    # orders of one brand — the correlated scalar subquery rewritten as a
+    # per-part average join (one keyed aggregate co-partitioned with the
+    # probe side; the brand dim prunes first).
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly_loss,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def join_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("_avg_qty"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly_loss"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )

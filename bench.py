@@ -287,6 +287,9 @@ HEADLINE_R9 = [
     "llm_heaps_law",
     "llm_bigram_entropy",
     "llm_temperature_mixture",
+    "join_unshipped_topk_revenue",
+    "agg_forecast_revenue_delta",
+    "join_small_quantity_loss",
 ]
 
 
