@@ -417,3 +417,116 @@ def streaming_linear_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- Streaming heavy hitters (sharded Misra-Gries) ----------------------------
+
+MG_OUTPUT_SCHEMA = "shard int, item string, mg_count long, n_seen long"
+MG_STATE_SCHEMA = "items array<string>, counts array<long>, n_seen long"
+
+
+def _mg_fold(counters: dict, items, capacity: int) -> None:
+    """The Misra-Gries fold: increment known items, admit while below
+    capacity, otherwise decrement-all (deleting zeros).  Mutates
+    ``counters`` in place; deterministic given item order."""
+    for item in items:
+        if item in counters:
+            counters[item] += 1
+        elif len(counters) < capacity:
+            counters[item] = 1
+        else:
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+
+
+def _mg_update(key, pdfs, state):
+    """Per-shard Misra-Gries state across micro-batches.  Each batch is
+    sorted (item order is part of MG's determinism contract — a replay
+    folds identically), folded into the carried counters, and the CURRENT
+    sketch snapshot is emitted (update-style: latest snapshot per shard
+    wins downstream).  Capacity rides in on the `_capacity` column."""
+    (shard,) = key
+    if state.exists:
+        items, counts, n_seen = state.get
+        counters = dict(zip(list(items), [int(c) for c in counts]))
+        n_seen = int(n_seen)
+    else:
+        counters, n_seen = {}, 0
+    capacity = 64
+    for pdf in pdfs:
+        if len(pdf):
+            capacity = int(pdf["_capacity"].iloc[0])
+        vals = sorted(pdf["item"].astype(str))
+        _mg_fold(counters, vals, capacity)
+        n_seen += len(vals)
+    state.update((list(counters.keys()), [int(v) for v in counters.values()], n_seen))
+    yield pd.DataFrame(
+        {
+            "shard": [int(shard)] * len(counters),
+            "item": list(counters.keys()),
+            "mg_count": [int(v) for v in counters.values()],
+            "n_seen": [n_seen] * len(counters),
+        }
+    )
+
+
+def streaming_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    capacity: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming frequent-items sketch: items hash-shard across ``shards``
+    Misra-Gries states (each item lives in exactly ONE shard, so per-item
+    error is bounded by that shard's stream length / capacity — the MG
+    guarantee survives sharding), maintained across micro-batches with
+    applyInPandasWithState.  Each trigger emits the current per-shard
+    sketch snapshot; the global top-k is a tiny batch rollup over the
+    latest snapshot (shards x capacity rows).
+
+    State is BOUNDED by construction (shards x capacity counters) — the
+    streaming-safe contrast to exact streaming counts, whose state grows
+    with the item vocabulary.  The batch form of the same sketch is
+    :func:`~aicoe_osc_demo_spark.operators.sketch.heavy_hitters` (which
+    adds the exact re-count pass a bounded stream can't do).
+
+    Non-streaming frames run the identical sharded fold via
+    ``applyInPandas`` — the one-batch degradation of the same state
+    function (MG output depends on fold order; both paths sort per batch,
+    so a single-batch stream and the batch form fold identically).
+    """
+    from pyspark.sql import functions as F
+
+    tagged = items.select(
+        F.pmod(F.xxhash64(F.col(item_col).cast("string")), F.lit(shards))
+        .cast("int")
+        .alias("_shard"),
+        F.col(item_col).cast("string").alias("item"),
+        F.lit(capacity).alias("_capacity"),
+    )
+    if not items.isStreaming:
+
+        def one_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            class _Once:
+                exists = False
+
+                def update(self, v):
+                    self._v = v
+
+                @property
+                def get(self):
+                    return self._v
+
+            shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+            return pd.concat(list(_mg_update((shard,), iter([pdf]), _Once())))
+
+        return tagged.groupBy("_shard").applyInPandas(one_batch, schema=MG_OUTPUT_SCHEMA)
+    return tagged.groupBy("_shard").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1005,3 +1005,96 @@ def test_streaming_linear_attribution_counts_duplicate_touches(spark):
     ) == [("click", 0.333333), ("click", 0.333333), ("view", 0.333333)]
     # state pruned to the in-window touches, duplicates retained
     assert len(st.get[0]) == 3
+
+
+def test_streaming_heavy_hitters_cross_batch_restart_and_replay_parity(spark, tmp_path):
+    # sharded Misra-Gries state survives micro-batch boundaries and
+    # restarts; the final sketch equals a Python MG replay folded in the
+    # same per-batch sorted order, and the MG guarantee holds (every item
+    # with true count > n_shard/capacity is present with a lower-bound
+    # count <= true count)
+    from aicoe_osc_demo_spark.streaming.stateful import (
+        _mg_fold,
+        streaming_heavy_hitters,
+    )
+
+    cols = "event_id long, item string"
+    b1 = [(i, "hot") for i in range(30)] + [(100 + i, f"rare{i}") for i in range(10)]
+    b2 = [(200 + i, "hot") for i in range(20)] + [(300 + i, "warm") for i in range(15)]
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(inp)
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(inp + "/b1.parquet")
+
+    snapshots: dict[int, dict] = {}
+
+    def run():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inp)
+        )
+
+        def sink(df, _e):
+            rows = df.collect()
+            # update-mode snapshot: rebuild each emitted shard's dict
+            for shard in {r.shard for r in rows}:
+                snapshots[shard] = {
+                    r.item: r.mg_count for r in rows if r.shard == shard
+                }
+
+        q = (
+            streaming_heavy_hitters(stream, capacity=4, shards=2)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(inp + "/b2.parquet")
+    run()  # restart: shard states must be restored from the checkpoint
+
+    # Python replay: same sharding (xxhash64) and same per-batch sort
+    from pyspark.sql import functions as F
+
+    def shard_of(vals):
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "item string")
+            .select("item", F.pmod(F.xxhash64(F.col("item")), F.lit(2)).cast("int").alias("s"))
+            .collect()
+        )
+        return {r.item: r.s for r in rows}
+
+    all_items = [r[1] for r in b1 + b2]
+    smap = shard_of(list(set(all_items)))
+    expect: dict[int, dict] = {0: {}, 1: {}}
+    for batch in (b1, b2):
+        per_shard = {0: [], 1: []}
+        for _eid, it in batch:
+            per_shard[smap[it]].append(it)
+        for s, vals in per_shard.items():
+            _mg_fold(expect[s], sorted(vals), 4)
+    expect = {s: d for s, d in expect.items() if d}
+    got = {s: d for s, d in snapshots.items() if d}
+    assert got == expect
+
+    # guarantee: 'hot' (true 50) and 'warm' (true 15) must be present with
+    # lower-bound counts <= their true counts
+    merged = {}
+    for d in got.values():
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert "hot" in merged and merged["hot"] <= 50
+    assert "warm" in merged and merged["warm"] <= 15
+
+    # batch (non-streaming) form: same fold on a single batch
+    batch_out = streaming_heavy_hitters(
+        spark.createDataFrame(b1 + b2, cols), capacity=4, shards=2
+    ).collect()
+    bm = {}
+    for r in batch_out:
+        bm[r.item] = bm.get(r.item, 0) + r.mg_count
+    assert "hot" in bm and bm["hot"] <= 50
