@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # join_dormant_rich_customers, join_market_share, llm_heaps_law,
 # llm_bigram_entropy, llm_temperature_mixture, plus the batch-J TPC-H
 # shapes join_unshipped_topk_revenue (Q3), agg_forecast_revenue_delta (Q6),
-# join_small_quantity_loss (Q17) — these front the r10 window
+# join_small_quantity_loss (Q17), and the experimentation/eval batch K
+# events_cuped, quality_ks_test, ml_auc_rank — these front the r10 window
 # per the rotation convention, then the r03/r04 oldest-green rotation
 # resumes (llm_chunk_documents block, agg/events r04 block) so no entry's
 # driver evidence goes >~5 rounds stale.

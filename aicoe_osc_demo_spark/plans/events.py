@@ -2915,3 +2915,76 @@ def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     return per.groupBy("depth").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+@register(
+    "events_cuped",
+    # CUPED variance reduction (Deng et al., WSDM'13): adjust each user's
+    # post-period metric by theta * (pre - mean_pre) with the POOLED
+    # theta = cov(pre, post)/var(pre); report per-variant means and the
+    # variance reduction.  Everything reduces to per-user sums, then one
+    # pooled moment row (broadcast) and one per-variant aggregate — the
+    # experimentation readout at any scale.
+    """
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS pre,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) AS post
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT covar_pop(pre, post) / NULLIF(var_pop(pre), 0) AS theta,
+             AVG(pre) AS mean_pre
+      FROM u
+    )
+    SELECT u.variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(u.post), 2) AS mean_post,
+           ROUND(AVG(u.post - s.theta * (u.pre - s.mean_pre)), 2) AS mean_adjusted,
+           ROUND(var_pop(u.post), 2) AS var_post,
+           ROUND(var_pop(u.post - s.theta * (u.pre - s.mean_pre)), 2) AS var_adjusted
+    FROM u CROSS JOIN s
+    GROUP BY 1
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    u = (
+        e.withColumn("variant", F.when(parity == 0, "A").otherwise("B"))
+        .groupBy("user_id", "variant")
+        .agg(
+            F.sum(F.when(F.col("ts").cast("timestamp") < cutoff, F.col("value")).otherwise(0)).alias("pre"),
+            F.sum(F.when(F.col("ts").cast("timestamp") >= cutoff, F.col("value")).otherwise(0)).alias("post"),
+        )
+    )
+    s = u.agg(
+        (F.covar_pop("pre", "post") / F.nullif(F.var_pop("pre"), F.lit(0.0))).alias("theta"),
+        F.avg("pre").alias("mean_pre"),
+    )
+    adj = F.col("post") - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+    return (
+        u.crossJoin(F.broadcast(s))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            # 2dp, not 6: these are means/variances of per-user double
+            # SUMS (values O(1e3-1e6)) — engine accumulation order differs
+            # by ~1e-9 absolute, which flakes a 6dp boundary
+            F.round(F.avg("post"), 2).alias("mean_post"),
+            F.round(F.avg(adj), 2).alias("mean_adjusted"),
+            F.round(F.var_pop("post"), 2).alias("var_post"),
+            F.round(F.var_pop(adj), 2).alias("var_adjusted"),
+        )
+    )

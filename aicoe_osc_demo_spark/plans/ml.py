@@ -333,3 +333,70 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("_acc") - F.col("_conf")), 6).alias("gap"),
         F.round("_ece", 6).alias("ece"),
     )
+
+
+@register(
+    "ml_auc_rank",
+    # Exact ROC-AUC by tie-corrected rank sum (Mann-Whitney U): label =
+    # English, score = the stub relevance integer — per-score-value counts
+    # first, AVERAGE ranks from one cumulative window over the score
+    # vocabulary, so the AUC forms from exact integers and half-integers
+    # (bit-identical in both engines).  The eval every ranking model
+    # report needs, with no per-row sort at scale.
+    """
+    WITH s AS (
+      SELECT (31 * length(text)) % 1000 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    c AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(pos) AS BIGINT) AS kp
+      FROM s GROUP BY 1
+    ),
+    r AS (
+      SELECT score, k, kp,
+             SUM(k) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - k AS below
+      FROM c
+    ),
+    agg AS (
+      SELECT SUM(kp * (below + (k + 1) / 2.0)) AS rank_sum_pos,
+             SUM(kp) AS np, SUM(k - kp) AS nn
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND((rank_sum_pos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        ((F.lit(31) * F.length("text")) % 1000).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    c = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("pos").cast("long").alias("kp"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = c.select(
+        "score", "k", "kp", (F.sum("k").over(w) - F.col("k")).alias("below")
+    )
+    agg = r.agg(
+        F.sum(F.col("kp") * (F.col("below") + (F.col("k") + 1) / 2.0)).alias("rank_sum_pos"),
+        F.sum("kp").alias("np"),
+        F.sum(F.col("k") - F.col("kp")).alias("nn"),
+    )
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum_pos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

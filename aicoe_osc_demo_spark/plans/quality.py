@@ -1341,3 +1341,70 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n_pass").cast("double") / F.nullif(F.col("n0"), F.lit(0)), 6
         ).alias("rate"),
     )
+
+
+@register(
+    "quality_ks_test",
+    # Two-sample Kolmogorov-Smirnov over document lengths: is the 'en'
+    # length distribution the same as the rest of the corpus?  D = max
+    # |ECDF_a - ECDF_b| evaluated at the pooled DISTINCT values — raw
+    # rows reduce to (value, side) counts first, so the ordered window
+    # runs on the value-vocabulary table, and every ratio is an integer
+    # cumsum over an integer total (exact in both engines).
+    """
+    WITH c AS (
+      SELECT n_chars AS v,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+    e AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+      FROM c
+    )
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(e.cuma AS DOUBLE) / t.na
+                         - CAST(e.cumb AS DOUBLE) / t.nb)), 6) AS ks_d,
+           ROUND(1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)), 6)
+             AS critical_05,
+           MAX(ABS(CAST(e.cuma AS DOUBLE) / t.na - CAST(e.cumb AS DOUBLE) / t.nb))
+             > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)) AS reject_05
+    FROM e CROSS JOIN t
+    GROUP BY t.na, t.nb
+    """,
+)
+def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e = c.select(
+        "v", F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    diff = F.abs(
+        F.col("cuma").cast("double") / F.col("na")
+        - F.col("cumb").cast("double") / F.col("nb")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+    )
+    return (
+        e.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(F.max(diff).alias("_d"), F.max(crit).alias("_c"))
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(F.col("_d"), 6).alias("ks_d"),
+            F.round(F.col("_c"), 6).alias("critical_05"),
+            (F.col("_d") > F.col("_c")).alias("reject_05"),
+        )
+    )

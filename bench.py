@@ -290,6 +290,9 @@ HEADLINE_R9 = [
     "join_unshipped_topk_revenue",
     "agg_forecast_revenue_delta",
     "join_small_quantity_loss",
+    "events_cuped",
+    "quality_ks_test",
+    "ml_auc_rank",
 ]
 
 
