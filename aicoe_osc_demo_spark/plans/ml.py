@@ -366,7 +366,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
-           ROUND((rank_sum_pos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+           ROUND((rank_sum_pos - np * (np + 1) / 2.0) / NULLIF(np * nn, 0), 6) AS auc
     FROM agg
     """,
 )
@@ -394,9 +394,11 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),
+        # NULLIF guard: a single-class input has no ranking to score —
+        # AUC is undefined, both engines emit NULL
         F.round(
             (F.col("rank_sum_pos") - F.col("np") * (F.col("np") + 1) / 2.0)
-            / (F.col("np") * F.col("nn")),
+            / F.nullif(F.col("np") * F.col("nn"), F.lit(0)),
             6,
         ).alias("auc"),
     )

@@ -1366,12 +1366,14 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
-           ROUND(MAX(ABS(CAST(e.cuma AS DOUBLE) / t.na
-                         - CAST(e.cumb AS DOUBLE) / t.nb)), 6) AS ks_d,
-           ROUND(1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)), 6)
+           ROUND(MAX(ABS(CAST(e.cuma AS DOUBLE) / NULLIF(t.na, 0)
+                         - CAST(e.cumb AS DOUBLE) / NULLIF(t.nb, 0))), 6) AS ks_d,
+           ROUND(1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / NULLIF(t.na * t.nb, 0)), 6)
              AS critical_05,
-           MAX(ABS(CAST(e.cuma AS DOUBLE) / t.na - CAST(e.cumb AS DOUBLE) / t.nb))
-             > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)) AS reject_05
+           MAX(ABS(CAST(e.cuma AS DOUBLE) / NULLIF(t.na, 0)
+                   - CAST(e.cumb AS DOUBLE) / NULLIF(t.nb, 0)))
+             > 1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / NULLIF(t.na * t.nb, 0))
+             AS reject_05
     FROM e CROSS JOIN t
     GROUP BY t.na, t.nb
     """,
@@ -1389,12 +1391,15 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = c.select(
         "v", F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
     )
+    # NULLIF guards: a one-sided corpus (every doc in/not-in the 'en'
+    # class) makes a sample size 0 — the test is undefined, emit NULLs
     diff = F.abs(
-        F.col("cuma").cast("double") / F.col("na")
-        - F.col("cumb").cast("double") / F.col("nb")
+        F.col("cuma").cast("double") / F.nullif(F.col("na"), F.lit(0))
+        - F.col("cumb").cast("double") / F.nullif(F.col("nb"), F.lit(0))
     )
     crit = F.lit(1.358) * F.sqrt(
-        (F.col("na") + F.col("nb")).cast("double") / (F.col("na") * F.col("nb"))
+        (F.col("na") + F.col("nb")).cast("double")
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0))
     )
     return (
         e.crossJoin(F.broadcast(t))
