@@ -66,3 +66,29 @@ def test_product_quantize_rejects_indivisible_dim(spark):
         product_quantize(df, m=4, dim=10)
     with pytest.raises(ValueError, match="not divisible"):
         pq_adc_topk(df, df, df, m=3, dim=10)
+
+
+def test_ks_and_auc_undefined_on_one_class_emit_null(spark):
+    # the degenerate-input contract at suite level: a one-class corpus has
+    # no second sample to test / no ranking to score — the statistic is
+    # NULL, never an ANSI division error (EDGECHECK guard class)
+    from aicoe_osc_demo_spark.plans import QUERIES, load
+
+    import aicoe_osc_demo_spark.plans.ml as ml_plans
+    import aicoe_osc_demo_spark.plans.quality as q_plans
+
+    one_class = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for mod, name in ((q_plans, "quality_ks_test"), (ml_plans, "ml_auc_rank")):
+        orig = getattr(mod, "load", None)
+        try:
+            mod.load = lambda _s, _d, _t: one_class  # type: ignore[assignment]
+            rows = QUERIES[name](spark, "unused").collect()
+            assert len(rows) == 1
+            r = rows[0].asDict()
+            stat = r.get("ks_d", r.get("auc"))
+            assert stat is None, (name, r)
+        finally:
+            mod.load = orig  # type: ignore[assignment]
