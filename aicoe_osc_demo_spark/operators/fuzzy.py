@@ -248,10 +248,18 @@ def fuzzy_best_match_join(
     tiebreak = [c for c in right.columns if c not in on][:1]
     # spread the pairs BEFORE the per-pair bound: the broadcast join output
     # inherits the right side's partitioning (often one file = one thread)
+    # NULL text must behave exactly like the unpruned path (the UDF's
+    # ``x or ''`` guard scores it 0.0): tokenize the coalesced text so the
+    # pair gets ub = 0 and survives whenever a 0-score row could win,
+    # instead of a NULL _ub silently failing the survivors filter
     cand = (
         ensure_parallelism(
-            left.withColumn("_ta", _processed_tokens(F.col(left_text))).join(
-                right.withColumn("_tb", _processed_tokens(F.col(right_text))),
+            left.withColumn(
+                "_ta", _processed_tokens(F.coalesce(F.col(left_text), F.lit("")))
+            ).join(
+                right.withColumn(
+                    "_tb", _processed_tokens(F.coalesce(F.col(right_text), F.lit("")))
+                ),
                 on=on,
             )
         )

@@ -826,7 +826,9 @@ def layout_column_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session catalog.  Results are plain join output either way, so the
 # oracle is the ordinary SQL join — the bucketing is a physical
 # property, pinned by test_physical_layout's no-Exchange assertion.
-_BUCKETED_READY: set[tuple[int, str]] = set()
+# mtime in the key (same pattern as plans/corpus.py's _BM25_INDEX_CACHE):
+# a regenerated dataset under the same sf_dir rebuilds the buckets.
+_BUCKETED_READY: set[tuple[int, str, float]] = set()
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -834,11 +836,15 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import tempfile
 
     from ..sources.files import write_bucketed_table
+    from ..sources.tables import tables_mtime
 
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
     ot, ct = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, tables_mtime(sf_dir, ("orders", "customer")))
     if key not in _BUCKETED_READY or not spark.catalog.tableExists(ot):
+        _BUCKETED_READY.difference_update(
+            {k for k in _BUCKETED_READY if k[:2] == (id(spark), sf_dir)}
+        )
         base = tempfile.mkdtemp(prefix="spark_graft_bkt_")
         write_bucketed_table(
             load(spark, sf_dir, "orders").select(

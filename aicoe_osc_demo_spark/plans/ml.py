@@ -348,6 +348,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (31 * length(text)) % 1000 AS score,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
       FROM documents
+      WHERE text IS NOT NULL
     ),
     c AS (
       SELECT score, CAST(COUNT(*) AS BIGINT) AS k,
@@ -374,7 +375,10 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    s = d.select(
+    # NULL text has no score: drop it BEFORE the cumulative window — Spark
+    # sorts NULLS FIRST ascending while DuckDB sorts NULLS LAST, so a NULL
+    # score key would shift `below` for every group and diverge the AUC
+    s = d.filter(F.col("text").isNotNull()).select(
         ((F.lit(31) * F.length("text")) % 1000).alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
     )

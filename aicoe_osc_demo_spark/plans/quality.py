@@ -1356,7 +1356,7 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_chars AS v,
              CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
              CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ),
     t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
     e AS (
@@ -1382,7 +1382,10 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
-    c = d.groupBy(F.col("n_chars").alias("v")).agg(
+    # a NULL length has no place on the ECDF axis: drop it BEFORE the
+    # cumulative window — Spark orders NULLS FIRST ascending, DuckDB NULLS
+    # LAST, so a NULL value key would shift every cumulative count
+    c = d.filter(F.col("n_chars").isNotNull()).groupBy(F.col("n_chars").alias("v")).agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("ca"),
         F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).cast("long").alias("cb"),
     )

@@ -50,6 +50,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def tables_mtime(sf_dir: str, names: tuple[str, ...]) -> float:
+    """Latest parquet mtime across ``names`` — cache-key component for
+    process-scoped derived artifacts (bucketed tables, persisted indexes) so
+    a regenerated dataset under the same sf_dir invalidates instead of
+    silently serving stale data."""
+    latest = -1.0
+    for name in names:
+        p = table_path(sf_dir, name)
+        try:
+            if os.path.isdir(p):
+                latest = max(
+                    latest,
+                    max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)),
+                )
+            else:
+                latest = max(latest, os.path.getmtime(p))
+        except OSError:
+            pass
+    return latest
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for the SQL surface."""
     for name in TPCH_TABLES:

@@ -318,17 +318,20 @@ def _linear_attr_update(key, pdfs, state):
                 for ns, ch in zip(ns_list, ch_list)
                 if ns <= ts_ns and ts_ns - ns <= window_ns
             ]
+            # the batch join emits NULL rev (value/_k) for a NULL conversion
+            # value — normalize pandas NaN to None here so both paths agree
+            # (``NaN or 0.0`` is NaN, not 0.0, for a pandas null)
+            val = None if pd.isna(row.value) else float(row.value)
             if hits:
                 k = len(hits)
                 out.extend(
-                    (user_id, row.event_id, row.ts, row.value, ch, 1.0 / k,
-                     (row.value or 0.0) / k)
+                    (user_id, row.event_id, row.ts, val, ch, 1.0 / k,
+                     None if val is None else val / k)
                     for ch in hits
                 )
             else:
                 out.append(
-                    (user_id, row.event_id, row.ts, row.value, "(none)", 1.0,
-                     row.value)
+                    (user_id, row.event_id, row.ts, val, "(none)", 1.0, val)
                 )
     # prune touches that can never credit a future in-order conversion
     if max_ns is not None:

@@ -112,12 +112,15 @@ def test_fuzzy_prune_matches_unpruned_exactly(spark):
         return " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
 
     left = spark.createDataFrame(
-        [(i, text(), rng.choice(["en", "fr"])) for i in range(15)],
+        [(i, text(), rng.choice(["en", "fr"])) for i in range(15)]
+        # NULL-text left ids must still emit a (0-score) best match, exactly
+        # like the unpruned path's ``x or ''`` UDF guard scores them
+        + [(50, None, "en"), (51, None, "fr")],
         ["qid", "qtext", "lang"],
     )
     right = spark.createDataFrame(
         [(100 + i, text(), rng.choice(["en", "fr"])) for i in range(80)]
-        + [(900, "", "en"), (901, "!!!", "fr")],
+        + [(900, "", "en"), (901, "!!!", "fr"), (902, None, "en"), (903, None, "fr")],
         ["cid", "ctext", "lang"],
     )
     cols = ["qid", "cid", "match_score"]

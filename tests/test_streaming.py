@@ -883,6 +883,8 @@ def test_streaming_linear_attribution_cross_batch_restart_and_parity(spark, tmp_
         (7, 1, ts(20), "signup", 0.0),
         (8, 1, ts(30), "purchase", 40.0),   # click+view+signup -> 1/3 each
         (9, 3, ts(0), "purchase", 50.0),    # never touched -> none
+        (10, 2, ts(405), "click", 0.0),
+        (11, 2, ts(410), "purchase", None),  # NULL value -> NULL rev, both paths
     ]
     inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
     os.makedirs(inp)
@@ -901,7 +903,8 @@ def test_streaming_linear_attribution_cross_batch_restart_and_parity(spark, tmp_
             streaming_linear_attribution(stream, window_seconds=3600)
             .writeStream.foreachBatch(
                 lambda df, _e: emitted.extend(
-                    (r.event_id, r.channel, round(r.credit, 6), round(r.rev, 2))
+                    (r.event_id, r.channel, round(r.credit, 6),
+                     None if r.rev is None else round(r.rev, 2))
                     for r in df.collect()
                 )
             )
@@ -930,19 +933,24 @@ def test_streaming_linear_attribution_cross_batch_restart_and_parity(spark, tmp_
         (8, "signup", 0.333333, 13.33),
         (8, "view", 0.333333, 13.33),
         (9, "(none)", 1.0, 50.0),
+        (11, "click", 1.0, None),
     ]
-    assert sorted(emitted) == want
+    assert sorted(emitted, key=str) == sorted(want, key=str)
 
-    # exact credit conservation: credits sum to the conversion count (5)
-    assert abs(sum(c for _, _, c, _ in emitted) - 5.0) < 1e-4
+    # exact credit conservation: credits sum to the conversion count (6)
+    assert abs(sum(c for _, _, c, _ in emitted) - 6.0) < 1e-4
 
     # batch parity on the full event set (per-credit rollup)
     batch = spark.createDataFrame(b1 + b2, cols)
     got = sorted(
-        (r.event_id, r.channel, round(r.credit, 6), round(r.rev, 2))
-        for r in streaming_linear_attribution(batch, window_seconds=3600).collect()
+        (
+            (r.event_id, r.channel, round(r.credit, 6),
+             None if r.rev is None else round(r.rev, 2))
+            for r in streaming_linear_attribution(batch, window_seconds=3600).collect()
+        ),
+        key=str,
     )
-    assert got == sorted(emitted)
+    assert got == sorted(emitted, key=str)
 
 
 def test_streaming_linear_attribution_counts_duplicate_touches(spark):
