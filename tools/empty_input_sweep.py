@@ -39,7 +39,10 @@ def build_empty_dir(spark, src: str, n_rows: int = 0, nulls: bool = False) -> st
     out = tempfile.mkdtemp(prefix="spark_graft_empty_")
     for t in TABLES:
         df = spark.read.parquet(f"{src}/{t}.parquet")
-        if n_rows:
+        if not nulls:
+            # UNCONDITIONAL: `if n_rows` silently skipped limit(0) and ran
+            # the "empty" sweep on full tables (mislabeled EDGECHECK_r9
+            # evidence — judge finding r9 #1)
             df = df.limit(n_rows)
         if nulls:
             # deterministic ~10% null injection into every non-key column
@@ -50,6 +53,13 @@ def build_empty_dir(spark, src: str, n_rows: int = 0, nulls: bool = False) -> st
                                                if k in KEY_COLS]) % 10) != i % 10
                 df = df.withColumn(c, F.when(keep, F.col(c)))
         df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        # self-assertion: the built dir must actually hold what the report
+        # will claim it holds
+        if not nulls:
+            got = spark.read.parquet(f"{out}/{t}.parquet").count()
+            assert got <= max(n_rows, 0), f"{t}: built {got} rows, wanted {n_rows}"
+            if n_rows == 0 and got != 0:
+                raise AssertionError(f"{t}: 0-row build produced {got} rows")
     return out
 
 
