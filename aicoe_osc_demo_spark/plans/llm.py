@@ -313,6 +313,46 @@ def llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_heavy_hitters_serving",
+    # Serving query over the streaming sharded-Misra-Gries snapshot
+    # (streaming/stateful.py:streaming_heavy_hitters): the latest per-shard
+    # sketch (shards x capacity rows) supplies the CANDIDATE set, one exact
+    # broadcast-semi-join recount ranks them, top-15 serves.  The MG
+    # guarantee makes the recounted top-k EXACT whenever it clears each
+    # shard's n_shard/capacity frequency floor (n_shard ≈ n/8 here, so the
+    # sharded floor is 8x lower than the unsharded sketch's) — hence the
+    # oracle is the plain exact top-k.  The no-second-pass variant (serve
+    # SUM(mg_count) lower bounds directly) is pytest-pinned via the
+    # streaming restart + Python-replay parity test instead.
+    """
+    SELECT w AS item, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w ORDER BY n DESC, w ASC LIMIT 15
+    """,
+)
+def llm_heavy_hitters_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_heavy_hitters
+
+    tokens = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    snapshot = streaming_heavy_hitters(tokens, "w", capacity=256, shards=8)
+    candidates = snapshot.select("item").distinct()
+    exact = (
+        tokens.join(
+            F.broadcast(candidates), tokens["w"] == candidates["item"], "left_semi"
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(15)
+        .withColumnRenamed("w", "item")
+    )
+
+
+@register(
     "llm_hll_vocab_estimate",
     # Full value-check of an APPROXIMATE estimator: the md5-based HLL is
     # deterministic end-to-end (bucket = 60-bit md5 prefix mod 2^10,

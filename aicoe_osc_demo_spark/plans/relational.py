@@ -1212,8 +1212,10 @@ def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-bucket with NO Exchange on either fact side (pinned by
 # test_physical_layout), demonstrating the remedy layout_bucketed_join
 # introduced on the fact⋈dim case.  Same memo contract as
-# plans/advanced.py's _BUCKETED_READY.
-_BUCKETED_FACTS_READY: set[tuple[int, str]] = set()
+# plans/advanced.py's _BUCKETED_READY, with the source tables' mtime in the
+# key (the _documents_mtime pattern from plans/corpus.py) so a regenerated
+# dataset under the same sf_dir rebuilds instead of serving stale buckets.
+_BUCKETED_FACTS_READY: set[tuple[int, str, float]] = set()
 
 
 def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1221,11 +1223,16 @@ def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import tempfile
 
     from ..sources.files import write_bucketed_table
+    from ..sources.tables import tables_mtime
 
     tag = re.sub(r"[^a-z0-9]+", "_", sf_dir.lower()).strip("_")
     ot, lt = f"bkt_orders_ok_{tag}", f"bkt_lineitem_ok_{tag}"
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, tables_mtime(sf_dir, ("orders", "lineitem")))
     if key not in _BUCKETED_FACTS_READY or not spark.catalog.tableExists(ot):
+        # drop stale memo entries for the same session+dir (data regenerated)
+        _BUCKETED_FACTS_READY.difference_update(
+            {k for k in _BUCKETED_FACTS_READY if k[:2] == (id(spark), sf_dir)}
+        )
         base = tempfile.mkdtemp(prefix="spark_graft_bktf_")
         write_bucketed_table(
             load(spark, sf_dir, "orders").select(
@@ -1653,10 +1660,15 @@ def join_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
       WHERE r.r_name = 'ASIA'
       GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT yr, supp_nation,
+             CAST(floor(v * 100 + 0.5) AS BIGINT) AS vc
+      FROM rev
     )
-    SELECT yr, supp_nation, ROUND(v, 2) AS revenue,
-           ROUND(v / SUM(v) OVER (PARTITION BY yr), 6) AS mkt_share
-    FROM rev
+    SELECT yr, supp_nation, ROUND(vc / 100.0, 2) AS revenue,
+           ROUND(CAST(vc AS DOUBLE) / SUM(vc) OVER (PARTITION BY yr), 6) AS mkt_share
+    FROM cents
     """,
 )
 def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,13 +1701,17 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("yr"), "supp_nation"
         )
         .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("_v"))
+        # half-up integer cents BEFORE the ratio: the double sums accumulate
+        # in engine-specific order, and a raw 6dp round off the ratio of two
+        # such sums can flip a digit cross-engine (same guard as Q3/Q10)
+        .withColumn("_vc", F.floor(F.col("_v") * 100 + F.lit(0.5)).cast("long"))
     )
     w = Window.partitionBy("yr")
     return rev.select(
         "yr",
         "supp_nation",
-        F.round("_v", 2).alias("revenue"),
-        F.round(F.col("_v") / F.sum("_v").over(w), 6).alias("mkt_share"),
+        F.round(F.col("_vc") / 100.0, 2).alias("revenue"),
+        F.round(F.col("_vc").cast("double") / F.sum("_vc").over(w), 6).alias("mkt_share"),
     )
 
 
@@ -1825,4 +1841,224 @@ def join_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly_loss"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
+    )
+
+
+@register(
+    "join_product_type_profit",
+    # TPC-H Q9 shape (product-type profit): per-nation per-year profit on
+    # one part family.  No partsupp table in this schema, so supply cost is
+    # proxied as 60% of the part's retail price — the JOIN/rollup shape
+    # (LIKE-filtered part dim pruning the fact scan, supplier->nation
+    # broadcast, (nation, year) rollup AFTER the multiway join) is the
+    # reference's.  Profit sums land as half-up integer cents before the
+    # 2dp round (accumulation-order-proof, same guard as Q3/Q8/Q10).
+    """
+    WITH profit AS (
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+             SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) AS amount
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY 1, 2
+    )
+    SELECT nation, o_year,
+           ROUND(CAST(floor(amount * 100 + 0.5) AS BIGINT) / 100.0, 2)
+             AS sum_profit
+    FROM profit
+    """,
+)
+def join_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp_nation = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).alias("_amt"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(
+                F.floor(F.col("_amt") * 100 + F.lit(0.5)).cast("long") / 100.0, 2
+            ).alias("sum_profit"),
+        )
+    )
+
+
+@register(
+    "join_shipmode_priority",
+    # TPC-H Q12 shape (shipmode priority): does slow shipping correlate
+    # with order priority?  This schema has no l_shipmode/l_receiptdate, so
+    # the "mode" class is l_linestatus and "late" is shipped >60 days after
+    # the order date — the shape is the reference's map-only conditional
+    # counts over one fact-fact equi-join, with every date predicate pushed
+    # to the lineitem scan.
+    """
+    SELECT l.l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def join_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "agg_parts_supplier_counts",
+    # TPC-H Q16 shape (parts/supplier relationship): distinct suppliers per
+    # surviving (brand, type, size) bucket, excluding a supplier denylist.
+    # No partsupp table here, so the part-supplier relation is the DISTINCT
+    # (l_partkey, l_suppkey) pairs actually observed in lineitem, and the
+    # "complaints" denylist is the negative-balance suppliers.  Scale
+    # shape: pair-dedup is a fingerprint-sized shuffle, the part dim
+    # broadcasts, the denylist anti-join broadcasts, and the distinct count
+    # reshuffles only the surviving pairs.
+    """
+    WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr
+    JOIN part p ON p.p_partkey = pr.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND pr.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    denylist = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(
+            F.broadcast(denylist),
+            pairs["l_suppkey"] == denylist["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "join_excess_shipping_share",
+    # TPC-H Q20 shape (potential part promotion): suppliers in one nation
+    # who concentrated more than half their lifetime shipped quantity of a
+    # LIKE-filtered part family into 1997.  The reference's nested
+    # availability semi-join (partsupp.availqty > 0.5 * shipped) becomes a
+    # SINGLE conditional keyed aggregate over (suppkey, partkey) — Spark
+    # computes the year slice and the lifetime total in one shuffle instead
+    # of the spec's self-join — then part/nation prune via broadcast
+    # semi-joins.
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                       AND l_shipdate < DATE '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty97,
+             SUM(l_quantity) AS qty_all
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT sp.l_suppkey
+      FROM sp
+      JOIN part p ON p.p_partkey = sp.l_partkey
+      WHERE p.p_name LIKE 'small%' AND sp.qty97 > 0.5 * sp.qty_all
+        AND sp.qty97 > 0
+    )
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM cand)
+    """,
+)
+def join_excess_shipping_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0))).alias("qty97"),
+        F.sum("l_quantity").alias("qty_all"),
+    )
+    fam = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    cand = (
+        sp.filter((F.col("qty97") > 0.5 * F.col("qty_all")) & (F.col("qty97") > 0))
+        .join(F.broadcast(fam), sp["l_partkey"] == fam["p_partkey"], "left_semi")
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
+        .join(F.broadcast(cand), s["s_suppkey"] == cand["l_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )

@@ -296,6 +296,16 @@ HEADLINE_R9 = [
 ]
 
 
+# Round-10 additions — same treatment (timed, counted in total_all_queries).
+HEADLINE_R10 = [
+    "join_product_type_profit",
+    "join_shipmode_priority",
+    "agg_parts_supplier_counts",
+    "join_excess_shipping_share",
+    "llm_heavy_hitters_serving",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -327,7 +337,8 @@ def main() -> None:
     # would triple a 30 s pandas-UDF stage for no extra signal
     slow_once = {"llm_fuzzy_ratio_join"}
     for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
-                 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9):
+                 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
+                 + HEADLINE_R10):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
@@ -370,33 +381,47 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    print(
-        json.dumps(
+    # The full per-query map is ~7 KB at 200+ entries and the driver's tail
+    # capture truncates the head of a line that long (BENCH_r01–r09 all show
+    # "parsed": null), so stdout carries ONE COMPACT line — headline metric,
+    # totals, context — and the complete map goes to BENCH_LOCAL.json next to
+    # this script (plus the per-query stderr narration above).
+    detail = {
+        "metric": "headline_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "total_all_queries": round(total_all, 3),
+        # r5→r6 method transition: same queries under the old
+        # count() materialization (ColumnPruning-affected); absent
+        # when SPARK_GRAFT_COUNT_SERIES=0
+        **(
             {
-                "metric": "headline_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "total_all_queries": round(total_all, 3),
-                # r5→r6 method transition: same queries under the old
-                # count() materialization (ColumnPruning-affected); absent
-                # when SPARK_GRAFT_COUNT_SERIES=0
-                **(
-                    {
-                        "value_count_materialized": round(total_count, 3),
-                        "queries_count_materialized": timings_count,
-                    }
-                    if count_series
-                    else {}
-                ),
-                "sf": sf,
-                # machine load context so a contended run is distinguishable
-                # from a real regression when comparing rounds
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "value_count_materialized": round(total_count, 3),
+                "queries_count_materialized": timings_count,
             }
-        )
+            if count_series
+            else {}
+        ),
+        "sf": sf,
+        # machine load context so a contended run is distinguishable
+        # from a real regression when comparing rounds
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        k: v
+        for k, v in detail.items()
+        if k not in ("queries", "queries_count_materialized")
+    }
+    compact["n_queries_timed"] = len(timings)
+    compact["queries"] = {"_full_map": "BENCH_LOCAL.json"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
