@@ -265,18 +265,32 @@ def main() -> None:
 
     results: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
     rowcounts: dict[str, dict[int, int]] = {q: {} for q in QUERIES}
+    failed: set[str] = set()
     for m in mults:
         for q in QUERIES:
+            if q in failed:
+                continue
             best, n = None, 0
-            for _ in range(2):
-                t0 = time.time()
-                n = checksum_materialize(CATALOG[q](spark, dirs[m]))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    n = checksum_materialize(CATALOG[q](spark, dirs[m]))
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as e:  # noqa: BLE001 - batch runs must survive one bad entry
+                failed.add(q)
+                print(f"# x{m} {q}: FAILED {type(e).__name__}: {str(e)[:120]}",
+                      file=sys.stderr)
+                spark.catalog.clearCache()
+                continue
             spark.catalog.clearCache()
             results[q][m] = round(best, 3)
             rowcounts[q][m] = n
             print(f"# x{m} {q}: {n} rows in {best:.2f}s", file=sys.stderr)
+    for q in failed:
+        results.pop(q, None)
+        rowcounts.pop(q, None)
+    QUERIES = [q for q in QUERIES if q not in failed]
 
     base = mults[0]
     header = "| query | " + " | ".join(
