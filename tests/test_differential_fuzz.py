@@ -1,0 +1,297 @@
+"""Differential fuzzing of the relational surface: random query specs are
+rendered TWICE from one AST — once as a Spark DataFrame plan, once as
+DuckDB SQL — and the results compared exactly (rows, schema, values).
+
+This is the sqlancer-style complement to the per-entry oracle catalog: the
+catalog pins 298 hand-written query/oracle PAIRS, while this fuzzer checks
+that the engine's compositional surface (filter/project/group/order/join
+over arbitrary predicate trees) agrees with an independent engine on specs
+NOBODY hand-wrote.  Deterministic seed → reproducible failures; literals
+are sampled from the actual data so predicates stay selective.
+
+Comparison rules follow the driver gate (tools/check_correctness.compare):
+columns sorted by name, order-insensitive rows, exact values.  Aggregates
+are restricted to the cross-engine-exact set (COUNT, MIN, MAX, SUM of
+integer-valued columns, 2dp-rounded SUM of 2-decimal money columns — sums
+of arbitrary doubles are accumulation-order-dependent and belong to the
+catalog's integer-cent-guarded entries, not a fuzzer).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_correctness import compare  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# per-table column metadata: numeric (float money 2dp), integer-valued,
+# categorical (low cardinality), unique sort key(s)
+TABLES = {
+    "orders": {
+        "money": ["o_totalprice"],
+        "int": ["o_orderkey", "o_custkey"],
+        "cat": ["o_orderstatus", "o_orderpriority"],
+        "date": ["o_orderdate"],
+        "key": ["o_orderkey"],
+    },
+    "customer": {
+        "money": ["c_acctbal"],
+        "int": ["c_custkey", "c_nationkey"],
+        "cat": ["c_mktsegment"],
+        "date": [],
+        "key": ["c_custkey"],
+    },
+    "lineitem": {
+        "money": ["l_extendedprice"],
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"],
+        "cat": ["l_returnflag", "l_linestatus"],
+        "date": ["l_shipdate"],
+        "key": ["l_orderkey", "l_linenumber"],
+    },
+    "part": {
+        "money": ["p_retailprice"],
+        "int": ["p_partkey", "p_size"],
+        "cat": ["p_brand", "p_type"],
+        "date": [],
+        "key": ["p_partkey"],
+    },
+    "documents": {
+        "money": [],
+        "int": ["doc_id", "n_chars"],
+        "cat": ["lang", "source"],
+        "date": [],
+        "key": ["doc_id"],
+    },
+}
+
+N_SPECS = 60
+SEED = 20260815
+
+
+# --- predicate AST: each node renders to (spark Column, sql string) ----------
+
+class Cmp:
+    def __init__(self, col, op, lit, kind):
+        self.col, self.op, self.lit, self.kind = col, op, lit, kind
+
+    def spark(self):
+        c = F.col(self.col)
+        if self.kind == "date":
+            lit = F.lit(self.lit).cast("date")
+        else:
+            lit = F.lit(self.lit)
+        return {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit,
+                "=": c == lit, "!=": c != lit}[self.op]
+
+    def sql(self):
+        if self.kind == "date":
+            lit = f"DATE '{self.lit}'"
+        elif isinstance(self.lit, str):
+            lit = "'" + self.lit.replace("'", "''") + "'"
+        else:
+            lit = repr(self.lit)
+        op = "<>" if self.op == "!=" else self.op
+        return f"({self.col} {op} {lit})"
+
+
+class IsIn:
+    def __init__(self, col, values, negate):
+        self.col, self.values, self.negate = col, values, negate
+
+    def spark(self):
+        e = F.col(self.col).isin(*self.values)
+        return ~e if self.negate else e
+
+    def sql(self):
+        vals = ", ".join("'" + v.replace("'", "''") + "'" for v in self.values)
+        return f"({self.col} {'NOT IN' if self.negate else 'IN'} ({vals}))"
+
+
+class Bool:
+    def __init__(self, op, kids):
+        self.op, self.kids = op, kids
+
+    def spark(self):
+        a, b = self.kids[0].spark(), self.kids[1].spark()
+        return (a & b) if self.op == "AND" else (a | b)
+
+    def sql(self):
+        return f"({self.kids[0].sql()} {self.op} {self.kids[1].sql()})"
+
+
+class Not:
+    def __init__(self, kid):
+        self.kid = kid
+
+    def spark(self):
+        return ~self.kid.spark()
+
+    def sql(self):
+        return f"(NOT {self.kid.sql()})"
+
+
+def _sample_literals(con, table):
+    """Pull deterministic literal pools from the data itself so random
+    predicates stay selective instead of trivially empty/full."""
+    meta, pools = TABLES[table], {}
+    for col in meta["money"] + meta["int"] + meta["date"]:
+        rows = con.execute(
+            f"SELECT DISTINCT {col} FROM {table} ORDER BY 1 LIMIT 201"
+        ).fetchall()
+        pools[col] = [r[0] for r in rows]
+    for col in meta["cat"]:
+        pools[col] = [
+            r[0] for r in con.execute(
+                f"SELECT DISTINCT {col} FROM {table} ORDER BY 1"
+            ).fetchall()
+        ]
+    return pools
+
+
+def _gen_pred(rng, table, pools, depth=0):
+    meta = TABLES[table]
+    roll = rng.random()
+    if depth < 2 and roll < 0.4:
+        op = rng.choice(["AND", "OR"])
+        return Bool(op, [_gen_pred(rng, table, pools, depth + 1),
+                         _gen_pred(rng, table, pools, depth + 1)])
+    if depth < 2 and roll < 0.5:
+        return Not(_gen_pred(rng, table, pools, depth + 1))
+    # leaf
+    kind = rng.choice(
+        (["money"] * len(meta["money"]) + ["int"] * len(meta["int"])
+         + ["cat"] * len(meta["cat"]) + ["date"] * len(meta["date"]))
+    )
+    col = rng.choice(meta[kind])
+    pool = pools[col]
+    if kind == "cat":
+        k = rng.randint(1, min(3, len(pool)))
+        return IsIn(col, sorted(rng.sample(pool, k)), rng.random() < 0.3)
+    lit = rng.choice(pool)
+    if kind == "date":
+        lit = str(lit)[:10]
+        return Cmp(col, rng.choice(["<", "<=", ">", ">="]), lit, "date")
+    if kind == "money":
+        # no equality on float columns: repr round-trips can differ
+        return Cmp(col, rng.choice(["<", "<=", ">", ">="]), float(lit), "num")
+    return Cmp(col, rng.choice(["<", "<=", ">", ">=", "=", "!="]), int(lit), "num")
+
+
+def _run_spec(spark, con, rng, i):
+    table = rng.choice(list(TABLES))
+    meta = TABLES[table]
+    pools = _sample_literals(con, table)
+    pred = _gen_pred(rng, table, pools)
+    shape = rng.choice(["filter_project", "group_agg", "order_limit", "join_count"])
+
+    df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+
+    if shape == "filter_project":
+        cols = sorted(rng.sample(
+            meta["money"] + meta["int"] + meta["cat"],
+            rng.randint(1, 3),
+        ))
+        sdf = df.filter(pred.spark()).select(*cols)
+        sql = f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
+    elif shape == "group_agg":
+        g = rng.choice(meta["cat"])
+        aggs_s = [F.count(F.lit(1)).cast("long").alias("n")]
+        aggs_q = ["CAST(COUNT(*) AS BIGINT) AS n"]
+        if meta["int"] and rng.random() < 0.8:
+            c = rng.choice(meta["int"])
+            aggs_s.append(F.sum(c).cast("long").alias("s"))
+            aggs_q.append(f"CAST(SUM({c}) AS BIGINT) AS s")
+        if meta["money"] and rng.random() < 0.6:
+            c = rng.choice(meta["money"])
+            # min/max are exact; 2dp-rounded SUM of a 2-decimal column is
+            # accumulation-order-safe (never lands on a half-cent boundary)
+            aggs_s.append(F.min(c).alias("mn"))
+            aggs_q.append(f"MIN({c}) AS mn")
+            aggs_s.append(F.round(F.sum(c), 2).alias("sm"))
+            aggs_q.append(f"ROUND(SUM({c}), 2) AS sm")
+        having = rng.randint(0, 3)
+        sdf = (
+            df.filter(pred.spark()).groupBy(g).agg(*aggs_s)
+            .filter(F.col("n") > having)
+        )
+        sql = (
+            f"SELECT {g}, {', '.join(aggs_q)} FROM {table}"
+            f" WHERE {pred.sql()} GROUP BY {g} HAVING COUNT(*) > {having}"
+        )
+    elif shape == "order_limit":
+        keys = meta["key"]
+        desc = rng.random() < 0.5
+        k = rng.randint(1, 50)
+        cols = sorted(set(keys + rng.sample(meta["cat"] + meta["int"], 1)))
+        order_s = [F.col(c).desc() if desc else F.col(c).asc() for c in keys]
+        sdf = df.filter(pred.spark()).orderBy(*order_s).limit(k).select(*cols)
+        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in keys)
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
+            f" ORDER BY {order_q} LIMIT {k}"
+        )
+    else:  # join_count: orders ⋈ customer with the pred on the chosen side
+        if table not in ("orders", "customer"):
+            table = "orders"
+            pools = _sample_literals(con, table)
+            pred = _gen_pred(rng, table, pools)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        filt_o = o.filter(pred.spark()) if table == "orders" else o
+        filt_c = c.filter(pred.spark()) if table == "customer" else c
+        sdf = (
+            filt_o.join(filt_c, filt_o["o_custkey"] == filt_c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        where = f"WHERE {pred.sql()}"
+        sql = (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " JOIN customer ON o_custkey = c_custkey"
+            f" {where} GROUP BY c_mktsegment"
+        )
+
+    got = sdf.toPandas()
+    want = con.execute(sql).df()
+    err = compare(got, want)
+    assert err is None, f"spec {i} ({shape} on {table}) diverged: {err}\nSQL: {sql}"
+    return shape
+
+
+def test_differential_fuzz_spark_vs_duckdb(spark):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    rng = random.Random(SEED)
+    shapes: dict[str, int] = {}
+    for i in range(N_SPECS):
+        shape = _run_spec(spark, con, rng, i)
+        shapes[shape] = shapes.get(shape, 0) + 1
+    # the generator must actually exercise every shape (non-vacuity guard)
+    assert set(shapes) == {"filter_project", "group_agg", "order_limit", "join_count"}, shapes
+
+
+def test_differential_fuzz_detects_a_seeded_divergence(spark):
+    # prove the comparator is non-vacuous: a deliberately wrong SQL twin
+    # must be flagged
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    got = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .toPandas()
+    )
+    want = con.execute(
+        "SELECT o_orderstatus, CAST(COUNT(*) + 1 AS BIGINT) AS n"
+        " FROM orders GROUP BY o_orderstatus"
+    ).df()
+    assert compare(got, want) is not None
