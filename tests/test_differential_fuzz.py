@@ -190,7 +190,10 @@ def _run_spec(spark, con, rng, i):
     meta = TABLES[table]
     pools = _sample_literals(con, table)
     pred = _gen_pred(rng, table, pools)
-    shape = rng.choice(["filter_project", "group_agg", "order_limit", "join_count"])
+    shape = rng.choice([
+        "filter_project", "group_agg", "order_limit", "join_count",
+        "window_rank", "distinct", "union_distinct",
+    ])
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
 
@@ -238,6 +241,48 @@ def _run_spec(spark, con, rng, i):
             f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
             f" ORDER BY {order_q} LIMIT {k}"
         )
+    elif shape == "window_rank":
+        # ROW_NUMBER over a deterministic total order (unique keys) — rank
+        # windows only fuzz soundly when the order key admits no ties
+        from pyspark.sql import Window
+
+        part = rng.choice(meta["cat"])
+        keys = meta["key"]
+        k = rng.randint(1, 5)
+        desc = rng.random() < 0.5
+        order_s = [F.col(c).desc() if desc else F.col(c).asc() for c in keys]
+        w = Window.partitionBy(part).orderBy(*order_s)
+        sdf = (
+            df.filter(pred.spark())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(part, *keys, F.col("rn").cast("long").alias("rn"))
+        )
+        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in keys)
+        sql = (
+            f"SELECT {part}, {', '.join(keys)}, CAST(rn AS BIGINT) AS rn FROM ("
+            f"  SELECT {part}, {', '.join(keys)},"
+            f"         ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order_q}) AS rn"
+            f"  FROM {table} WHERE {pred.sql()}"
+            f") WHERE rn <= {k}"
+        )
+    elif shape == "distinct":
+        cols = sorted(rng.sample(meta["cat"] + meta["int"][:1], rng.randint(1, 2)))
+        sdf = df.filter(pred.spark()).select(*cols).distinct()
+        sql = f"SELECT DISTINCT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
+    elif shape == "union_distinct":
+        pred2 = _gen_pred(rng, table, pools)
+        cols = sorted(rng.sample(meta["cat"] + meta["int"], rng.randint(1, 2)))
+        sdf = (
+            df.filter(pred.spark()).select(*cols)
+            .unionByName(df.filter(pred2.spark()).select(*cols))
+            .distinct()
+        )
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
+            f" UNION "
+            f"SELECT {', '.join(cols)} FROM {table} WHERE {pred2.sql()}"
+        )
     else:  # join_count: orders ⋈ customer with the pred on the chosen side
         if table not in ("orders", "customer"):
             table = "orders"
@@ -276,7 +321,10 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
         shape = _run_spec(spark, con, rng, i)
         shapes[shape] = shapes.get(shape, 0) + 1
     # the generator must actually exercise every shape (non-vacuity guard)
-    assert set(shapes) == {"filter_project", "group_agg", "order_limit", "join_count"}, shapes
+    assert set(shapes) == {
+        "filter_project", "group_agg", "order_limit", "join_count",
+        "window_rank", "distinct", "union_distinct",
+    }, shapes
 
 
 def test_differential_fuzz_detects_a_seeded_divergence(spark):
