@@ -44,6 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (llm_per_host_cap, llm_mixture_sample, llm_pii_scrub, llm_url_host_stats,
 # llm_quality_resample, multimodal_frame_sample, then the agg/events r04
 # block) so no entry's driver evidence goes >~5 rounds stale.
+# r11 backlog (landed after this window filled, local-oracle green at
+# three scales, LOCAL_CORRECTNESS_r10_scales.txt addendum):
+# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights).
 _DRIVER_CHECK_PRIORITY = [
     # --- code changed this round (ADVICE fixes) ---
     "ml_auc_rank",

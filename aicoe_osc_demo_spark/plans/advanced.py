@@ -1166,3 +1166,159 @@ def agg_distribution_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess_kurtosis"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 60-bit md5 space: T_k =
+# floor(P(X<=k) * 2^60).  A replicate weight is the count of thresholds at
+# or below the row's 60-bit hash — the integer-exact inverse-CDF draw, so
+# Spark and DuckDB deal IDENTICAL bootstrap weights from identical md5
+# literals (same cross-engine-determinism trick as the md5 HLL sketch).
+_POISSON1_T60 = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+]
+_BOOT_B = 100
+
+
+@register(
+    "agg_bootstrap_ci",
+    # Poisson bootstrap 95% CI for mean order value per status — the
+    # resampling-free bootstrap for data too large to resample: each row
+    # draws its OWN per-replicate Poisson(1) weight from a content hash
+    # (map-side, no resampling shuffle; the only exchange carries the
+    # (status, replicate) partial sums — B multiplies map work, never
+    # shuffle width).  Everything is integer-exact cross-engine: weights
+    # from 60-bit md5 vs integer CDF thresholds, replicate means as
+    # half-up integer-cent divisions (exact IEEE division of exact <2^53
+    # integers), CI bounds as order statistics of those integer means
+    # (outer ranks 3/98 of B=100 — conservative 95%).
+    f"""
+    WITH rep AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c, b
+      FROM orders CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+    ),
+    w AS (
+      SELECT o_orderstatus, b, c,
+             ({" + ".join(
+                 f"CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
+                 f" || ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) >= {t}"
+                 f" THEN 1 ELSE 0 END"
+                 for t in _POISSON1_T60)}) AS w
+      FROM rep
+    ),
+    m AS (
+      SELECT o_orderstatus, b, SUM(w * c) AS ws, SUM(w) AS wn
+      FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    mc AS (
+      SELECT o_orderstatus, b,
+             CAST(floor((2 * ws + wn) / (2 * wn)) AS BIGINT) AS mean_cents
+      FROM m
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY mean_cents, b) AS rn
+      FROM mc
+    ),
+    ci AS (
+      SELECT o_orderstatus,
+             MIN(CASE WHEN rn = 3 THEN mean_cents END) AS lo,
+             MIN(CASE WHEN rn = {_BOOT_B - 2} THEN mean_cents END) AS hi
+      FROM r GROUP BY 1
+    ),
+    pt AS (
+      SELECT o_orderstatus,
+             CAST(floor((2 * SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         + COUNT(*)) / (2 * COUNT(*))) AS BIGINT) AS est
+      FROM orders GROUP BY 1
+    )
+    SELECT pt.o_orderstatus, ROUND(est / 100.0, 2) AS mean_value,
+           ROUND(lo / 100.0, 2) AS ci_lo, ROUND(hi / 100.0, 2) AS ci_hi
+    FROM pt JOIN ci USING (o_orderstatus)
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., 'Estimating Uncertainty for
+    Massive Data Streams', Google 2012): at 100 TB you cannot draw B
+    resamples, but each row can draw B independent Poisson(1) weights from
+    a hash of (row key, replicate) — one map-side pass, replicate sums
+    shuffle as (group, b) partials.  Integer cents keep every replicate
+    mean exact in both engines (sums stay far below 2^53), so even the
+    CI order statistics are bit-identical, not 'close'."""
+    from ..operators.relational import ensure_parallelism
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # the B-way fan-out + per-replicate md5 is the compute-heavy stage: a
+    # single-file input must not run it on one core (no-op at real scale)
+    rep = ensure_parallelism(o).select(
+        "o_orderstatus",
+        "o_orderkey",
+        cents.alias("_c"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        (F.when(hv >= F.lit(t), 1).otherwise(0) for t in _POISSON1_T60),
+        F.lit(0),
+    )
+    m = (
+        rep.withColumn("_w", w)
+        .groupBy("o_orderstatus", "b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_c")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+    )
+    mc = m.select(
+        "o_orderstatus",
+        "b",
+        F.floor(
+            (2 * F.col("_ws") + F.col("_wn")) / (2 * F.col("_wn"))
+        ).cast("long").alias("mean_cents"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy("mean_cents", "b")
+    )
+    ci = (
+        mc.withColumn("_rn", rn)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(F.when(F.col("_rn") == 3, F.col("mean_cents"))).alias("_lo"),
+            F.min(
+                F.when(F.col("_rn") == _BOOT_B - 2, F.col("mean_cents"))
+            ).alias("_hi"),
+        )
+    )
+    pt = o.groupBy("o_orderstatus").agg(
+        F.floor(
+            (2 * F.sum(cents) + F.count(F.lit(1))) / (2 * F.count(F.lit(1)))
+        ).cast("long").alias("_est")
+    )
+    return pt.join(ci, "o_orderstatus").select(
+        "o_orderstatus",
+        F.round(F.col("_est") / 100.0, 2).alias("mean_value"),
+        F.round(F.col("_lo") / 100.0, 2).alias("ci_lo"),
+        F.round(F.col("_hi") / 100.0, 2).alias("ci_hi"),
+    )

@@ -303,6 +303,7 @@ HEADLINE_R10 = [
     "agg_parts_supplier_counts",
     "join_excess_shipping_share",
     "llm_heavy_hitters_serving",
+    "agg_bootstrap_ci",
 ]
 
 
