@@ -46,7 +46,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # block) so no entry's driver evidence goes >~5 rounds stale.
 # r11 backlog (landed after this window filled, local-oracle green at
 # three scales, LOCAL_CORRECTNESS_r10_scales.txt addendum):
-# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights).
+# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights) and
+# quality_krippendorff_alpha (panel agreement, integer coincidence sums).
 _DRIVER_CHECK_PRIORITY = [
     # --- code changed this round (ADVICE fixes) ---
     "ml_auc_rank",

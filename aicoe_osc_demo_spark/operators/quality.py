@@ -1295,3 +1295,47 @@ def t_closeness_report(
         F.max("_nclass").cast("long").alias("n"),
         F.round(F.lit(0.5) * (F.sum("_term") + F.lit(1.0)), 6).alias("t"),
     ).withColumn("at_risk", F.col("t") > F.lit(t_threshold))
+
+
+def krippendorff_alpha(df: DataFrame, raters: dict[str, Column]) -> DataFrame:
+    """Krippendorff's alpha (nominal, binary categories) across R boolean
+    raters over the same units — the agreement coefficient that, unlike
+    pairwise kappa, yields ONE number for the whole rater panel and
+    generalizes to missing data (not modeled here: every rater rates every
+    unit, the curation-filter case).
+
+    Computational form (Krippendorff 2011, coincidence matrices): with
+    c_u = count of 'true' ratings on unit u, R raters, N units,
+    n = R*N total ratings, n1 = Σ c_u, n0 = n - n1:
+
+        Σdis  = Σ_u c_u (R - c_u)          (scaled within-unit mismatches)
+        alpha = 1 - (n - 1) Σdis / ((R - 1) n0 n1)
+
+    Every term is an exact integer from ONE map-side-combined aggregate;
+    alpha forms with a single division (bit-portable across engines).
+    Degenerate panels (all ratings identical -> n0*n1 = 0) have no chance
+    disagreement to correct for: alpha is NULL in both engines.
+    """
+    names = list(raters)
+    if len(names) < 2:
+        raise ValueError("krippendorff_alpha needs at least two raters")
+    r = len(names)
+    c_u = sum((raters[k].cast("long") for k in names), F.lit(0))
+    per_unit = df.select(c_u.alias("_c"))
+    agg = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("_nu"),
+        F.sum("_c").cast("long").alias("_n1"),
+        F.sum(F.col("_c") * (F.lit(r) - F.col("_c"))).cast("long").alias("_sdis"),
+    )
+    n = F.lit(r) * F.col("_nu")
+    n0 = n - F.col("_n1")
+    return agg.select(
+        F.col("_nu").alias("n_units"),
+        n.cast("long").alias("n_ratings"),
+        F.round(
+            F.lit(1.0)
+            - ((n - 1) * F.col("_sdis")).cast("double")
+            / F.nullif((F.lit(r - 1) * n0 * F.col("_n1")).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("alpha"),
+    )

@@ -915,6 +915,46 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_krippendorff_alpha",
+    # ONE panel-wide agreement number for the same three keep/drop raters
+    # the kappa entry compares pairwise — Krippendorff's alpha (nominal,
+    # binary) from exact integer coincidence sums: c_u = per-unit 'true'
+    # count, Σdis = Σ c_u(3-c_u), alpha = 1 - (n-1)Σdis / ((R-1) n0 n1),
+    # one division, bit-portable.
+    """
+    WITH c AS (
+      SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+            + CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END
+            + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cu
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(cu) AS BIGINT) AS n1,
+             CAST(SUM(cu * (3 - cu)) AS BIGINT) AS sdis
+      FROM c
+    )
+    SELECT nu AS n_units, CAST(3 * nu AS BIGINT) AS n_ratings,
+           ROUND(1.0 - CAST((3 * nu - 1) * sdis AS DOUBLE)
+                 / NULLIF(CAST(2 * (3 * nu - n1) * n1 AS DOUBLE), 0), 6) AS alpha
+    FROM a
+    """,
+)
+def quality_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import krippendorff_alpha
+
+    docs = load(spark, sf_dir, "documents")
+    return krippendorff_alpha(
+        docs,
+        {
+            "len_ok": F.col("n_chars") >= 300,
+            "words_ok": F.size(F.split(F.col("text"), " ")) >= 55,
+            "english": F.col("lang") == "en",
+        },
+    )
+
+
+@register(
     "quality_rater_kappa",
     """
     WITH f AS (

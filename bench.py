@@ -304,6 +304,7 @@ HEADLINE_R10 = [
     "join_excess_shipping_share",
     "llm_heavy_hitters_serving",
     "agg_bootstrap_ci",
+    "quality_krippendorff_alpha",
 ]
 
 
