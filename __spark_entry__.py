@@ -46,8 +46,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # block) so no entry's driver evidence goes >~5 rounds stale.
 # r11 backlog (landed after this window filled, local-oracle green at
 # three scales, LOCAL_CORRECTNESS_r10_scales.txt addendum):
-# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights) and
-# quality_krippendorff_alpha (panel agreement, integer coincidence sums).
+# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights),
+# quality_krippendorff_alpha (panel agreement, integer coincidence sums),
+# join_top_revenue_supplier (TPC-H Q15 — completes all 22 TPC-H shapes),
+# ml_pr_curve (threshold sweep off the score-vocabulary table),
+# events_survival_km (Kaplan-Meier with right-censoring, nano-log product),
+# events_markov_2step (sparse transition-matrix square), and
+# quality_chi2_independence (contingency grid incl. zero cells).
 _DRIVER_CHECK_PRIORITY = [
     # --- code changed this round (ADVICE fixes) ---
     "ml_auc_rank",

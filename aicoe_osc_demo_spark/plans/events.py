@@ -2988,3 +2988,206 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop(adj), 2).alias("var_adjusted"),
         )
     )
+
+
+@register(
+    "events_survival_km",
+    # Kaplan-Meier survival of "days from first view to first purchase",
+    # right-censoring never-converting users at their last observed event.
+    # The per-user observation table reduces map-side (two MINs + one MAX),
+    # the KM product runs on the DURATION-VOCABULARY-sized table (a few
+    # thousand rows however large the corpus), and the cumulative factor is
+    # an integer nano-log sum — order-independent and engine-exact (same
+    # quantization contract as char_entropy / decayed_counts).  A duration
+    # where everyone still at risk converts drives survival to exactly 0
+    # from then on (the ln(0) guard).
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MAX(ts) AS t_last
+      FROM events GROUP BY 1
+    ),
+    conv AS (
+      SELECT e.user_id, MIN(e.ts) AS t_conv
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u.t_view
+      GROUP BY 1
+    ),
+    obs AS (
+      SELECT CASE WHEN c.t_conv IS NOT NULL
+                  THEN datediff('day', u.t_view, c.t_conv)
+                  ELSE datediff('day', u.t_view, u.t_last) END AS dur,
+             CASE WHEN c.t_conv IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u LEFT JOIN conv c ON u.user_id = c.user_id
+      WHERE u.t_view IS NOT NULL
+    ),
+    g AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) - SUM(ev) AS BIGINT) AS censored,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM obs GROUP BY 1
+    ),
+    r AS (
+      SELECT dur, d, censored,
+             SUM(m) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS n_risk
+      FROM g
+    ),
+    k AS (
+      SELECT dur, d, censored, n_risk,
+             SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS hit_zero,
+             SUM(CASE WHEN d > 0 AND d < n_risk
+                      THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                                      * 1e9 + 0.5) AS BIGINT)
+                      ELSE 0 END)
+               OVER (ORDER BY dur ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS ln_nano
+      FROM r
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days, d AS n_events, censored,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CASE WHEN hit_zero > 0 THEN 0.0
+                ELSE ROUND(exp(CAST(ln_nano AS DOUBLE) / 1e9), 6) END AS survival
+    FROM k
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.max("ts").alias("t_last"),
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u.select("user_id", "t_view"), on="user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    obs = (
+        u.filter(F.col("t_view").isNotNull())
+        .join(conv, on="user_id", how="left")
+        .select(
+            F.when(
+                F.col("t_conv").isNotNull(),
+                F.datediff(F.col("t_conv").cast("date"), F.col("t_view").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("t_last").cast("date"), F.col("t_view").cast("date"))
+            )
+            .alias("dur"),
+            F.when(F.col("t_conv").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    g = obs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("censored"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    # both windows run on the duration-vocabulary table (thousands of rows
+    # at any corpus size): global single-partition windows are in-contract
+    # AFTER the reduction, per the plan-quality invariant
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "dur", "d", "censored", F.sum("m").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy(F.col("dur").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")) * 1e9
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    zero_flag = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    k = r.select(
+        "dur",
+        "d",
+        "censored",
+        "n_risk",
+        F.sum(zero_flag).over(w_asc).alias("hit_zero"),
+        F.sum(ln_term).over(w_asc).alias("ln_nano"),
+    )
+    return k.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("d").alias("n_events"),
+        "censored",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.when(F.col("hit_zero") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("ln_nano").cast("double") / 1e9), 6))
+        .alias("survival"),
+    )
+
+
+@register(
+    "events_markov_2step",
+    # Two-step transition probabilities: the SQUARE of the first-order
+    # Markov matrix, computed as a sparse matrix product — a self-join of
+    # the (state, next_state, p) edge list on the middle state plus one
+    # rollup.  Both inputs are type-vocabulary-sized, so the product is a
+    # broadcast join however large the event log; each product term
+    # quantizes to integer picounits before the sum, making the rollup
+    # order-independent and engine-exact.
+    """
+    WITH s AS (
+      SELECT event_type AS state,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events
+    ),
+    p AS (
+      SELECT state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_state IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT state, CAST(SUM(n) AS BIGINT) AS n_from FROM p GROUP BY state),
+    e AS (
+      SELECT p.state, p.next_state,
+             CAST(p.n AS DOUBLE) / t.n_from AS pr
+      FROM p JOIN t USING (state)
+    ),
+    q AS (
+      SELECT a.state, b.next_state,
+             CAST(floor(a.pr * b.pr * 1e12 + 0.5) AS BIGINT) AS term_pico
+      FROM e a JOIN e b ON a.next_state = b.state
+    )
+    SELECT state, next_state,
+           ROUND(CAST(SUM(term_pico) AS DOUBLE) / 1e12, 6) AS p2
+    FROM q GROUP BY 1, 2
+    """,
+)
+def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import transition_matrix
+
+    edges = transition_matrix(
+        load(spark, sf_dir, "events"), "user_id", "event_type", "ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        "state",
+        "next_state",
+        (F.col("n").cast("double") / F.col("n_from")).alias("pr"),
+    )
+    a = edges.select(
+        F.col("state"), F.col("next_state").alias("_mid"), F.col("pr").alias("_pa")
+    )
+    b = edges.select(
+        F.col("state").alias("_mid"), F.col("next_state"), F.col("pr").alias("_pb")
+    )
+    return (
+        a.join(F.broadcast(b), on="_mid")
+        .select(
+            "state",
+            "next_state",
+            F.floor(F.col("_pa") * F.col("_pb") * 1e12 + F.lit(0.5))
+            .cast("long")
+            .alias("_term"),
+        )
+        .groupBy("state", "next_state")
+        .agg(F.round(F.sum("_term").cast("double") / 1e12, 6).alias("p2"))
+    )

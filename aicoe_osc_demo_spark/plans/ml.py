@@ -406,3 +406,72 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "ml_pr_curve",
+    # Precision/recall/F1 swept over 9 score thresholds WITHOUT 9 fact
+    # scans: the per-score-value count table (score vocabulary ≤ 1000
+    # rows) cross-joins the 9-row threshold dim, so the sweep is one scan
+    # + one vocabulary-sized rollup however many thresholds you ask for.
+    # Every ratio forms from exact integer counts (TP/PP/AP), so the
+    # curve replays bit-identically in any engine.
+    """
+    WITH s AS (
+      SELECT (31 * length(text)) % 1000 AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(pos) AS BIGINT) AS kp
+      FROM s GROUP BY 1
+    ),
+    th AS (SELECT (g + 1) * 100 AS threshold FROM range(9) t(g)),
+    ap AS (SELECT SUM(kp) AS n_pos FROM c),
+    sweep AS (
+      SELECT th.threshold,
+             SUM(CASE WHEN c.score >= th.threshold THEN c.kp ELSE 0 END) AS tp,
+             SUM(CASE WHEN c.score >= th.threshold THEN c.k ELSE 0 END) AS pp
+      FROM c CROSS JOIN th GROUP BY 1
+    )
+    SELECT CAST(threshold AS INT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pred_pos,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(pp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(n_pos, 0), 6) AS recall,
+           ROUND(2.0 * tp / NULLIF(pp + n_pos, 0), 6) AS f1
+    FROM sweep CROSS JOIN ap
+    """,
+)
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = d.filter(F.col("text").isNotNull()).select(
+        ((F.lit(31) * F.length("text")) % 1000).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    c = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("pos").cast("long").alias("kp"),
+    )
+    th = spark.range(9).select(((F.col("id") + 1) * 100).cast("int").alias("threshold"))
+    ap = c.agg(F.sum("kp").alias("n_pos"))
+    hit = F.col("score") >= F.col("threshold")
+    sweep = (
+        c.join(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit, F.col("kp")).otherwise(F.lit(0))).alias("tp"),
+            F.sum(F.when(hit, F.col("k")).otherwise(F.lit(0))).alias("pp"),
+        )
+    )
+    return sweep.join(F.broadcast(ap)).select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("pp").cast("long").alias("pred_pos"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("pp"), F.lit(0)), 6).alias("precision"),
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("n_pos"), F.lit(0)), 6).alias("recall"),
+        F.round(F.lit(2.0) * F.col("tp") / F.nullif(F.col("pp") + F.col("n_pos"), F.lit(0)), 6).alias("f1"),
+    )

@@ -1456,3 +1456,89 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_d") > F.col("_c")).alias("reject_05"),
         )
     )
+
+
+@register(
+    "quality_chi2_independence",
+    # Pearson chi-square test of independence between document source and
+    # language — the categorical drift/contamination check next to PSI and
+    # KS.  The contingency table builds in ONE vocabulary-sized rollup,
+    # the full grid (including zero cells, which still contribute their
+    # expected mass) is the cross join of the two marginal tables — both
+    # broadcast-sized — and each cell's (O-E)^2/E term quantizes to
+    # integer micro-units before the sum, so the statistic is
+    # accumulation-order-proof and engine-exact.
+    """
+    WITH obs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r_tot FROM obs GROUP BY 1),
+    ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c_tot FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT rt.source, ct.lang, rt.r_tot, ct.c_tot, n.n,
+             COALESCE(obs.o, 0) AS o
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.source = rt.source AND obs.lang = ct.lang
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               pow(o - CAST(r_tot AS DOUBLE) * c_tot / n, 2)
+                 / (CAST(r_tot AS DOUBLE) * c_tot / n) * 1e6 + 0.5)
+             AS BIGINT) AS t_micro,
+             source, lang
+      FROM grid
+    )
+    SELECT CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols,
+           CASE WHEN nr > 0 AND nc > 0
+                THEN CAST((nr - 1) * (nc - 1) AS BIGINT) END AS dof,
+           CASE WHEN nr > 1 AND nc > 1
+                THEN ROUND(CAST(SUM(t_micro) AS DOUBLE) / 1e6, 6) END AS chi2
+    FROM terms
+    CROSS JOIN (SELECT (SELECT COUNT(*) FROM rt) AS nr,
+                       (SELECT COUNT(*) FROM ct) AS nc)
+    GROUP BY nr, nc
+    """,
+)
+def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    obs = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r_tot"))
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c_tot"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), on=["source", "lang"], how="left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    t_micro = F.floor(F.pow(F.col("o") - e, 2) / e * 1e6 + F.lit(0.5)).cast("long")
+    terms = grid.select(t_micro.alias("t_micro"))
+    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    # empty corpus -> zero output rows (no grid cells to aggregate);
+    # a 1xC or Rx1 table has dof 0 and NO independence test -> chi2 NULL
+    return (
+        terms.crossJoin(F.broadcast(dims))
+        .groupBy("nr", "nc")
+        .agg(F.sum("t_micro").alias("chi2_micro"))
+        .select(
+            F.col("nr").cast("long").alias("n_rows"),
+            F.col("nc").cast("long").alias("n_cols"),
+            F.when(
+                (F.col("nr") > 0) & (F.col("nc") > 0),
+                ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long"),
+            ).alias("dof"),
+            F.when(
+                (F.col("nr") > 1) & (F.col("nc") > 1),
+                F.round(F.col("chi2_micro").cast("double") / 1e6, 6),
+            ).alias("chi2"),
+        )
+    )

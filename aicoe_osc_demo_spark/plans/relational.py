@@ -2062,3 +2062,49 @@ def join_excess_shipping_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cand), s["s_suppkey"] == cand["l_suppkey"], "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+@register(
+    "join_top_revenue_supplier",
+    # TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    # the supplier(s) hitting the global maximum.  The spec's CREATE VIEW +
+    # correlated MAX subquery becomes one supplier-cardinality rollup and a
+    # 1-row broadcast of the global max — no second scan of the fact table
+    # and no global sort.  Revenue compares as half-up integer cents so the
+    # max-equality predicate is accumulation-order-proof (same guard as
+    # Q3/Q8/Q9/Q10); ties at the max all return, per the spec.
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(floor(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  AS BIGINT) AS rc
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(rc / 100.0, 2) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rc = (SELECT MAX(rc) FROM rev)
+    """,
+)
+def join_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rc")
+    )
+    mx = rev.agg(F.max("rc").alias("_mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["rc"] == F.col("_mx"), "left_semi")
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.round(F.col("rc") / 100.0, 2).alias("total_revenue"))
+    )
