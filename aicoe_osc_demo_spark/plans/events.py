@@ -3165,6 +3165,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import transition_matrix
 
+    # the edge list is type-vocabulary-sized; lazily localCheckpoint it so
+    # BOTH sides of the self-join share ONE materialization of the
+    # LEAD-window fact scan instead of recomputing it per join side
     edges = transition_matrix(
         load(spark, sf_dir, "events"), "user_id", "event_type", "ts",
         tiebreak_cols=["event_id"],
@@ -3172,7 +3175,7 @@ def events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state",
         "next_state",
         (F.col("n").cast("double") / F.col("n_from")).alias("pr"),
-    )
+    ).localCheckpoint(eager=False)
     a = edges.select(
         F.col("state"), F.col("next_state").alias("_mid"), F.col("pr").alias("_pa")
     )

@@ -72,7 +72,7 @@ TABLES = {
     },
 }
 
-N_SPECS = 60
+N_SPECS = 100
 SEED = 20260815
 
 
@@ -193,6 +193,7 @@ def _run_spec(spark, con, rng, i):
     shape = rng.choice([
         "filter_project", "group_agg", "order_limit", "join_count",
         "window_rank", "distinct", "union_distinct",
+        "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
     ])
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
@@ -230,13 +231,17 @@ def _run_spec(spark, con, rng, i):
             f" WHERE {pred.sql()} GROUP BY {g} HAVING COUNT(*) > {having}"
         )
     elif shape == "order_limit":
+        # order by EVERY projected column: lineitem's "key" is only a
+        # prefix order (duplicate (l_orderkey, l_linenumber) pairs exist in
+        # the generator), and a LIMIT cutting inside a tie group is only
+        # deterministic when tied rows are identical in the projection
         keys = meta["key"]
         desc = rng.random() < 0.5
         k = rng.randint(1, 50)
         cols = sorted(set(keys + rng.sample(meta["cat"] + meta["int"], 1)))
-        order_s = [F.col(c).desc() if desc else F.col(c).asc() for c in keys]
+        order_s = [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
         sdf = df.filter(pred.spark()).orderBy(*order_s).limit(k).select(*cols)
-        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in keys)
+        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in cols)
         sql = (
             f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
             f" ORDER BY {order_q} LIMIT {k}"
@@ -283,6 +288,79 @@ def _run_spec(spark, con, rng, i):
             f" UNION "
             f"SELECT {', '.join(cols)} FROM {table} WHERE {pred2.sql()}"
         )
+    elif shape == "left_join_agg":
+        # left OUTER join null-extension semantics: customers filtered
+        # BEFORE the join, unmatched orders keep a NULL segment (coalesced
+        # to a sentinel so the group key sorts deterministically)
+        pools_c = _sample_literals(con, "customer")
+        pred_c = _gen_pred(rng, "customer", pools_c)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        sdf = (
+            o.join(c, o["o_custkey"] == c["c_custkey"], "left")
+            .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<none>")).alias("seg"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        sql = (
+            "SELECT COALESCE(c_mktsegment, '<none>') AS seg,"
+            " CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " LEFT JOIN (SELECT * FROM customer WHERE "
+            f"{pred_c.sql()}) c ON o_custkey = c_custkey GROUP BY 1"
+        )
+    elif shape == "semi_anti_join":
+        # EXISTS / NOT EXISTS rendered as Spark left_semi / left_anti
+        pools_c = _sample_literals(con, "customer")
+        pred_c = _gen_pred(rng, "customer", pools_c)
+        anti = rng.random() < 0.5
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        sdf = (
+            o.join(c, o["o_custkey"] == c["c_custkey"],
+                   "left_anti" if anti else "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        verb = "NOT EXISTS" if anti else "EXISTS"
+        sql = (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            f" WHERE {verb} (SELECT 1 FROM customer"
+            f" WHERE c_custkey = o_custkey AND {pred_c.sql()})"
+            " GROUP BY o_orderstatus"
+        )
+    elif shape == "case_agg":
+        # the random predicate moves INSIDE the aggregate as a conditional
+        g = rng.choice(meta["cat"])
+        sdf = df.groupBy(g).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(pred.spark(), 1).otherwise(0)).cast("long").alias("hits"),
+        )
+        sql = (
+            f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n,"
+            f" CAST(SUM(CASE WHEN {pred.sql()} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS hits FROM {table} GROUP BY {g}"
+        )
+    elif shape == "lag_delta":
+        # LAG over (keys..., v): integer deltas are exact.  The lagged
+        # column itself is the FINAL order key, so rows tied on the whole
+        # order are identical in every projected attribute and the delta
+        # multiset is tie-insensitive (lineitem's keys are not unique)
+        from pyspark.sql import Window
+
+        keys = meta["key"]
+        c = rng.choice([x for x in meta["int"] if x not in keys])
+        w = Window.orderBy(*[F.col(k).asc() for k in keys], F.col("v").asc())
+        sdf = (
+            df.filter(pred.spark())
+            .select(*keys, F.col(c).alias("v"))
+            .withColumn("d", (F.col("v") - F.lag("v").over(w)).cast("long"))
+            .select(*keys, "d")
+        )
+        order_q = ", ".join(f"{k} ASC" for k in keys + [c])
+        sql = (
+            f"SELECT {', '.join(keys)},"
+            f" CAST({c} - LAG({c}) OVER (ORDER BY {order_q}) AS BIGINT) AS d"
+            f" FROM {table} WHERE {pred.sql()}"
+        )
     else:  # join_count: orders ⋈ customer with the pred on the chosen side
         if table not in ("orders", "customer"):
             table = "orders"
@@ -324,6 +402,7 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
     assert set(shapes) == {
         "filter_project", "group_agg", "order_limit", "join_count",
         "window_rank", "distinct", "union_distinct",
+        "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
     }, shapes
 
 
