@@ -657,6 +657,25 @@ _ANN_TABLES = 2
 _ANN_PLANES = 8
 
 
+def _lsh_planes_for(n: int, target_bucket: int = 32) -> int:
+    """planes_per_table ≈ log2(n / target_bucket), floored at _ANN_PLANES.
+
+    The self-join LSH entries must keep expected bucket occupancy O(1):
+    with a FIXED plane count, buckets grow linearly with the corpus and
+    the within-bucket pairwise join goes quadratic (measured ~1.0x
+    PER-ROW at x30 on llm_embedding_near_dup before this change).  Sign
+    bits are scale-invariant, so the planted clones collide in every
+    table at ANY plane count; at the oracle scales (n <= ~8k) this floors
+    to _ANN_PLANES and behavior is bit-identical to the fixed setting.
+    Only the SELF-JOIN dedup entries use this — the query-serving ANN
+    entries (fixed broadcast probe set) are linear in the corpus already
+    and their oracles render the 8-plane tables literally.
+    """
+    import math
+
+    return max(_ANN_PLANES, math.ceil(math.log2(max(n, 1) / target_bucket)))
+
+
 def _bucket_sql(col: str, table: int) -> str:
     # Inline the deterministic md5-derived hyperplanes of one hash table
     # into DuckDB SQL so the approximate path is value-checked end-to-end.
@@ -772,7 +791,8 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(clones)
     return embedding_near_dup_pairs(
-        corpus, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+        corpus, threshold=0.99, n_tables=_ANN_TABLES,
+        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
     )
 
 
@@ -829,7 +849,8 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(clones)
     pairs = embedding_near_dup_pairs(
-        corpus, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+        corpus, threshold=0.99, n_tables=_ANN_TABLES,
+        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
     )
     labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     singles = (
@@ -906,7 +927,8 @@ def llm_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(clones)
     pairs = embedding_near_dup_pairs(
-        corpus, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
+        corpus, threshold=0.99, n_tables=_ANN_TABLES,
+        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
     )
     labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     scored = corpus.withColumn(
@@ -1978,9 +2000,13 @@ _SEMDEDUP_SQL = f"""
              list_transform(v, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
       FROM corpus
     ), c0 AS (
+      -- k scales with the corpus (SemDeDup's own contract: bounded cluster
+      -- occupancy => within-cluster pairwise stays linear in N); GREATEST
+      -- floor keeps k=4 at the sf0.001/sf0.01 oracle scales
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              qv AS s, CAST(1 AS BIGINT) AS n
-      FROM q ORDER BY vec_id LIMIT 4
+      FROM q ORDER BY vec_id
+      LIMIT (SELECT GREATEST(4, COUNT(*) // 128) FROM q)
     ), a1 AS (
       SELECT q.vec_id AS vec_id,
              (min(struct_pack(d := {_SEMDEDUP_DIST.format(c='c', q='q')}, cid := c.cid))).cid AS cid,
@@ -2026,6 +2052,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.5-scaled clones (cosine exactly 1.0) make the dedup set
     # ground-truth-checkable; the k-means step is the deterministic
     # quantized Lloyd's so the whole pipeline replays in ANSI SQL.
+    #
+    # k SCALES with the corpus (k = max(4, n // 128), mirrored by the
+    # oracle's subquery LIMIT): a fixed k makes cluster occupancy grow
+    # linearly and the within-cluster pairwise join quadratic — measured
+    # 2.7x PER-ROW at x30 before this change, 0.41x after (274s -> 56s).
+    # The count() here is the statistics read that sizes the partitioning,
+    # the same move SemDeDup itself makes (k=11k for LAION-440M).
     from ..operators.similarity import semdedup_pairs
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -2036,7 +2069,8 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
     )
     corpus = emb.unionByName(clones)
-    return semdedup_pairs(corpus, k=4, iters=2, tau=0.99)
+    k = max(4, corpus.count() // 128)
+    return semdedup_pairs(corpus, k=k, iters=2, tau=0.99)
 
 
 # --- MMR diverse top-k (Carbonell & Goldstein 1998) --------------------------

@@ -1496,11 +1496,15 @@ def quality_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN nr > 0 AND nc > 0
                 THEN CAST((nr - 1) * (nc - 1) AS BIGINT) END AS dof,
            CASE WHEN nr > 1 AND nc > 1
-                THEN ROUND(CAST(SUM(t_micro) AS DOUBLE) / 1e6, 6) END AS chi2
+                THEN ROUND(CAST(SUM(t_micro) AS DOUBLE) / 1e6, 6) END AS chi2,
+           CASE WHEN nr > 1 AND nc > 1
+                THEN ROUND(sqrt((CAST(SUM(t_micro) AS DOUBLE) / 1e6)
+                           / (nn * least(nr - 1, nc - 1))), 6) END AS cramers_v
     FROM terms
     CROSS JOIN (SELECT (SELECT COUNT(*) FROM rt) AS nr,
-                       (SELECT COUNT(*) FROM ct) AS nc)
-    GROUP BY nr, nc
+                       (SELECT COUNT(*) FROM ct) AS nc,
+                       (SELECT SUM(o) FROM obs) AS nn)
+    GROUP BY nr, nc, nn
     """,
 )
 def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1520,14 +1524,18 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
     t_micro = F.floor(F.pow(F.col("o") - e, 2) / e * 1e6 + F.lit(0.5)).cast("long")
     terms = grid.select(t_micro.alias("t_micro"))
-    dims = rt.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
-        ct.agg(F.count(F.lit(1)).alias("nc"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(n.select(F.col("n").alias("nn")))
     )
     # empty corpus -> zero output rows (no grid cells to aggregate);
     # a 1xC or Rx1 table has dof 0 and NO independence test -> chi2 NULL
+    chi2_exact = F.col("chi2_micro").cast("double") / 1e6
+    defined = (F.col("nr") > 1) & (F.col("nc") > 1)
     return (
         terms.crossJoin(F.broadcast(dims))
-        .groupBy("nr", "nc")
+        .groupBy("nr", "nc", "nn")
         .agg(F.sum("t_micro").alias("chi2_micro"))
         .select(
             F.col("nr").cast("long").alias("n_rows"),
@@ -1536,9 +1544,18 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nr") > 0) & (F.col("nc") > 0),
                 ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long"),
             ).alias("dof"),
+            F.when(defined, F.round(chi2_exact, 6)).alias("chi2"),
+            # Cramér's V effect size off the same quantized statistic:
+            # sqrt of an identical double is identical cross-engine
             F.when(
-                (F.col("nr") > 1) & (F.col("nc") > 1),
-                F.round(F.col("chi2_micro").cast("double") / 1e6, 6),
-            ).alias("chi2"),
+                defined,
+                F.round(
+                    F.sqrt(
+                        chi2_exact
+                        / (F.col("nn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                    ),
+                    6,
+                ),
+            ).alias("cramers_v"),
         )
     )

@@ -305,6 +305,11 @@ HEADLINE_R10 = [
     "llm_heavy_hitters_serving",
     "agg_bootstrap_ci",
     "quality_krippendorff_alpha",
+    "join_top_revenue_supplier",
+    "ml_pr_curve",
+    "events_survival_km",
+    "events_markov_2step",
+    "quality_chi2_independence",
 ]
 
 

@@ -117,6 +117,8 @@ def test_chi2_independence_hand_case(spark, tmp_path):
     # every expected cell is 20: chi2 = 4 * (10^2 / 20) = 20, dof = 1
     assert (out.n_rows, out.n_cols, out.dof) == (2, 2, 1)
     assert out.chi2 == 20.0
+    # Cramér's V = sqrt(chi2 / (N * min(r-1, c-1))) = sqrt(20/80)
+    assert out.cramers_v == 0.5
 
 
 def test_chi2_zero_cells_still_contribute_expected_mass(spark, tmp_path):
