@@ -51,8 +51,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # join_top_revenue_supplier (TPC-H Q15 — completes all 22 TPC-H shapes),
 # ml_pr_curve (threshold sweep off the score-vocabulary table),
 # events_survival_km (Kaplan-Meier with right-censoring, nano-log product),
-# events_markov_2step (sparse transition-matrix square), and
-# quality_chi2_independence (contingency grid incl. zero cells).
+# events_markov_2step (sparse transition-matrix square),
+# quality_chi2_independence (contingency grid incl. zero cells + Cramér's V),
+# quality_anova_f (one-way ANOVA from exact integer moments), and
+# quality_mann_kendall (integer S + tie-corrected variance trend test).
 _DRIVER_CHECK_PRIORITY = [
     # --- code changed this round (ADVICE fixes) ---
     "ml_auc_rank",

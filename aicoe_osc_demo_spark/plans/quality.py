@@ -1559,3 +1559,193 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@register(
+    "quality_anova_f",
+    # One-way ANOVA F across sources on document length — the k-group
+    # mean-difference test next to the two-sample KS.  All moments are
+    # EXACT BIGINT sums (count / sum / sum-of-squares per group, map-side
+    # combined); the per-group s²/m terms quantize to integer micro-units
+    # before the between/within sums, so the statistic is
+    # accumulation-order-proof.  F NULL when k < 2 or the within-group
+    # variance is zero (no test).
+    """
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q
+      FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(floor(CAST(s AS DOUBLE) * s / m * 1e6 + 0.5) AS BIGINT)
+               AS ssm_micro, m, s, q
+      FROM g
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(m) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS ts, CAST(SUM(q) AS BIGINT) AS tq,
+             CAST(SUM(ssm_micro) AS BIGINT) AS ssm_micro
+      FROM t
+    )
+    SELECT k AS n_groups, n AS n_docs,
+           CASE WHEN k > 1 AND n > k THEN
+             ROUND((CAST(ssm_micro AS DOUBLE) / 1e6
+                    - CAST(ts AS DOUBLE) * ts / n) / (k - 1), 6) END AS ms_between,
+           CASE WHEN k > 1 AND n > k THEN
+             ROUND((tq - CAST(ssm_micro AS DOUBLE) / 1e6) / (n - k), 6) END AS ms_within,
+           CASE WHEN k > 1 AND n > k
+                 AND (tq - CAST(ssm_micro AS DOUBLE) / 1e6) > 0 THEN
+             ROUND(((CAST(ssm_micro AS DOUBLE) / 1e6
+                     - CAST(ts AS DOUBLE) * ts / n) / (k - 1))
+                   / ((tq - CAST(ssm_micro AS DOUBLE) / 1e6) / (n - k)), 6)
+           END AS f_stat
+    FROM agg
+    """,
+)
+def quality_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("q"),
+    )
+    t = g.select(
+        F.floor(F.col("s").cast("double") * F.col("s") / F.col("m") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("ssm_micro"),
+        "m",
+        "s",
+        "q",
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("ts"),
+        F.sum("q").cast("long").alias("tq"),
+        F.sum("ssm_micro").cast("long").alias("ssm_micro"),
+    )
+    ssm = F.col("ssm_micro").cast("double") / 1e6
+    ssb = ssm - F.col("ts").cast("double") * F.col("ts") / F.col("n")
+    ssw = F.col("tq") - ssm
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k"))
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n") - F.col("k"))
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_docs"),
+        F.when(ok, F.round(msb, 6)).alias("ms_between"),
+        F.when(ok, F.round(msw, 6)).alias("ms_within"),
+        F.when(ok & (ssw > 0), F.round(msb / msw, 6)).alias("f_stat"),
+    )
+
+
+@register(
+    "quality_mann_kendall",
+    # Mann-Kendall monotonic-trend test on each type's daily count series —
+    # the SIGNIFICANCE companion to events_theil_sen_trend's slope.  The S
+    # statistic is a pure integer pairwise sign sum over the
+    # day-vocabulary-sized series (a per-type self-join of the daily
+    # rollup, never of raw rows); the tie-corrected variance is exact
+    # integer arithmetic scaled by 18, so Z forms from exact integers and
+    # one sqrt.  NULL Z when the series is shorter than 2 days or the
+    # variance is zero (all counts tied).
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+      GROUP BY 1
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n AS n_days, s.s_stat,
+           CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                - COALESCE(ties.tie18, 0) AS BIGINT) AS var18,
+           CASE WHEN nd.n >= 2
+                 AND nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                     - COALESCE(ties.tie18, 0) > 0 THEN
+             ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                    WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+                   / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                           - COALESCE(ties.tie18, 0)) / 18.0), 6)
+           END AS z
+    FROM nd
+    JOIN s ON nd.event_type = s.event_type
+    LEFT JOIN ties ON nd.event_type = ties.event_type
+    """,
+)
+def quality_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = daily.select("event_type", F.col("d").alias("_da"), F.col("y").alias("_ya"))
+    b = daily.select("event_type", F.col("d").alias("_db"), F.col("y").alias("_yb"))
+    s = (
+        a.join(b, on="event_type")
+        .filter(F.col("_db") > F.col("_da"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("_yb") > F.col("_ya"), 1)
+                .when(F.col("_yb") < F.col("_ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie18"), F.lit(0))
+    ).cast("long")
+    sgn = (
+        F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
+    )
+    return (
+        nd.join(s, on="event_type")
+        .join(ties, on="event_type", how="left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var18.alias("var18"),
+            F.when(
+                (F.col("n") >= 2) & (var18 > 0),
+                F.round(
+                    (F.col("s_stat") - sgn) / F.sqrt(var18.cast("double") / 18.0), 6
+                ),
+            ).alias("z"),
+        )
+    )

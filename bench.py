@@ -310,6 +310,8 @@ HEADLINE_R10 = [
     "events_survival_km",
     "events_markov_2step",
     "quality_chi2_independence",
+    "quality_anova_f",
+    "quality_mann_kendall",
 ]
 
 

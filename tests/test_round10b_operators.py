@@ -185,3 +185,57 @@ def test_top_revenue_supplier_is_argmax_with_ties(spark):
         .m
     )
     assert revs == {mx}
+
+
+def test_anova_f_hand_case(spark, tmp_path):
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    rows = [(i, "x", "en", src, n) for i, (src, n) in enumerate(
+        [("s1", 10), ("s1", 20), ("s1", 30), ("s2", 20), ("s2", 40)]
+    )]
+    d = _write_documents(spark, tmp_path, rows)
+    out = QUERIES["quality_anova_f"](spark, d).collect()[0]
+    # ssm = 60^2/3 + 60^2/2 = 3000; SSB = 3000 - 120^2/5 = 120 (msb = 120)
+    # SSW = 3400 - 3000 = 400 (msw = 400/3); F = 120 / (400/3) = 0.9
+    assert (out.n_groups, out.n_docs) == (2, 5)
+    assert out.ms_between == 120.0
+    assert out.ms_within == round(400 / 3, 6)
+    assert out.f_stat == 0.9
+
+
+def test_anova_f_single_group_is_null(spark, tmp_path):
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    rows = [(i, "x", "en", "s1", 10 + i) for i in range(5)]
+    d = _write_documents(spark, tmp_path, rows)
+    out = QUERIES["quality_anova_f"](spark, d).collect()[0]
+    assert out.n_groups == 1 and out.f_stat is None
+
+
+def test_mann_kendall_hand_case(spark, tmp_path):
+    import math
+
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    # one type, daily counts [1, 2, 2, 3] -> S = 5, tie group t=2
+    rows, eid = [], 0
+    for day, cnt in enumerate([1, 2, 2, 3]):
+        for _ in range(cnt):
+            rows.append((eid, _ts(day), 1, "A", None, None))
+            eid += 1
+    d = _write_events(spark, tmp_path, rows)
+    out = QUERIES["quality_mann_kendall"](spark, d).collect()[0]
+    assert (out.n_days, out.s_stat) == (4, 5)
+    # var18 = 4*3*13 - 2*1*9 = 138
+    assert out.var18 == 138
+    assert out.z == round((5 - 1) / math.sqrt(138 / 18), 6)
+
+
+def test_mann_kendall_constant_series_has_null_z(spark, tmp_path):
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    # constant daily counts: every pair ties -> var18 = 0 -> Z undefined
+    rows = [(i, _ts(i), 1, "A", None, None) for i in range(4)]
+    d = _write_events(spark, tmp_path, rows)
+    out = QUERIES["quality_mann_kendall"](spark, d).collect()[0]
+    assert out.s_stat == 0 and out.var18 == 0 and out.z is None
