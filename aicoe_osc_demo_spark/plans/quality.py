@@ -1678,19 +1678,21 @@ def quality_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily GROUP BY 1, 2)
       GROUP BY 1
     )
-    SELECT nd.event_type, nd.n AS n_days, s.s_stat,
+    SELECT nd.event_type, nd.n AS n_days,
+           CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
            CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5)
                 - COALESCE(ties.tie18, 0) AS BIGINT) AS var18,
            CASE WHEN nd.n >= 2
                  AND nd.n * (nd.n - 1) * (2 * nd.n + 5)
                      - COALESCE(ties.tie18, 0) > 0 THEN
-             ROUND((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
-                                    WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             ROUND((COALESCE(s.s_stat, 0)
+                    - CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 1
+                           WHEN COALESCE(s.s_stat, 0) < 0 THEN -1 ELSE 0 END)
                    / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5)
                            - COALESCE(ties.tie18, 0)) / 18.0), 6)
            END AS z
     FROM nd
-    JOIN s ON nd.event_type = s.event_type
+    LEFT JOIN s ON nd.event_type = s.event_type
     LEFT JOIN ties ON nd.event_type = ties.event_type
     """,
 )
@@ -1734,8 +1736,9 @@ def quality_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("s_stat") > 0, 1).when(F.col("s_stat") < 0, -1).otherwise(0)
     )
     return (
-        nd.join(s, on="event_type")
+        nd.join(s, on="event_type", how="left")
         .join(ties, on="event_type", how="left")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)).cast("long"))
         .select(
             "event_type",
             F.col("n").alias("n_days"),
