@@ -564,15 +564,20 @@ def _lloyd_quantized(q, k: int, iters: int):
             lambda acc, y: acc + y,
         )
         d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
-        assigned = (
+        # project the n*k fan-out down to (vec_id, d, cid) BEFORE the
+        # argmin aggregate: carrying the vector array through the agg
+        # buffer forces the sort-based aggregate fallback, and at
+        # k=hundreds the wide n*k sort spilled tens of GB (observed
+        # filling the disk at x100 with k=391).  The narrow rows
+        # partial-combine map-side; one keyed join re-attaches v.
+        scores = (
             q.crossJoin(F.broadcast(cents_used))
+            .select("vec_id", d.alias("_d"), "cid")
             .groupBy("vec_id")
-            .agg(
-                F.min(F.struct(d.alias("d"), F.col("cid"))).alias("m"),
-                F.first("v").alias("v"),
-            )
-            .select("vec_id", F.col("m.cid").alias("cid"), "v")
+            .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"))
         )
+        assigned = q.join(scores, "vec_id").select("vec_id", "cid", "v")
         sums = (
             assigned.select("cid", F.posexplode("v").alias("i", "x"))
             .groupBy("cid", "i")
