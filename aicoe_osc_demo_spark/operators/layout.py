@@ -586,7 +586,9 @@ def column_histograms(
     )
 
 
-def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def correlation_matrix(
+    df: DataFrame, cols: list[str], quantize_scale: int | None = None
+) -> DataFrame:
     """Pearson correlation for every column pair in ONE scan -- the
     profiling companion of ``analyze_column_stats``.  ``corr`` is a
     combinable moment aggregate (n, sum x, sum y, sum xy, sum x^2,
@@ -594,20 +596,78 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     pass; only k(k-1)/2 moment tuples cross the shuffle regardless of
     row count.  Output is long-form (col_a, col_b, corr) so downstream
     joins/filters don't need to know k.
+
+    ``quantize_scale``: when the columns are fixed-point measures (cents,
+    integral quantities), pass the scale (e.g. 100) and each value
+    quantizes per-row to ``floor(v*scale + 0.5)`` BIGINT; the five
+    moments per pair become EXACT integer sums (DECIMAL(38,0) so
+    100 TB-scale row counts don't overflow) and the Pearson r comes from
+    one final fixed-order double expression — accumulation-order-proof,
+    unlike the builtin ``corr``'s running-mean co-moment updates, whose
+    low bits depend on partition order and can flip a 6-dp round (the
+    llm_heaps_law r10 flake class).  Pearson r is scale-invariant, so
+    quantization only perturbs r by the rounding of v*scale itself.
     """
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    wide = df.agg(
-        *[
-            F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"{a} {b}")
-            for a, b in pairs
+    if quantize_scale is None:
+        wide = df.agg(
+            *[
+                F.round(F.corr(F.col(a), F.col(b)), 6).alias(f"{a} {b}")
+                for a, b in pairs
+            ]
+        )
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"`{a} {b}`").alias("corr"),
+                )
+                for a, b in pairs
+            ]
+        )
+        return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+    dec = "decimal(38,0)"
+    qcol = {
+        c: F.floor(F.col(c) * quantize_scale + F.lit(0.5)).cast("long") for c in cols
+    }
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        x = F.when(both, qcol[a])
+        y = F.when(both, qcol[b])
+        tag = f"{a} {b}"
+        aggs += [
+            F.count(x).cast("long").alias(f"n|{tag}"),
+            F.coalesce(F.sum(x.cast(dec)), F.lit(0).cast(dec)).alias(f"sx|{tag}"),
+            F.coalesce(F.sum(y.cast(dec)), F.lit(0).cast(dec)).alias(f"sy|{tag}"),
+            F.coalesce(F.sum((x * x).cast(dec)), F.lit(0).cast(dec)).alias(f"sxx|{tag}"),
+            F.coalesce(F.sum((y * y).cast(dec)), F.lit(0).cast(dec)).alias(f"syy|{tag}"),
+            F.coalesce(F.sum((x * y).cast(dec)), F.lit(0).cast(dec)).alias(f"sxy|{tag}"),
         ]
-    )
+    wide = df.agg(*aggs)
+
+    def _corr(tag: str):
+        n = F.col(f"`n|{tag}`").cast(dec)
+        num = n * F.col(f"`sxy|{tag}`") - F.col(f"`sx|{tag}`") * F.col(f"`sy|{tag}`")
+        dx = n * F.col(f"`sxx|{tag}`") - F.col(f"`sx|{tag}`") * F.col(f"`sx|{tag}`")
+        dy = n * F.col(f"`syy|{tag}`") - F.col(f"`sy|{tag}`") * F.col(f"`sy|{tag}`")
+        return F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        )
+
     structs = F.array(
         *[
             F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
-                F.col(f"`{a} {b}`").alias("corr"),
+                _corr(f"{a} {b}").alias("corr"),
             )
             for a, b in pairs
         ]

@@ -448,21 +448,79 @@ def percentile_bins(
 
 
 def group_regression(
-    df: DataFrame, group_cols: list[str], y: Column, x: Column
+    df: DataFrame,
+    group_cols: list[str],
+    y: Column,
+    x: Column,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
-    """Per-group ordinary-least-squares fit of ``y ~ x`` via the built-in
-    regression aggregates (``regr_slope``/``regr_intercept``/``regr_r2``)
-    — grouped model fitting WITHOUT applyInPandas: each aggregate is a
-    map-side-combinable moment sum (Σx, Σy, Σxy, Σx², n), so 100 TB of
-    observations reduce per-partition and only five numbers per group
-    cross the shuffle.  The applyInPandas formulation ships every row of
-    every group to one executor; this ships none.
+    """Per-group ordinary-least-squares fit of ``y ~ x`` via moment-sum
+    regression aggregates — grouped model fitting WITHOUT applyInPandas:
+    each aggregate is a map-side-combinable moment sum (Σx, Σy, Σxy,
+    Σx², n), so 100 TB of observations reduce per-partition and only five
+    numbers per group cross the shuffle.  The applyInPandas formulation
+    ships every row of every group to one executor; this ships none.
+
+    ``quantize_scale``: for fixed-point inputs (cents, integral
+    quantities), quantize per-row to ``floor(v*scale+0.5)`` BIGINT and
+    reduce EXACT integer moments (DECIMAL(38,0)); slope/intercept/r² come
+    from one final fixed-order double expression.  Order-proof, unlike
+    the builtin ``regr_*`` running co-moments whose low bits depend on
+    partition order (the llm_heaps_law r10 flake class).  slope and r²
+    are invariant under the common scale; intercept divides back once.
     """
-    return df.groupBy(*group_cols).agg(
+    if quantize_scale is None:
+        return df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+
+    dec = "decimal(38,0)"
+    both = x.isNotNull() & y.isNotNull()
+    xi = F.when(both, F.floor(x * quantize_scale + F.lit(0.5)).cast("long"))
+    yi = F.when(both, F.floor(y * quantize_scale + F.lit(0.5)).cast("long"))
+    m = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.regr_slope(y, x), 6).alias("slope"),
-        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.count(xi).cast("long").alias("nm"),
+        F.coalesce(F.sum(xi.cast(dec)), F.lit(0).cast(dec)).alias("sx"),
+        F.coalesce(F.sum(yi.cast(dec)), F.lit(0).cast(dec)).alias("sy"),
+        F.coalesce(F.sum((xi * xi).cast(dec)), F.lit(0).cast(dec)).alias("sxx"),
+        F.coalesce(F.sum((yi * yi).cast(dec)), F.lit(0).cast(dec)).alias("syy"),
+        F.coalesce(F.sum((xi * yi).cast(dec)), F.lit(0).cast(dec)).alias("sxy"),
+    )
+    nm = F.col("nm").cast(dec)
+    d = m.select(
+        *group_cols,
+        "n",
+        "nm",
+        "sx",
+        "sy",
+        (nm * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (nm * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (nm * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    slope = F.col("num").cast("double") / F.col("dx").cast("double")
+    return d.select(
+        *group_cols,
+        "n",
+        F.when(F.col("dx") != 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            F.col("dx") != 0,
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("nm").cast("double")
+                / quantize_scale,
+                6,
+            ),
+        ).alias("intercept"),
+        F.when(
+            (F.col("dx") != 0) & (F.col("dy") != 0),
+            F.round(
+                slope * (F.col("num").cast("double") / F.col("dy").cast("double")), 6
+            ),
+        ).alias("r2"),
     )
 
 

@@ -606,6 +606,7 @@ def cross_correlation(
     x: Column,
     y: Column,
     max_lag: int = 3,
+    exact_counts: bool = False,
 ) -> DataFrame:
     """Lead-lag cross-correlation function (CCF) between two aligned
     series: corr(x_t, y_{t-k}) for k = 0..max_lag -- "do errors predict
@@ -616,28 +617,79 @@ def cross_correlation(
 
     All lags come from ONE ordered window (chained LAGs) and ONE
     aggregate of corr moment sums; output is long-form (lag, ccf, n).
-    """
+
+    ``exact_counts=True``: when x and y are integer-valued (event counts),
+    compute the per-lag Pearson r from EXACT integer moment sums
+    (DECIMAL(38,0)) with one final fixed-order double expression instead
+    of the builtin corr, whose running-mean co-moment accumulation is
+    partition-order-dependent and can flip a 6-dp round between engines
+    (the llm_heaps_law r10 flake class)."""
     w = Window.orderBy(F.col(order_col).asc())
     cur = series.select(order_col, x.alias("_x"), y.alias("_y"))
     for k in range(1, max_lag + 1):
         cur = cur.withColumn(f"_y{k}", F.lag(F.col("_y"), k).over(w))
-    wide = cur.agg(
-        *[
+
+    def ycol(k: int) -> Column:
+        return F.col("_y" if k == 0 else f"_y{k}")
+
+    if not exact_counts:
+        wide = cur.agg(
+            *[
+                F.round(F.corr(F.col("_x"), ycol(k)), 6).alias(f"c{k}")
+                for k in range(max_lag + 1)
+            ],
+            *[
+                F.count(ycol(k)).cast("long").alias(f"n{k}")
+                for k in range(max_lag + 1)
+            ],
+        )
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.col(f"c{k}").alias("ccf"),
+                    F.col(f"n{k}").alias("n"),
+                )
+                for k in range(max_lag + 1)
+            ]
+        )
+        return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+    dec = "decimal(38,0)"
+    aggs = []
+    for k in range(max_lag + 1):
+        both = F.col("_x").isNotNull() & ycol(k).isNotNull()
+        xi = F.when(both, F.col("_x").cast("long"))
+        yi = F.when(both, ycol(k).cast("long"))
+        aggs += [
+            F.count(yi).cast("long").alias(f"n{k}"),
+            F.coalesce(F.sum(xi.cast(dec)), F.lit(0).cast(dec)).alias(f"sx{k}"),
+            F.coalesce(F.sum(yi.cast(dec)), F.lit(0).cast(dec)).alias(f"sy{k}"),
+            F.coalesce(F.sum((xi * xi).cast(dec)), F.lit(0).cast(dec)).alias(f"sxx{k}"),
+            F.coalesce(F.sum((yi * yi).cast(dec)), F.lit(0).cast(dec)).alias(f"syy{k}"),
+            F.coalesce(F.sum((xi * yi).cast(dec)), F.lit(0).cast(dec)).alias(f"sxy{k}"),
+        ]
+    wide = cur.agg(*aggs)
+
+    def _r(k: int) -> Column:
+        n = F.col(f"n{k}").cast(dec)
+        num = n * F.col(f"sxy{k}") - F.col(f"sx{k}") * F.col(f"sy{k}")
+        dx = n * F.col(f"sxx{k}") - F.col(f"sx{k}") * F.col(f"sx{k}")
+        dy = n * F.col(f"syy{k}") - F.col(f"sy{k}") * F.col(f"sy{k}")
+        return F.when(
+            (dx > 0) & (dy > 0),
             F.round(
-                F.corr(F.col("_x"), F.col("_y" if k == 0 else f"_y{k}")), 6
-            ).alias(f"c{k}")
-            for k in range(max_lag + 1)
-        ],
-        *[
-            F.count(F.col("_y" if k == 0 else f"_y{k}")).cast("long").alias(f"n{k}")
-            for k in range(max_lag + 1)
-        ],
-    )
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            ),
+        )
+
     structs = F.array(
         *[
             F.struct(
                 F.lit(k).alias("lag"),
-                F.col(f"c{k}").alias("ccf"),
+                _r(k).alias("ccf"),
                 F.col(f"n{k}").alias("n"),
             )
             for k in range(max_lag + 1)

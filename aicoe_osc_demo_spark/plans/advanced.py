@@ -902,23 +902,58 @@ _CORR_PAIRS = [
     ("l_extendedprice", "l_tax"),
     ("l_discount", "l_tax"),
 ]
-_CORR_SQL = "\nUNION ALL\n".join(
-    f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 6) AS corr FROM lineitem"
-    for a, b in _CORR_PAIRS
-)
+def _corr_pair_sql(a: str, b: str) -> str:
+    # Exact integer-moment Pearson r over per-row cent-quantized values —
+    # r11 flake-audit fix: builtin corr()'s running-mean co-moments
+    # accumulate in engine/partition-specific order, so the 6-dp round
+    # could flip the hash (llm_heaps_law class).  floor(v*100+0.5) is an
+    # identical fixed double op in both engines; every moment after it is
+    # an exact HUGEINT sum (order-proof) and r is one final fixed-order
+    # double expression (sqrt is correctly rounded per IEEE-754).
+    return f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             ROUND(CAST(num AS DOUBLE)
+                   / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+           END AS corr
+    FROM (
+      SELECT n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+      FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+               CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+               CAST(COALESCE(SUM(x * x), 0) AS HUGEINT) AS sxx,
+               CAST(COALESCE(SUM(y * y), 0) AS HUGEINT) AS syy,
+               CAST(COALESCE(SUM(x * y), 0) AS HUGEINT) AS sxy
+        FROM (
+          SELECT CAST(floor({a} * 100 + 0.5) AS BIGINT) AS x,
+                 CAST(floor({b} * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+        )
+      )
+    )"""
+
+
+_CORR_SQL = "\nUNION ALL\n".join(_corr_pair_sql(a, b) for a, b in _CORR_PAIRS)
 
 
 @register("diag_correlation_matrix", _CORR_SQL)
 def diag_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairwise Pearson correlation of the lineitem measures in ONE scan:
-    # corr is a combinable moment aggregate, so all 6 pairs reduce
+    # the moments are a combinable aggregate, so all 6 pairs reduce
     # map-side and only 6 moment tuples cross the shuffle -- the
-    # column-relationship companion of layout_column_stats.
+    # column-relationship companion of layout_column_stats.  The measures
+    # are fixed-point (cents / integral quantities), so quantize_scale=100
+    # switches the operator to its exact-integer-moment path (see
+    # correlation_matrix docstring): accumulation-order-proof vs the
+    # builtin corr's running-mean updates.
     from ..operators.layout import correlation_matrix
 
     return correlation_matrix(
         load(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        quantize_scale=100,
     )
 
 

@@ -14,6 +14,18 @@ from pyspark.sql import functions as F
 from ..operators.corpus import bm25_topk, chunk_documents, pack_offset_bins
 from . import QUERIES, load, register
 
+
+def _ln_micro(c):
+    """floor(ln(v)*1e6 + 0.5) as BIGINT — quantize a log-log regression
+    input to integer micro-units with the per-row double expression the
+    DuckDB oracles render verbatim.  Identical-double-then-floor: both
+    engines evaluate the same fixed IEEE-754 op chain (ln may differ by
+    1 ulp between libm and the JVM — boundary probability ~1e-8 per
+    point vs ~1e-2 per run for rounding an order-dependent regr_slope),
+    after which every downstream regression moment is an EXACT integer
+    sum and the statistic is accumulation-order-proof."""
+    return F.floor(F.log(c.cast("double")) * 1e6 + F.lit(0.5)).cast("long")
+
 _BM25_SQL = """
     WITH q AS (
       SELECT doc_id AS q_id,
@@ -802,6 +814,18 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count ties — slope of ln(freq) ~ ln(rank) is -s.  Corpus health
     # number: natural text sits near -1; generated/templated text
     # flattens or steepens it.
+    #
+    # ACCUMULATION-ORDER-PROOF: regr_slope/regr_r2 over raw doubles
+    # accumulate covariances in engine-specific order, and a 6-dp round
+    # on the boundary flips the value hash (the llm_heaps_law r10 flake
+    # class).  Instead, each point's ln() quantizes to integer
+    # micro-units via an IDENTICAL per-row double expression
+    # (floor(ln(v)*1e6+0.5) — identical-double-then-floor, same 1-ulp
+    # libm caveat as _lloyd_quantized), all five regression moments are
+    # EXACT integer sums (order-proof by integer associativity; HUGEINT
+    # in DuckDB / DECIMAL(38,0) in Spark so vocabulary-scale corpora
+    # don't overflow), and the slope/r² come from ONE final fixed-order
+    # double expression over those exact integers.
     """
     WITH wc AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS n
@@ -812,20 +836,39 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rank
       FROM wc
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM pts
+    ),
+    d AS (
+      SELECT nn, nn * sxy - sx * sy AS num,
+             nn * sxx - sx * sx AS dx, nn * syy - sy * sy AS dy
+      FROM m
     )
-    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
-           ROUND(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
-             AS zipf_slope,
-           ROUND(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
-             AS r2
-    FROM ranked
+    SELECT nn AS vocab_size,
+           CASE WHEN dx <> 0 THEN
+             ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6) END AS zipf_slope,
+           CASE WHEN dx <> 0 AND dy <> 0 THEN
+             ROUND((CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                   * (CAST(num AS DOUBLE) / CAST(dy AS DOUBLE)), 6) END AS r2
+    FROM d
     """,
 )
 def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rank-frequency Zipf fit: one token aggregate (map-side combine),
     # one VOCABULARY-sized rank sort (metadata scale next to the corpus),
-    # moment-exact regr_slope/r2.  The corpus-statistics smoke alarm for
-    # templated or duplicated text.
+    # then order-proof integer-moment OLS (see the oracle comment).
+    # The corpus-statistics smoke alarm for templated or duplicated text.
     d = load(spark, sf_dir, "documents")
     wc = (
         d.select(
@@ -842,12 +885,34 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("n").desc(), F.col("w").asc()))
         .alias("rank"),
     )
-    ln_n = F.log(F.col("n").cast("double"))
-    ln_r = F.log(F.col("rank").cast("double"))
-    return ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("vocab_size"),
-        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
-        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    pts = ranked.select(
+        _ln_micro(F.col("rank")).alias("x"), _ln_micro(F.col("n")).alias("y")
+    )
+    dec = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    d2 = m.select(
+        "nn",
+        (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+    )
+    slope = F.col("num").cast("double") / F.col("dx").cast("double")
+    return d2.select(
+        F.col("nn").alias("vocab_size"),
+        F.when(F.col("dx") != 0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            (F.col("dx") != 0) & (F.col("dy") != 0),
+            F.round(
+                slope * (F.col("num").cast("double") / F.col("dy").cast("double")), 6
+            ),
+        ).alias("r2"),
     )
 
 
@@ -860,6 +925,16 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket — the cumulative window runs on the 20-row-per-lang bucket
     # table.  Generated/templated corpora bend beta away from the
     # 0.4-0.6 band natural text sits in.
+    #
+    # ACCUMULATION-ORDER-PROOF (r10 driver flake fix): the original
+    # regr_slope/regr_intercept accumulated covariances over doubles in
+    # engine-specific order, and the 6-dp round occasionally landed on a
+    # boundary (CORRECTNESS_r10 hash-mismatch).  Now each checkpoint's
+    # ln() quantizes to integer micro-units by an identical per-row
+    # double expression, the four regression moments are EXACT BIGINT
+    # sums (≤20 points per lang; order-proof), and beta/lnk come from
+    # one final fixed-order double expression — the quality_anova_f
+    # pattern.
     """
     WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
     toks AS (
@@ -886,16 +961,35 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum_vocab
       FROM tok_per_bucket t
       LEFT JOIN new_per_bucket nb ON t.lang = nb.lang AND t.bucket = nb.bucket
+    ),
+    q AS (
+      SELECT lang, cum_tok, cum_vocab,
+             CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM pts WHERE cum_tok > 0 AND cum_vocab > 0
+    ),
+    m AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(MAX(cum_tok) AS BIGINT) AS total_tokens,
+             CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY 1
+    ),
+    d AS (
+      SELECT lang, nn, total_tokens, vocab_size,
+             nn * sxy - sx * sy AS num, nn * sxx - sx * sx AS dx, sx, sy
+      FROM m
     )
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points,
-           CAST(MAX(cum_tok) AS BIGINT) AS total_tokens,
-           CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size,
-           ROUND(regr_slope(ln(CAST(cum_vocab AS DOUBLE)),
-                            ln(CAST(cum_tok AS DOUBLE))), 6) AS heaps_beta,
-           ROUND(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)),
-                                ln(CAST(cum_tok AS DOUBLE))), 6) AS heaps_lnk
-    FROM pts WHERE cum_tok > 0 AND cum_vocab > 0
-    GROUP BY 1
+    SELECT lang, nn AS n_points, total_tokens, vocab_size,
+           CASE WHEN dx <> 0 THEN
+             ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6) END AS heaps_beta,
+           CASE WHEN dx <> 0 THEN
+             ROUND((CAST(sy AS DOUBLE) / 1e6
+                    - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / 1e6)) / nn, 6) END AS heaps_lnk
+    FROM d
     """,
 )
 def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,14 +1029,50 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("cum_tok") > 0) & (F.col("cum_vocab") > 0))
     )
-    ln_v = F.log(F.col("cum_vocab").cast("double"))
-    ln_t = F.log(F.col("cum_tok").cast("double"))
-    return pts.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_points"),
+    q = pts.select(
+        "lang",
+        "cum_tok",
+        "cum_vocab",
+        _ln_micro(F.col("cum_tok")).alias("x"),
+        _ln_micro(F.col("cum_vocab")).alias("y"),
+    )
+    m = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
         F.max("cum_tok").cast("long").alias("total_tokens"),
         F.max("cum_vocab").cast("long").alias("vocab_size"),
-        F.round(F.regr_slope(ln_v, ln_t), 6).alias("heaps_beta"),
-        F.round(F.regr_intercept(ln_v, ln_t), 6).alias("heaps_lnk"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    d2 = m.select(
+        "lang",
+        "nn",
+        "total_tokens",
+        "vocab_size",
+        (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        "sx",
+        "sy",
+    )
+    slope = F.col("num").cast("double") / F.col("dx").cast("double")
+    return d2.select(
+        "lang",
+        F.col("nn").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        F.when(F.col("dx") != 0, F.round(slope, 6)).alias("heaps_beta"),
+        F.when(
+            F.col("dx") != 0,
+            F.round(
+                (
+                    F.col("sy").cast("double") / 1e6
+                    - slope * (F.col("sx").cast("double") / 1e6)
+                )
+                / F.col("nn"),
+                6,
+            ),
+        ).alias("heaps_lnk"),
     )
 
 

@@ -20,7 +20,8 @@ from . import load, register
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 6) AS sum_value
+           ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 / 100.0, 6) AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -115,11 +116,11 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT grain, bucket, event_type, n, sum_value FROM (
       SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
-             COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+             COUNT(*) AS n, ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 6) AS sum_value
       FROM events GROUP BY 1, 2, 3
       UNION ALL
       SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
-             COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+             COUNT(*) AS n, ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 6) AS sum_value
       FROM events GROUP BY 1, 2, 3
     )
     """,
@@ -133,7 +134,9 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT CASE WHEN hour_b IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
                COALESCE(hour_b, day_b) AS bucket, event_type,
-               COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+               COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     / CAST(100 AS DOUBLE), 6) AS sum_value
         FROM (
           SELECT date_trunc('hour', ts) AS hour_b, date_trunc('day', ts) AS day_b,
                  event_type, value
@@ -215,7 +218,8 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('day', ts) AS day, event_type,
            COUNT(*) AS n,
-           ROUND(AVG(value), 6) AS avg_value
+           ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -225,7 +229,16 @@ def events_daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                6,
+            ).alias("avg_value"),
+        )
     )
 
 
@@ -369,10 +382,12 @@ def events_pivot_type_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-portable
     """
     SELECT event_id, user_id,
-           ROUND(AVG(value) OVER (
-             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS trailing_avg
+           ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                      AS DOUBLE)
+                 / COUNT(*) OVER w / 100, 6) AS trailing_avg
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
 def events_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,10 +417,16 @@ def events_trailing_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch_s")
         .rangeBetween(-3600, Window.currentRow)
     )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.avg("value").over(w), 6).alias("trailing_avg"),
+        F.round(
+            F.sum(cents).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / 100,
+            6,
+        ).alias("trailing_avg"),
     )
 
 
@@ -651,7 +672,7 @@ def events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
       SELECT event_type, date_trunc('hour', ts) AS bucket,
-             ROUND(SUM(value), 6) AS sum_value
+             ROUND(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 6) AS sum_value
       FROM events WHERE value >= 45 GROUP BY 1, 2
     ),
     span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1),
@@ -685,7 +706,12 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         e.filter(F.col("value") >= 45)
         .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0,
+                6,
+            ).alias("sum_value")
+        )
     )
     return gapfill_locf(buckets, ["event_type"], "bucket", ["sum_value"], 3600)
 
@@ -811,7 +837,8 @@ def events_sliding_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_low,
            CAST(SUM(CASE WHEN clip_flag = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_high,
-           ROUND(SUM(value_win), 6) AS win_sum
+           ROUND(CAST(SUM(CAST(floor(value_win * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             / 1e6, 6) AS win_sum
     FROM w GROUP BY event_type
     """,
 )
@@ -833,7 +860,10 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("clip_flag") == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_high"),
-        F.round(F.sum("value_win"), 6).alias("win_sum"),
+        F.round(
+            F.sum(F.floor(F.col("value_win") * 1e6 + F.lit(0.5)).cast("long")) / 1e6,
+            6,
+        ).alias("win_sum"),
     )
 
 
@@ -1501,13 +1531,38 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_cross_correlation",
+def _ccf_arm_sql(k: int) -> str:
+    yk = "y" if k == 0 else f"y{k}"
+    # exact integer moments per lag (counts; order-proof), one final
+    # fixed-order double expression — see cross_correlation docstring
+    return f"""
+    SELECT {k} AS lag,
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             ROUND(CAST(num AS DOUBLE)
+                   / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))), 6)
+           END AS ccf, n
+    FROM (
+      SELECT n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+             CAST(n AS BIGINT) AS n
+      FROM (
+        SELECT CAST(COUNT({yk}) AS HUGEINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN {yk} IS NOT NULL THEN x END), 0) AS HUGEINT) AS sx,
+               CAST(COALESCE(SUM({yk}), 0) AS HUGEINT) AS sy,
+               CAST(COALESCE(SUM(CASE WHEN {yk} IS NOT NULL THEN x * x END), 0) AS HUGEINT) AS sxx,
+               CAST(COALESCE(SUM({yk} * {yk}), 0) AS HUGEINT) AS syy,
+               CAST(COALESCE(SUM(x * {yk}), 0) AS HUGEINT) AS sxy
+        FROM lagged
+      )
+    )"""
+
+
+_CCF_SQL = (
     """
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS x,
-             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
       FROM events GROUP BY 1
     ), lagged AS (
       SELECT x, y,
@@ -1516,24 +1571,20 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              LAG(y, 5) OVER w AS y5
       FROM daily WINDOW w AS (ORDER BY day)
     )
-    SELECT 0 AS lag, ROUND(corr(x, y), 6) AS ccf, CAST(COUNT(y) AS BIGINT) AS n FROM lagged
-    UNION ALL
-    SELECT 1, ROUND(corr(x, y1), 6), CAST(COUNT(y1) AS BIGINT) FROM lagged
-    UNION ALL
-    SELECT 2, ROUND(corr(x, y2), 6), CAST(COUNT(y2) AS BIGINT) FROM lagged
-    UNION ALL
-    SELECT 3, ROUND(corr(x, y3), 6), CAST(COUNT(y3) AS BIGINT) FROM lagged
-    UNION ALL
-    SELECT 4, ROUND(corr(x, y4), 6), CAST(COUNT(y4) AS BIGINT) FROM lagged
-    UNION ALL
-    SELECT 5, ROUND(corr(x, y5), 6), CAST(COUNT(y5) AS BIGINT) FROM lagged
-    """,
+    """
+    + "\nUNION ALL\n".join(_ccf_arm_sql(k) for k in range(6))
 )
+
+
+@register("events_cross_correlation", _CCF_SQL)
 def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lead-lag CCF between the daily purchase and error series ("do error
     # bursts predict purchase dips k days later?").  Raw events reduce to
     # the 30-row daily table map-side; lags and all corr moment sums run
-    # on that table in one window + one aggregate.
+    # on that table in one window + one aggregate.  exact_counts=True:
+    # the series are integer counts, so the per-lag Pearson r reduces
+    # over exact integer moments (accumulation-order-proof; r11
+    # flake-audit fix for the builtin corr's order-dependent low bits).
     from ..operators.temporal import cross_correlation
 
     daily = (
@@ -1541,14 +1592,16 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-            .cast("double")
+            .cast("long")
             .alias("x"),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-            .cast("double")
+            .cast("long")
             .alias("y"),
         )
     )
-    return cross_correlation(daily, "day", F.col("x"), F.col("y"), max_lag=5)
+    return cross_correlation(
+        daily, "day", F.col("x"), F.col("y"), max_lag=5, exact_counts=True
+    )
 
 
 @register(
@@ -1803,15 +1856,15 @@ def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ), c AS (
       SELECT e.user_id,
-             MIN(epoch_us(e.ts) - epoch_us(u.t_view)) / 1e6 AS delta_s
+             CAST(MIN(epoch_us(e.ts) - epoch_us(u.t_view)) AS BIGINT) AS delta_us
       FROM events e JOIN u ON e.user_id = u.user_id
       WHERE e.event_type = 'purchase' AND e.ts > u.t_view
       GROUP BY 1
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-           ROUND(quantile_cont(delta_s, 0.5), 6) AS p50_s,
-           ROUND(quantile_cont(delta_s, 0.9), 6) AS p90_s,
-           ROUND(AVG(delta_s), 6) AS mean_s
+           ROUND(quantile_cont(delta_us / 1e6, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(delta_us / 1e6, 0.9), 6) AS p90_s,
+           ROUND(CAST(SUM(delta_us) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_s
     FROM c
     """,
 )
@@ -1829,13 +1882,16 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u, on="user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(((F.min(us("ts") - us("t_view"))) / 1e6).alias("delta_s"))
+        .agg(F.min(us("ts") - us("t_view")).cast("long").alias("delta_us"))
+        .withColumn("delta_s", F.col("delta_us") / 1e6)
     )
     return c.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
         F.round(F.expr("percentile(delta_s, 0.5)"), 6).alias("p50_s"),
         F.round(F.expr("percentile(delta_s, 0.9)"), 6).alias("p90_s"),
-        F.round(F.avg("delta_s"), 6).alias("mean_s"),
+        F.round(
+            F.sum("delta_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("mean_s"),
     )
 
 
@@ -2274,44 +2330,89 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _halflife_sql() -> str:
     from . import ORACLE
 
+    # r11 flake-audit fix: ln(retention) quantizes to integer micro-units
+    # per point (retention is already a 6-dp-rounded exact-integer ratio,
+    # so the input double is engine-identical), the per-cohort OLS moments
+    # are EXACT BIGINT sums, and slope/half-life come from one final
+    # fixed-order double expression — order-proof vs regr_slope's running
+    # co-moments.  y is ln*1e6, so the natural slope divides back by 1e6;
+    # the decay test (slope < 0) becomes the exact integer test num < 0.
     return f"""
     WITH m AS ({ORACLE["events_retention_cohorts"]}),
     pts AS (
       SELECT cohort, day_offset, retention FROM m
       WHERE day_offset >= 1 AND retention > 0
+    ),
+    q AS (
+      SELECT cohort, CAST(day_offset AS BIGINT) AS x,
+             CAST(floor(ln(retention) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM pts
+    ),
+    mo AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM q GROUP BY 1 HAVING COUNT(*) >= 3
+    ),
+    d AS (
+      SELECT cohort, nn, nn * sxy - sx * sy AS num, nn * sxx - sx * sx AS dx
+      FROM mo
     )
-    SELECT cohort,
-           CAST(COUNT(*) AS BIGINT) AS n_points,
-           ROUND(regr_slope(ln(retention), day_offset), 6) AS slope,
-           CASE WHEN regr_slope(ln(retention), day_offset) < 0
-                THEN ROUND(-ln(2) / regr_slope(ln(retention), day_offset), 6)
-                ELSE NULL END AS half_life_days
-    FROM pts GROUP BY cohort HAVING COUNT(*) >= 3
+    SELECT cohort, nn AS n_points,
+           CASE WHEN dx <> 0 THEN
+             ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) / 1e6, 6)
+           END AS slope,
+           CASE WHEN dx <> 0 AND num < 0 THEN
+             ROUND(-ln(2) / (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) / 1e6), 6)
+           END AS half_life_days
+    FROM d
     """
 
 
 @register("events_retention_halflife", _halflife_sql())
 def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Retention half-life per cohort: exponential-decay fit by
-    # log-linear OLS over the retention matrix (regr_slope is an exact
-    # moment aggregate — map-side combinable, five numbers per cohort
-    # cross the shuffle), half-life = -ln 2 / slope.  The growth-team
-    # summary number on top of events_retention_cohorts.
+    # log-linear OLS over the retention matrix — micro-quantized ln +
+    # exact integer moment sums (map-side combinable, five numbers per
+    # cohort cross the shuffle; see _halflife_sql for the order-proof
+    # contract), half-life = -ln 2 / slope.  The growth-team summary
+    # number on top of events_retention_cohorts.
     from . import QUERIES
 
     m = QUERIES["events_retention_cohorts"](spark, sf_dir)
     pts = m.filter((F.col("day_offset") >= 1) & (F.col("retention") > 0))
-    slope = F.regr_slope(F.log("retention"), F.col("day_offset").cast("double"))
-    return (
-        pts.groupBy("cohort")
+    q = pts.select(
+        "cohort",
+        F.col("day_offset").cast("long").alias("x"),
+        F.floor(F.log("retention") * 1e6 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    mo = (
+        q.groupBy("cohort")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_points"),
-            F.round(slope, 6).alias("slope"),
-            F.when(
-                slope < 0, F.round(-F.log(F.lit(2.0)) / slope, 6)
-            ).alias("half_life_days"),
+            F.count(F.lit(1)).cast("long").alias("nn"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         )
-        .filter(F.col("n_points") >= 3)
+        .filter(F.col("nn") >= 3)
+    )
+    d = mo.select(
+        "cohort",
+        "nn",
+        (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+    )
+    slope = F.col("num").cast("double") / F.col("dx").cast("double") / 1e6
+    return d.select(
+        "cohort",
+        F.col("nn").alias("n_points"),
+        F.when(F.col("dx") != 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            (F.col("dx") != 0) & (F.col("num") < 0),
+            F.round(-F.log(F.lit(2.0)) / slope, 6),
+        ).alias("half_life_days"),
     )
 
 
@@ -2622,8 +2723,10 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_days,
            ROUND(AVG(ABS(n - pred_seasonal) * 1.0), 6) AS mae_seasonal,
            ROUND(AVG(ABS(n - pred_naive) * 1.0), 6) AS mae_naive,
-           ROUND(AVG(ABS(n - pred_seasonal) * 1.0 / n), 6) AS mape_seasonal,
-           ROUND(AVG(ABS(n - pred_naive) * 1.0 / n), 6) AS mape_naive
+           ROUND(CAST(SUM(CAST(floor(ABS(n - pred_seasonal) * 1.0 / n * 1e9 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mape_seasonal,
+           ROUND(CAST(SUM(CAST(floor(ABS(n - pred_naive) * 1.0 / n * 1e9 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mape_naive
     FROM lagged
     WHERE pred_seasonal IS NOT NULL AND pred_naive IS NOT NULL
     GROUP BY event_type
@@ -2647,8 +2750,20 @@ def events_backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.round(F.avg(ae_s), 6).alias("mae_seasonal"),
         F.round(F.avg(ae_n), 6).alias("mae_naive"),
-        F.round(F.avg(ae_s / F.col("n")), 6).alias("mape_seasonal"),
-        F.round(F.avg(ae_n / F.col("n")), 6).alias("mape_naive"),
+        F.round(
+            F.sum(F.floor(ae_s / F.col("n") * 1e9 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("mape_seasonal"),
+        F.round(
+            F.sum(F.floor(ae_n / F.col("n") * 1e9 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("mape_naive"),
     )
 
 
@@ -2765,17 +2880,19 @@ def ml_time_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM matched GROUP BY 1
     ),
     credited AS (
-      SELECT m.channel, 1.0 / k.n_touches AS credit,
-             m.value / k.n_touches AS rev
+      SELECT m.channel,
+             CAST(floor(1.0 / k.n_touches * 1e9 + 0.5) AS BIGINT) AS credit_n,
+             CAST(floor(m.value / k.n_touches * 1e6 + 0.5) AS BIGINT) AS rev_u
       FROM matched m JOIN k ON m.event_id = k.event_id
       UNION ALL
-      SELECT '(none)', 1.0, c.value
+      SELECT '(none)', CAST(1000000000 AS BIGINT),
+             CAST(floor(c.value * 1e6 + 0.5) AS BIGINT)
       FROM conv c WHERE NOT EXISTS
         (SELECT 1 FROM matched m WHERE m.event_id = c.event_id)
     )
     SELECT channel,
-           ROUND(SUM(credit), 6) AS credited_conversions,
-           ROUND(SUM(rev), 2) AS credited_revenue
+           ROUND(CAST(SUM(credit_n) AS HUGEINT) / 1e9, 6) AS credited_conversions,
+           ROUND(CAST(SUM(rev_u) AS HUGEINT) / 1e6, 2) AS credited_revenue
     FROM credited GROUP BY channel
     """,
 )
@@ -2807,21 +2924,30 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.join(k, "event_id")
         .select(
             "channel",
-            (F.lit(1.0) / F.col("n_touches")).alias("credit"),
-            (F.col("value") / F.col("n_touches")).alias("rev"),
+            F.floor(F.lit(1.0) / F.col("n_touches") * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("credit_n"),
+            F.floor(F.col("value") / F.col("n_touches") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("rev_u"),
         )
         .unionByName(
             conv.join(matched.select("event_id").distinct(), "event_id", "left_anti")
             .select(
                 F.lit("(none)").alias("channel"),
-                F.lit(1.0).alias("credit"),
-                F.col("value").alias("rev"),
+                F.lit(1000000000).cast("long").alias("credit_n"),
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("rev_u"),
             )
         )
     )
+    dec = "decimal(38,0)"
     return credited.groupBy("channel").agg(
-        F.round(F.sum("credit"), 6).alias("credited_conversions"),
-        F.round(F.sum("rev"), 2).alias("credited_revenue"),
+        F.round(F.sum(F.col("credit_n").cast(dec)).cast("double") / 1e9, 6).alias(
+            "credited_conversions"
+        ),
+        F.round(F.sum(F.col("rev_u").cast(dec)).cast("double") / 1e6, 2).alias(
+            "credited_revenue"
+        ),
     )
 
 

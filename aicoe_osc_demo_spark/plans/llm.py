@@ -670,10 +670,45 @@ def _lsh_planes_for(n: int, target_bucket: int = 32) -> int:
     Only the SELF-JOIN dedup entries use this — the query-serving ANN
     entries (fixed broadcast probe set) are linear in the corpus already
     and their oracles render the 8-plane tables literally.
+
+    RECALL CONTRACT NARROWS past the floor: once n > target_bucket *
+    2**_ANN_PLANES (8192 at the defaults) the extra planes lower the
+    collision probability for near-but-not-SIGN-IDENTICAL pairs, so exact
+    recall vs the brute-force >= 0.99 cosine oracle is guaranteed only
+    for sign-identical pairs (the planted clones) — generic near-dups
+    become probabilistic, standard LSH recall.  The oracle entries run at
+    sf <= 0.1 (n <= ~8k) where this floors; the warning below makes the
+    regime switch visible instead of silent.
     """
     import math
 
-    return max(_ANN_PLANES, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    planes = max(_ANN_PLANES, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    if planes > _ANN_PLANES:
+        import warnings
+
+        warnings.warn(
+            f"LSH self-join sized {planes} planes/table for n={n} "
+            f"(> {_ANN_PLANES}-plane floor): exact recall vs the brute-force "
+            "cosine oracle now holds only for sign-identical pairs; "
+            "near-but-not-sign-identical >=0.99 pairs are probabilistic.",
+            stacklevel=2,
+        )
+    return planes
+
+
+def _clone_corpus_rows(sf_dir: str) -> int:
+    """Cardinality of the embeddings-plus-planted-clones corpus the vector
+    dedup entries build, WITHOUT an eager count() job: the embeddings row
+    count comes from the parquet footer (metadata read) and the clone arm
+    is ``vec_id < 25`` over a dense 0..n-1 id space (TESTDATA contract),
+    i.e. min(25, n) rows.  Keeps plan construction lazy — explain/audit
+    paths no longer launch a full-table scan per entry — while matching
+    corpus.count() exactly, which the semdedup oracle's
+    ``GREATEST(4, COUNT(*) // 128)`` k requires."""
+    from ..sources.tables import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    return n + min(25, n)
 
 
 def _bucket_sql(col: str, table: int) -> str:
@@ -792,7 +827,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(clones)
     return embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
-        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
+        planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
     )
 
 
@@ -850,7 +885,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(clones)
     pairs = embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
-        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
+        planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
     )
     labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     singles = (
@@ -928,7 +963,7 @@ def llm_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(clones)
     pairs = embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
-        planes_per_table=_lsh_planes_for(corpus.count()), dim=64
+        planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
     )
     labels = dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
     scored = corpus.withColumn(
@@ -2057,8 +2092,8 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's subquery LIMIT): a fixed k makes cluster occupancy grow
     # linearly and the within-cluster pairwise join quadratic — measured
     # 2.7x PER-ROW at x30 before this change, 0.41x after (274s -> 56s).
-    # The count() here is the statistics read that sizes the partitioning,
-    # the same move SemDeDup itself makes (k=11k for LAION-440M).
+    # The cardinality is a parquet-footer statistics read (not a Spark
+    # job), the same move SemDeDup itself makes (k=11k for LAION-440M).
     from ..operators.similarity import semdedup_pairs
 
     emb = load(spark, sf_dir, "embeddings").select(
@@ -2069,7 +2104,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
     )
     corpus = emb.unionByName(clones)
-    k = max(4, corpus.count() // 128)
+    k = max(4, _clone_corpus_rows(sf_dir) // 128)
     return semdedup_pairs(corpus, k=k, iters=2, tau=0.99)
 
 

@@ -244,19 +244,53 @@ def ml_qa_finetune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ml_group_regression",
+    # r11 flake-audit fix: regr_* over raw doubles accumulate running
+    # co-moments in engine/partition-specific order (llm_heaps_law flake
+    # class).  Both engines now quantize per-row to integer cents
+    # (identical fixed double op), reduce EXACT integer moments, and
+    # derive slope/intercept/r² in one final fixed-order double
+    # expression; slope/r² are scale-invariant, intercept divides back.
     """
-    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
-           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
-    FROM lineitem GROUP BY 1
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS nm,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM q GROUP BY 1
+    ),
+    d AS (
+      SELECT l_returnflag, nm, sx, sy,
+             nm * sxy - sx * sy AS num,
+             nm * sxx - sx * sx AS dx, nm * syy - sy * sy AS dy
+      FROM m
+    )
+    SELECT l_returnflag, CAST(nm AS BIGINT) AS n,
+           CASE WHEN dx <> 0 THEN
+             ROUND(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE), 6) END AS slope,
+           CASE WHEN dx <> 0 THEN
+             ROUND((CAST(sy AS DOUBLE)
+                    - CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)
+                      * CAST(sx AS DOUBLE))
+                   / CAST(nm AS DOUBLE) / 100, 6) END AS intercept,
+           CASE WHEN dx <> 0 AND dy <> 0 THEN
+             ROUND((CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                   * (CAST(num AS DOUBLE) / CAST(dy AS DOUBLE)), 6) END AS r2
+    FROM d
     """,
 )
 def ml_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Grouped OLS (price ~ quantity per return flag) via the built-in
-    # moment-sum regression aggregates — per-group model fitting with NO
-    # applyInPandas: five map-side-combined numbers per group cross the
-    # shuffle instead of every observation.
+    # Grouped OLS (price ~ quantity per return flag) via exact
+    # integer-cent moment sums — per-group model fitting with NO
+    # applyInPandas: six map-side-combined numbers per group cross the
+    # shuffle instead of every observation (see group_regression).
     from ..operators.relational import group_regression
 
     return group_regression(
@@ -264,6 +298,7 @@ def ml_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         y=F.col("l_extendedprice"),
         x=F.col("l_quantity"),
+        quantize_scale=100,
     )
 
 

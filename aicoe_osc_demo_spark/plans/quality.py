@@ -1566,10 +1566,13 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One-way ANOVA F across sources on document length — the k-group
     # mean-difference test next to the two-sample KS.  All moments are
     # EXACT BIGINT sums (count / sum / sum-of-squares per group, map-side
-    # combined); the per-group s²/m terms quantize to integer micro-units
-    # before the between/within sums, so the statistic is
-    # accumulation-order-proof.  F NULL when k < 2 or the within-group
-    # variance is zero (no test).
+    # combined); the per-group s²/m terms quantize via an IDENTICAL
+    # fixed-order double expression (floor(s*s/m*1e6+0.5)) in both engines
+    # before the between/within sums — identical-double-then-floor (the
+    # _lloyd_quantized justification), not exact integer arithmetic: past
+    # 2^53 in s*s the double rounds, but both engines round the same way,
+    # so the k-row reduction stays accumulation-order-proof.  F NULL when
+    # k < 2 or the within-group variance is zero (no test).
     """
     WITH g AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS m,

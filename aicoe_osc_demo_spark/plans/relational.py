@@ -26,33 +26,63 @@ from . import load, register
 
 @register(
     "agg_pricing_summary",
+    # r11 flake-audit fix: every measure quantizes per-row to a fixed
+    # integer grain (cents for the cent-exact columns — zero error — and
+    # micro-units for the discounted-price product) so the group sums are
+    # EXACT integer folds (order-proof) and each output is one final
+    # fixed-order double expression; raw SUM/AVG over doubles accumulate
+    # in engine/partition-specific order (llm_heaps_law flake class).
     """
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) AS BIGINT)
+               AS disc_u
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(qty_c) AS HUGEINT) / 100.0, 2) AS sum_qty,
+           ROUND(CAST(SUM(price_c) AS HUGEINT) / 100.0, 2) AS sum_base_price,
+           ROUND(CAST(SUM(disc_u) AS HUGEINT) / 1e6, 2) AS sum_disc_price,
+           ROUND(CAST(SUM(qty_c) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_qty,
+           ROUND(CAST(SUM(price_c) AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
            COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+    ).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.sum(qty_c.cast(dec)).alias("_qc"),
+            F.sum(price_c.cast(dec)).alias("_pc"),
+            F.sum(disc_u.cast(dec)).alias("_du"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_qc") / 100.0, 2).alias("sum_qty"),
+            F.round(F.col("_pc") / 100.0, 2).alias("sum_base_price"),
+            F.round(F.col("_du").cast("double") / 1e6, 2).alias("sum_disc_price"),
+            F.round(
+                F.col("_qc").cast("double") / F.col("count_order") / 100, 6
+            ).alias("avg_qty"),
+            F.round(
+                F.col("_pc").cast("double") / F.col("count_order") / 100, 6
+            ).alias("avg_price"),
+            "count_order",
         )
     )
 
@@ -70,60 +100,131 @@ def agg_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_sum_avg_by_group",
+    # r11 flake-audit fix: acctbal is cent-exact, so per-row integer-cent
+    # quantize + exact BIGINT sum is lossless and order-proof (the 6-dp
+    # AVG was a reachable round boundary over a double accumulation).
     """
     SELECT c_mktsegment,
-           ROUND(SUM(c_acctbal), 2) AS total_balance,
-           ROUND(AVG(c_acctbal), 6) AS avg_balance,
+           ROUND(CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                 AS HUGEINT) / 100.0, 2) AS total_balance,
+           ROUND(CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                 AS DOUBLE) / COUNT(*) / 100, 6) AS avg_balance,
            COUNT(*) AS n_customers
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_sum_avg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5/A6 — SUM(coverage)/AVG(reduction_ambition) by company analogue.
-    return load(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
-        F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
-        F.count(F.lit(1)).alias("n_customers"),
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(cents.cast("decimal(38,0)")).alias("_c"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("_c") / 100.0, 2).alias("total_balance"),
+            F.round(F.col("_c").cast("double") / F.col("n_customers") / 100, 6).alias(
+                "avg_balance"
+            ),
+            "n_customers",
+        )
     )
 
 
 @register(
     "agg_global_sum",
+    # r11 flake-audit: per-row micro-unit quantize -> exact integer fold
+    # (2-dp boundary was low-risk but the fix is free and order-proof).
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+    SELECT ROUND(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                 AS BIGINT)) AS HUGEINT) / 1e6, 2) AS total_revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     """,
 )
 def agg_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A9 — global total (time-anlysis.ipynb cell 30 analogue).
-    return load(spark, sf_dir, "lineitem").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        ),
-        F.count(F.lit(1)).alias("n_rows"),
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.sum(rev_u.cast("decimal(38,0)")).alias("_u"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.round(F.col("_u").cast("double") / 1e6, 2).alias("total_revenue"),
+            "n_rows",
+        )
     )
 
 
 @register(
     "agg_summary_stats",
+    # r11 flake-audit fix: STDDEV_SAMP's Welford accumulation is
+    # partition-order-dependent in its low bits (llm_heaps_law flake
+    # class at a 6-dp round).  Quantity is integral, so integer-cent
+    # moments (n, Σx, Σx²) are EXACT and the sample stddev is one final
+    # fixed-order double expression — sqrt is correctly rounded per
+    # IEEE-754, so the whole chain is deterministic.
     """
-    SELECT COUNT(l_quantity) AS cnt,
-           ROUND(AVG(l_quantity), 6) AS mean_qty,
-           ROUND(STDDEV_SAMP(l_quantity), 6) AS std_qty,
-           ROUND(MIN(l_quantity), 2) AS min_qty,
-           ROUND(MAX(l_quantity), 2) AS max_qty
-    FROM lineitem
+    WITH q AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s, CAST(SUM(x * x) AS HUGEINT) AS ss
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS cnt,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_qty,
+           CASE WHEN n > 1 THEN
+             ROUND(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                        / CAST(n * (n - 1) AS DOUBLE)) / 100, 6)
+           END AS std_qty,
+           (SELECT ROUND(MIN(l_quantity), 2) FROM lineitem) AS min_qty,
+           (SELECT ROUND(MAX(l_quantity), 2) FROM lineitem) AS max_qty
+    FROM m
     """,
 )
 def agg_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A7 — describe()-style summary (time-anlysis.ipynb cells 8-27).
-    return load(spark, sf_dir, "lineitem").agg(
-        F.count("l_quantity").alias("cnt"),
-        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+    dec = "decimal(38,0)"
+    x = F.when(
+        F.col("l_quantity").isNotNull(),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"),
+    )
+    m = load(spark, sf_dir, "lineitem").agg(
+        F.count(x).cast("long").alias("cnt"),
+        F.sum(x.cast(dec)).alias("s"),
+        F.sum((x * x).cast(dec)).alias("ss"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+    n = F.col("cnt").cast(dec)
+    return m.select(
+        "cnt",
+        F.round(F.col("s").cast("double") / F.col("cnt").cast("double") / 100, 6).alias(
+            "mean_qty"
+        ),
+        F.when(
+            F.col("cnt") > 1,
+            F.round(
+                F.sqrt(
+                    (n * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+                    / (n * (n - F.lit(1))).cast("double")
+                )
+                / 100,
+                6,
+            ),
+        ).alias("std_qty"),
+        "min_qty",
+        "max_qty",
     )
 
 
@@ -1350,14 +1451,18 @@ def join_returned_revenue_topk_bkt(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "agg_promo_share",
     # TPC-H Q14 shape: promo revenue share per month — one conditional
-    # aggregate, the CASE folds map-side, broadcast part dim.
+    # aggregate, the CASE folds map-side, broadcast part dim.  r11
+    # flake-audit fix: both revenue sums quantize per-row to micro-units
+    # (exact integer folds, order-proof) and the 6-dp share is one final
+    # fixed-order double ratio of exact integers.
     """
     SELECT CAST(year(l.l_shipdate) AS INT) AS yr,
            CAST(month(l.l_shipdate) AS INT) AS mo,
-           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+           ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                              + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                             + 0.5) AS BIGINT)) AS DOUBLE), 6) AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1, 2
     """,
@@ -1365,7 +1470,10 @@ def join_returned_revenue_topk_bkt(spark: SparkSession, sf_dir: str) -> DataFram
 def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    dec = "decimal(38,0)"
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6 + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(
@@ -1373,12 +1481,20 @@ def agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").cast("int").alias("mo"),
         )
         .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev_u).otherwise(0).cast(dec)
+            ).alias("_promo"),
+            F.sum(rev_u.cast(dec)).alias("_tot"),
+        )
+        .select(
+            "yr",
+            "mo",
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
-                / F.sum(rev),
+                * F.col("_promo").cast("double")
+                / F.col("_tot").cast("double"),
                 6,
-            ).alias("promo_pct")
+            ).alias("promo_pct"),
         )
     )
 
@@ -1851,13 +1967,17 @@ def join_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # proxied as 60% of the part's retail price — the JOIN/rollup shape
     # (LIKE-filtered part dim pruning the fact scan, supplier->nation
     # broadcast, (nation, year) rollup AFTER the multiway join) is the
-    # reference's.  Profit sums land as half-up integer cents before the
-    # 2dp round (accumulation-order-proof, same guard as Q3/Q8/Q10).
+    # reference's.  Each line's profit lands as half-up integer cents
+    # BEFORE the sum (r11 flake-audit fix: the r10 version floored a
+    # SUM(double), whose accumulation order is engine-specific — same
+    # class as the llm_heaps_law hash flake; per-row quantize + exact
+    # BIGINT sum is order-proof, the Q3/Q8/Q10 guard done properly).
     """
     WITH profit AS (
       SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-             SUM(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity) AS amount
+             CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS amount_cents
       FROM lineitem l
       JOIN part p     ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1867,8 +1987,7 @@ def join_small_quantity_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT nation, o_year,
-           ROUND(CAST(floor(amount * 100 + 0.5) AS BIGINT) / 100.0, 2)
-             AS sum_profit
+           ROUND(amount_cents / 100.0, 2) AS sum_profit
     FROM profit
     """,
 )
@@ -1888,22 +2007,24 @@ def join_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = s.join(
         F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
     ).select("s_suppkey", F.col("n_name").alias("nation"))
-    amount = (
-        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    amount_cents = F.floor(
+        (
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(supp_nation), li["l_suppkey"] == supp_nation["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.sum(amount).alias("_amt"))
+        .agg(F.sum(amount_cents).cast("long").alias("_cents"))
         .select(
             "nation",
             "o_year",
-            F.round(
-                F.floor(F.col("_amt") * 100 + F.lit(0.5)).cast("long") / 100.0, 2
-            ).alias("sum_profit"),
+            F.round(F.col("_cents") / 100.0, 2).alias("sum_profit"),
         )
     )
 

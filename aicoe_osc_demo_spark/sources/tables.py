@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER (a metadata read, not a Spark
+    job).  Plan builders that size a parameter from the corpus cardinality
+    (LSH plane count, k-means k) use this so constructing the plan stays
+    lazy — no eager full-table count() scan per entry, and explain/audit
+    paths never launch a job.  mtime-keyed like the other derived-artifact
+    memos so a regenerated dataset invalidates the cache."""
+    p = table_path(sf_dir, name)
+    return _footer_rows(p, os.path.getmtime(p))
+
+
+@lru_cache(maxsize=256)
+def _footer_rows(path: str, _mtime: float) -> int:
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def tables_mtime(sf_dir: str, names: tuple[str, ...]) -> float:

@@ -48,11 +48,15 @@ def windowed_event_counts(
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    # value is cent-exact money: per-row integer-cent quantize + exact
+    # BIGINT sum is lossless and accumulation-order-proof (r11 flake
+    # audit — a raw SUM(double) can flip a 6-dp round between engines)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(cents) / 100.0, 6).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
