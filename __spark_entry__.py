@@ -26,91 +26,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r10 window = the ENTIRE remaining
-# never-driver-checked backlog (42 entries: the 21 r7/r8 leftovers, the 15
-# r9-session additions, the 5 r10-session additions — TPC-H Q9/Q12/Q16/Q20
-# shapes + the streaming heavy-hitters serving query — and
-# layout_bucketed_join, whose memo keying changed this round), fronted by
-# the entries whose CODE changed this round (ADVICE fixes: ml_auc_rank +
-# quality_ks_test NULL-before-window, join_market_share integer-cent share
-# key, the three bucketed-serve entries' mtime memo key).  That drains the
-# backlog to ZERO with 8 slots left, which resume the oldest-green r03
-# rotation (llm_heavy_hitters_sketch .. llm_chunk_documents).  The two
+# FIRST 50 registry entries.  r11 window = (a) every entry whose CODE or
+# ORACLE changed in the r11 flake-proofing sweep (FLAKE_AUDIT_r11.md): the
+# r10 red row llm_heaps_law and its regr/corr/stddev siblings, the
+# sum-then-quantize TPC-H rank keys (Q1/Q3/Q9/Q10/Q14/Q15 + gini), the
+# events value-sum family, the BM25 scoring family, and the four
+# LSH/semdedup entries whose plan construction moved to parquet-footer
+# statistics (results unchanged — re-certified anyway); then (b) the full
+# r11 backlog — the 9 entries that landed after the r10 window filled
+# (bootstrap CI, Krippendorff, Q15 [already in (a)], PR curve, KM
+# survival, Markov-square, chi-square, ANOVA F, Mann-Kendall); remaining
+# slots resume the oldest-green r03 rotation.  The two
 # rows-only-by-design entries (llm_fuzzy_ratio_join,
-# ml_relevance_training_metrics) are pytest-pinned and take no slots even
-# though the fuzzy join's NULL-text prune contract changed this round (the
-# parity property test now covers NULL text).  After this window the
-# rotation continues with the r03/r04 oldest-green blocks
-# (llm_per_host_cap, llm_mixture_sample, llm_pii_scrub, llm_url_host_stats,
-# llm_quality_resample, multimodal_frame_sample, then the agg/events r04
-# block) so no entry's driver evidence goes >~5 rounds stale.
-# r11 backlog (landed after this window filled, local-oracle green at
-# three scales, LOCAL_CORRECTNESS_r10_scales.txt addendum):
-# agg_bootstrap_ci (Poisson bootstrap CI, md5-deterministic weights),
-# quality_krippendorff_alpha (panel agreement, integer coincidence sums),
-# join_top_revenue_supplier (TPC-H Q15 — completes all 22 TPC-H shapes),
-# ml_pr_curve (threshold sweep off the score-vocabulary table),
-# events_survival_km (Kaplan-Meier with right-censoring, nano-log product),
-# events_markov_2step (sparse transition-matrix square),
-# quality_chi2_independence (contingency grid incl. zero cells + Cramér's V),
-# quality_anova_f (one-way ANOVA from exact integer moments), and
-# quality_mann_kendall (integer S + tie-corrected variance trend test).
+# ml_relevance_training_metrics) are pytest-pinned and take no slots.
 _DRIVER_CHECK_PRIORITY = [
-    # --- code changed this round (ADVICE fixes) ---
-    "ml_auc_rank",
-    "quality_ks_test",
-    "join_market_share",
-    "join_exists_order_priority_bkt",
-    "join_returned_revenue_topk_bkt",
-    "layout_bucketed_join",
-    # --- never-driver-checked r7/r8 leftovers (21) ---
-    "agg_gini_concentration",
-    "agg_weighted_percentiles",
-    "diag_correlation_matrix",
-    "events_ab_test",
-    "events_asof_nearest",
-    "events_asof_tolerance",
-    "events_cross_correlation",
-    "events_cumulative_new_users",
-    "events_cusum_changepoint",
-    "events_dow_seasonality",
-    "events_incident_overlap",
-    "events_ohlc_bars",
-    "events_path_trigrams",
-    "events_timed_funnel",
-    "layout_hilbert_key",
-    "llm_hard_negatives",
-    "ml_group_regression",
-    "privacy_dp_counts",
-    "privacy_l_diversity",
-    "quality_benford_audit",
-    "quality_quantile_normalize",
-    # --- never-driver-checked r9 additions (10 more) ---
-    "agg_custdist",
-    "join_large_quantity_orders",
-    "join_dormant_rich_customers",
+    # --- (a) r11 flake-proofing sweep: code/oracle changed this round ---
     "llm_heaps_law",
-    "llm_bigram_entropy",
-    "llm_temperature_mixture",
-    "join_unshipped_topk_revenue",
-    "agg_forecast_revenue_delta",
-    "join_small_quantity_loss",
-    "events_cuped",
-    # --- r10-session additions (5) ---
+    "llm_zipf_fit",
+    "ml_group_regression",
+    "events_retention_halflife",
+    "diag_correlation_matrix",
+    "events_cross_correlation",
     "join_product_type_profit",
-    "join_shipmode_priority",
-    "agg_parts_supplier_counts",
-    "join_excess_shipping_share",
-    "llm_heavy_hitters_serving",
+    "join_returned_revenue_topk",
+    "join_returned_revenue_topk_bkt",
+    "join_unshipped_topk_revenue",
+    "join_top_revenue_supplier",
+    "agg_gini_concentration",
+    "agg_pricing_summary",
+    "agg_sum_avg_by_group",
+    "agg_summary_stats",
+    "agg_global_sum",
+    "agg_promo_share",
+    "events_windowed_counts",
+    "events_hypertable_rollup",
+    "events_gapfill_locf",
+    "events_daily_type_matrix",
+    "events_trailing_hour_avg",
+    "events_winsorize",
+    "events_time_to_convert",
+    "events_backtest_seasonal_naive",
+    "events_attribution_linear",
+    "llm_lm_perplexity",
+    "llm_perplexity_buckets",
+    "ml_relevance_inference",
+    "join_top_supplier_share",
+    "privacy_t_closeness",
+    "quality_psi_drift",
+    "llm_bm25_topk",
+    "llm_bm25_from_index",
+    "llm_retrieve_rerank",
+    "llm_rank_fusion",
+    "llm_embedding_near_dup",
+    "llm_semantic_dedup",
+    "llm_keep_canonical",
+    "llm_semdedup",
+    "llm_kmeans_clusters",
+    # --- (b) r11 backlog: landed after the r10 window filled ---
+    "agg_bootstrap_ci",
+    "quality_krippendorff_alpha",
+    "ml_pr_curve",
+    "events_survival_km",
+    "events_markov_2step",
+    "quality_chi2_independence",
+    "quality_anova_f",
+    "quality_mann_kendall",
     # --- oldest-green rotation (last driver-green r03) ---
     "llm_heavy_hitters_sketch",
-    "llm_fuzzy_jaccard_join",
-    "ml_qa_inference_topk",
-    "ml_no_answer_aggregate",
-    "ml_group_metrics",
-    "reshape_flatten",
-    "reshape_gather_table_text",
-    "llm_chunk_documents",
 ]
 
 

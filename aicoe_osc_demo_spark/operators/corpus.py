@@ -79,8 +79,16 @@ def bm25_topk(
     tfn = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # per-term contribution quantizes to integer nano-units (identical
+    # fixed double expression in both engines), so the per-(q,doc) score
+    # is an EXACT integer sum — accumulation-order-proof, and the top-k
+    # ranking below orders integers-in-double, never raw float sums
     per_query = scored.groupBy("q_id", "doc_id").agg(
-        F.round(F.sum(idf * tfn), 6).alias("score")
+        F.round(
+            F.sum(F.floor(idf * tfn * 1e9 + F.lit(0.5)).cast("long")).cast("double")
+            / 1e9,
+            6,
+        ).alias("score")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
@@ -924,8 +932,16 @@ def bm25_topk_from_index(
     tfn = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # per-term contribution quantizes to integer nano-units (identical
+    # fixed double expression in both engines), so the per-(q,doc) score
+    # is an EXACT integer sum — accumulation-order-proof, and the top-k
+    # ranking below orders integers-in-double, never raw float sums
     per_query = scored.groupBy("q_id", "doc_id").agg(
-        F.round(F.sum(idf * tfn), 6).alias("score")
+        F.round(
+            F.sum(F.floor(idf * tfn * 1e9 + F.lit(0.5)).cast("long")).cast("double")
+            / 1e9,
+            6,
+        ).alias("score")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (

@@ -28,60 +28,71 @@ from pyspark.sql.types import DoubleType
 
 from .relational import argmax_per_group, ensure_parallelism
 
-try:  # optional fast path
+# Both scorer implementations are module-level named functions so the
+# parity test can compare them head-to-head whenever rapidfuzz is present
+# (pyproject extra: ``aicoe-osc-demo-spark[fuzzy]``) — the fast path is
+# never dead code that only a different container would exercise.
+import re as _re
+from difflib import SequenceMatcher
+from functools import lru_cache
+
+_non_word = _re.compile(r"(?u)\W")
+
+
+@lru_cache(maxsize=16384)
+def _full_process(s: str) -> str:
+    """fuzzywuzzy utils.full_process: non-word chars -> space, lowercase,
+    trim — applied by fuzz.token_set_ratio before tokenizing, so scores
+    are case- and punctuation-insensitive.  Cached: in a best-match join
+    every left text is processed once per candidate, so the regex over a
+    multi-KB document would otherwise rerun |block| times."""
+    return _non_word.sub(" ", s).lower().strip()
+
+
+def _ratio_difflib(a: str, b: str) -> float:
+    """True token_set_ratio algorithm (fuzzywuzzy semantics) on the
+    stdlib SequenceMatcher: full_process both sides, then compare the
+    sorted token intersection against intersection+remainder strings and
+    take the max.  Rounded to integer scores like fuzzywuzzy's intr
+    (round commutes with max, so one final round is equivalent).
+
+    The pairwise SequenceMatcher calls are laddered behind difflib's own
+    ``real_quick_ratio``/``quick_ratio`` upper bounds: a pair whose bound
+    cannot exceed the running max contributes nothing to the max, so
+    skipping it is exact (ratio <= quick_ratio <= real_quick_ratio)."""
+    a, b = _full_process(a), _full_process(b)
+    if not a or not b:  # fuzzywuzzy's empty-string guard returns 0
+        return 0.0
+    sa, sb = set(a.split()), set(b.split())
+    inter = " ".join(sorted(sa & sb))
+    t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
+    t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
+    best = 0.0
+    for x, y in ((inter, t1), (inter, t2), (t1, t2)):
+        sm = SequenceMatcher(None, x, y)
+        if sm.real_quick_ratio() <= best or sm.quick_ratio() <= best:
+            continue
+        r = sm.ratio()
+        if r > best:
+            best = r
+    return float(round(100.0 * best))
+
+
+try:  # optional fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
     from rapidfuzz.utils import default_process as _rf_process  # type: ignore
 
-    def _ratio(a: str, b: str) -> float:
+    def _ratio_rapidfuzz(a: str, b: str) -> float:
         # processor= replicates fuzzywuzzy's default full_process (lowercase,
         # non-alphanumerics -> space, trim) that the reference gets for free
         # from fuzz.token_set_ratio (table_curator.py:186); rounding matches
         # fuzzywuzzy's utils.intr int scores
         return float(round(_rf_fuzz.token_set_ratio(a, b, processor=_rf_process)))
 
+    _ratio = _ratio_rapidfuzz
 except Exception:  # pragma: no cover - depends on container contents
-    import re as _re
-    from difflib import SequenceMatcher
-    from functools import lru_cache
-
-    _non_word = _re.compile(r"(?u)\W")
-
-    @lru_cache(maxsize=16384)
-    def _full_process(s: str) -> str:
-        """fuzzywuzzy utils.full_process: non-word chars -> space, lowercase,
-        trim — applied by fuzz.token_set_ratio before tokenizing, so scores
-        are case- and punctuation-insensitive.  Cached: in a best-match join
-        every left text is processed once per candidate, so the regex over a
-        multi-KB document would otherwise rerun |block| times."""
-        return _non_word.sub(" ", s).lower().strip()
-
-    def _ratio(a: str, b: str) -> float:
-        """True token_set_ratio algorithm (fuzzywuzzy semantics) on the
-        stdlib SequenceMatcher: full_process both sides, then compare the
-        sorted token intersection against intersection+remainder strings and
-        take the max.  Rounded to integer scores like fuzzywuzzy's intr
-        (round commutes with max, so one final round is equivalent).
-
-        The pairwise SequenceMatcher calls are laddered behind difflib's own
-        ``real_quick_ratio``/``quick_ratio`` upper bounds: a pair whose bound
-        cannot exceed the running max contributes nothing to the max, so
-        skipping it is exact (ratio <= quick_ratio <= real_quick_ratio)."""
-        a, b = _full_process(a), _full_process(b)
-        if not a or not b:  # fuzzywuzzy's empty-string guard returns 0
-            return 0.0
-        sa, sb = set(a.split()), set(b.split())
-        inter = " ".join(sorted(sa & sb))
-        t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
-        t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
-        best = 0.0
-        for x, y in ((inter, t1), (inter, t2), (t1, t2)):
-            sm = SequenceMatcher(None, x, y)
-            if sm.real_quick_ratio() <= best or sm.quick_ratio() <= best:
-                continue
-            r = sm.ratio()
-            if r > best:
-                best = r
-        return float(round(100.0 * best))
+    _ratio_rapidfuzz = None  # type: ignore[assignment]
+    _ratio = _ratio_difflib
 
 
 @F.pandas_udf(DoubleType())

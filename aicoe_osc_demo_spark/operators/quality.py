@@ -229,16 +229,28 @@ def lm_perplexity_scores(
         .agg(F.countDistinct("w").alias("vs"))
     )
     k = float(k_smooth)
+    # per-bigram log-prob quantizes to integer micro-ln units (identical
+    # fixed double expression in both engines), so the per-doc mean is an
+    # EXACT integer sum divided once — accumulation-order-proof (r11
+    # flake audit; a raw AVG(double) can flip the 6-dp round)
     scored = bg.crossJoin(F.broadcast(vocab)).select(
         "doc_id",
-        F.log(
-            (F.col("nb").cast("double") + F.lit(k))
-            / (F.col("nu").cast("double") + F.lit(k) * F.col("vs").cast("double"))
-        ).alias("lp"),
+        F.floor(
+            F.log(
+                (F.col("nb").cast("double") + F.lit(k))
+                / (F.col("nu").cast("double") + F.lit(k) * F.col("vs").cast("double"))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_u"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("avg_logp"),
+        F.round(
+            F.sum("lp_u").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_logp"),
     )
 
 
@@ -1089,7 +1101,9 @@ def gini_concentration(
     rank block), so the result is deterministic without a tiebreak.
     """
     per_key = df.groupBy(key_col).agg(
-        F.floor(F.sum(amount) * 100 + F.lit(0.5)).cast("long").alias("_cents")
+        F.sum(F.floor(amount * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("_cents")
     )
     w = Window.orderBy(F.col("_cents").asc(), F.col(key_col).asc())
     ranked = per_key.withColumn("_i", F.row_number().over(w).cast("long"))
@@ -1224,9 +1238,14 @@ def psi_drift(
         F.count(F.lit(1)).cast("long").alias("n_bins_used"),
         F.round(
             F.sum(
-                (F.col("_pc") - F.col("_pb"))
-                * F.log(F.col("_pc") / F.col("_pb"))
-            ),
+                F.floor(
+                    (F.col("_pc") - F.col("_pb"))
+                    * F.log(F.col("_pc") / F.col("_pb"))
+                    * 1e12
+                    + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / 1e12,
             6,
         ).alias("psi"),
     )
@@ -1293,7 +1312,17 @@ def t_closeness_report(
     )
     return terms.groupBy(*qi_cols).agg(
         F.max("_nclass").cast("long").alias("n"),
-        F.round(F.lit(0.5) * (F.sum("_term") + F.lit(1.0)), 6).alias("t"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.sum(
+                    F.floor(F.col("_term") * 1e12 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / 1e12
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("t"),
     ).withColumn("at_risk", F.col("t") > F.lit(t_threshold))
 
 

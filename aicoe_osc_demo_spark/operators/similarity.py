@@ -483,6 +483,8 @@ def kmeans_quantized(
     id_col: str = "vec_id",
     scale: int = 1000,
     return_assignments: bool = False,
+    route_min_k: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over integer-quantized vectors —
     the oracle-checkable companion to ``train_ivf_quantizer`` (whose
@@ -507,6 +509,13 @@ def kmeans_quantized(
     broadcastable.  Use this for reproducible IVF coarse quantizers and
     audit pipelines; use ``train_ivf_quantizer`` when k-means|| init
     matters more than replayability.
+
+    ``route_min_k`` / ``nprobe`` (default: module constants
+    ``_LLOYD_ROUTE_MIN_K`` / ``_LLOYD_NPROBE``): at k >= route_min_k the
+    assignment step routes through an IVF coarse quantizer instead of the
+    flat n*k fan-out — see :func:`_lloyd_quantized`.  nprobe >= kc makes
+    the routed step exhaustive (bit-identical to flat), which the parity
+    test pins.
     """
     q = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -514,7 +523,13 @@ def kmeans_quantized(
             "v"
         ),
     )
-    assigned, _cents = _lloyd_quantized(q, k, iters)
+    assigned, _cents = _lloyd_quantized(
+        q,
+        k,
+        iters,
+        route_min_k=_LLOYD_ROUTE_MIN_K if route_min_k is None else route_min_k,
+        nprobe=_LLOYD_NPROBE if nprobe is None else nprobe,
+    )
     if return_assignments:
         return assigned.select("vec_id", "cid")
     return (
@@ -529,7 +544,116 @@ def kmeans_quantized(
     )
 
 
-def _lloyd_quantized(q, k: int, iters: int):
+# Routed-assignment gate: at k >= this, each Lloyd assignment routes
+# vectors through a coarse quantizer over the fine centroids (IVF-style)
+# instead of scoring all k centroids per vector.  The oracle scales
+# (sf <= 0.1 -> k <= ~16 with the k = n/128 sizing) stay far below the
+# gate, so every oracle-checked entry runs the flat, bit-replayable path;
+# the gate only engages where the flat path's n*k fan-out is the admitted
+# quadratic term (k grows with n).  128 fine centroids is where the
+# routed candidate count (kc + nprobe*k/kc ~ 5*sqrt(k)) first beats k.
+_LLOYD_ROUTE_MIN_K = 128
+_LLOYD_NPROBE = 4
+
+
+def _exact_cent_dist():
+    """Exact rational distance ||x - s/n||^2 = num/n^2 with
+    num = sum_i (n*x_i - s_i)^2: num and n^2 are exact longs well inside
+    2^63 at scale=1000 and n <= ~1e5 members; the DOUBLE division is only
+    used to ORDER candidates, and the struct tie-break falls back to cid,
+    so a last-ulp tie across two centroids cannot diverge from the
+    oracle (both engines perform the identical IEEE-754 division)."""
+    num = F.aggregate(
+        F.zip_with("v", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, y: acc + y,
+    )
+    return num.cast("double") / (F.col("n") * F.col("n")).cast("double")
+
+
+def _route_assign(q, cents, k: int, nprobe: int):
+    """One IVF-routed Lloyd assignment step: group the k fine centroids
+    under kc = ceil(sqrt(k)) coarse seeds (the kc lowest-cid fine means),
+    route each vector to its ``nprobe`` nearest coarse cells (n*kc narrow
+    fan-out in double — routing needs no exactness), and run the EXACT
+    rational argmin only over the fine centroids in the probed cells
+    (n * ~nprobe*k/kc rows instead of n*k).  Standard IVF semantics: the
+    assignment is approximate when nprobe < kc (the true nearest fine
+    centroid may live in an unprobed cell) and EXHAUSTIVE — bit-identical
+    to the flat path — when nprobe >= kc, which is how the parity test
+    pins it.  Vectors whose probed cells are all empty (possible only
+    under exact seed ties) fall back to the flat scan, so assignment is
+    total."""
+    import math
+
+    kc = max(2, math.ceil(math.sqrt(k)))
+    mean = F.transform("s", lambda si: si.cast("double") / F.col("n"))
+    fine = cents.select("cid", "s", "n", mean.alias("m"))
+    seeds = (
+        fine.orderBy("cid")
+        .limit(kc)
+        .select(F.col("cid").alias("gid"), F.col("m").alias("gm"))
+    )
+    cdist = F.aggregate(
+        F.zip_with("m", "gm", lambda x, g: (x - g) * (x - g)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    fine_g = (
+        fine.crossJoin(F.broadcast(seeds))
+        .select("cid", "s", "n", cdist.alias("_d"), "gid")
+        .groupBy("cid")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("gid"))).alias("g"))
+        .select("cid", F.col("g.gid").alias("gid"))
+        .join(fine.select("cid", "s", "n"), "cid")
+    )
+    vdist = F.aggregate(
+        F.zip_with("v", "gm", lambda x, g: (x.cast("double") - g) * (x.cast("double") - g)),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    probed = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("vec_id", vdist.alias("_d"), "gid")
+        .groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(F.col("_d").alias("d"), "gid"))),
+                1,
+                nprobe,
+            ).alias("ps")
+        )
+        .select("vec_id", F.explode("ps.gid").alias("gid"))
+    )
+    d = _exact_cent_dist()
+    routed = (
+        probed.join(q, "vec_id")
+        .join(F.broadcast(fine_g.select("gid", "cid", "s", "n")), "gid")
+        .select("vec_id", d.alias("_d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    # totality guard: vectors whose probed cells held no fine centroid
+    # (exact-tie pathology) take the flat scan; ~0 rows in practice
+    leftovers = (
+        q.join(routed.select("vec_id"), "vec_id", "left_anti")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", d.alias("_d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    return routed.unionByName(leftovers)
+
+
+def _lloyd_quantized(
+    q,
+    k: int,
+    iters: int,
+    route_min_k: int = _LLOYD_ROUTE_MIN_K,
+    nprobe: int = _LLOYD_NPROBE,
+):
     """The deterministic Lloyd loop over (vec_id, v: array<long>) rows.
 
     Returns (assigned, cents_used): the final assignment frame
@@ -537,6 +661,13 @@ def _lloyd_quantized(q, k: int, iters: int):
     against — (cid, s: array<long> per-dim sums, n: member count) — so
     callers (PQ codebooks) get an assignment/centroid pair that is
     mutually consistent.
+
+    Assignment strategy: below ``route_min_k`` fine centroids, the flat
+    n*k fan-out (bit-replayable, oracle-checked).  At or above it, the
+    IVF-routed step (see :func:`_route_assign`) — the SCALE.md "honest
+    remaining term" remedy: k grows with n (SemDeDup contract), so the
+    flat assign is quadratic in total; routing through ceil(sqrt(k))
+    coarse cells with nprobe probes makes it n*O(sqrt(k)).
     """
     from pyspark.sql import Window
 
@@ -552,31 +683,23 @@ def _lloyd_quantized(q, k: int, iters: int):
     assigned, cents_used = None, cents
     for _ in range(iters):
         cents_used = cents
-        # exact rational distance num/n^2 with num = sum_i (n*x_i - s_i)^2:
-        # num and n^2 are exact longs well inside 2^63 at scale=1000 and
-        # n <= ~1e5 members; the DOUBLE division below is only used to
-        # ORDER candidates, and the struct tie-break falls back to cid, so
-        # a last-ulp tie across two centroids cannot diverge from the
-        # oracle (both engines perform the identical IEEE-754 division).
-        num = F.aggregate(
-            F.zip_with("v", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        )
-        d = num.cast("double") / (F.col("n") * F.col("n")).cast("double")
-        # project the n*k fan-out down to (vec_id, d, cid) BEFORE the
-        # argmin aggregate: carrying the vector array through the agg
-        # buffer forces the sort-based aggregate fallback, and at
-        # k=hundreds the wide n*k sort spilled tens of GB (observed
-        # filling the disk at x100 with k=391).  The narrow rows
-        # partial-combine map-side; one keyed join re-attaches v.
-        scores = (
-            q.crossJoin(F.broadcast(cents_used))
-            .select("vec_id", d.alias("_d"), "cid")
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cid"))
-        )
+        if k >= route_min_k:
+            scores = _route_assign(q, cents_used, k, nprobe)
+        else:
+            # project the n*k fan-out down to (vec_id, d, cid) BEFORE the
+            # argmin aggregate: carrying the vector array through the agg
+            # buffer forces the sort-based aggregate fallback, and at
+            # k=hundreds the wide n*k sort spilled tens of GB (observed
+            # filling the disk at x100 with k=391).  The narrow rows
+            # partial-combine map-side; one keyed join re-attaches v.
+            d = _exact_cent_dist()
+            scores = (
+                q.crossJoin(F.broadcast(cents_used))
+                .select("vec_id", d.alias("_d"), "cid")
+                .groupBy("vec_id")
+                .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
+                .select("vec_id", F.col("m.cid").alias("cid"))
+            )
         assigned = q.join(scores, "vec_id").select("vec_id", "cid", "v")
         sums = (
             assigned.select("cid", F.posexplode("v").alias("i", "x"))

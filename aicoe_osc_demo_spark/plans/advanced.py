@@ -1010,7 +1010,7 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pk AS (
       SELECT o_custkey,
-             CAST(floor(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY 1
     ), r AS (
       SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM pk
@@ -1057,7 +1057,8 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.s_suppkey, s.s_name,
            CAST(COUNT(*) AS BIGINT) AS n_top_parts,
-           ROUND(AVG(share), 6) AS avg_top_share
+           ROUND(CAST(SUM(CAST(floor(share * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1e12, 6) AS avg_top_share
     FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
     GROUP BY 1, 2
     """,
@@ -1085,7 +1086,13 @@ def join_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_top_parts"),
-            F.round(F.avg("share"), 6).alias("avg_top_share"),
+            F.round(
+                F.sum(F.floor(F.col("share") * 1e12 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 1e12,
+                6,
+            ).alias("avg_top_share"),
         )
     )
 

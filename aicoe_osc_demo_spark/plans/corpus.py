@@ -47,10 +47,10 @@ _BM25_SQL = """
       SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM postings GROUP BY 1
     ), scored AS (
       SELECT qt.q_id, p.doc_id,
-             ROUND(SUM(
+             ROUND(CAST(SUM(CAST(floor((
                ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                * (p.tf * 2.5) / (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl))
-             ), 6) AS score
+             ) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS score
       FROM postings p
       JOIN qt ON p.term = qt.term
       JOIN dfreq d ON p.term = d.term

@@ -51,7 +51,8 @@ _QUESTIONS_SQL = """
     scored AS (SELECT doc_id, kpi_id, {_REL_SCORE_SQL} AS score FROM pairs)
     SELECT kpi_id,
            COUNT(*) AS n_relevant,
-           ROUND(AVG(score), 6) AS avg_score
+           ROUND(CAST(SUM(CAST(floor(score * 1000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000, 6) AS avg_score
     FROM scored WHERE score >= 0.5
     GROUP BY kpi_id
     """,
@@ -62,9 +63,17 @@ def ml_relevance_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ref: relevance_infer.py:95-143,196-231).
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     rel = relevance_pipeline(docs, _questions(spark, sf_dir), threshold=0.5)
+    # stub scores are exact thousandths: recover the integer numerator
+    # per row so the mean reduces over an exact integer sum (order-proof)
     return rel.groupBy("kpi_id").agg(
         F.count(F.lit(1)).alias("n_relevant"),
-        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(
+            F.sum(F.floor(F.col("score") * 1000 + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / 1000,
+            6,
+        ).alias("avg_score"),
     )
 
 

@@ -400,12 +400,13 @@ _LM_SQL = """
     ),
     scored AS (
       SELECT bg.doc_id,
-             ln((CAST(nb AS DOUBLE) + CAST(1 AS DOUBLE))
-                / (CAST(nu AS DOUBLE) + CAST(1 AS DOUBLE) * CAST(vs AS DOUBLE))) AS lp
+             CAST(floor(ln((CAST(nb AS DOUBLE) + CAST(1 AS DOUBLE))
+                / (CAST(nu AS DOUBLE) + CAST(1 AS DOUBLE) * CAST(vs AS DOUBLE)))
+                * 1e6 + 0.5) AS BIGINT) AS lp_u
       FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(lp), 6) AS avg_logp
+           ROUND(CAST(SUM(lp_u) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_logp
     FROM scored GROUP BY doc_id
     """
 
@@ -1196,9 +1197,11 @@ def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(tb) AS BIGINT) AS n_baseline,
            CAST(MAX(tc) AS BIGINT) AS n_current,
            CAST(COUNT(*) AS BIGINT) AS n_bins_used,
-           ROUND(SUM(((nc + 0.5) / (tc + 0.5 * k) - (nb + 0.5) / (tb + 0.5 * k))
+           ROUND(CAST(SUM(CAST(floor(
+                     ((nc + 0.5) / (tc + 0.5 * k) - (nb + 0.5) / (tb + 0.5 * k))
                      * ln(((nc + 0.5) / (tc + 0.5 * k))
-                          / ((nb + 0.5) / (tb + 0.5 * k)))), 6) AS psi
+                          / ((nb + 0.5) / (tb + 0.5 * k)))
+                     * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS psi
     FROM sm GROUP BY event_type
     """,
 )
@@ -1241,10 +1244,14 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_mktsegment, c.c_nationkey,
            CAST(MAX(cls.nclass) AS BIGINT) AS n,
-           ROUND(0.5 * (SUM(ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
-                            - g.ngv * 1.0 / n.nt) + 1.0), 6) AS t,
-           ROUND(0.5 * (SUM(ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
-                            - g.ngv * 1.0 / n.nt) + 1.0), 6) > 0.35 AS at_risk
+           ROUND(0.5 * (CAST(SUM(CAST(floor(
+                     (ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
+                      - g.ngv * 1.0 / n.nt) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1e12 + 1.0), 6) AS t,
+           ROUND(0.5 * (CAST(SUM(CAST(floor(
+                     (ABS(c.ncv * 1.0 / cls.nclass - g.ngv * 1.0 / n.nt)
+                      - g.ngv * 1.0 / n.nt) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1e12 + 1.0), 6) > 0.35 AS at_risk
     FROM cvc c
     JOIN cls ON c.c_mktsegment = cls.c_mktsegment
             AND c.c_nationkey = cls.c_nationkey

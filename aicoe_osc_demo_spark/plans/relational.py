@@ -1256,15 +1256,15 @@ def join_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q10 shape: customers ranked by revenue lost to returns —
     # fact-fact join on orderkey, customer dim joined AFTER the rollup
     # (the aggregate shrinks the fact side to |customers| rows first).
-    # The rank key is INTEGER half-up cents, not the raw double sum:
-    # Spark and DuckDB accumulate doubles in different orders, so the
-    # rank-20/21 boundary on the unrounded sum could flip between
-    # engines (same guard as join_cheapest_supplier_per_part).
+    # The rank key is an EXACT integer-cent sum: each line quantizes to
+    # half-up cents BEFORE the sum (r11 fix — flooring the double SUM
+    # still inherited its accumulation order), so the rank-20/21
+    # boundary is engine- and partition-order-proof.
     """
     WITH r AS (
       SELECT o.o_custkey,
-             CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
-                        + 0.5) AS BIGINT) AS cents
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                        + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE l.l_returnflag = 'R'
       GROUP BY 1
@@ -1283,10 +1283,11 @@ def join_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-                * 100
-                + F.lit(0.5)
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
             )
             .cast("long")
             .alias("_cents")
@@ -1402,8 +1403,8 @@ def join_exists_order_priority_bkt(spark: SparkSession, sf_dir: str) -> DataFram
     """
     WITH r AS (
       SELECT o.o_custkey,
-             CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
-                        + 0.5) AS BIGINT) AS cents
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                        + 0.5) AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE l.l_returnflag = 'R'
       GROUP BY 1
@@ -1426,10 +1427,11 @@ def join_returned_revenue_topk_bkt(spark: SparkSession, sf_dir: str) -> DataFram
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-                * 100
-                + F.lit(0.5)
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
             )
             .cast("long")
             .alias("_cents")
@@ -1836,12 +1838,13 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3 shape (shipping priority): revenue still unshipped at the
     # cutoff for one market segment, top 10 orders.  The date range is
     # FIXED across SFs in this generator (1995-2001), so the literal
-    # cutoff is scale-stable; the rank key is integer half-up cents
-    # (accumulation-order-proof, same guard as Q10).
+    # cutoff is scale-stable; the rank key sums per-line half-up integer
+    # cents (exact fold — accumulation-order-proof, same r11 guard as
+    # Q10).
     """
     SELECT l.l_orderkey,
-           ROUND(CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
-                            + 0.5) AS BIGINT) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1850,8 +1853,8 @@ def join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < DATE '1998-06-01'
       AND l.l_shipdate > DATE '1998-06-01'
     GROUP BY 1, 3, 4
-    ORDER BY CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100
-                        + 0.5) AS BIGINT) DESC, l.l_orderkey
+    ORDER BY CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                        + 0.5) AS BIGINT)) AS BIGINT) DESC, l.l_orderkey
     LIMIT 10
     """,
 )
@@ -1870,10 +1873,11 @@ def join_unshipped_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-                * 100
-                + F.lit(0.5)
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
             )
             .cast("long")
             .alias("_cents")
@@ -2191,14 +2195,15 @@ def join_excess_shipping_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the supplier(s) hitting the global maximum.  The spec's CREATE VIEW +
     # correlated MAX subquery becomes one supplier-cardinality rollup and a
     # 1-row broadcast of the global max — no second scan of the fact table
-    # and no global sort.  Revenue compares as half-up integer cents so the
-    # max-equality predicate is accumulation-order-proof (same guard as
-    # Q3/Q8/Q9/Q10); ties at the max all return, per the spec.
+    # and no global sort.  Revenue sums per-line half-up integer cents
+    # (exact fold) so the max-equality predicate is
+    # accumulation-order-proof (same r11 guard as Q3/Q8/Q9/Q10); ties at
+    # the max all return, per the spec.
     """
     WITH rev AS (
       SELECT l_suppkey,
-             CAST(floor(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-                  AS BIGINT) AS rc
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rc
       FROM lineitem
       WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
       GROUP BY 1
@@ -2214,10 +2219,11 @@ def join_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
     rev = li.groupBy("l_suppkey").agg(
-        F.floor(
-            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
-            * 100
-            + F.lit(0.5)
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("long")
         )
         .cast("long")
         .alias("rc")

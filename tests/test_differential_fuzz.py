@@ -72,7 +72,7 @@ TABLES = {
     },
 }
 
-N_SPECS = 100
+N_SPECS = 140
 SEED = 20260815
 
 
@@ -194,6 +194,7 @@ def _run_spec(spark, con, rng, i):
         "filter_project", "group_agg", "order_limit", "join_count",
         "window_rank", "distinct", "union_distinct",
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
+        "frame_window", "asof_tolerance", "grouping_sets",
     ])
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
@@ -361,6 +362,111 @@ def _run_spec(spark, con, rng, i):
             f" CAST({c} - LAG({c}) OVER (ORDER BY {order_q}) AS BIGINT) AS d"
             f" FROM {table} WHERE {pred.sql()}"
         )
+    elif shape == "frame_window":
+        # ROWS-frame running SUM over a deterministic total order: the
+        # summed column v is itself the final order key, so rows tied on
+        # the whole (part, keys, v) order are identical in every projected
+        # attribute and any within-tie permutation leaves the v-sequence —
+        # hence every frame sum — unchanged.  Integer sums are exact.
+        from pyspark.sql import Window
+
+        part = rng.choice(meta["cat"])
+        keys = meta["key"]
+        c = rng.choice([x for x in meta["int"] if x not in keys])
+        p = rng.randint(1, 5)
+        w = (
+            Window.partitionBy(part)
+            .orderBy(*[F.col(k).asc() for k in keys], F.col("v").asc())
+            .rowsBetween(-p, 0)
+        )
+        sdf = (
+            df.filter(pred.spark())
+            .select(part, *keys, F.col(c).alias("v"))
+            .withColumn("rs", F.sum("v").over(w).cast("long"))
+        )
+        order_q = ", ".join(f"{k} ASC" for k in keys) + ", v ASC"
+        sql = (
+            f"SELECT {part}, {', '.join(keys)}, v,"
+            f" CAST(SUM(v) OVER (PARTITION BY {part} ORDER BY {order_q}"
+            f" ROWS BETWEEN {p} PRECEDING AND CURRENT ROW) AS BIGINT) AS rs"
+            f" FROM (SELECT {part}, {', '.join(keys)}, {c} AS v FROM {table}"
+            f" WHERE {pred.sql()})"
+        )
+    elif shape == "asof_tolerance":
+        # tolerance as-of join (engine: union+window asof_join_tolerance;
+        # oracle: native ASOF LEFT JOIN + staleness CASE).  The right side
+        # aggregates to one row per (custkey, ts) so the at-or-before pick
+        # is tie-free; staleness is exact integer micros.
+        from aicoe_osc_demo_spark.operators.temporal import asof_join_tolerance
+
+        pools_o = _sample_literals(con, "orders")
+        pred_l = _gen_pred(rng, "orders", pools_o)
+        pred_r = _gen_pred(rng, "orders", pools_o)
+        days = rng.randint(1, 30)
+        tol_us = days * 86400 * 1_000_000
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        left = o.filter(pred_l.spark()).select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        right = (
+            o.filter(pred_r.spark())
+            .groupBy("o_custkey", F.col("o_orderdate").alias("rts"))
+            .agg(F.max("o_totalprice").alias("v"))
+        )
+        sdf = asof_join_tolerance(
+            left,
+            right,
+            on=["o_custkey"],
+            left_ts="o_orderdate",
+            right_ts="rts",
+            value_cols=["v"],
+            tolerance_seconds=days * 86400,
+        ).select("o_orderkey", "v_asof", "staleness_s")
+        sql = (
+            f"WITH l AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders"
+            f" WHERE {pred_l.sql()}),"
+            f" r AS (SELECT o_custkey AS ck, o_orderdate AS rts,"
+            f" MAX(o_totalprice) AS v FROM orders WHERE {pred_r.sql()}"
+            f" GROUP BY 1, 2)"
+            f" SELECT l.o_orderkey,"
+            f" CASE WHEN m.rts IS NOT NULL AND"
+            f" epoch_us(l.o_orderdate) - epoch_us(m.rts) <= {tol_us}"
+            f" THEN m.v END AS v_asof,"
+            f" CASE WHEN m.rts IS NOT NULL AND"
+            f" epoch_us(l.o_orderdate) - epoch_us(m.rts) <= {tol_us}"
+            f" THEN ROUND((epoch_us(l.o_orderdate) - epoch_us(m.rts)) / 1e6, 6)"
+            f" END AS staleness_s"
+            f" FROM l ASOF LEFT JOIN r m"
+            f" ON l.o_custkey = m.ck AND l.o_orderdate >= m.rts"
+        )
+    elif shape == "grouping_sets":
+        # ROLLUP grouping sets: Catalyst's Expand vs DuckDB's GROUPING
+        # machinery; rolled-up keys coalesce to a sentinel (string-cast so
+        # the sentinel type matches) and GROUPING()/grouping_id() bitmasks
+        # must agree (first column = most significant bit in both engines)
+        cats = meta["cat"] + [c for c in meta["int"] if c not in meta["key"]][:1]
+        g1, g2 = rng.sample(cats, 2)
+        sdf = (
+            df.filter(pred.spark())
+            .rollup(g1, g2)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.grouping_id().cast("long").alias("gid"),
+            )
+            .select(
+                F.coalesce(F.col(g1).cast("string"), F.lit("<all>")).alias("a"),
+                F.coalesce(F.col(g2).cast("string"), F.lit("<all>")).alias("b"),
+                "gid",
+                "n",
+            )
+        )
+        sql = (
+            f"SELECT COALESCE(CAST({g1} AS VARCHAR), '<all>') AS a,"
+            f" COALESCE(CAST({g2} AS VARCHAR), '<all>') AS b,"
+            f" CAST(GROUPING({g1}, {g2}) AS BIGINT) AS gid,"
+            f" CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM {table} WHERE {pred.sql()} GROUP BY ROLLUP ({g1}, {g2})"
+        )
     else:  # join_count: orders ⋈ customer with the pred on the chosen side
         if table not in ("orders", "customer"):
             table = "orders"
@@ -403,6 +509,7 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
         "filter_project", "group_agg", "order_limit", "join_count",
         "window_rank", "distinct", "union_distinct",
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
+        "frame_window", "asof_tolerance", "grouping_sets",
     }, shapes
 
 

@@ -253,3 +253,35 @@ def test_fs_link_scores_null_field_is_neutral(spark):
     # name agreement only; the NULL phone comparison contributes exactly 0
     assert got[(1, 101)]["weight"] == round(an, 6)
     assert got[(1, 101)]["match_class"] == "match"
+
+
+def test_scorer_paths_bit_parity():
+    """Both scorer implementations (rapidfuzz fast path / difflib fallback)
+    must return IDENTICAL integer scores over an adversarial corpus — the
+    r11 ask: the fast path is a declared optional dependency
+    (``aicoe-osc-demo-spark[fuzzy]``) and must be parity-tested wherever
+    it is installed, not dead code.  In environments without rapidfuzz
+    this skips with an explicit reason (the difflib path is then the live
+    path and is pinned by the other tests here)."""
+    import random
+
+    import pytest
+
+    from aicoe_osc_demo_spark.operators.fuzzy import _ratio_difflib, _ratio_rapidfuzz
+
+    if _ratio_rapidfuzz is None:
+        pytest.skip("rapidfuzz not installed — install the [fuzzy] extra to exercise the fast path")
+
+    rng = random.Random(29)
+    vocab = ["alpha", "beta", "gamma", "CO2", "émissions", "scope", "2020",
+             "a", "bb", "x-y", "...", "Zeta", "total", "emissions", ""]
+    cases = [("", ""), ("", "x"), ("...", "anything"),
+             ("Total CO2, Emissions!", "total co2 emissions"),
+             ("scope one", "SCOPE one emissions 2020")]
+    cases += [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for _ in range(500)
+    ]
+    for a, b in cases:
+        assert _ratio_rapidfuzz(a, b) == _ratio_difflib(a, b), (a, b)
