@@ -209,10 +209,17 @@ def test_lm_perplexity_scores_hand_computed(spark):
     pcc = (1 + 1) / (1 + 4)
     assert 3 not in out  # single token -> no bigrams
     assert out[1][0] == 3
-    expected1 = round((2 * math.log(pab) + math.log(pba)) / 3, 6)
+
+    # r11: per-bigram log-probs quantize to integer micro-ln units before
+    # the per-doc mean (accumulation-order-proof — FLAKE_AUDIT_r11.md), so
+    # the hand model is floor(ln(p)*1e6+0.5) integers, then ONE division
+    def lp_u(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    expected1 = round((2 * lp_u(pab) + lp_u(pba)) / 3 / 1e6, 6)
     assert out[1][1] == expected1
-    assert out[2] == (1, round(math.log(pab), 6))
-    assert out[4] == (1, round(math.log(pcc), 6))
+    assert out[2] == (1, round(lp_u(pab) / 1 / 1e6, 6))
+    assert out[4] == (1, round(lp_u(pcc) / 1 / 1e6, 6))
 
 
 def test_lm_perplexity_plan_no_cartesian_beyond_broadcast_vocab(spark):

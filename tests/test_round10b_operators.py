@@ -177,10 +177,21 @@ def test_top_revenue_supplier_is_argmax_with_ties(spark):
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
     )
+    # r11: the entry's revenue key sums per-line half-up integer CENTS
+    # (accumulation-order-proof — FLAKE_AUDIT_r11.md), so the independent
+    # recompute must use the same per-row quantization, not a 2-dp round
+    # of the raw double sum (they can legitimately differ by one cent)
     mx = (
         li.groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
-        .agg(F.max(F.round("v", 2)).alias("m"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("vc")
+        )
+        .agg(F.max(F.round(F.col("vc") / 100.0, 2)).alias("m"))
         .collect()[0]
         .m
     )
