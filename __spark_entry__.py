@@ -39,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # slots resume the oldest-green r03 rotation.  The two
 # rows-only-by-design entries (llm_fuzzy_ratio_join,
 # ml_relevance_training_metrics) are pytest-pinned and take no slots.
+# r12 backlog (landed after this window filled; local-oracle green at all
+# three scales + hand-computed pytest cases in test_round11_operators.py):
+# quality_jsd_drift (bounded Jensen-Shannon drift companion of PSI),
+# llm_tokenizer_fertility (tokens-per-word / chars-per-token per language
+# through the corpus-trained BPE), and llm_ndcg_eval (position-sensitive
+# NDCG@5 of the LSH ANN vs the exact ranking, exact pico-integer DCG/IDCG
+# folds).
 _DRIVER_CHECK_PRIORITY = [
     # --- (a) r11 flake-proofing sweep: code/oracle changed this round ---
     "llm_heaps_law",

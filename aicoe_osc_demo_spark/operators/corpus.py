@@ -517,6 +517,51 @@ def bpe_encode_token_counts(
     )
 
 
+def bpe_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    n_merges: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per group (language): tokens-per-word and
+    chars-per-token through the corpus-trained BPE — the standard
+    multilingual tokenizer-equity metric (high-fertility languages pay
+    more tokens per word, which skews both training mixture budgets and
+    serving cost; fertility audits are how pipelines catch it).
+
+    Same two-corpus-touch shape as :func:`bpe_encode_token_counts`:
+    training and encoding run on the vocabulary table; the corpus is
+    scanned once for the word stream and the vocab-sized (word →
+    n_tokens) map broadcasts back.  Every output is an exact-integer-
+    count ratio (Σ tokens / Σ words, Σ chars / Σ tokens) — deterministic
+    with no quantization needed.
+
+    Output: (group_col, n_words, n_tokens, fertility, chars_per_token).
+    """
+    bests = _bpe_merge_steps(docs, n_merges, text_col)
+    words = docs.select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    encoded = bpe_apply_merges(words.select("w").distinct(), bests)
+    tok = encoded.select("w", F.size(F.split("wstr", " ")).alias("w_tokens"))
+    return (
+        words.join(F.broadcast(tok), on="w")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("w_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("w")).cast("double")
+                / F.sum("w_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 def feature_hash_embed(
     df: DataFrame,
     dim: int = 64,

@@ -1251,6 +1251,110 @@ def psi_drift(
     )
 
 
+def jsd_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column,
+    in_baseline: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Jensen-Shannon divergence per group between a baseline slice and
+    the rest — the BOUNDED drift companion of :func:`psi_drift`: JSD is
+    symmetric, finite for disjoint supports (max ln 2 nats), and needs no
+    smoothing constant, so it compares cleanly across features with very
+    different bin occupancies (PSI's +0.5 Laplace term dominates sparse
+    bins).  Same scale shape as PSI: one global (min, max) broadcast,
+    map-side equal-width binning, ONE (group, bin) conditional-count
+    aggregate, per-group rollup.
+
+    Determinism: p and q are exact-integer-count ratios, each bin's
+    p·ln(p/m) + q·ln(q/m) term is one fixed double expression quantized
+    to pico units, and the per-group reduction is an exact integer sum
+    (order-proof — FLAKE_AUDIT_r11.md discipline).  Zero-sided bins
+    contribute only their non-zero arm (0·ln 0 := 0 via integer-count
+    CASE guards, not float tests).
+
+    Output: group_cols + (n_baseline, n_current, n_bins_used, jsd),
+    jsd in nats rounded to 6 dp (ln 2 ≈ 0.693147 = disjoint).
+    """
+    rng = df.agg(
+        F.min(value).cast("double").alias("_lo"),
+        F.max(value).cast("double").alias("_hi"),
+    )
+    v = value.cast("double")
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        *group_cols,
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (v - F.col("_lo"))
+                    / F.when(
+                        F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")
+                    ).otherwise(F.lit(1.0))
+                    * n_bins
+                ).cast("int"),
+            ),
+        ).alias("_bin"),
+        F.when(in_baseline, 1).otherwise(0).alias("_isb"),
+    )
+    per_bin = binned.groupBy(*group_cols, "_bin").agg(
+        F.sum("_isb").cast("long").alias("_nb"),
+        F.sum(F.lit(1) - F.col("_isb")).cast("long").alias("_nc"),
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    tot = per_bin.select(
+        *group_cols,
+        "_nb",
+        "_nc",
+        F.sum("_nb").over(w_tot).alias("_tb"),
+        F.sum("_nc").over(w_tot).alias("_tc"),
+    )
+    p0 = F.when(F.col("_nb") > 0, F.col("_nb") * 1.0 / F.col("_tb")).otherwise(0.0)
+    q0 = F.when(F.col("_nc") > 0, F.col("_nc") * 1.0 / F.col("_tc")).otherwise(0.0)
+    terms = tot.select(
+        *group_cols,
+        "_nb",
+        "_nc",
+        "_tb",
+        "_tc",
+        p0.alias("_p"),
+        q0.alias("_q"),
+    ).select(
+        *group_cols,
+        "_nb",
+        "_nc",
+        "_tb",
+        "_tc",
+        (
+            F.when(
+                F.col("_nb") > 0,
+                F.col("_p") * F.log(F.col("_p") / ((F.col("_p") + F.col("_q")) / 2)),
+            ).otherwise(0.0)
+            + F.when(
+                F.col("_nc") > 0,
+                F.col("_q") * F.log(F.col("_q") / ((F.col("_p") + F.col("_q")) / 2)),
+            ).otherwise(0.0)
+        ).alias("_t"),
+    )
+    return terms.groupBy(*group_cols).agg(
+        F.max("_tb").cast("long").alias("n_baseline"),
+        F.max("_tc").cast("long").alias("n_current"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.sum(F.floor(F.col("_t") * 1e12 + F.lit(0.5)).cast("long")).cast(
+                    "double"
+                )
+                / 1e12
+            ),
+            6,
+        ).alias("jsd"),
+    )
+
+
 def t_closeness_report(
     df: DataFrame,
     qi_cols: list[str],

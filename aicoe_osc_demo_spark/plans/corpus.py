@@ -391,6 +391,41 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_FERTILITY_SQL = f"""
+    WITH {_bpe_merge_ctes(_BPE_MERGES)},
+    {_bpe_encode_ctes(_BPE_MERGES)},
+    wt AS (
+      SELECT w, len(string_split(wstr, ' ')) AS w_tokens FROM e{_BPE_MERGES}
+    ),
+    gw AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(w_tokens) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           ROUND(CAST(SUM(length(w)) AS DOUBLE)
+                 / CAST(SUM(w_tokens) AS DOUBLE), 6) AS chars_per_token
+    FROM gw JOIN wt USING (w) GROUP BY lang
+"""
+
+
+@register("llm_tokenizer_fertility", _BPE_FERTILITY_SQL)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-equity audit: tokens-per-word (fertility) and
+    # chars-per-token per language through the corpus-trained BPE — the
+    # number multilingual mixture planners check before fixing a budget
+    # (high-fertility languages pay more tokens per word).  Exact
+    # integer-count ratios; the same vocabulary-sized train/encode chain
+    # as llm_bpe_encode, one extra corpus-touch never happens.
+    from ..operators.corpus import bpe_fertility
+
+    return bpe_fertility(
+        load(spark, sf_dir, "documents"), group_col="lang", n_merges=_BPE_MERGES
+    )
+
+
 @register("llm_bpe_merge_loop", _BPE_LOOP_SQL)
 def llm_bpe_merge_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The complete greedy BPE training loop, 6 merges: each step counts

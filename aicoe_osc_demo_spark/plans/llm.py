@@ -9,7 +9,7 @@ blocking key); that is the property that survives a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1660,6 +1660,126 @@ def _ann_recall_oracle_sql() -> str:
     LEFT JOIN lsh l ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
     GROUP BY e.query_id
     """
+
+
+def _ndcg_oracle_sql() -> str:
+    # LSH top-5 positions graded by the exact ranking (rel = 6 - exact
+    # rank, 0 for misses); per-position DCG terms pico-quantize via one
+    # fixed double expression and reduce as exact integer sums; IDCG is
+    # the same fold over the ideal ranking, computed IN-ENGINE so the
+    # log2 arithmetic matches term by term.
+    return f"""
+    {_ann_cand_cte()},
+    lsh_scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+      FROM cand
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id, rn AS pos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM lsh_scored
+      ) WHERE rn <= 5
+    ),
+    ex_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+      FROM base c CROSS JOIN (SELECT * FROM base WHERE vec_id < 5) q
+      WHERE c.vec_id != q.vec_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id, rn AS er FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM ex_scored
+      ) WHERE rn <= 5
+    ),
+    graded AS (
+      SELECT l.query_id, l.pos,
+             CAST(COALESCE(6 - e.er, 0) AS BIGINT) AS rel
+      FROM lsh l LEFT JOIN exact e
+        ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(floor(CAST(rel AS DOUBLE) / log2(pos + 1) * 1e12 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS dcg_pico
+      FROM graded GROUP BY 1
+    ),
+    idcg AS (
+      SELECT CAST(SUM(CAST(floor(CAST(6 - i AS DOUBLE) / log2(i + 1) * 1e12 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS idcg_pico
+      FROM generate_series(1, 5) AS s(i)
+    )
+    SELECT query_id, dcg_pico,
+           ROUND(CAST(dcg_pico AS DOUBLE) / CAST(idcg_pico AS DOUBLE), 6)
+             AS ndcg_at_5
+    FROM dcg CROSS JOIN idcg
+    """
+
+
+@register("llm_ndcg_eval", _ndcg_oracle_sql())
+def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@5 of the banded-LSH ANN against the exact cosine ranking — the
+    # POSITION-sensitive serving metric next to llm_ann_recall's set
+    # overlap (a serving stack that returns the right five neighbors in
+    # the wrong order scores 1.0 on recall and below 1.0 here).  Graded
+    # relevance = 6 - exact rank; both rankings order by the ROUNDED
+    # 6-dp cosine with an id tiebreak, so positions are engine-identical,
+    # and the DCG/IDCG folds are exact pico-quantized integer sums with
+    # one final division (order-proof).  At corpus scale the exact side
+    # runs on a query sample, as production NDCG monitors do.
+    from ..operators.similarity import cosine_topk, lsh_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    lsh = (
+        lsh_ann_topk(
+            emb, queries, k=5, n_tables=_ANN_TABLES,
+            planes_per_table=_ANN_PLANES, dim=64,
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("query_id", "neighbor_id", "pos")
+    )
+    exact = (
+        cosine_topk(emb, queries, k=5)
+        .withColumn("er", F.row_number().over(w))
+        .select("query_id", "neighbor_id", "er")
+    )
+    graded = lsh.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "pos",
+        F.coalesce((F.lit(6) - F.col("er")).cast("long"), F.lit(0)).alias("rel"),
+    )
+    term = F.floor(
+        F.col("rel").cast("double") / F.log2(F.col("pos") + 1) * 1e12 + F.lit(0.5)
+    ).cast("long")
+    dcg = graded.groupBy("query_id").agg(F.sum(term).cast("long").alias("dcg_pico"))
+    idcg = spark.range(1, 6).agg(
+        F.sum(
+            F.floor(
+                (F.lit(6) - F.col("id")).cast("double")
+                / F.log2(F.col("id") + 1)
+                * 1e12
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("idcg_pico")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "query_id",
+        "dcg_pico",
+        F.round(
+            F.col("dcg_pico").cast("double") / F.col("idcg_pico").cast("double"), 6
+        ).alias("ndcg_at_5"),
+    )
 
 
 @register("llm_ann_recall", _ann_recall_oracle_sql())

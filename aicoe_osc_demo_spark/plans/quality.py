@@ -1223,6 +1223,72 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_jsd_drift",
+    # Jensen-Shannon drift per event type over the same halves/binning as
+    # quality_psi_drift: symmetric, BOUNDED (ln 2 for disjoint supports),
+    # no smoothing constant.  p/q are exact-integer-count ratios; each
+    # bin's p·ln(p/m)+q·ln(q/m) term pico-quantizes via one fixed double
+    # expression (0·ln0 := 0 through integer-count CASE guards) and the
+    # rollup is an exact integer sum — order-proof.
+    """
+    WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    binned AS (
+      SELECT event_type,
+             LEAST(9, GREATEST(0, CAST(floor((value - rng.lo)
+                 / (CASE WHEN rng.hi > rng.lo THEN rng.hi - rng.lo ELSE 1.0 END)
+                 * 10) AS INT))) AS bin,
+             CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS isb
+      FROM events CROSS JOIN rng
+    ),
+    per_bin AS (
+      SELECT event_type, bin, SUM(isb) AS nb, SUM(1 - isb) AS nc
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, nb, nc,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb,
+             SUM(nc) OVER (PARTITION BY event_type) AS tc
+      FROM per_bin
+    ),
+    pq AS (
+      SELECT event_type, nb, nc, tb, tc,
+             CASE WHEN nb > 0 THEN nb * 1.0 / tb ELSE 0.0 END AS p,
+             CASE WHEN nc > 0 THEN nc * 1.0 / tc ELSE 0.0 END AS q
+      FROM tot
+    ),
+    terms AS (
+      SELECT event_type, nb, nc, tb, tc,
+             (CASE WHEN nb > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+              + CASE WHEN nc > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) AS t
+      FROM pq
+    )
+    SELECT event_type,
+           CAST(MAX(tb) AS BIGINT) AS n_baseline,
+           CAST(MAX(tc) AS BIGINT) AS n_current,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           ROUND(0.5 * (CAST(SUM(CAST(floor(t * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / 1e12), 6) AS jsd
+    FROM terms GROUP BY event_type
+    """,
+)
+def quality_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounded drift gate next to PSI: JSD compares cleanly across features
+    # with very different bin occupancies (no Laplace constant to dominate
+    # sparse bins) and saturates at ln 2 for disjoint halves.  Same
+    # one-broadcast + one-keyed-aggregate + rollup shape as PSI.
+    from ..operators.quality import jsd_drift
+
+    e = load(spark, sf_dir, "events")
+    return jsd_drift(
+        e,
+        ["event_type"],
+        F.col("value"),
+        F.dayofmonth(F.col("ts").cast("timestamp")) <= 15,
+        n_bins=10,
+    )
+
+
+@register(
     "privacy_t_closeness",
     # Oracle replays the present-values identity
     # sum_all |pc-pg| = sum_present (|pc-pg| - pg) + 1 so absent
