@@ -314,6 +314,12 @@ HEADLINE_R10 = [
     "quality_mann_kendall",
 ]
 
+HEADLINE_R11 = [
+    "quality_jsd_drift",
+    "llm_tokenizer_fertility",
+    "llm_ndcg_eval",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -347,7 +353,7 @@ def main() -> None:
     slow_once = {"llm_fuzzy_ratio_join"}
     for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
                  + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
-                 + HEADLINE_R10):
+                 + HEADLINE_R10 + HEADLINE_R11):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
