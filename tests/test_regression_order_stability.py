@@ -82,3 +82,34 @@ def test_ln_micro_matches_duckdb_rendering():
     ).fetchone()[0]
     expect = [math.floor(math.log(float(v)) * 1e6 + 0.5) for v in vals]
     assert got == expect
+
+
+def test_quantize_expression_cross_engine_property():
+    """Property test for the load-bearing flake-fix assumption: the per-row
+    quantizer floor(v*scale+0.5) evaluates identically in DuckDB and
+    Python (same IEEE-754 double ops) across random magnitudes and the
+    grains the catalog uses (cents/micro/nano/pico).  Spark's JVM side is
+    pinned by the bitwise permutation tests above and the 3-scale oracle
+    sweep; this closes the DuckDB<->reference-semantics leg cheaply over
+    thousands of samples."""
+    import math
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260816)
+    scales = [100, 10**6, 10**9, 10**12]
+    vals = []
+    for _ in range(800):
+        exp = rng.randint(-6, 6)
+        vals.append(round(rng.uniform(-1, 1) * (10 ** exp), rng.randint(0, 12)))
+    # adversarial half-boundary neighbourhoods
+    vals += [0.005, 0.015, 0.025, 2.675, 0.1 + 0.2, 1e-13, -0.005, -2.675]
+    con = duckdb.connect()
+    for scale in scales:
+        got = con.execute(
+            "SELECT list_transform(?, v -> CAST(floor(v * ? + 0.5) AS BIGINT))",
+            [vals, float(scale)],
+        ).fetchone()[0]
+        expect = [math.floor(v * float(scale) + 0.5) for v in vals]
+        assert got == expect, scale
