@@ -26,80 +26,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r11 window = (a) every entry whose CODE or
-# ORACLE changed in the r11 flake-proofing sweep (FLAKE_AUDIT_r11.md): the
-# r10 red row llm_heaps_law and its regr/corr/stddev siblings, the
-# sum-then-quantize TPC-H rank keys (Q1/Q3/Q9/Q10/Q14/Q15 + gini), the
-# events value-sum family, the BM25 scoring family, and the four
-# LSH/semdedup entries whose plan construction moved to parquet-footer
-# statistics (results unchanged — re-certified anyway); then (b) the full
-# r11 backlog — the 9 entries that landed after the r10 window filled
-# (bootstrap CI, Krippendorff, Q15 [already in (a)], PR curve, KM
-# survival, Markov-square, chi-square, ANOVA F, Mann-Kendall); remaining
-# slots resume the oldest-green r03 rotation.  The two
+# FIRST 50 registry entries.  r12 window = (a) the r12 backlog — the 3
+# entries that landed after the r11 window filled (quality_jsd_drift,
+# llm_tokenizer_fertility, llm_ndcg_eval; local-oracle green at all three
+# scales + hand-computed pytest cases in test_round11_operators.py); (b)
+# llm_kmeans_routed, NEW this round — the IVF-routed Lloyd assignment
+# (operators/similarity.py _route_assign, the r11 scale fix) in its
+# exhaustive nprobe>=kc mode, which is bit-identical to the flat path and
+# reuses the flat k-means oracle verbatim, making the routed branch
+# driver-checkable (r12 judge ask #2); then (c) the oldest-green rotation:
+# all 6 entries last driver-green in r03, all 21 last green in r04, and
+# 19 of the 21 last green in r05 (pipeline_text_curation and
+# reshape_nest_squad roll to the r13 window).  The two
 # rows-only-by-design entries (llm_fuzzy_ratio_join,
 # ml_relevance_training_metrics) are pytest-pinned and take no slots.
-# r12 backlog (landed after this window filled; local-oracle green at all
-# three scales + hand-computed pytest cases in test_round11_operators.py):
-# quality_jsd_drift (bounded Jensen-Shannon drift companion of PSI),
-# llm_tokenizer_fertility (tokens-per-word / chars-per-token per language
-# through the corpus-trained BPE), and llm_ndcg_eval (position-sensitive
-# NDCG@5 of the LSH ANN vs the exact ranking, exact pico-integer DCG/IDCG
-# folds).
 _DRIVER_CHECK_PRIORITY = [
-    # --- (a) r11 flake-proofing sweep: code/oracle changed this round ---
-    "llm_heaps_law",
-    "llm_zipf_fit",
-    "ml_group_regression",
-    "events_retention_halflife",
-    "diag_correlation_matrix",
-    "events_cross_correlation",
-    "join_product_type_profit",
-    "join_returned_revenue_topk",
-    "join_returned_revenue_topk_bkt",
-    "join_unshipped_topk_revenue",
-    "join_top_revenue_supplier",
-    "agg_gini_concentration",
-    "agg_pricing_summary",
-    "agg_sum_avg_by_group",
-    "agg_summary_stats",
-    "agg_global_sum",
-    "agg_promo_share",
-    "events_windowed_counts",
-    "events_hypertable_rollup",
-    "events_gapfill_locf",
-    "events_daily_type_matrix",
-    "events_trailing_hour_avg",
-    "events_winsorize",
-    "events_time_to_convert",
-    "events_backtest_seasonal_naive",
-    "events_attribution_linear",
-    "llm_lm_perplexity",
-    "llm_perplexity_buckets",
-    "ml_relevance_inference",
-    "join_top_supplier_share",
-    "privacy_t_closeness",
-    "quality_psi_drift",
-    "llm_bm25_topk",
-    "llm_bm25_from_index",
-    "llm_retrieve_rerank",
-    "llm_rank_fusion",
-    "llm_embedding_near_dup",
-    "llm_semantic_dedup",
-    "llm_keep_canonical",
-    "llm_semdedup",
-    "llm_kmeans_clusters",
-    # --- (b) r11 backlog: landed after the r10 window filled ---
-    "agg_bootstrap_ci",
-    "quality_krippendorff_alpha",
-    "ml_pr_curve",
-    "events_survival_km",
-    "events_markov_2step",
-    "quality_chi2_independence",
-    "quality_anova_f",
-    "quality_mann_kendall",
-    # --- oldest-green rotation (last driver-green r03) ---
-    "llm_heavy_hitters_sketch",
+    # --- (a) r12 backlog: landed after the r11 window filled ---
+    "quality_jsd_drift",
+    "llm_tokenizer_fertility",
+    "llm_ndcg_eval",
+    # --- (b) new this round: routed-Lloyd under the oracle ---
+    "llm_kmeans_routed",
+    # --- (c) oldest-green rotation: last driver-green r03 ---
+    "llm_mixture_sample",
+    "llm_per_host_cap",
+    "llm_pii_scrub",
+    "llm_quality_resample",
+    "llm_url_host_stats",
+    "multimodal_frame_sample",
+    # --- last driver-green r04 ---
+    "agg_cube_revenue",
+    "agg_filtered_counts",
+    "agg_rollup_revenue",
+    "events_funnel_counts",
+    "events_hll_daily_users",
+    "events_json_extract",
+    "events_pivot_type_columns",
+    "events_retention_cohorts",
+    "incremental_upsert_latest",
+    "join_full_outer",
+    "llm_length_histogram",
+    "llm_pack_offset_bins",
+    "llm_stratified_sample",
+    "llm_vocab_topk",
+    "ml_train_dev_split_sizes",
+    "multimodal_metadata",
+    "set_union_missing_cols",
+    "text_fingerprint",
+    "text_levenshtein_match",
+    "window_lag_delta",
+    "window_running_sum",
+    # --- last driver-green r05 (19 of 21) ---
+    "agg_quantile_sketch",
+    "curation_answer_offsets",
+    "curation_negative_sample",
+    "events_asof_join",
+    "events_grouped_quantiles",
+    "events_range_join_binned",
+    "events_session_window",
+    "events_sessionize",
+    "join_salted_skew",
+    "llm_ann_lsh_topk",
+    "llm_bloom_prefilter",
+    "llm_cms_token_counts",
+    "llm_cosine_topk",
+    "llm_exact_dedup",
+    "llm_hll_vocab_estimate",
+    "llm_incremental_dedup",
+    "llm_ivf_topk",
+    "ml_qa_finetune_loss",
+    "multimodal_features",
 ]
 
 

@@ -80,14 +80,19 @@ def _ratio_difflib(a: str, b: str) -> float:
 
 try:  # optional fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
-    from rapidfuzz.utils import default_process as _rf_process  # type: ignore
 
     def _ratio_rapidfuzz(a: str, b: str) -> float:
-        # processor= replicates fuzzywuzzy's default full_process (lowercase,
-        # non-alphanumerics -> space, trim) that the reference gets for free
-        # from fuzz.token_set_ratio (table_curator.py:186); rounding matches
-        # fuzzywuzzy's utils.intr int scores
-        return float(round(_rf_fuzz.token_set_ratio(a, b, processor=_rf_process)))
+        # Pre-process with the SAME ``_full_process`` the difflib path uses
+        # and pass processor=None: rapidfuzz's ``default_process`` strips
+        # '_' (non-alphanumeric), while fuzzywuzzy's full_process — the
+        # semantics the reference gets from fuzz.token_set_ratio
+        # (table_curator.py:186) — uses Python ``\\W``, which PRESERVES
+        # '_'.  Sharing the one processor keeps both scorer paths
+        # bit-identical on underscore-bearing text (snake_case KPI ids);
+        # rounding matches fuzzywuzzy's utils.intr int scores.
+        return float(
+            round(_rf_fuzz.token_set_ratio(_full_process(a), _full_process(b), processor=None))
+        )
 
     _ratio = _ratio_rapidfuzz
 except Exception:  # pragma: no cover - depends on container contents

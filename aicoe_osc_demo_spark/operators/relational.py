@@ -470,11 +470,19 @@ def group_regression(
     are invariant under the common scale; intercept divides back once.
     """
     if quantize_scale is None:
+        # n is the PAIR count (both x and y non-null — regr_count), and r2
+        # is NULL when the y-variance is 0, matching the quantized path and
+        # the DuckDB oracle (r12 advice: the two paths of one API must
+        # agree on null-bearing input; builtin regr_r2 alone returns 1.0
+        # when syy=0).
         return df.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.regr_count(y, x).cast("long").alias("n"),
             F.round(F.regr_slope(y, x), 6).alias("slope"),
             F.round(F.regr_intercept(y, x), 6).alias("intercept"),
-            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.when(
+                (F.regr_sxx(y, x) != 0) & (F.regr_syy(y, x) != 0),
+                F.round(F.regr_r2(y, x), 6),
+            ).alias("r2"),
         )
 
     dec = "decimal(38,0)"
@@ -482,7 +490,6 @@ def group_regression(
     xi = F.when(both, F.floor(x * quantize_scale + F.lit(0.5)).cast("long"))
     yi = F.when(both, F.floor(y * quantize_scale + F.lit(0.5)).cast("long"))
     m = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
         F.count(xi).cast("long").alias("nm"),
         F.coalesce(F.sum(xi.cast(dec)), F.lit(0).cast(dec)).alias("sx"),
         F.coalesce(F.sum(yi.cast(dec)), F.lit(0).cast(dec)).alias("sy"),
@@ -493,7 +500,6 @@ def group_regression(
     nm = F.col("nm").cast(dec)
     d = m.select(
         *group_cols,
-        "n",
         "nm",
         "sx",
         "sy",
@@ -504,7 +510,9 @@ def group_regression(
     slope = F.col("num").cast("double") / F.col("dx").cast("double")
     return d.select(
         *group_cols,
-        "n",
+        # n = PAIR count (both non-null), matching the builtin path's
+        # regr_count and the oracle's WHERE-filtered COUNT(*)
+        F.col("nm").cast("long").alias("n"),
         F.when(F.col("dx") != 0, F.round(slope, 6)).alias("slope"),
         F.when(
             F.col("dx") != 0,

@@ -696,19 +696,38 @@ def _lsh_planes_for(n: int, target_bucket: int = 32) -> int:
     return planes
 
 
+# Clone-arm cardinality: every vector-dedup entry plants a 0.5-scaled clone
+# of each vec_id < _CLONE_IDS.  ONE constant feeds both the clone filter
+# (via _clone_arm) and the lazy cardinality (_clone_corpus_rows), so the
+# LSH plane count / semdedup k sizing can never silently desynchronize
+# from the actual corpus.count() (r12 advice).  The matching literal in
+# the DuckDB oracle SQL is pinned by test_clone_corpus_rows_matches_count.
+_CLONE_IDS = 25
+
+
+def _clone_arm(emb: DataFrame) -> DataFrame:
+    """The planted clone arm: 0.5-scaled copies (cosine with the source is
+    exactly 1.0 — halving a float is exact) of the ``vec_id < _CLONE_IDS``
+    rows, re-identified at +100000.  Shared by every vector-dedup entry."""
+    return emb.filter(F.col("vec_id") < _CLONE_IDS).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+
+
 def _clone_corpus_rows(sf_dir: str) -> int:
     """Cardinality of the embeddings-plus-planted-clones corpus the vector
     dedup entries build, WITHOUT an eager count() job: the embeddings row
     count comes from the parquet footer (metadata read) and the clone arm
-    is ``vec_id < 25`` over a dense 0..n-1 id space (TESTDATA contract),
-    i.e. min(25, n) rows.  Keeps plan construction lazy — explain/audit
-    paths no longer launch a full-table scan per entry — while matching
-    corpus.count() exactly, which the semdedup oracle's
+    is ``vec_id < _CLONE_IDS`` over a dense 0..n-1 id space (TESTDATA
+    contract), i.e. min(_CLONE_IDS, n) rows.  Keeps plan construction lazy
+    — explain/audit paths no longer launch a full-table scan per entry —
+    while matching corpus.count() exactly, which the semdedup oracle's
     ``GREATEST(4, COUNT(*) // 128)`` k requires."""
     from ..sources.tables import table_rows
 
     n = table_rows(sf_dir, "embeddings")
-    return n + min(25, n)
+    return n + min(_CLONE_IDS, n)
 
 
 def _bucket_sql(col: str, table: int) -> str:
@@ -820,11 +839,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    clones = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-    )
-    corpus = emb.unionByName(clones)
+    corpus = emb.unionByName(_clone_arm(emb))
     return embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
         planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
@@ -878,11 +893,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    clones = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-    )
-    corpus = emb.unionByName(clones)
+    corpus = emb.unionByName(_clone_arm(emb))
     pairs = embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
         planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
@@ -956,11 +967,7 @@ def llm_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    clones = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-    )
-    corpus = emb.unionByName(clones)
+    corpus = emb.unionByName(_clone_arm(emb))
     pairs = embedding_near_dup_pairs(
         corpus, threshold=0.99, n_tables=_ANN_TABLES,
         planes_per_table=_lsh_planes_for(_clone_corpus_rows(sf_dir)), dim=64
@@ -1244,6 +1251,25 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_quantized
 
     return kmeans_quantized(load(spark, sf_dir, "embeddings"), k=4, iters=2)
+
+
+@register("llm_kmeans_routed", _KMEANS_SQL)
+def llm_kmeans_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The IVF-ROUTED Lloyd assignment (operators/similarity.py _route_assign
+    # — the r11 scale fix that killed the flat assign's n*k quadratic term)
+    # under the oracle: route_min_k=4 forces every assignment through the
+    # coarse-quantizer path at k=4, and nprobe=2 >= kc=ceil(sqrt(4))=2
+    # probes EVERY coarse cell, which is the exhaustive mode proven
+    # bit-identical to the flat path (tests/test_lloyd_routed.py) — so the
+    # flat _KMEANS_SQL oracle applies verbatim.  This makes the routed
+    # branch driver-checkable instead of pytest-only (r12 ask #2): the
+    # routing join, the probe argsort, and the left-anti totality guard all
+    # execute inside a value-hashed entry.
+    from ..operators.similarity import kmeans_quantized
+
+    return kmeans_quantized(
+        load(spark, sf_dir, "embeddings"), k=4, iters=2, route_min_k=4, nprobe=2
+    )
 
 
 # --- Product quantization (Jégou et al. 2011) --------------------------------
@@ -2219,11 +2245,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    clones = emb.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-    )
-    corpus = emb.unionByName(clones)
+    corpus = emb.unionByName(_clone_arm(emb))
     k = max(4, _clone_corpus_rows(sf_dir) // 128)
     return semdedup_pairs(corpus, k=k, iters=2, tau=0.99)
 
@@ -2644,11 +2666,7 @@ def llm_cross_corpus_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     a = emb.filter(F.col("vec_id") < 250)
-    clones = a.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
-    )
-    b = emb.filter(F.col("vec_id") >= 250).unionByName(clones)
+    b = emb.filter(F.col("vec_id") >= 250).unionByName(_clone_arm(a))
     return lsh_link_pairs(
         a, b, threshold=0.99, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
     )

@@ -56,10 +56,13 @@ def table_rows(sf_dir: str, name: str) -> int:
     job).  Plan builders that size a parameter from the corpus cardinality
     (LSH plane count, k-means k) use this so constructing the plan stays
     lazy — no eager full-table count() scan per entry, and explain/audit
-    paths never launch a job.  mtime-keyed like the other derived-artifact
-    memos so a regenerated dataset invalidates the cache."""
+    paths never launch a job.  Keyed on the max over the CONTAINED parquet
+    files' mtimes (plus the path's own mtime, which catches part-file
+    deletion): overwriting a part file in place keeps the directory mtime
+    unchanged, so a directory-mtime key could serve a stale count for a
+    regenerated same-layout dataset (r12 advice)."""
     p = table_path(sf_dir, name)
-    return _footer_rows(p, os.path.getmtime(p))
+    return _footer_rows(p, max(tables_mtime(sf_dir, (name,)), os.path.getmtime(p)))
 
 
 @lru_cache(maxsize=256)

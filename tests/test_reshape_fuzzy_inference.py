@@ -273,11 +273,18 @@ def test_scorer_paths_bit_parity():
         pytest.skip("rapidfuzz not installed — install the [fuzzy] extra to exercise the fast path")
 
     rng = random.Random(29)
+    # underscore-bearing tokens are the known rapidfuzz/fuzzywuzzy
+    # processor divergence (default_process strips '_', Python \W keeps
+    # it) — the r12 advice case; they MUST be in the vocab so the parity
+    # test can catch a processor regression.
     vocab = ["alpha", "beta", "gamma", "CO2", "émissions", "scope", "2020",
-             "a", "bb", "x-y", "...", "Zeta", "total", "emissions", ""]
+             "a", "bb", "x-y", "...", "Zeta", "total", "emissions", "",
+             "kpi_id", "data_type", "_", "a_b", "snake_case_token"]
     cases = [("", ""), ("", "x"), ("...", "anything"),
              ("Total CO2, Emissions!", "total co2 emissions"),
-             ("scope one", "SCOPE one emissions 2020")]
+             ("scope one", "SCOPE one emissions 2020"),
+             ("kpi_id data_type", "kpi id data type"),
+             ("a_b", "a b"), ("_", "x"), ("__init__", "init")]
     cases += [
         (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))),
          " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))

@@ -1,0 +1,85 @@
+"""Round-12 pins: the routed-Lloyd oracle entry, the clone-corpus
+cardinality identity, and the null-pair / degenerate-variance alignment
+between the two group_regression code paths (r12 advice items)."""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_clone_corpus_rows_matches_count(spark):
+    """_clone_corpus_rows (parquet-footer + min(_CLONE_IDS, n) arithmetic)
+    must equal the ACTUAL corpus.count() of the clone-augmented frame the
+    dedup entries build — the identity that keeps LSH plane sizing and
+    semdedup k synchronized with the data (r12 advice: one shared
+    constant, one cheap equality pin)."""
+    from aicoe_osc_demo_spark.plans.llm import _clone_arm, _clone_corpus_rows
+    from aicoe_osc_demo_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    corpus = emb.unionByName(_clone_arm(emb))
+    assert _clone_corpus_rows(SF_DIR) == corpus.count()
+
+
+def test_kmeans_routed_matches_flat_entry(spark):
+    """llm_kmeans_routed (route_min_k=4 engages _route_assign; nprobe=2 >=
+    kc=2 probes every coarse cell = exhaustive mode) must be bit-identical
+    to the flat llm_kmeans_clusters entry — the identity that lets the
+    routed branch reuse the flat oracle SQL verbatim."""
+    from aicoe_osc_demo_spark.plans import ORACLE, QUERIES
+
+    assert "llm_kmeans_routed" in QUERIES and "llm_kmeans_routed" in ORACLE
+    # same oracle text as the flat entry, by construction
+    assert ORACLE["llm_kmeans_routed"] == ORACLE["llm_kmeans_clusters"]
+    flat = {
+        r.cluster_id: (r.n_vecs, r.mass)
+        for r in QUERIES["llm_kmeans_clusters"](spark, SF_DIR).collect()
+    }
+    routed = {
+        r.cluster_id: (r.n_vecs, r.mass)
+        for r in QUERIES["llm_kmeans_routed"](spark, SF_DIR).collect()
+    }
+    assert flat == routed and len(flat) == 4
+
+
+def test_group_regression_paths_agree_on_nulls(spark):
+    """Both group_regression code paths (builtin regr_* vs quantized exact
+    moments) must emit the same n (PAIR count, not COUNT(*)) and the same
+    degenerate-variance conventions on null-bearing input (r12 advice:
+    latent divergence — TPC-H has no nulls, user data does)."""
+    from aicoe_osc_demo_spark.operators.relational import group_regression
+
+    rows = [
+        # group g: clean line y = 2x + 1 plus one null-x and one null-y row
+        ("g", 0.0, 1.0), ("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+        ("g", None, 9.0), ("g", 4.0, None),
+        # group h: dy = 0 (constant y) -> r2 NULL on BOTH paths (oracle
+        # convention; bare regr_r2 would say 1.0)
+        ("h", 0.0, 5.0), ("h", 1.0, 5.0), ("h", 2.0, 5.0),
+        # group i: dx = 0 (constant x) -> slope/intercept/r2 all NULL
+        ("i", 2.0, 1.0), ("i", 2.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    builtin = {
+        r.g: r for r in group_regression(df, ["g"], y=F.col("y"), x=F.col("x")).collect()
+    }
+    quant = {
+        r.g: r
+        for r in group_regression(
+            df, ["g"], y=F.col("y"), x=F.col("x"), quantize_scale=100
+        ).collect()
+    }
+    for out in (builtin, quant):
+        assert out["g"].n == 4  # pair count excludes both null rows
+        assert (out["g"].slope, out["g"].intercept, out["g"].r2) == (2.0, 1.0, 1.0)
+        assert out["h"].n == 3 and out["h"].slope == 0.0 and out["h"].r2 is None
+        assert out["i"].r2 is None and out["i"].slope is None
