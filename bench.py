@@ -320,6 +320,42 @@ HEADLINE_R11 = [
     "llm_ndcg_eval",
 ]
 
+# Round-12 additions — same treatment (timed, counted in total_all_queries).
+HEADLINE_R12 = [
+    "llm_kmeans_routed",
+]
+
+
+def _drift_canary(spark, sf_dir: str) -> list[float]:
+    """Host-drift canary (r12): a FIXED, flat, map-only micro-workload timed
+    5x at round close.  Its bytes must never change round-over-round — it
+    deliberately bypasses the package (raw parquet scan, inline expression,
+    its own materializer) so engine refactors cannot move it.  Purpose:
+    separate box-level drift from tree-level drift when comparing BENCH_rN
+    series — the r11 judge's ask after the 1.40x r9→r11 residual could only
+    be ATTRIBUTED to host drift, not measured.  Interpretation: if the
+    canary moved by factor f between rounds, divide per-entry ratios by f
+    before calling anything a regression.  DO NOT MODIFY THIS FUNCTION."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    proj = df.select(
+        F.xxhash64(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            ),
+            F.col("l_returnflag"),
+            F.col("l_orderkey"),
+        ).alias("h")
+    )
+    times: list[float] = []
+    for _ in range(5):
+        t0 = time.time()
+        proj.agg(F.bit_xor("h").alias("chk"), F.count(F.lit(1)).alias("n")).collect()
+        times.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    return times
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -353,7 +389,7 @@ def main() -> None:
     slow_once = {"llm_fuzzy_ratio_join"}
     for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
                  + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
-                 + HEADLINE_R10 + HEADLINE_R11):
+                 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off
@@ -391,6 +427,15 @@ def main() -> None:
         extra = f" (count-only {best_c:.2f}s)" if best_c is not None else ""
         print(f"# {name}: {n} rows in {best:.2f}s{extra}", file=sys.stderr)
 
+    # drift canary LAST (round close): 5 timings of the fixed workload
+    canary_times = _drift_canary(spark, sf_dir)
+    canary = {
+        "times": canary_times,
+        "best": min(canary_times),
+        "median": sorted(canary_times)[2],
+    }
+    print(f"# drift_canary: {canary_times} (best {canary['best']:.2f}s)", file=sys.stderr)
+
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
@@ -423,6 +468,10 @@ def main() -> None:
         # from a real regression when comparing rounds
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # fixed map-only micro-workload (see _drift_canary) — normalize
+        # cross-round per-entry ratios by the canary ratio before
+        # attributing movement to the tree
+        "canary": canary,
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"

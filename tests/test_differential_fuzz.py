@@ -72,7 +72,9 @@ TABLES = {
     },
 }
 
-N_SPECS = 140
+# 180 specs / 18 shapes keeps the per-shape expectation at ~10 after the
+# r12 additions (outer-join NULL semantics + scalar/IN subqueries)
+N_SPECS = 180
 SEED = 20260815
 
 
@@ -195,6 +197,7 @@ def _run_spec(spark, con, rng, i):
         "window_rank", "distinct", "union_distinct",
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
         "frame_window", "asof_tolerance", "grouping_sets",
+        "full_outer_agg", "scalar_subquery", "in_subquery", "not_in_nullaware",
     ])
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
@@ -467,6 +470,116 @@ def _run_spec(spark, con, rng, i):
             f" CAST(COUNT(*) AS BIGINT) AS n"
             f" FROM {table} WHERE {pred.sql()} GROUP BY ROLLUP ({g1}, {g2})"
         )
+    elif shape == "full_outer_agg":
+        # FULL OUTER join null-extension on BOTH sides (r12: the remaining
+        # outer-join surface): each side filtered before the join, per-side
+        # COUNT(col) counts only its own matched+preserved rows while
+        # COUNT(*) counts the padded union
+        pools_o = _sample_literals(con, "orders")
+        pred_o = _gen_pred(rng, "orders", pools_o)
+        pools_c = _sample_literals(con, "customer")
+        pred_c = _gen_pred(rng, "customer", pools_c)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(pred_o.spark())
+        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        sdf = (
+            o.join(c, o["o_custkey"] == c["c_custkey"], "full")
+            .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<none>")).alias("seg"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.count("o_orderkey").cast("long").alias("n_orders"),
+                F.count("c_custkey").cast("long").alias("n_cust"),
+            )
+        )
+        sql = (
+            "SELECT COALESCE(c_mktsegment, '<none>') AS seg,"
+            " CAST(COUNT(*) AS BIGINT) AS n,"
+            " CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,"
+            " CAST(COUNT(c_custkey) AS BIGINT) AS n_cust"
+            f" FROM (SELECT * FROM orders WHERE {pred_o.sql()}) o"
+            " FULL JOIN (SELECT * FROM customer WHERE"
+            f" {pred_c.sql()}) c ON o_custkey = c_custkey GROUP BY 1"
+        )
+    elif shape == "scalar_subquery":
+        # uncorrelated scalar subquery threshold: empty subquery -> NULL
+        # scalar -> NULL comparison -> zero rows (both engines).  Spark
+        # side renders the scalar as a broadcast single-row cross join —
+        # the declarative equivalent Catalyst itself rewrites scalar
+        # subqueries into.  MAX is exact on doubles (no accumulation
+        # order), so the threshold is bit-identical across engines.
+        pred2 = _gen_pred(rng, table, pools)
+        vcol = rng.choice(meta["money"] + meta["int"])
+        g = rng.choice(meta["cat"])
+        thr = df.filter(pred2.spark()).agg(F.max(vcol).alias("_thr"))
+        sdf = (
+            df.filter(pred.spark())
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col(vcol) < F.col("_thr"))
+            .groupBy(g)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        sql = (
+            f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n FROM {table}"
+            f" WHERE {pred.sql()} AND {vcol} <"
+            f" (SELECT MAX({vcol}) FROM {table} WHERE {pred2.sql()})"
+            f" GROUP BY {g}"
+        )
+    elif shape == "in_subquery":
+        # IN (subquery): for non-null probe keys this is left_semi on the
+        # distinct match set — the TPC-H Q18/Q22-positive shape
+        pools_c = _sample_literals(con, "customer")
+        pred_c = _gen_pred(rng, "customer", pools_c)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        sub = (
+            spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .filter(pred_c.spark())
+            .select("c_custkey")
+            .distinct()
+        )
+        sdf = (
+            o.join(sub, o["o_custkey"] == sub["c_custkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        sql = (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " WHERE o_custkey IN (SELECT c_custkey FROM customer"
+            f" WHERE {pred_c.sql()}) GROUP BY o_orderpriority"
+        )
+    elif shape == "not_in_nullaware":
+        # NOT IN with a NULL-generating subquery — the classic three-valued
+        # trap (and the reason Spark has a dedicated null-aware anti join):
+        # one NULL in the list makes NOT IN evaluate to NULL for EVERY row
+        # (zero output), while an empty list keeps every row.  A plain
+        # left_anti is NOT EXISTS, not NOT IN, so the Spark side composes
+        # the null-aware semantics declaratively: anti join on the non-null
+        # match set x a broadcast single-row has-any-null flag.
+        pools_c = _sample_literals(con, "customer")
+        pred_c = _gen_pred(rng, "customer", pools_c)
+        pred_n = _gen_pred(rng, "customer", pools_c)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        sub = (
+            spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            .filter(pred_c.spark())
+            .select(F.when(pred_n.spark(), F.col("c_custkey")).alias("k"))
+        )
+        has_null = sub.agg(
+            F.coalesce(F.max(F.col("k").isNull()), F.lit(False)).alias("_hn")
+        )
+        sdf = (
+            o.join(sub.filter(F.col("k").isNotNull()).distinct(),
+                   o["o_custkey"] == F.col("k"), "left_anti")
+            .crossJoin(F.broadcast(has_null))
+            .filter(~F.col("_hn"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        sql = (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " WHERE o_custkey NOT IN"
+            f" (SELECT CASE WHEN {pred_n.sql()} THEN c_custkey END"
+            f"  FROM customer WHERE {pred_c.sql()})"
+            " GROUP BY o_orderstatus"
+        )
     else:  # join_count: orders ⋈ customer with the pred on the chosen side
         if table not in ("orders", "customer"):
             table = "orders"
@@ -510,6 +623,7 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
         "window_rank", "distinct", "union_distinct",
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
         "frame_window", "asof_tolerance", "grouping_sets",
+        "full_outer_agg", "scalar_subquery", "in_subquery", "not_in_nullaware",
     }, shapes
 
 
