@@ -72,9 +72,10 @@ TABLES = {
     },
 }
 
-# 180 specs / 18 shapes keeps the per-shape expectation at ~10 after the
-# r12 additions (outer-join NULL semantics + scalar/IN subqueries)
-N_SPECS = 180
+# 200 specs / 20 shapes keeps the per-shape expectation at ~10 after the
+# r12 additions (outer-join NULL semantics, scalar/IN subqueries,
+# correlated-EXISTS-with-range, grouped COUNT DISTINCT)
+N_SPECS = 200
 SEED = 20260815
 
 
@@ -198,6 +199,7 @@ def _run_spec(spark, con, rng, i):
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
         "frame_window", "asof_tolerance", "grouping_sets",
         "full_outer_agg", "scalar_subquery", "in_subquery", "not_in_nullaware",
+        "exists_correlated_pred", "count_distinct_agg",
     ])
 
     df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
@@ -580,6 +582,45 @@ def _run_spec(spark, con, rng, i):
             f"  FROM customer WHERE {pred_c.sql()})"
             " GROUP BY o_orderstatus"
         )
+    elif shape == "exists_correlated_pred":
+        # correlated EXISTS whose subquery carries BOTH the equi-correlation
+        # and an extra inequality on the inner table (TPC-H Q21's shape):
+        # rendered as a left_semi join on a compound condition, so the
+        # mixed equi+range semi-join path is fuzzed, not just pure equi
+        pools_l = _sample_literals(con, "lineitem")
+        pred_l = _gen_pred(rng, "lineitem", pools_l)
+        qty = int(rng.choice(pools_l["l_quantity"]))
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(pred_l.spark())
+        sdf = (
+            o.join(
+                li,
+                (o["o_orderkey"] == li["l_orderkey"]) & (li["l_quantity"] > qty),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        sql = (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+            " WHERE EXISTS (SELECT 1 FROM lineitem"
+            f" WHERE l_orderkey = o_orderkey AND l_quantity > {qty}"
+            f" AND {pred_l.sql()}) GROUP BY o_orderpriority"
+        )
+    elif shape == "count_distinct_agg":
+        # grouped COUNT(DISTINCT int) — Catalyst's Expand-based distinct
+        # aggregation vs DuckDB's; exact for integer columns
+        g = rng.choice(meta["cat"])
+        c = rng.choice(meta["int"])
+        sdf = df.filter(pred.spark()).groupBy(g).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct(c).cast("long").alias("nd"),
+        )
+        sql = (
+            f"SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd"
+            f" FROM {table} WHERE {pred.sql()} GROUP BY {g}"
+        )
     else:  # join_count: orders ⋈ customer with the pred on the chosen side
         if table not in ("orders", "customer"):
             table = "orders"
@@ -624,6 +665,7 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
         "left_join_agg", "semi_anti_join", "case_agg", "lag_delta",
         "frame_window", "asof_tolerance", "grouping_sets",
         "full_outer_agg", "scalar_subquery", "in_subquery", "not_in_nullaware",
+        "exists_correlated_pred", "count_distinct_agg",
     }, shapes
 
 
