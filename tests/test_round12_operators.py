@@ -51,6 +51,58 @@ def test_kmeans_routed_matches_flat_entry(spark):
     assert flat == routed and len(flat) == 4
 
 
+def test_group_regression_paths_agree_randomized(spark):
+    """Property over 40 seeded random groups (mixed nulls, constant-x,
+    constant-y, singleton, and clean-line shapes on an integer grid where
+    quantize_scale=1 is exact): the builtin regr_* path and the quantized
+    exact-moment path must emit identical (n, slope, intercept, r2) for
+    EVERY group — one Spark job per path, not per example."""
+    import random
+
+    from aicoe_osc_demo_spark.operators.relational import group_regression
+
+    rng = random.Random(1207)
+    rows = []
+    for g in range(40):
+        kind = rng.choice(["clean", "noisy", "const_x", "const_y", "single", "nullish"])
+        n = rng.randint(1, 12) if kind != "single" else 1
+        a, b = rng.randint(-3, 3), rng.randint(-5, 5)
+        for i in range(n):
+            x = float(rng.randint(-20, 20))
+            if kind == "clean":
+                y = a * x + b
+            elif kind == "const_y":
+                y = float(b)
+            else:
+                y = float(rng.randint(-50, 50))
+            if kind == "const_x":
+                x = float(b)
+            xo = None if kind == "nullish" and rng.random() < 0.3 else x
+            yo = None if kind == "nullish" and rng.random() < 0.3 else y
+            rows.append((f"g{g}", xo, yo))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    builtin = {
+        r.g: (r.n, r.slope, r.intercept, r.r2)
+        for r in group_regression(df, ["g"], y=F.col("y"), x=F.col("x")).collect()
+    }
+    quant = {
+        r.g: (r.n, r.slope, r.intercept, r.r2)
+        for r in group_regression(
+            df, ["g"], y=F.col("y"), x=F.col("x"), quantize_scale=1
+        ).collect()
+    }
+    assert set(builtin) == set(quant)
+    for g in builtin:
+        bn, bs, bi, br = builtin[g]
+        qn, qs, qi, qr = quant[g]
+        assert bn == qn, (g, builtin[g], quant[g])
+        for bv, qv in ((bs, qs), (bi, qi), (br, qr)):
+            if bv is None or qv is None:
+                assert bv is None and qv is None, (g, builtin[g], quant[g])
+            else:
+                assert abs(bv - qv) <= 1e-6, (g, builtin[g], quant[g])
+
+
 def test_group_regression_paths_agree_on_nulls(spark):
     """Both group_regression code paths (builtin regr_* vs quantized exact
     moments) must emit the same n (PAIR count, not COUNT(*)) and the same
