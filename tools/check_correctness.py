@@ -2,7 +2,7 @@
 entry at a given sf_dir and compare rows/schema/values against the DuckDB
 oracle (order-insensitive, columns sorted by name).
 
-Usage: python tools/check_correctness.py [sf_dir] [name_filter...]
+Usage: python tools/check_correctness.py [sf_dir] [--window N] [name_filter...]
 """
 
 from __future__ import annotations
@@ -53,6 +53,14 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    # --window N: check only the FIRST N registry entries — exactly the
+    # driver's per-round correctness gate (it checks the first 50), so
+    # `python tools/check_correctness.py /root/testdata/sf0.01 --window 50`
+    # simulates CORRECTNESS_r{N} in one command.
+    window = None
+    if name_filter and name_filter[0] == "--window":
+        window = int(name_filter[1]) if len(name_filter) > 1 else 50
+        name_filter = name_filter[2:]
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -66,6 +74,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries = entrymod.queries()
+    if window is not None:
+        queries = dict(list(queries.items())[:window])
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
     failures = []
