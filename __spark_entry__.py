@@ -40,6 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # reshape_nest_squad roll to the r13 window).  The two
 # rows-only-by-design entries (llm_fuzzy_ratio_join,
 # ml_relevance_training_metrics) are pytest-pinned and take no slots.
+# r13 backlog (landed after this window filled; local-oracle green at all
+# three scales + hand-computed pytest in test_round12_operators.py):
+# llm_kn_perplexity — interpolated Kneser-Ney bigram perplexity (the
+# KenLM/CCNet smoothing: absolute discount + continuation-count
+# redistribution), exact-integer counts off the distinct-bigram model
+# table, micro-ln folds.
 _DRIVER_CHECK_PRIORITY = [
     # --- (a) r12 backlog: landed after the r11 window filled ---
     "quality_jsd_drift",

@@ -254,6 +254,81 @@ def lm_perplexity_scores(
     )
 
 
+def kn_perplexity_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing KenLM
+    (and hence the CCNet perplexity filter) actually uses, upgrading the
+    add-k LM of :func:`lm_perplexity_scores`: probability mass is moved
+    from observed bigrams by an absolute discount D and redistributed by
+    CONTINUATION counts (how many distinct contexts a word follows), so
+    frequent-but-context-bound words ("Francisco") stop inflating scores.
+
+        P(w2|w1) = max(C(w1,w2) - D, 0) / C(w1)
+                   + (D * N1+(w1,*) / C(w1)) * N1+(*,w2) / N1+(*,*)
+
+    Trained on the corpus itself (the self-perplexity filter), so every
+    scored bigram is observed — the unseen-event backoff mass exists in
+    the model but is never queried, exactly like the add-k entry.
+    Returns (doc_id, n_bigrams, avg_logp); perplexity = exp(-avg_logp).
+
+    Determinism contract (the r11 flake-audit pattern): every count is an
+    exact BIGINT from the distinct-bigram table; P is ONE fixed-order
+    double expression over those integers (identical in Spark and DuckDB),
+    ln(P) quantizes to integer micro-ln units, and the per-doc mean is an
+    exact integer sum divided once.
+
+    Scale shape: the model is the DISTINCT-bigram table (corpus-sublinear)
+    — C(w1), N1+(w1,*), N1+(*,w2) are window aggregates over that table,
+    not over the token stream; N1+(*,*) rides along as a broadcast
+    single-row cross join.  The token stream is touched twice: once to
+    build the table (map-side combined groupBy) and once for the scoring
+    join on the (w1,w2) key.
+    """
+    words = F.split(F.col(text_col), " ")
+    zipped = F.arrays_zip(
+        F.slice(words, 1, F.size(words)).alias("w1"),
+        F.slice(words, 2, F.size(words)).alias("w2"),
+    )
+    bigr = F.slice(zipped, 1, F.greatest(F.size(words) - 1, F.lit(1)))
+    bg = (
+        ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(bigr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    tb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    tb = tb.withColumn("nu", F.sum("nb").over(Window.partitionBy("w1")))
+    tb = tb.withColumn("n1p", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+    tb = tb.withColumn("n1pc", F.count(F.lit(1)).over(Window.partitionBy("w2")))
+    total = tb.agg(F.count(F.lit(1)).cast("long").alias("n1pt"))
+    d = float(discount)
+    # fixed-order double chain over exact integers; micro-ln quantize
+    p = (
+        F.greatest(F.col("nb").cast("double") - F.lit(d), F.lit(0.0))
+        / F.col("nu").cast("double")
+        + (F.lit(d) * F.col("n1p").cast("double") / F.col("nu").cast("double"))
+        * (F.col("n1pc").cast("double") / F.col("n1pt").cast("double"))
+    )
+    scored = (
+        bg.join(tb, ["w1", "w2"])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * 1e6 + F.lit(0.5)).cast("long").alias("lp_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("lp_u").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_logp"),
+    )
+
+
 def dsir_resample(
     raw: DataFrame,
     target: DataFrame,

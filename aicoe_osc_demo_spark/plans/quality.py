@@ -411,6 +411,49 @@ _LM_SQL = """
     """
 
 
+_KN_SQL = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg AS (
+      SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM d) u
+      WHERE u.p[2] IS NOT NULL
+    ),
+    tb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bg GROUP BY 1, 2),
+    tbs AS (
+      SELECT w1, w2, nb,
+             SUM(nb) OVER (PARTITION BY w1) AS nu,
+             COUNT(*) OVER (PARTITION BY w1) AS n1p,
+             COUNT(*) OVER (PARTITION BY w2) AS n1pc
+      FROM tb
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1pt FROM tb),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(ln(
+               greatest(CAST(nb AS DOUBLE) - 0.75, 0.0) / CAST(nu AS DOUBLE)
+               + (0.75 * CAST(n1p AS DOUBLE) / CAST(nu AS DOUBLE))
+                 * (CAST(n1pc AS DOUBLE) / CAST(n1pt AS DOUBLE))
+             ) * 1e6 + 0.5) AS BIGINT) AS lp_u
+      FROM bg JOIN tbs USING (w1, w2) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp_u) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("llm_kn_perplexity", _KN_SQL)
+def llm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interpolated Kneser-Ney bigram perplexity — the KenLM/CCNet smoothing
+    # (absolute discount + continuation-count redistribution), value-checked
+    # end-to-end: all counts are exact BIGINTs off the distinct-bigram
+    # table, P is one fixed-order double chain, ln quantizes to micro units
+    # before the per-doc integer fold (the r11 flake-audit pattern).
+    from ..operators.quality import kn_perplexity_scores
+
+    return kn_perplexity_scores(load(spark, sf_dir, "documents"))
+
+
 @register("llm_lm_perplexity", _LM_SQL)
 def llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style LM quality score: mean bigram log-probability per doc

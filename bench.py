@@ -323,6 +323,7 @@ HEADLINE_R11 = [
 # Round-12 additions — same treatment (timed, counted in total_all_queries).
 HEADLINE_R12 = [
     "llm_kmeans_routed",
+    "llm_kn_perplexity",
 ]
 
 

@@ -51,6 +51,37 @@ def test_kmeans_routed_matches_flat_entry(spark):
     assert flat == routed and len(flat) == 4
 
 
+def test_kn_perplexity_hand_computed(spark):
+    """Interpolated Kneser-Ney on a 2-doc corpus, every probability
+    hand-derived: corpus "a b a b" + "a c" gives bigram counts
+    (a,b):2 (b,a):1 (a,c):1, C(a)=3 C(b)=1, N1+(a,*)=2 N1+(b,*)=1,
+    continuation counts N1+(*,b)=N1+(*,a)=N1+(*,c)=1, N1+(*,*)=3, D=0.75:
+      P(b|a) = 1.25/3 + (0.75*2/3)*(1/3) = 0.583333...
+      P(a|b) = 0.25/1 + (0.75*1/1)*(1/3) = 0.5
+      P(c|a) = 0.25/3 + (0.75*2/3)*(1/3) = 0.25
+    """
+    import math
+
+    from aicoe_osc_demo_spark.operators.quality import kn_perplexity_scores
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a c")], "doc_id long, text string")
+    out = {r.doc_id: r for r in kn_perplexity_scores(df).collect()}
+
+    def uln(x):  # the operator's micro-ln quantization
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    p_ba = 1.25 / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    p_ab = 0.25 / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0)
+    p_ca = 0.25 / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logp == round((2 * uln(p_ba) + uln(p_ab)) / 3.0 / 1e6, 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logp == round(uln(p_ca) / 1e6, 6)
+    # discounting sanity: every interpolated probability is in (0, 1)
+    for p in (p_ba, p_ab, p_ca):
+        assert 0.0 < p < 1.0
+
+
 def test_group_regression_paths_agree_randomized(spark):
     """Property over 40 seeded random groups (mixed nulls, constant-x,
     constant-y, singleton, and clean-line shapes on an integer grid where
