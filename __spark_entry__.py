@@ -45,7 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # llm_kn_perplexity — interpolated Kneser-Ney bigram perplexity (the
 # KenLM/CCNet smoothing: absolute discount + continuation-count
 # redistribution), exact-integer counts off the distinct-bigram model
-# table, micro-ln folds.
+# table, micro-ln folds; and llm_good_turing_coverage — simple
+# Good-Turing unseen-mass (N1/N) + hapax ratio per language, exact
+# integer counts, one division per output.
 _DRIVER_CHECK_PRIORITY = [
     # --- (a) r12 backlog: landed after the r11 window filled ---
     "quality_jsd_drift",

@@ -1274,3 +1274,52 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_epochs"),
         )
     )
+
+
+@register(
+    "llm_good_turing_coverage",
+    # Simple Good-Turing unseen-mass estimate per language: the fraction of
+    # the NEXT token expected to be a previously-unseen word is N1/N (Good
+    # 1953), with the hapax ratio N1/V as the vocabulary-side companion —
+    # the standard corpus-coverage audit before fixing a tokenizer vocab.
+    # Every output is one ROUND of one division of exact BIGINTs.
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 6) AS gt_unseen_mass,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM wc GROUP BY lang
+    """,
+)
+def llm_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language token counts reduce to the (lang, word) model table
+    # map-side (one shuffle on the word key); the coverage report is a
+    # vocabulary-sized rollup — the corpus is touched exactly once.
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return wc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        hap.alias("hapax"),
+        F.round(
+            hap.cast("double") / F.sum("c").cast("double"), 6
+        ).alias("gt_unseen_mass"),
+        F.round(
+            hap.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("hapax_ratio"),
+    )

@@ -324,6 +324,7 @@ HEADLINE_R11 = [
 HEADLINE_R12 = [
     "llm_kmeans_routed",
     "llm_kn_perplexity",
+    "llm_good_turing_coverage",
 ]
 
 

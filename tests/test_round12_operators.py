@@ -82,6 +82,45 @@ def test_kn_perplexity_hand_computed(spark):
         assert 0.0 < p < 1.0
 
 
+def test_good_turing_coverage_hand_computed(spark):
+    """Corpus 'a a b c' (en) + 'x y' (de): en has N=4 tokens, V=3, hapax
+    {b,c} -> GT unseen mass 2/4, hapax ratio 2/3; de all-hapax -> 1.0."""
+    from aicoe_osc_demo_spark.plans import ORACLE, QUERIES
+
+    assert "llm_good_turing_coverage" in QUERIES and "llm_good_turing_coverage" in ORACLE
+    df = spark.createDataFrame(
+        [(1, "a a b c", "en"), (2, "x y", "de")], "doc_id long, text string, lang string"
+    )
+    wc = (
+        df.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .count()
+    )
+    assert wc.count() == 5
+    # the registered callable takes (spark, sf_dir); drive the same rollup
+    # directly on the tiny frame
+    hap = F.sum(F.when(F.col("count") == 1, 1).otherwise(0)).cast("long")
+    rep = {
+        r.lang: r
+        for r in wc.groupBy("lang")
+        .agg(
+            F.sum("count").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            hap.alias("hapax"),
+            F.round(hap.cast("double") / F.sum("count").cast("double"), 6).alias(
+                "gt_unseen_mass"
+            ),
+            F.round(hap.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "hapax_ratio"
+            ),
+        )
+        .collect()
+    }
+    assert rep["en"].n_tokens == 4 and rep["en"].vocab == 3 and rep["en"].hapax == 2
+    assert rep["en"].gt_unseen_mass == 0.5 and rep["en"].hapax_ratio == round(2 / 3, 6)
+    assert rep["de"].gt_unseen_mass == 1.0 and rep["de"].hapax_ratio == 1.0
+
+
 def test_group_regression_paths_agree_randomized(spark):
     """Property over 40 seeded random groups (mixed nulls, constant-x,
     constant-y, singleton, and clean-line shapes on an integer grid where
