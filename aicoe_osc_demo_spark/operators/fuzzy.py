@@ -13,10 +13,23 @@ scorers:
   expression (JVM-side, oracle-checkable); a good stand-in for
   token_set_ratio whose exact value differences don't change the argmax in
   most corpora.
-- ``fuzzy_best_match_join`` — difflib SequenceMatcher ratio (the classic
-  fuzzywuzzy/rapidfuzz backend) in an Arrow-batched pandas UDF for exact
-  partial/set-ratio semantics where they matter.  rapidfuzz is used when
-  importable (10-50× faster); stdlib difflib otherwise.
+- ``fuzzy_best_match_join`` — fuzzywuzzy ``token_set_ratio`` in an
+  Arrow-batched pandas UDF for exact reference scoring semantics.
+
+Scorer backend note (r13): the reference pins ``python-Levenshtein``
+explicitly (ref: /root/reference/Pipfile:23,27), so the semantics its
+``fuzz.token_set_ratio`` actually executes are the **Indel-based** ratio
+(``Levenshtein.ratio`` = 2·LCS/(|a|+|b|), substitution cost 2) — NOT the
+stdlib-difflib Ratcliff/Obershelp fallback fuzzywuzzy only uses when the C
+extension is missing.  The two backends genuinely diverge (difflib's
+greedy longest-block recursion finds M ≤ LCS, and its autojunk mangles
+strings ≥ 200 chars); measured on this repo's parity vocab they disagree
+on ~19% of random token-string pairs, always with indel ≥ difflib.  The
+engine therefore vendors the Indel backend as the default ``_ratio``
+(bit-parallel LCS — public algorithm, Allison & Dix 1986 / Hyyrö 2004 —
+no per-char Python loops), keeps ``_ratio_difflib`` as the documented
+alternative backend, and parity-tests the vendored scorer against a naive
+DP ground truth unconditionally (plus rapidfuzz when installed).
 """
 
 from __future__ import annotations
@@ -50,8 +63,12 @@ def _full_process(s: str) -> str:
 
 
 def _ratio_difflib(a: str, b: str) -> float:
-    """True token_set_ratio algorithm (fuzzywuzzy semantics) on the
-    stdlib SequenceMatcher: full_process both sides, then compare the
+    """token_set_ratio under fuzzywuzzy's NO-C-EXTENSION fallback backend
+    (stdlib SequenceMatcher, Ratcliff/Obershelp + autojunk) — kept as the
+    documented alternative backend and divergence baseline; the engine's
+    default ``_ratio`` is ``_ratio_indel`` (what the reference actually
+    runs — see module docstring).  Algorithm: full_process both sides, then
+    compare the
     sorted token intersection against intersection+remainder strings and
     take the max.  Rounded to integer scores like fuzzywuzzy's intr
     (round commutes with max, so one final round is equivalent).
@@ -78,18 +95,85 @@ def _ratio_difflib(a: str, b: str) -> float:
     return float(round(100.0 * best))
 
 
-try:  # optional fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
+@lru_cache(maxsize=16384)
+def _token_set(s: str) -> frozenset:
+    """Token set of an already-processed string, cached: in a best-match
+    join one left text meets |block| candidates, so its split/frozenset
+    would otherwise rerun per pair."""
+    return frozenset(s.split())
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Longest-common-subsequence LENGTH via the bit-parallel algorithm of
+    Allison & Dix (1986) as revisited by Hyyrö (2004) — public algorithm.
+    One big-int row update per character of the longer string (Python
+    big-ints act as the bit-vectors), no per-char inner loop: ~wordsize×
+    faster than the O(|a|·|b|) DP and far faster than difflib's per-pair
+    SequenceMatcher machinery on few-hundred-char strings."""
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    pm: dict = {}
+    for i, c in enumerate(a):
+        pm[c] = pm.get(c, 0) | (1 << i)
+    full = (1 << len(a)) - 1
+    row = full
+    for c in b:
+        m = pm.get(c)
+        if m:
+            u = row & m
+            # u ⊆ row's low bits, so row - u never borrows; carry bits
+            # above len(a) are garbage but never re-enter via u (pm masks)
+            row = (row + u) | (row - u)
+    return len(a) - (row & full).bit_count()
+
+
+def _ratio_indel(a: str, b: str) -> float:
+    """``fuzz.token_set_ratio`` under the reference's ACTUAL backend:
+    fuzzywuzzy + python-Levenshtein (ref Pipfile:23 pins the C extension,
+    so ``fuzz.ratio`` is ``Levenshtein.ratio`` = 2·LCS/(|a|+|b|), the
+    normalized Indel similarity — the same semantics rapidfuzz ships).
+
+    Exactness of the decomposition: ``inter`` (the sorted joined token
+    intersection) is a PREFIX of both combined strings, and prepending a
+    common prefix adds exactly its length to the LCS (standard DP lemma:
+    a[0]==b[0] ⟹ LCS(a,b) = 1 + LCS(a[1:],b[1:])), so
+
+        ratio(inter, tX)  =  2·L0/(L0+LX)          -- closed form, O(1)
+        ratio(t1, t2)     =  2·LCS(t1,t2)/(L1+L2)  -- one bit-parallel pass
+
+    and the pass is skipped entirely when its own upper bound
+    2·min(L1,L2)/(L1+L2) cannot beat the prefix ratios.  Per-comparison
+    integer rounding (fuzzywuzzy ``utils.intr``) commutes with max, so one
+    final round is equivalent."""
+    a, b = _full_process(a), _full_process(b)
+    if not a or not b:  # fuzzywuzzy validate_string guard
+        return 0.0
+    sa, sb = _token_set(a), _token_set(b)
+    inter = " ".join(sorted(sa & sb))
+    t1 = (inter + " " + " ".join(sorted(sa - sb))).strip()
+    t2 = (inter + " " + " ".join(sorted(sb - sa))).strip()
+    l0, l1, l2 = len(inter), len(t1), len(t2)
+    best = 2.0 * l0 / (l0 + (l1 if l1 < l2 else l2)) if l0 else 0.0
+    if 2.0 * (l1 if l1 < l2 else l2) / (l1 + l2) > best:
+        r = 2.0 * _lcs_len(t1, t2) / (l1 + l2)
+        if r > best:
+            best = r
+    return float(round(100.0 * best))
+
+
+try:  # optional C fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
 
     def _ratio_rapidfuzz(a: str, b: str) -> float:
-        # Pre-process with the SAME ``_full_process`` the difflib path uses
-        # and pass processor=None: rapidfuzz's ``default_process`` strips
-        # '_' (non-alphanumeric), while fuzzywuzzy's full_process — the
-        # semantics the reference gets from fuzz.token_set_ratio
+        # Pre-process with the SAME ``_full_process`` the vendored paths
+        # use and pass processor=None: rapidfuzz's ``default_process``
+        # strips '_' (non-alphanumeric), while fuzzywuzzy's full_process —
+        # the semantics the reference gets from fuzz.token_set_ratio
         # (table_curator.py:186) — uses Python ``\\W``, which PRESERVES
-        # '_'.  Sharing the one processor keeps both scorer paths
-        # bit-identical on underscore-bearing text (snake_case KPI ids);
-        # rounding matches fuzzywuzzy's utils.intr int scores.
+        # '_'.  rapidfuzz's token_set_ratio is the same Indel algorithm as
+        # ``_ratio_indel`` (bit-identical by the parity test), just in C.
         return float(
             round(_rf_fuzz.token_set_ratio(_full_process(a), _full_process(b), processor=None))
         )
@@ -97,7 +181,18 @@ try:  # optional fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
     _ratio = _ratio_rapidfuzz
 except Exception:  # pragma: no cover - depends on container contents
     _ratio_rapidfuzz = None  # type: ignore[assignment]
+    _ratio = _ratio_indel
+
+# Backend override knob (read at import time in driver AND python workers,
+# so it switches the pandas-UDF scorer consistently): the default is the
+# reference-true indel backend; AICOE_FUZZ_BACKEND=difflib selects the
+# fuzzywuzzy no-C-extension fallback semantics for comparison runs.
+import os as _os
+
+if _os.environ.get("AICOE_FUZZ_BACKEND") == "difflib":  # pragma: no cover
     _ratio = _ratio_difflib
+elif _os.environ.get("AICOE_FUZZ_BACKEND") == "indel":  # pragma: no cover
+    _ratio = _ratio_indel
 
 
 @F.pandas_udf(DoubleType())
