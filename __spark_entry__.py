@@ -26,84 +26,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r12 window = (a) the r12 backlog — the 3
-# entries that landed after the r11 window filled (quality_jsd_drift,
-# llm_tokenizer_fertility, llm_ndcg_eval; local-oracle green at all three
-# scales + hand-computed pytest cases in test_round11_operators.py); (b)
-# llm_kmeans_routed, NEW this round — the IVF-routed Lloyd assignment
-# (operators/similarity.py _route_assign, the r11 scale fix) in its
-# exhaustive nprobe>=kc mode, which is bit-identical to the flat path and
-# reuses the flat k-means oracle verbatim, making the routed branch
-# driver-checkable (r12 judge ask #2); then (c) the oldest-green rotation:
-# all 6 entries last driver-green in r03, all 21 last green in r04, and
-# 19 of the 21 last green in r05 (pipeline_text_curation and
-# reshape_nest_squad roll to the r13 window).  The two
-# rows-only-by-design entries (llm_fuzzy_ratio_join,
-# ml_relevance_training_metrics) are pytest-pinned and take no slots.
-# r13 backlog (landed after this window filled; local-oracle green at all
-# three scales + hand-computed pytest in test_round12_operators.py):
-# llm_kn_perplexity — interpolated Kneser-Ney bigram perplexity (the
-# KenLM/CCNet smoothing: absolute discount + continuation-count
-# redistribution), exact-integer counts off the distinct-bigram model
-# table, micro-ln folds; and llm_good_turing_coverage — simple
-# Good-Turing unseen-mass (N1/N) + hapax ratio per language, exact
-# integer counts, one division per output.
+# FIRST 50 registry entries.  r13 window = (a) the r13 backlog — the 2
+# entries that landed after the r12 window filled (llm_kn_perplexity —
+# interpolated Kneser-Ney bigram perplexity, the KenLM/CCNet smoothing;
+# llm_good_turing_coverage — simple Good-Turing unseen-mass + hapax ratio;
+# both local-oracle green at all three scales + hand-computed pytest in
+# test_round12_operators.py); (b) the two r05-rotation entries that rolled
+# when the r12 window filled (pipeline_text_curation, reshape_nest_squad);
+# then (c) the oldest-green rotation continuing into the r06 cohort — the
+# 36-entry r06 batch is now the oldest driver evidence; 46 of its 50
+# entries fit this window, the last 4 (llm_dedup_clusters,
+# llm_lm_perplexity, llm_segment_dedup, join_anti) roll to the r14
+# window.  The two rows-only-by-design entries (llm_fuzzy_ratio_join,
+# ml_relevance_training_metrics) are pytest-pinned and take no slots —
+# and as of r13 each has a value-hashed companion entry
+# (llm_fuzzy_candidates_profile, ml_relevance_split_profile) oracling its
+# SQL-expressible prefix.
 _DRIVER_CHECK_PRIORITY = [
-    # --- (a) r12 backlog: landed after the r11 window filled ---
-    "quality_jsd_drift",
-    "llm_tokenizer_fertility",
-    "llm_ndcg_eval",
-    # --- (b) new this round: routed-Lloyd under the oracle ---
-    "llm_kmeans_routed",
-    # --- (c) oldest-green rotation: last driver-green r03 ---
-    "llm_mixture_sample",
-    "llm_per_host_cap",
-    "llm_pii_scrub",
-    "llm_quality_resample",
-    "llm_url_host_stats",
-    "multimodal_frame_sample",
-    # --- last driver-green r04 ---
-    "agg_cube_revenue",
-    "agg_filtered_counts",
-    "agg_rollup_revenue",
-    "events_funnel_counts",
-    "events_hll_daily_users",
-    "events_json_extract",
-    "events_pivot_type_columns",
-    "events_retention_cohorts",
-    "incremental_upsert_latest",
-    "join_full_outer",
-    "llm_length_histogram",
-    "llm_pack_offset_bins",
-    "llm_stratified_sample",
-    "llm_vocab_topk",
-    "ml_train_dev_split_sizes",
-    "multimodal_metadata",
-    "set_union_missing_cols",
-    "text_fingerprint",
-    "text_levenshtein_match",
-    "window_lag_delta",
-    "window_running_sum",
-    # --- last driver-green r05 (19 of 21) ---
-    "agg_quantile_sketch",
-    "curation_answer_offsets",
-    "curation_negative_sample",
-    "events_asof_join",
-    "events_grouped_quantiles",
-    "events_range_join_binned",
-    "events_session_window",
-    "events_sessionize",
-    "join_salted_skew",
-    "llm_ann_lsh_topk",
-    "llm_bloom_prefilter",
-    "llm_cms_token_counts",
-    "llm_cosine_topk",
-    "llm_exact_dedup",
-    "llm_hll_vocab_estimate",
-    "llm_incremental_dedup",
-    "llm_ivf_topk",
-    "ml_qa_finetune_loss",
-    "multimodal_features",
+    # --- (a) r13 backlog: landed after the r12 window filled ---
+    "llm_kn_perplexity",
+    "llm_good_turing_coverage",
+    # --- (b) r05-rotation entries that rolled from the r12 window ---
+    "pipeline_text_curation",
+    "reshape_nest_squad",
+    # --- (c) oldest-green rotation: last driver-green r06 (46 of 50) ---
+    "llm_pq_refine_topk",
+    "llm_bpe_merge_loop",
+    "llm_bpe_encode",
+    "llm_tfidf_keywords",
+    "incremental_apply_cdc",
+    "quality_expectations",
+    "layout_zorder_key",
+    "llm_semdedup",
+    "llm_knn_graph",
+    "llm_dsir_resample",
+    "llm_mmr_diverse_topk",
+    "multimodal_phash_dedup",
+    "llm_c4_rules",
+    "llm_token_budget_plan",
+    "llm_pagerank",
+    "llm_cross_corpus_links",
+    "llm_feature_hash_embed",
+    "llm_sq_codes",
+    "llm_sq_recon_error",
+    "llm_leakage_safe_split",
+    "llm_vocab_coverage",
+    "llm_bpe_pair_counts",
+    "llm_ann_recall",
+    "llm_ivf_recall",
+    "llm_pq_recall",
+    "llm_corpus_report",
+    "llm_pq_codes",
+    "events_gapfill_locf",
+    "events_scd2_type_history",
+    "events_scd2_pointintime",
+    "llm_incremental_near_dedup",
+    "text_lang_id_trigram",
+    "text_winnow_fingerprint",
+    "llm_minhash_signatures",
+    "llm_minhash_lsh_pairs",
+    "llm_simhash_fingerprints",
+    "llm_simhash_pairs",
+    "llm_ngram_jaccard_pairs",
+    "llm_embedding_near_dup",
+    "llm_ann_candidate_count",
+    "llm_contamination_check",
+    "llm_prefix_jaccard_join",
+    "llm_duplicate_spans",
+    "llm_lsh_candidate_count",
+    "llm_repetition_stats",
+    "llm_containment_pairs",
 ]
 
 

@@ -88,9 +88,15 @@ def tables_mtime(sf_dir: str, names: tuple[str, ...]) -> float:
         p = table_path(sf_dir, name)
         try:
             if os.path.isdir(p):
+                # default guards the empty-directory case (the r12 advice:
+                # a bare max() over an empty listing raises ValueError,
+                # which the OSError handler below would not catch)
                 latest = max(
                     latest,
-                    max(os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)),
+                    max(
+                        (os.path.getmtime(os.path.join(p, f)) for f in os.listdir(p)),
+                        default=-1.0,
+                    ),
                 )
             else:
                 latest = max(latest, os.path.getmtime(p))

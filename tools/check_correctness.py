@@ -51,16 +51,25 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2:]
     # --window N: check only the FIRST N registry entries — exactly the
     # driver's per-round correctness gate (it checks the first 50), so
-    # `python tools/check_correctness.py /root/testdata/sf0.01 --window 50`
-    # simulates CORRECTNESS_r{N} in one command.
+    # `python tools/check_correctness.py --window 50` simulates
+    # CORRECTNESS_r{N} in one command.  Parsed ANYWHERE in argv (the r12
+    # advice: a leading --window must not be eaten as the positional
+    # sf_dir).
+    args = sys.argv[1:]
     window = None
-    if name_filter and name_filter[0] == "--window":
-        window = int(name_filter[1]) if len(name_filter) > 1 else 50
-        name_filter = name_filter[2:]
+    if "--window" in args:
+        i = args.index("--window")
+        nxt = args[i + 1] if i + 1 < len(args) else None
+        if nxt is not None and nxt.lstrip("-").isdigit():
+            window = int(nxt)
+            del args[i : i + 2]
+        else:
+            window = 50
+            del args[i]
+    sf_dir = args.pop(0) if args and not args[0].startswith("--") else "/root/testdata/sf0.01"
+    name_filter = args
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
