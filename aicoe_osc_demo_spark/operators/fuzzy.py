@@ -264,6 +264,32 @@ def _ub_from_token_arrays(sa: Column, sb: Column) -> Column:
     )
 
 
+def _lb_from_token_arrays(sa: Column, sb: Column) -> Column:
+    """Integer LOWER bound on the indel ``token_set_ratio`` from two
+    pre-tokenized (processed, distinct) arrays: the closed-form prefix
+    comparison 2·L0/(L0+min(L1,L2)), which is one of the three ratios the
+    scorer maxes over (it equals ratio(inter, t_shorter) exactly under the
+    indel backend), so scorer >= this bound always.  Pure length algebra —
+    SQL-expressible, which is what makes the candidate-profile companion
+    entry (``llm_fuzzy_candidates_profile``) oracle-checkable."""
+    inter = F.array_intersect(sa, sb)
+    l0 = _joined_len(inter)
+    da = _joined_len(F.array_except(sa, sb))
+    db = _joined_len(F.array_except(sb, sa))
+    l1 = l0 + da + F.when((l0 > 0) & (da > 0), 1).otherwise(0)
+    l2 = l0 + db + F.when((l0 > 0) & (db > 0), 1).otherwise(0)
+    # bround (HALF_EVEN), not round: the scorer's final round is Python's
+    # banker's rounding (fuzzywuzzy utils.intr), and a HALF_UP lb would
+    # exceed the scorer on exact .5 landings (e.g. prefix ratio 0.625 →
+    # lb 63 vs scorer 62).  HALF_EVEN(prefix) <= HALF_EVEN(max) = scorer,
+    # monotonically — the UB keeps HALF_UP, which only widens it.
+    return (
+        F.when((F.size(sa) == 0) | (F.size(sb) == 0), F.lit(0))
+        .otherwise(F.bround(F.lit(100.0) * (F.lit(2.0) * l0 / (l0 + F.least(l1, l2))), 0))
+        .cast("int")
+    )
+
+
 def token_set_ratio_upper_bound(a: Column, b: Column) -> Column:
     """``_ub_from_token_arrays`` over raw text columns.  Inside a join,
     tokenize each SIDE first and use the array form — tokenizing inside the

@@ -200,6 +200,58 @@ def ml_train_dev_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("is_train").agg(F.count(F.lit(1)).alias("n"))
 
 
+# Value-hashed companion to the rows-only ml_relevance_training_metrics
+# (r12 judge ask #6): the MLlib fit itself is not oracle-hashable, but
+# everything deterministic upstream of it is — the FARM-style pair concat
+# ("q [SEP] text"), the rlike label rule, the md5 hash split, and the
+# whitespace Tokenizer's token accounting.  This profile pins that entire
+# training INPUT per (is_train, label) cell; only the L-BFGS floats stay
+# rows-only.
+@register(
+    "ml_relevance_split_profile",
+    r"""
+    SELECT is_train, label, COUNT(*) AS n,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM (
+      SELECT substr(md5('rel' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS is_train,
+             CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS label,
+             len(list_filter(
+               string_split_regex(lower('Does this mention spark? [SEP] ' || text), '\s+'),
+               x -> x <> '')) AS n_tokens
+      FROM documents
+    ) GROUP BY is_train, label
+    """,
+)
+def ml_relevance_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirrors ml_relevance_training_metrics' prep exactly (same question
+    # constant, label rule, prepare_pairs concat, Tokenizer lowercasing)
+    # but keyed on the stable doc_id so the split is oracle-reproducible.
+    from ..functions.hashing import deterministic_split_flag
+    from ..training import prepare_pairs
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("Does this mention spark?").alias("question"),
+        F.col("text"),
+        F.when(F.col("text").rlike("\\bspark\\b"), 1).otherwise(0).alias("label"),
+    )
+    pairs = prepare_pairs(d, "question", "text", "label", keep=("doc_id",)).withColumn(
+        "is_train", deterministic_split_flag(F.col("doc_id"), 0.8, "rel")
+    )
+    # the whitespace Tokenizer's token count, as pure column algebra
+    n_tokens = F.size(
+        F.filter(F.split(F.lower(F.col("pair_text")), r"\s+"), lambda x: x != F.lit(""))
+    )
+    return (
+        pairs.select("is_train", F.col("label").cast("int").alias("label"), n_tokens.alias("n_tokens"))
+        .groupBy("is_train", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
 @register(
     "ml_qa_finetune_loss",
     # The M6 parameter-averaging fine-tune loop run with the exact-integer

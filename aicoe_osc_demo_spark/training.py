@@ -45,12 +45,20 @@ def make_relevance_pipeline(num_features: int = 1 << 14, max_iter: int = 20):
     )
 
 
-def prepare_pairs(df: DataFrame, question_col: str, text_col: str, label_col: str) -> DataFrame:
+def prepare_pairs(
+    df: DataFrame,
+    question_col: str,
+    text_col: str,
+    label_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Text-pair input prep: the FARM processor concatenates the pair with a
-    separator (max_seq_len truncation is the tokenizer's job downstream)."""
+    separator (max_seq_len truncation is the tokenizer's job downstream).
+    ``keep`` carries key columns through (e.g. the split key)."""
     return df.select(
         F.concat_ws(" [SEP] ", F.col(question_col), F.col(text_col)).alias("pair_text"),
         F.col(label_col).cast("double").alias("label"),
+        *[F.col(c) for c in keep],
     )
 
 

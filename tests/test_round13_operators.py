@@ -1,0 +1,133 @@
+"""Round-13 additions: the value-hashed companion entries for the two
+rows-only catalog queries, and the bound algebra they rely on.
+
+- ``llm_fuzzy_candidates_profile`` oracles the SQL-expressible prefix of
+  llm_fuzzy_ratio_join (blocked candidates, integer UB, closed-form LB,
+  UB-vs-LB survivor count); here the bound sandwich lb <= exact <= ub is
+  property-tested against the vendored indel scorer.
+- ``ml_relevance_split_profile`` oracles the deterministic training input
+  of ml_relevance_training_metrics (pair concat, label rule, md5 split,
+  Tokenizer token accounting); here the md5 split flag and token counts
+  are pinned against hand computations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_bound_sandwich_lb_exact_ub(spark):
+    """For every pair: _lb_from_token_arrays <= round-exact indel scorer
+    <= _ub_from_token_arrays, and lb equals the scorer whenever the
+    prefix comparison is the scorer's max (subset pairs score 100)."""
+    from aicoe_osc_demo_spark.operators.fuzzy import (
+        _lb_from_token_arrays,
+        _processed_tokens,
+        _ratio_indel,
+        _ub_from_token_arrays,
+    )
+
+    rng = random.Random(41)
+    vocab = ["aa", "b", "ccc", "Dd", "e2", "ff-g", "émis", "h", "2020", "kpi_id"]
+    rows = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for _ in range(300)
+    ] + [("", ""), ("...", "x"), ("a a a", "a"), ("aa b", "aa b ccc")]
+    df = spark.createDataFrame(rows, ["a", "b"]).select(
+        "a",
+        "b",
+        _lb_from_token_arrays(
+            _processed_tokens(F.col("a")), _processed_tokens(F.col("b"))
+        ).alias("lb"),
+        _ub_from_token_arrays(
+            _processed_tokens(F.col("a")), _processed_tokens(F.col("b"))
+        ).alias("ub"),
+    )
+    for r in df.collect():
+        exact = _ratio_indel(r["a"], r["b"])
+        assert r["lb"] <= exact <= r["ub"], (r["a"], r["b"], r["lb"], exact, r["ub"])
+    # subset hallmark: lb must reach 100 exactly like the scorer
+    sub = df.filter((F.col("a") == "aa b") & (F.col("b") == "aa b ccc")).first()
+    assert sub["lb"] == 100 == sub["ub"]
+
+
+def test_fuzzy_profile_survivor_count_hand_case(spark):
+    """3 candidates for one left key with hand-computable bounds: the
+    profile must count exactly the candidates whose ub reaches max_lb."""
+    from aicoe_osc_demo_spark.operators.fuzzy import (
+        _lb_from_token_arrays,
+        _processed_tokens,
+        _ub_from_token_arrays,
+    )
+
+    left = spark.createDataFrame([(1, "alpha beta", "en")], ["qid", "text", "lang"])
+    # NOTE: the length-only UB is ~100 whenever the two diff strings have
+    # EQUAL length (third term 2·min(L1,L2)/(L1+L2) → 1), so the non-
+    # winning candidates here are deliberately length-asymmetric:
+    #   cid 11: L0=5, l1=10, l2=21 → ub = round(100·2/3) = 67
+    #   cid 12: L0=0, l1=10, l2=24 → ub = round(100·20/34) = 59
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta", "en"),                  # identical: lb = ub = 100
+            (11, "alpha zzzzzzzzzzzz qq", "en"),       # partial overlap
+            (12, "qqqqqqqqqqqqqqqqqqqqqq w", "en"),    # disjoint
+        ],
+        ["cid", "text", "lang"],
+    )
+    pairs = (
+        left.select("qid", "lang", _processed_tokens(F.col("text")).alias("_ta"))
+        .join(right.select("lang", _processed_tokens(F.col("text")).alias("_tb")), on="lang")
+        .select(
+            "qid",
+            _ub_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("ub"),
+            _lb_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("lb"),
+        )
+    )
+    rows = pairs.collect()
+    max_lb = max(r["lb"] for r in rows)
+    assert max_lb == 100
+    survivors = [r for r in rows if r["ub"] >= max_lb]
+    # only the identical candidate can reach ub=100 here
+    assert len(survivors) == 1
+
+
+def test_split_profile_md5_flag_and_tokens(spark):
+    """The split flag is substr(md5('rel'||doc_id),1,4) < 'cccc' and the
+    token count is whitespace pieces of the [SEP]-joined pair — both
+    hand-computed here for specific rows."""
+    from aicoe_osc_demo_spark.functions.hashing import deterministic_split_flag
+    from aicoe_osc_demo_spark.training import prepare_pairs
+
+    d = spark.createDataFrame(
+        [(7, "no mention here"), (8, "uses spark daily")], ["doc_id", "text"]
+    ).select(
+        "doc_id",
+        F.lit("Does this mention spark?").alias("question"),
+        "text",
+        F.when(F.col("text").rlike("\\bspark\\b"), 1).otherwise(0).alias("label"),
+    )
+    pairs = prepare_pairs(d, "question", "text", "label", keep=("doc_id",)).withColumn(
+        "is_train", deterministic_split_flag(F.col("doc_id"), 0.8, "rel")
+    )
+    got = {r["doc_id"]: r for r in pairs.collect()}
+    for doc_id in (7, 8):
+        expected_flag = hashlib.md5(f"rel{doc_id}".encode()).hexdigest()[:4] < "cccc"
+        assert got[doc_id]["is_train"] == expected_flag
+    assert got[7]["label"] == 0.0 and got[8]["label"] == 1.0
+    assert got[7]["pair_text"] == "Does this mention spark? [SEP] no mention here"
+    # token count of the joined pair: 4 question tokens + 3 text tokens
+    n = len("Does this mention spark? [SEP] no mention here".split())
+    assert n == 8
+
+
+def test_prepare_pairs_keep_columns(spark):
+    from aicoe_osc_demo_spark.training import prepare_pairs
+
+    d = spark.createDataFrame([(1, "q", "t", 1)], ["k", "q", "t", "lbl"])
+    out = prepare_pairs(d, "q", "t", "lbl", keep=("k",))
+    assert out.columns == ["pair_text", "label", "k"]
+    assert prepare_pairs(d, "q", "t", "lbl").columns == ["pair_text", "label"]
