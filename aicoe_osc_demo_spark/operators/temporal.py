@@ -40,25 +40,23 @@ def asof_join(
     at-or-before contract.
     """
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    rt_cols = on + [right_ts] + value_cols
-    rt = (
-        right.select(*rt_cols)
-        .withColumn("_side", F.lit(0))
-        .withColumn("_ts", F.col(right_ts))
-    )
-    # align schemas: left gets null value placeholders, right gets null left cols
-    for c in value_cols:
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
-    rt = rt.select(
+    # ALL value cols ride in ONE struct: the fill must pick the latest
+    # right ROW and take its values as-is — per-column ignorenulls fills
+    # would skip a matched row whose value is NULL (conflating "no row"
+    # with "row with NULL value") and could stitch different columns from
+    # different rows.  The struct itself is never NULL for a right row, so
+    # last(_v, ignorenulls) is a row-level pick.  (Found by the r13 null-
+    # view differential fuzzer: ASOF LEFT JOIN on a nullable value column.)
+    rt = right.select(
         *on,
-        "_side",
-        "_ts",
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-    )
+        F.col(right_ts).alias("_ts"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_v"),
+    ).withColumn("_side", F.lit(0))
+    lt = lt.withColumn("_v", F.lit(None).cast(dict(rt.dtypes)["_v"]))
     left_only_cols = [c for c in lt.columns if c not in rt.columns]
     for c in left_only_cols:
         rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
-    merged = lt.select(rt.columns).unionByName(rt)
+    merged = lt.select(*lt.columns).unionByName(rt.select(*lt.columns))
 
     # right rows (side 0) sort before left rows at the same _ts → a left row
     # at time t sees a right row at exactly t (at-or-before)
@@ -67,17 +65,11 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
-        "*",
-        *[
-            F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in value_cols
-        ],
-    )
+    filled = merged.withColumn("_f", F.last(F.col("_v"), ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1)
     for c in value_cols:
-        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"_f_{c}", f"{c}{suffix}")
-    return out.drop("_side", "_ts")
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_f.{c}"))
+    return out.drop("_side", "_ts", "_v", "_f")
 
 
 def range_join_broadcast(

@@ -78,6 +78,61 @@ TABLES = {
 N_SPECS = 200
 SEED = 20260815
 
+# --- NULL-view family (r12 judge ask #5) -------------------------------------
+# TPC-H tables have no NULLs, which made the advisor's group_regression
+# null-pair find invisible to this fuzzer.  The null views deterministically
+# NULL ~10% of one numeric + one categorical column per table (never a
+# join/order key): the row is nulled when substr(md5(col || '|' || key...),
+# 1, 2) < '1a' — a pure function of (column, key) both engines compute
+# identically, so no parquet is materialized.
+NULL_COLS = {
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "lineitem": ["l_quantity", "l_returnflag"],
+    "part": ["p_retailprice", "p_brand"],
+    "documents": ["n_chars", "source"],
+}
+NULL_THRESHOLD = "1a"  # 26/256 ≈ 10.2%
+
+
+def _read_plain(spark, table):
+    return spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+
+
+def _read_nulled(spark, table):
+    df = _read_plain(spark, table)
+    keys = TABLES[table]["key"]
+    for c in NULL_COLS[table]:
+        flag = (
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(c), *[F.col(k).cast("string") for k in keys])),
+                1,
+                2,
+            )
+            < NULL_THRESHOLD
+        )
+        df = df.withColumn(c, F.when(flag, F.lit(None)).otherwise(F.col(c)))
+    return df
+
+
+def _register_nulled_views(con):
+    """DuckDB twin of _read_nulled, registered under the PLAIN table names
+    so every shape's SQL string works unchanged."""
+    for table, meta in TABLES.items():
+        path = f"{SF_DIR}/{table}.parquet"
+        cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{path}'").fetchall()]
+        key_expr = " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in meta["key"])
+        select = []
+        for c in cols:
+            if c in NULL_COLS[table]:
+                select.append(
+                    f"CASE WHEN substr(md5('{c}' || '|' || {key_expr}), 1, 2)"
+                    f" < '{NULL_THRESHOLD}' THEN NULL ELSE {c} END AS {c}"
+                )
+            else:
+                select.append(c)
+        con.execute(f"CREATE VIEW {table} AS SELECT {', '.join(select)} FROM '{path}'")
+
 
 # --- predicate AST: each node renders to (spark Column, sql string) ----------
 
@@ -147,13 +202,14 @@ def _sample_literals(con, table):
     meta, pools = TABLES[table], {}
     for col in meta["money"] + meta["int"] + meta["date"]:
         rows = con.execute(
-            f"SELECT DISTINCT {col} FROM {table} ORDER BY 1 LIMIT 201"
+            f"SELECT DISTINCT {col} FROM {table} WHERE {col} IS NOT NULL"
+            " ORDER BY 1 LIMIT 201"
         ).fetchall()
         pools[col] = [r[0] for r in rows]
     for col in meta["cat"]:
         pools[col] = [
             r[0] for r in con.execute(
-                f"SELECT DISTINCT {col} FROM {table} ORDER BY 1"
+                f"SELECT DISTINCT {col} FROM {table} WHERE {col} IS NOT NULL ORDER BY 1"
             ).fetchall()
         ]
     return pools
@@ -188,7 +244,7 @@ def _gen_pred(rng, table, pools, depth=0):
     return Cmp(col, rng.choice(["<", "<=", ">", ">=", "=", "!="]), int(lit), "num")
 
 
-def _run_spec(spark, con, rng, i):
+def _run_spec(spark, con, rng, i, read=_read_plain):
     table = rng.choice(list(TABLES))
     meta = TABLES[table]
     pools = _sample_literals(con, table)
@@ -202,7 +258,7 @@ def _run_spec(spark, con, rng, i):
         "exists_correlated_pred", "count_distinct_agg",
     ])
 
-    df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+    df = read(spark, table)
 
     if shape == "filter_project":
         cols = sorted(rng.sample(
@@ -247,7 +303,9 @@ def _run_spec(spark, con, rng, i):
         cols = sorted(set(keys + rng.sample(meta["cat"] + meta["int"], 1)))
         order_s = [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
         sdf = df.filter(pred.spark()).orderBy(*order_s).limit(k).select(*cols)
-        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in cols)
+        order_q = ", ".join(
+            f"{c} {'DESC NULLS LAST' if desc else 'ASC NULLS FIRST'}" for c in cols
+        )
         sql = (
             f"SELECT {', '.join(cols)} FROM {table} WHERE {pred.sql()}"
             f" ORDER BY {order_q} LIMIT {k}"
@@ -269,7 +327,9 @@ def _run_spec(spark, con, rng, i):
             .filter(F.col("rn") <= k)
             .select(part, *keys, F.col("rn").cast("long").alias("rn"))
         )
-        order_q = ", ".join(f"{c} {'DESC' if desc else 'ASC'}" for c in keys)
+        order_q = ", ".join(
+            f"{c} {'DESC NULLS LAST' if desc else 'ASC NULLS FIRST'}" for c in keys
+        )
         sql = (
             f"SELECT {part}, {', '.join(keys)}, CAST(rn AS BIGINT) AS rn FROM ("
             f"  SELECT {part}, {', '.join(keys)},"
@@ -300,8 +360,8 @@ def _run_spec(spark, con, rng, i):
         # to a sentinel so the group key sorts deterministically)
         pools_c = _sample_literals(con, "customer")
         pred_c = _gen_pred(rng, "customer", pools_c)
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        o = read(spark, "orders")
+        c = read(spark, "customer").filter(pred_c.spark())
         sdf = (
             o.join(c, o["o_custkey"] == c["c_custkey"], "left")
             .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<none>")).alias("seg"))
@@ -318,8 +378,8 @@ def _run_spec(spark, con, rng, i):
         pools_c = _sample_literals(con, "customer")
         pred_c = _gen_pred(rng, "customer", pools_c)
         anti = rng.random() < 0.5
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        o = read(spark, "orders")
+        c = read(spark, "customer").filter(pred_c.spark())
         sdf = (
             o.join(c, o["o_custkey"] == c["c_custkey"],
                    "left_anti" if anti else "left_semi")
@@ -361,7 +421,7 @@ def _run_spec(spark, con, rng, i):
             .withColumn("d", (F.col("v") - F.lag("v").over(w)).cast("long"))
             .select(*keys, "d")
         )
-        order_q = ", ".join(f"{k} ASC" for k in keys + [c])
+        order_q = ", ".join(f"{k} ASC NULLS FIRST" for k in keys + [c])
         sql = (
             f"SELECT {', '.join(keys)},"
             f" CAST({c} - LAG({c}) OVER (ORDER BY {order_q}) AS BIGINT) AS d"
@@ -389,7 +449,7 @@ def _run_spec(spark, con, rng, i):
             .select(part, *keys, F.col(c).alias("v"))
             .withColumn("rs", F.sum("v").over(w).cast("long"))
         )
-        order_q = ", ".join(f"{k} ASC" for k in keys) + ", v ASC"
+        order_q = ", ".join(f"{k} ASC NULLS FIRST" for k in keys) + ", v ASC NULLS FIRST"
         sql = (
             f"SELECT {part}, {', '.join(keys)}, v,"
             f" CAST(SUM(v) OVER (PARTITION BY {part} ORDER BY {order_q}"
@@ -409,7 +469,7 @@ def _run_spec(spark, con, rng, i):
         pred_r = _gen_pred(rng, "orders", pools_o)
         days = rng.randint(1, 30)
         tol_us = days * 86400 * 1_000_000
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o = read(spark, "orders")
         left = o.filter(pred_l.spark()).select(
             "o_orderkey", "o_custkey", "o_orderdate"
         )
@@ -481,8 +541,8 @@ def _run_spec(spark, con, rng, i):
         pred_o = _gen_pred(rng, "orders", pools_o)
         pools_c = _sample_literals(con, "customer")
         pred_c = _gen_pred(rng, "customer", pools_c)
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(pred_o.spark())
-        c = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(pred_c.spark())
+        o = read(spark, "orders").filter(pred_o.spark())
+        c = read(spark, "customer").filter(pred_c.spark())
         sdf = (
             o.join(c, o["o_custkey"] == c["c_custkey"], "full")
             .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("<none>")).alias("seg"))
@@ -530,9 +590,9 @@ def _run_spec(spark, con, rng, i):
         # distinct match set — the TPC-H Q18/Q22-positive shape
         pools_c = _sample_literals(con, "customer")
         pred_c = _gen_pred(rng, "customer", pools_c)
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o = read(spark, "orders")
         sub = (
-            spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            read(spark, "customer")
             .filter(pred_c.spark())
             .select("c_custkey")
             .distinct()
@@ -558,9 +618,9 @@ def _run_spec(spark, con, rng, i):
         pools_c = _sample_literals(con, "customer")
         pred_c = _gen_pred(rng, "customer", pools_c)
         pred_n = _gen_pred(rng, "customer", pools_c)
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        o = read(spark, "orders")
         sub = (
-            spark.read.parquet(f"{SF_DIR}/customer.parquet")
+            read(spark, "customer")
             .filter(pred_c.spark())
             .select(F.when(pred_n.spark(), F.col("c_custkey")).alias("k"))
         )
@@ -590,8 +650,8 @@ def _run_spec(spark, con, rng, i):
         pools_l = _sample_literals(con, "lineitem")
         pred_l = _gen_pred(rng, "lineitem", pools_l)
         qty = int(rng.choice(pools_l["l_quantity"]))
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(pred_l.spark())
+        o = read(spark, "orders")
+        li = read(spark, "lineitem").filter(pred_l.spark())
         sdf = (
             o.join(
                 li,
@@ -626,8 +686,8 @@ def _run_spec(spark, con, rng, i):
             table = "orders"
             pools = _sample_literals(con, table)
             pred = _gen_pred(rng, table, pools)
-        o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
-        c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        o = read(spark, "orders")
+        c = read(spark, "customer")
         filt_o = o.filter(pred.spark()) if table == "orders" else o
         filt_c = c.filter(pred.spark()) if table == "customer" else c
         sdf = (
@@ -669,13 +729,40 @@ def test_differential_fuzz_spark_vs_duckdb(spark):
     }, shapes
 
 
+def test_differential_fuzz_null_views(spark):
+    """All 20 shapes over the NULL-injected view family — three-valued
+    logic in predicates and NOT IN, null-skipping aggregates, NULL group
+    keys, null ordering in windows/ORDER BY: the exact surface where
+    Spark and DuckDB genuinely diverge by default (and where the r12
+    group_regression fix lived, invisible to the null-free TPC-H run)."""
+    con = duckdb.connect()
+    _register_nulled_views(con)
+    # non-vacuity: the injection must actually produce NULLs in every
+    # nulled column, in BOTH engines, at identical row sets
+    for table, cols in NULL_COLS.items():
+        sdf = _read_nulled(spark, table)
+        for c in cols:
+            n_spark = sdf.filter(F.col(c).isNull()).count()
+            n_duck = con.execute(
+                f"SELECT COUNT(*) FROM {table} WHERE {c} IS NULL"
+            ).fetchone()[0]
+            assert n_spark == n_duck > 0, (table, c, n_spark, n_duck)
+    rng = random.Random(SEED + 13)
+    shapes: dict[str, int] = {}
+    for i in range(140):
+        shape = _run_spec(spark, con, rng, i, read=_read_nulled)
+        shapes[shape] = shapes.get(shape, 0) + 1
+    # every shape must fire at least once over the null views
+    assert len(shapes) == 20, shapes
+
+
 def test_differential_fuzz_detects_a_seeded_divergence(spark):
     # prove the comparator is non-vacuous: a deliberately wrong SQL twin
     # must be flagged
     con = duckdb.connect()
     con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
     got = (
-        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        _read_plain(spark, "orders")
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .toPandas()

@@ -26,6 +26,27 @@ def test_asof_join_semantics(spark):
     assert got[4] is None    # no quotes for u2 → left join null
 
 
+def test_asof_join_null_valued_row_is_the_match(spark):
+    """ASOF picks the latest right ROW at-or-before and takes its values
+    AS-IS: a matched row whose value is NULL yields NULL — it must not
+    fall back to an older non-null value (the r13 null-view fuzzer find),
+    and multi-column values must all come from the SAME matched row."""
+    trades = spark.createDataFrame([(1, "u1", 10), (2, "u1", 30)], ["trade_id", "user", "t"])
+    quotes = spark.createDataFrame(
+        [("u1", 5, 100.0, "a"), ("u1", 9, None, "b"), ("u1", 25, 120.0, None)],
+        "user string, qt long, px double, src string",
+    )
+    out = asof_join(
+        trades, quotes, on=["user"], left_ts="t", right_ts="qt",
+        value_cols=["px", "src"],
+    )
+    got = {r.trade_id: (r.px_asof, r.src_asof) for r in out.collect()}
+    # t=10 matches the qt=9 row: px NULL (no fallback to 100.0), src "b"
+    assert got[1] == (None, "b")
+    # t=30 matches qt=25: px 120.0, src NULL — both from the same row
+    assert got[2] == (120.0, None)
+
+
 def test_asof_join_no_cartesian(spark):
     left = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("t"))
     right = spark.range(100).select(

@@ -28,11 +28,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _is_missing(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
 def values_equal(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
+    # SQL NULL surfaces as None (object columns, Spark side) or NaN
+    # (DuckDB's pandas conversion) — treat all missing markers as equal
+    if _is_missing(a) or _is_missing(b):
+        return _is_missing(a) and _is_missing(b)
     return a == b
 
 
