@@ -163,6 +163,48 @@ def _ratio_indel(a: str, b: str) -> float:
     return float(round(100.0 * best))
 
 
+def partial_ratio(a: str, b: str) -> float:
+    """``fuzz.partial_ratio`` — the OTHER fuzzy scorer the reference uses
+    (ref: kpi_inference_curator.py:294 scores each candidate paragraph
+    against the annotated relevant paragraph with partial_ratio): the best
+    ratio of the SHORTER processed string against any equal-length window
+    of the longer, so a paragraph containing the annotation verbatim
+    scores 100 regardless of surrounding text.
+
+    Window scoring is the pinned Indel backend (2·LCS/(len sum), the
+    python-Levenshtein semantics — see module docstring); the max runs
+    over ALL length-m windows (the rapidfuzz formulation, which fixes
+    fuzzywuzzy's matching-block window heuristic that can miss the optimal
+    alignment).  The pattern bit-mask over the shorter string is built
+    once and reused across windows: O((n-m+1)·m) word-ops per pair.
+    """
+    a, b = _full_process(a), _full_process(b)
+    if not a or not b:
+        return 0.0
+    s, longer = (a, b) if len(a) <= len(b) else (b, a)
+    if s in longer:  # verbatim containment: a window equals s exactly
+        return 100.0
+    m, n = len(s), len(longer)
+    pm: dict = {}
+    for i, c in enumerate(s):
+        pm[c] = pm.get(c, 0) | (1 << i)
+    full = (1 << m) - 1
+    best = 0
+    for start in range(n - m + 1):
+        row = full
+        for c in longer[start : start + m]:
+            mask = pm.get(c)
+            if mask:
+                u = row & mask
+                row = (row + u) | (row - u)
+        lcs = m - (row & full).bit_count()
+        if lcs > best:
+            best = lcs
+            if best == m:
+                break
+    return float(round(100.0 * best / m))
+
+
 try:  # optional C fast path — ``pip install aicoe-osc-demo-spark[fuzzy]``
     from rapidfuzz import fuzz as _rf_fuzz  # type: ignore
 

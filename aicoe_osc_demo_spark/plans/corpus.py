@@ -1323,3 +1323,151 @@ def llm_good_turing_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             hap.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "llm_bleu_doc_pairs",
+    # BLEU-2 generation-eval (Papineni et al. 2002) over deterministic
+    # candidate/reference document pairs: clipped n-gram precision for
+    # n=1,2, brevity penalty min(1, e^(1-r/c)), geometric mean.  Every
+    # count is an exact BIGINT; the only doubles are the final fixed-order
+    # ratio/ln chain, quantized to integer micro-log units (the KN/Zipf
+    # pattern), so the score is accumulation-order-proof.  Zero clipped
+    # bigrams -> NULL log-BLEU (score 0 by convention), no ln(0) anywhere.
+    """
+    WITH cand AS (
+      SELECT doc_id AS qid, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 25
+    ),
+    ref AS (
+      SELECT doc_id - 25 AS qid, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id >= 25 AND doc_id < 50
+    ),
+    cu AS (SELECT qid, unnest(toks) AS g FROM cand),
+    ru AS (SELECT qid, unnest(toks) AS g FROM ref),
+    cb AS (
+      SELECT qid, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM cand
+    ),
+    rb AS (
+      SELECT qid, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM ref
+    ),
+    cu1 AS (SELECT qid, g, CAST(COUNT(*) AS BIGINT) AS cc FROM cu GROUP BY 1, 2),
+    ru1 AS (SELECT qid, g, CAST(COUNT(*) AS BIGINT) AS rc FROM ru GROUP BY 1, 2),
+    cb1 AS (SELECT qid, g, CAST(COUNT(*) AS BIGINT) AS cc FROM cb GROUP BY 1, 2),
+    rb1 AS (SELECT qid, g, CAST(COUNT(*) AS BIGINT) AS rc FROM rb GROUP BY 1, 2),
+    s1 AS (
+      SELECT cu1.qid, CAST(SUM(cc) AS BIGINT) AS tot1,
+             CAST(SUM(LEAST(cc, COALESCE(rc, 0))) AS BIGINT) AS clip1
+      FROM cu1 LEFT JOIN ru1 ON cu1.qid = ru1.qid AND cu1.g = ru1.g GROUP BY 1
+    ),
+    s2 AS (
+      SELECT cb1.qid, CAST(SUM(cc) AS BIGINT) AS tot2,
+             CAST(SUM(LEAST(cc, COALESCE(rc, 0))) AS BIGINT) AS clip2
+      FROM cb1 LEFT JOIN rb1 ON cb1.qid = rb1.qid AND cb1.g = rb1.g GROUP BY 1
+    )
+    SELECT l.qid,
+           CAST(len(c.toks) AS BIGINT) AS c_len,
+           CAST(len(r.toks) AS BIGINT) AS r_len,
+           s1.clip1, s1.tot1,
+           COALESCE(s2.clip2, 0) AS clip2, COALESCE(s2.tot2, 0) AS tot2,
+           ROUND(CAST(s1.clip1 AS DOUBLE) / CAST(s1.tot1 AS DOUBLE), 6) AS p1,
+           CASE WHEN COALESCE(s2.tot2, 0) > 0
+                THEN ROUND(CAST(s2.clip2 AS DOUBLE) / CAST(s2.tot2 AS DOUBLE), 6)
+           END AS p2,
+           CASE WHEN s1.clip1 > 0 AND COALESCE(s2.clip2, 0) > 0 THEN
+             CAST(FLOOR((LEAST(0.0, 1.0 - CAST(len(r.toks) AS DOUBLE)
+                                        / CAST(len(c.toks) AS DOUBLE))
+                         + (LN(CAST(s1.clip1 AS DOUBLE) / CAST(s1.tot1 AS DOUBLE))
+                            + LN(CAST(s2.clip2 AS DOUBLE) / CAST(s2.tot2 AS DOUBLE))) / 2.0
+                        ) * 1e6 + 0.5) AS BIGINT)
+           END AS log_bleu_u
+    FROM (SELECT qid FROM cand) l
+    JOIN cand c ON c.qid = l.qid
+    JOIN ref r ON r.qid = l.qid
+    JOIN s1 ON s1.qid = l.qid
+    LEFT JOIN s2 ON s2.qid = l.qid
+    """,
+)
+def llm_bleu_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candidate docs pair 1:1 with reference docs (qid = doc_id = ref
+    # doc_id - 25, so the pairing exists at every test scale).  n-gram
+    # counts reduce map-side on the (qid, gram) key — grams per document
+    # are bounded by its length, so the shuffle is corpus-linear with
+    # document-sized keys, never a cross join.
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cand = d.filter(F.col("doc_id") < 25).select(
+        F.col("doc_id").alias("qid"), toks.alias("toks")
+    )
+    ref = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
+        (F.col("doc_id") - 25).alias("qid"), toks.alias("toks")
+    )
+
+    def grams(df, n):
+        if n == 1:
+            g = F.col("toks")
+        else:
+            # Spark's sequence(1, 0) yields [1, 0] (descending), not empty —
+            # guard the single-token case explicitly
+            g = F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        return df.select("qid", F.explode(g).alias("g")).groupBy("qid", "g").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    def precis(n, tot, clip):
+        cg = grams(cand, n).withColumnRenamed("c", "cc")
+        rg = grams(ref, n).withColumnRenamed("c", "rc")
+        return (
+            cg.join(rg, ["qid", "g"], "left")
+            .groupBy("qid")
+            .agg(
+                F.sum("cc").cast("long").alias(tot),
+                F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0)))).cast("long").alias(clip),
+            )
+        )
+
+    lens = cand.select("qid", F.size("toks").cast("long").alias("c_len")).join(
+        ref.select("qid", F.size("toks").cast("long").alias("r_len")), "qid"
+    )
+    s1 = precis(1, "tot1", "clip1")
+    s2 = precis(2, "tot2", "clip2")
+    out = (
+        lens.join(s1, "qid")
+        .join(s2, "qid", "left")
+        .select(
+            "qid",
+            "c_len",
+            "r_len",
+            "clip1",
+            "tot1",
+            F.coalesce("clip2", F.lit(0)).cast("long").alias("clip2"),
+            F.coalesce("tot2", F.lit(0)).cast("long").alias("tot2"),
+        )
+    )
+    p1 = F.col("clip1").cast("double") / F.col("tot1").cast("double")
+    p2 = F.col("clip2").cast("double") / F.col("tot2").cast("double")
+    ln_bleu = (
+        F.least(F.lit(0.0), 1.0 - F.col("r_len").cast("double") / F.col("c_len").cast("double"))
+        + (F.log(p1) + F.log(p2)) / F.lit(2.0)
+    )
+    return out.select(
+        "*",
+        F.round(p1, 6).alias("p1"),
+        F.when(F.col("tot2") > 0, F.round(p2, 6)).alias("p2"),
+        F.when(
+            (F.col("clip1") > 0) & (F.col("clip2") > 0),
+            F.floor(ln_bleu * 1e6 + F.lit(0.5)).cast("long"),
+        ).alias("log_bleu_u"),
+    )

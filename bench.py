@@ -327,6 +327,13 @@ HEADLINE_R12 = [
     "llm_good_turing_coverage",
 ]
 
+# Round-13 additions — same treatment (timed, counted in total_all_queries).
+HEADLINE_R13 = [
+    "llm_fuzzy_candidates_profile",
+    "ml_relevance_split_profile",
+    "llm_bleu_doc_pairs",
+]
+
 
 def _drift_canary(spark, sf_dir: str) -> list[float]:
     """Host-drift canary (r12): a FIXED, flat, map-only micro-workload timed
@@ -391,7 +398,7 @@ def main() -> None:
     slow_once = {"llm_fuzzy_ratio_join"}
     for name in (HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
                  + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8 + HEADLINE_R9
-                 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12):
+                 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12 + HEADLINE_R13):
         fn = QUERIES[name]
         best, n = None, 0
         # best-of-3: amortizes codegen/JIT noise AND makes a one-off

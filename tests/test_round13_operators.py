@@ -131,3 +131,81 @@ def test_prepare_pairs_keep_columns(spark):
     out = prepare_pairs(d, "q", "t", "lbl", keep=("k",))
     assert out.columns == ["pair_text", "label", "k"]
     assert prepare_pairs(d, "q", "t", "lbl").columns == ["pair_text", "label"]
+
+
+def test_partial_ratio_semantics():
+    """fuzz.partial_ratio (ref kpi_inference_curator.py:294): verbatim
+    containment scores 100; otherwise the best Indel ratio of the shorter
+    processed string vs any equal-length window of the longer."""
+    from aicoe_osc_demo_spark.operators.fuzzy import partial_ratio
+
+    assert partial_ratio("beta", "alpha beta gamma") == 100.0
+    assert partial_ratio("alpha beta gamma", "beta") == 100.0  # order-free
+    # best window for "betx" is "beta": LCS 3 of 4 -> 75
+    assert partial_ratio("betX", "alpha beta gamma") == 75.0
+    assert partial_ratio("...", "anything") == 0.0
+    assert partial_ratio("", "x") == 0.0
+    assert partial_ratio("The Mat!", "the cat sat on the mat") == 100.0
+
+
+def test_partial_ratio_matches_naive_window_max():
+    """Property: the bit-parallel window scan equals a naive max over all
+    windows with a textbook DP LCS."""
+    import random
+
+    from aicoe_osc_demo_spark.operators.fuzzy import _full_process, partial_ratio
+
+    def lcs_dp(x, y):
+        prev = [0] * (len(y) + 1)
+        for xi in x:
+            cur = [0]
+            for j, yj in enumerate(y, 1):
+                cur.append(prev[j - 1] + 1 if xi == yj else max(prev[j], cur[-1]))
+            prev = cur
+        return prev[-1]
+
+    def naive(a, b):
+        a, b = _full_process(a), _full_process(b)
+        if not a or not b:
+            return 0.0
+        s, longer = (a, b) if len(a) <= len(b) else (b, a)
+        m = len(s)
+        best = max(lcs_dp(s, longer[i : i + m]) for i in range(len(longer) - m + 1))
+        return float(round(100.0 * best / m))
+
+    rng = random.Random(57)
+    vocab = ["alpha", "beta", "CO2", "a", "bb", "x-y", "scope", "2020", "kpi_id"]
+    for _ in range(200):
+        a = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 4)))
+        b = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 10)))
+        assert partial_ratio(a, b) == naive(a, b), (a, b)
+
+
+def test_bleu_doc_pairs_hand_case(spark, tmp_path):
+    """BLEU-2 on the textbook pair: cand 'the cat sat on the mat' vs ref
+    'the cat is on the mat' -> p1=5/6, p2=3/5, BP=1; plus a single-token
+    pair exercising the no-bigram guard (NULL p2/log_bleu)."""
+    import math
+
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "en", "s", 22),
+            (1, "hello", "en", "s", 5),
+            (25, "the cat is on the mat", "en", "s", 21),
+            (26, "hello", "en", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["qid"]: r for r in QUERIES["llm_bleu_doc_pairs"](spark, str(tmp_path)).collect()}
+    r0 = out[0]
+    assert (r0["c_len"], r0["r_len"]) == (6, 6)
+    assert (r0["clip1"], r0["tot1"], r0["clip2"], r0["tot2"]) == (5, 6, 3, 5)
+    assert r0["p1"] == round(5 / 6, 6) and r0["p2"] == 0.6
+    expected_u = math.floor((math.log(5 / 6) + math.log(3 / 5)) / 2.0 * 1e6 + 0.5)
+    assert r0["log_bleu_u"] == expected_u
+    r1 = out[1]
+    assert (r1["clip1"], r1["tot1"], r1["clip2"], r1["tot2"]) == (1, 1, 0, 0)
+    assert r1["p1"] == 1.0 and r1["p2"] is None and r1["log_bleu_u"] is None
