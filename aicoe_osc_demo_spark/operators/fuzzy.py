@@ -246,23 +246,28 @@ def _processed_tokens(c: Column) -> Column:
     """fuzzywuzzy ``utils.full_process`` token set, JVM-side: non-word chars
     -> space, lowercase, split, drop empties, distinct.  ``(?U)`` makes Java's
     ``\\W`` use Unicode character classes, matching Python's default ``\\W``
-    so these tokens agree with the pandas-UDF scorer's."""
-    return F.array_distinct(
-        F.filter(
-            F.split(F.regexp_replace(F.lower(c), r"(?U)\W", " "), " "),
-            lambda x: x != F.lit(""),
-        )
+    so these tokens agree with the pandas-UDF scorer's.
+
+    No higher-order ``F.filter`` lambda: trim + split on ``" +"`` drops the
+    empties natively (a lambda here ejected every bound-expression stage
+    from WholeStageCodegen — r13 profiling measured ~0.6 ms/pair
+    interpreted vs codegen).  The all-punctuation case (trims to "") must
+    yield an EMPTY array, not [""] — the scorer's empty guard keys off
+    size() == 0."""
+    t = F.trim(F.regexp_replace(F.lower(c), r"(?U)\W", " "))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.split(t, " +"))
     )
 
 
 def _joined_len(arr: Column) -> Column:
-    """Length of ``" ".join(arr)`` without materializing (or sorting) the
-    string — joined length is order-independent."""
-    return F.when(F.size(arr) == 0, F.lit(0)).otherwise(
-        F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
-        + F.size(arr)
-        - 1
-    )
+    """Length of ``" ".join(arr)`` — order-independent, so no sort needed.
+    Expressed as ``length(concat_ws(...))`` rather than a higher-order
+    ``F.aggregate`` fold: the lambda form runs interpreted AND ejects the
+    whole stage from codegen (r13 profiling: ~0.6 ms/pair for the bound
+    expressions vs native), while concat_ws/length stay inside
+    WholeStageCodegen."""
+    return F.length(F.concat_ws(" ", arr))
 
 
 def _ub_from_token_arrays(sa: Column, sb: Column) -> Column:
@@ -337,6 +342,64 @@ def token_set_ratio_upper_bound(a: Column, b: Column) -> Column:
     tokenize each SIDE first and use the array form — tokenizing inside the
     pair expression reruns the regex |block| times per document."""
     return _ub_from_token_arrays(_processed_tokens(a), _processed_tokens(b))
+
+
+def with_token_set_bounds(
+    df: DataFrame, ta: str, tb: str, ub_col: str = "ub", lb_col: str | None = None
+) -> DataFrame:
+    """Append the integer token_set_ratio upper (and optionally lower)
+    bound as columns — the STAGED form of ``_ub_from_token_arrays`` /
+    ``_lb_from_token_arrays``, bit-identical by the staging-parity test.
+
+    Why a staged form exists (r13 profiling): Column expressions are
+    TREES, not DAGs — a single nested bound expression re-expands
+    ``array_intersect`` at every reference (~20 copies/row once the
+    optimizer also pushes the inferred isnotnull into the join condition),
+    and each copy is O(|sa|·|sb|).  Staging binds the pairwise array op to
+    ONE named column; CollapseProject keeps non-cheap multi-use aliases as
+    separate projections, so it is evaluated once per pair (measured 14 s
+    → sub-second on 25k pairs at sf0.1).  The two diff joined-lengths
+    need no ``array_except`` at all — with distinct token arrays,
+    sumlen/size are additive, so joined_len(sa∖sb) = JA − L0 − 1 when the
+    intersection and the difference are both non-empty (JA, L0 the joined
+    lengths of side and intersection), with the empty cases handled
+    explicitly."""
+    sa, sb = F.col(ta), F.col(tb)
+    d = df.withColumn("_tsb_int", F.array_intersect(sa, sb))
+    d = d.withColumn("_tsb_l0", _joined_len(F.col("_tsb_int"))).withColumn(
+        "_tsb_si", F.size("_tsb_int")
+    )
+    l0, si = F.col("_tsb_l0"), F.col("_tsb_si")
+    ja, jb = _joined_len(sa), _joined_len(sb)
+    da = F.when(si == 0, ja).when(F.size(sa) == si, F.lit(0)).otherwise(ja - l0 - 1)
+    db = F.when(si == 0, jb).when(F.size(sb) == si, F.lit(0)).otherwise(jb - l0 - 1)
+    d = d.withColumn(
+        "_tsb_l1", l0 + da + F.when((l0 > 0) & (da > 0), 1).otherwise(0)
+    ).withColumn("_tsb_l2", l0 + db + F.when((l0 > 0) & (db > 0), 1).otherwise(0))
+    l1, l2 = F.col("_tsb_l1"), F.col("_tsb_l2")
+    empty = (F.size(sa) == 0) | (F.size(sb) == 0)
+    two = F.lit(2.0)
+    ub = F.greatest(
+        two * l0 / (l0 + l1),
+        two * l0 / (l0 + l2),
+        two * F.least(l1, l2) / (l1 + l2),
+    )
+    d = d.withColumn(
+        ub_col,
+        F.when(empty, F.lit(0))
+        .otherwise(F.round(F.lit(100.0) * ub, 0))
+        .cast("int"),
+    )
+    if lb_col is not None:
+        d = d.withColumn(
+            lb_col,
+            F.when(empty, F.lit(0))
+            .otherwise(
+                F.bround(F.lit(100.0) * (two * l0 / (l0 + F.least(l1, l2))), 0)
+            )
+            .cast("int"),
+        )
+    return d.drop("_tsb_int", "_tsb_l0", "_tsb_si", "_tsb_l1", "_tsb_l2")
 
 
 def token_jaccard(a: Column, b: Column) -> Column:
@@ -432,17 +495,21 @@ def fuzzy_best_match_join(
     # pair gets ub = 0 and survives whenever a 0-score row could win,
     # instead of a NULL _ub silently failing the survivors filter
     cand = (
-        ensure_parallelism(
-            left.withColumn(
-                "_ta", _processed_tokens(F.coalesce(F.col(left_text), F.lit("")))
-            ).join(
-                right.withColumn(
-                    "_tb", _processed_tokens(F.coalesce(F.col(right_text), F.lit("")))
-                ),
-                on=on,
-            )
+        with_token_set_bounds(
+            ensure_parallelism(
+                left.withColumn(
+                    "_ta", _processed_tokens(F.coalesce(F.col(left_text), F.lit("")))
+                ).join(
+                    right.withColumn(
+                        "_tb", _processed_tokens(F.coalesce(F.col(right_text), F.lit("")))
+                    ),
+                    on=on,
+                )
+            ),
+            "_ta",
+            "_tb",
+            ub_col="_ub",
         )
-        .withColumn("_ub", _ub_from_token_arrays(F.col("_ta"), F.col("_tb")))
         .drop("_ta", "_tb")
         .localCheckpoint(eager=False)
     )

@@ -1129,11 +1129,7 @@ _FUZZY_PROFILE_SQL = r"""
 def llm_fuzzy_candidates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same left/right/blocking as llm_fuzzy_ratio_join; bound machinery
     # from operators/fuzzy.py (the exact expressions the pruned join runs).
-    from ..operators.fuzzy import (
-        _lb_from_token_arrays,
-        _processed_tokens,
-        _ub_from_token_arrays,
-    )
+    from ..operators.fuzzy import _processed_tokens, with_token_set_bounds
 
     d = load(spark, sf_dir, "documents")
     left = d.filter(F.col("doc_id") < 20).select(
@@ -1145,21 +1141,29 @@ def llm_fuzzy_candidates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         _processed_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_tb"),
     )
-    pairs = left.join(right, on="lang").select(
-        "qid",
-        _ub_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("ub"),
-        _lb_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("lb"),
-    )
+    pairs = with_token_set_bounds(
+        left.join(right, on="lang"), "_ta", "_tb", ub_col="ub", lb_col="lb"
+    ).select("qid", "ub", "lb")
     stats = pairs.groupBy("qid").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.max("ub").alias("max_ub"),
         F.max("lb").alias("max_lb"),
     )
+    # survivor count as a CONDITIONAL AGGREGATE, not filter-then-count: a
+    # .filter(ub >= max_lb) above the join makes Catalyst infer
+    # isnotnull(ub) and push it into the join condition with the alias
+    # chain fully re-expanded — the entire bound expression (pairwise
+    # array ops included) re-evaluated per candidate INSIDE the join
+    # (measured: ~10 s of the entry's runtime).  A predicate inside
+    # sum(when(...)) is not a constraint, so nothing is pushed.
     return (
         pairs.join(F.broadcast(stats), on="qid")
-        .filter(F.col("ub") >= F.col("max_lb"))
         .groupBy("qid", "n_candidates", "max_ub", "max_lb")
-        .agg(F.count(F.lit(1)).alias("n_survivors_lb"))
+        .agg(
+            F.sum(F.when(F.col("ub") >= F.col("max_lb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_survivors_lb")
+        )
     )
 
 

@@ -209,3 +209,42 @@ def test_bleu_doc_pairs_hand_case(spark, tmp_path):
     r1 = out[1]
     assert (r1["clip1"], r1["tot1"], r1["clip2"], r1["tot2"]) == (1, 1, 0, 0)
     assert r1["p1"] == 1.0 and r1["p2"] is None and r1["log_bleu_u"] is None
+
+
+def test_staged_bounds_match_single_expression(spark):
+    """with_token_set_bounds (staged columns, the fast plan) must be
+    bit-identical to the single-expression _ub/_lb helpers on an
+    adversarial corpus including empty/subset/duplicate-token cases."""
+    import random
+
+    from aicoe_osc_demo_spark.operators.fuzzy import (
+        _lb_from_token_arrays,
+        _processed_tokens,
+        _ub_from_token_arrays,
+        with_token_set_bounds,
+    )
+
+    rng = random.Random(71)
+    vocab = ["aa", "b", "ccc", "Dd", "e2", "ff-g", "émis", "h", "2020", "kpi_id"]
+    rows = [
+        (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9))))
+        for _ in range(300)
+    ] + [("", ""), ("...", "x"), ("a a a", "a"), ("aa b", "aa b ccc"), ("aa b", "b aa")]
+    base = spark.createDataFrame(rows, ["a", "b"]).select(
+        "a",
+        "b",
+        _processed_tokens(F.col("a")).alias("_ta"),
+        _processed_tokens(F.col("b")).alias("_tb"),
+    )
+    staged = with_token_set_bounds(base, "_ta", "_tb", ub_col="s_ub", lb_col="s_lb")
+    both = staged.select(
+        "a",
+        "b",
+        "s_ub",
+        "s_lb",
+        _ub_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("e_ub"),
+        _lb_from_token_arrays(F.col("_ta"), F.col("_tb")).alias("e_lb"),
+    )
+    for r in both.collect():
+        assert (r["s_ub"], r["s_lb"]) == (r["e_ub"], r["e_lb"]), (r["a"], r["b"])
