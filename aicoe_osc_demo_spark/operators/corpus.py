@@ -374,22 +374,19 @@ def bpe_train_merges(
     Output: (step, lhs, rhs, cnt) — the merge learned at each step with
     its corpus count, markers stripped.
     """
-    from functools import reduce
-
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1 (an empty merge table has no rows)")
     m = "\x1f"
     bests = _bpe_merge_steps(docs, n_merges, text_col)
-    steps = [
-        best.select(
-            F.lit(step).cast("int").alias("step"),
-            F.replace(F.col("l"), F.lit(m), F.lit("")).alias("lhs"),
-            F.replace(F.col("r"), F.lit(m), F.lit("")).alias("rhs"),
-            "cnt",
-        )
-        for step, best in enumerate(bests)
+    rows = [
+        (step, l.replace(m, ""), r.replace(m, ""), cnt)
+        for step, b in enumerate(bests)
+        if b is not None
+        for (l, r, cnt) in [b]
     ]
-    return reduce(lambda a, b: a.unionByName(b), steps)
+    return docs.sparkSession.createDataFrame(
+        rows, schema="step int, lhs string, rhs string, cnt bigint"
+    )
 
 
 _BPE_MARK = "\x1f"
@@ -411,9 +408,20 @@ def _bpe_merge_steps(
     docs: DataFrame, n_merges: int, text_col: str
 ) -> list[DataFrame]:
     """Run the greedy merge loop; return the per-step 1-row best-pair
-    frames (l, r, cnt) with marker-wrapped symbols, each eagerly
-    checkpointed (they are consumed both by the merge-table output and by
-    :func:`bpe_encode_token_counts`'s replay)."""
+    frames (l, r, cnt) with marker-wrapped symbols (consumed both by the
+    merge-table output and by :func:`bpe_encode_token_counts`'s replay).
+
+    r13: each step's argmax is COLLECTED to the driver — bounded metadata,
+    one (l, r, cnt) row per merge, and the greedy loop is inherently
+    sequential anyway — and re-enters the plan as plain PYTHON TUPLES
+    ``(l, r, cnt)`` inlined as string literals downstream.  The
+    vocab-state replace then chains as pure projections over the single
+    eager checkpoint, so each merge costs exactly ONE job (the argmax);
+    the former per-step state checkpoint + broadcast-join pair added two
+    more sequential jobs per merge for identical string state.  A step
+    whose pair table is empty (all words single-symbol) yields ``None``
+    and consumers empty their state exactly like the old
+    crossJoin-with-empty-broadcast did."""
     m = _BPE_MARK
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
@@ -422,8 +430,12 @@ def _bpe_merge_steps(
     state = wf.select(_bpe_symbol_str(F.col("w")).alias("wstr"), "freq").localCheckpoint(
         eager=True
     )
-    bests = []
+    bests: list[tuple[str, str, int] | None] = []
+    dead = False
     for _step in range(n_merges):
+        if dead:
+            bests.append(None)
+            continue
         syms = F.split(F.col("wstr"), " ")
         zipped = F.arrays_zip(
             F.slice(syms, 1, F.size(syms)).alias("c0"),
@@ -435,51 +447,43 @@ def _bpe_merge_steps(
             .groupBy(F.col("p.c0").alias("l"), F.col("p.c1").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = (
-            pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .localCheckpoint(eager=True)
+        rows = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not rows:
+            dead = True
+            bests.append(None)
+            continue
+        l, r = rows[0]["l"], rows[0]["r"]
+        fused = m + l.replace(m, "") + r.replace(m, "") + m
+        state = state.select(
+            F.replace(F.col("wstr"), F.lit(l + " " + r), F.lit(fused)).alias("wstr"),
+            "freq",
         )
-        fused = F.concat(
-            F.lit(m),
-            F.replace(F.col("l"), F.lit(m), F.lit("")),
-            F.replace(F.col("r"), F.lit(m), F.lit("")),
-            F.lit(m),
-        )
-        state = (
-            state.crossJoin(F.broadcast(best))
-            .select(
-                F.replace(
-                    F.col("wstr"), F.concat(F.col("l"), F.lit(" "), F.col("r")), fused
-                ).alias("wstr"),
-                "freq",
-            )
-            .localCheckpoint(eager=True)
-        )
-        bests.append(best)
+        bests.append((l, r, rows[0]["cnt"]))
     return bests
 
 
-def bpe_apply_merges(vocab: DataFrame, bests: list[DataFrame], word_col: str = "w") -> DataFrame:
+def bpe_apply_merges(
+    vocab: DataFrame, bests: list[tuple[str, str, int] | None], word_col: str = "w"
+) -> DataFrame:
     """Apply a learned merge sequence to a vocabulary: replay each merge
-    as the same marker-string replace the trainer used, in learned order.
+    as the same marker-string replace the trainer used, in learned order —
+    the merges are plain tuples (see ``_bpe_merge_steps``), so the replay
+    is a chain of literal ``replace`` projections, no joins.  A ``None``
+    step (the trainer ran out of pairs) empties the state, matching the
+    old crossJoin-with-empty-frame semantics and the oracle's CTE chain.
     Returns (word_col, wstr) — the final symbol string per word."""
     m = _BPE_MARK
     state = vocab.select(
         F.col(word_col), _bpe_symbol_str(F.col(word_col)).alias("wstr")
     )
     for best in bests:
-        fused = F.concat(
-            F.lit(m),
-            F.replace(F.col("l"), F.lit(m), F.lit("")),
-            F.replace(F.col("r"), F.lit(m), F.lit("")),
-            F.lit(m),
-        )
-        state = state.crossJoin(F.broadcast(best.select("l", "r"))).select(
+        if best is None:
+            return state.limit(0)
+        l, r, _cnt = best
+        fused = m + l.replace(m, "") + r.replace(m, "") + m
+        state = state.select(
             word_col,
-            F.replace(
-                F.col("wstr"), F.concat(F.col("l"), F.lit(" "), F.col("r")), fused
-            ).alias("wstr"),
+            F.replace(F.col("wstr"), F.lit(l + " " + r), F.lit(fused)).alias("wstr"),
         )
     return state
 

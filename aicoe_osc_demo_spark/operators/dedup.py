@@ -841,13 +841,27 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # Round 1 unrolled (r13): the initial labeling is label == node, so the
+    # jump join is the identity and min over neighbors' LABELS is min over
+    # neighbor IDS — the whole first round collapses to one groupBy + one
+    # left join (two joins and one eager checkpoint job fewer per call,
+    # bit-identical labels after the round).
+    neigh1 = edges.groupBy("a").agg(F.min("b").alias("nbr_label")).withColumnRenamed(
+        "a", "node"
+    )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .join(neigh1, on="node", how="left")
+        .select(
+            "node",
+            F.least(F.col("node"), F.coalesce(F.col("nbr_label"), F.col("node"))).alias(
+                "label"
+            ),
+        )
         .localCheckpoint()
     )
-    for it in range(max_iter):
+    for it in range(1, max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")

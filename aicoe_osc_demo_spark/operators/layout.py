@@ -608,6 +608,13 @@ def correlation_matrix(
     llm_heaps_law r10 flake class).  Pearson r is scale-invariant, so
     quantization only perturbs r by the rounding of v*scale itself.
     """
+    from .relational import ensure_parallelism
+
+    # C(k,2)*6 moment aggregates per row are a compute-heavy narrow stage
+    # (decimal128 sums on the exact path): spread single-row-group inputs
+    # so the map-side partials use every core (no-op at scale; the exact
+    # integer sums are order-independent, so the result is bit-equal)
+    df = ensure_parallelism(df.select(*cols))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     if quantize_scale is None:
         wide = df.agg(

@@ -436,13 +436,21 @@ def percentile_bins(
     else:
         cut_expr = f"percentile({value_col}, array({ps}))"
     cuts = df.groupBy(*key_cols).agg(F.expr(cut_expr).alias("_cuts"))
+    # count cutpoints <= value with a STATIC sum of n_bins-1 comparisons:
+    # n_bins is a Python constant, so unrolling keeps the per-row fold in
+    # whole-stage codegen — the F.aggregate lambda form ran interpreted on
+    # every row (guide: higher-order lambdas eject codegen).  NULL cut
+    # arrays (all-NULL group) keep the fold's NULL-bin semantics.
+    terms = [
+        F.when(F.col(value_col) >= F.element_at("_cuts", i), 1).otherwise(0)
+        for i in range(1, n_bins)
+    ]
+    bin_sum = terms[0]
+    for t in terms[1:]:
+        bin_sum = bin_sum + t
     binned = df.join(F.broadcast(cuts), on=list(key_cols)).withColumn(
         bin_col,
-        F.aggregate(
-            "_cuts",
-            F.lit(0),
-            lambda acc, q: acc + F.when(F.col(value_col) >= q, 1).otherwise(0),
-        ),
+        F.when(F.col("_cuts").isNull(), F.lit(None).cast("int")).otherwise(bin_sum),
     )
     return binned.drop("_cuts")
 

@@ -485,6 +485,7 @@ def kmeans_quantized(
     return_assignments: bool = False,
     route_min_k: int | None = None,
     nprobe: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over integer-quantized vectors —
     the oracle-checkable companion to ``train_ivf_quantizer`` (whose
@@ -529,6 +530,7 @@ def kmeans_quantized(
         iters,
         route_min_k=_LLOYD_ROUTE_MIN_K if route_min_k is None else route_min_k,
         nprobe=_LLOYD_NPROBE if nprobe is None else nprobe,
+        dim=dim,
     )
     if return_assignments:
         return assigned.select("vec_id", "cid")
@@ -555,6 +557,16 @@ def kmeans_quantized(
 _LLOYD_ROUTE_MIN_K = 128
 _LLOYD_NPROBE = 4
 
+# Centroid-update form gate (r13, measured at sf0.1): the single-groupBy
+# per-dim sum unroll (dim aggregate columns, fixed-width HashAggregate,
+# one exchange) beats the posexplode → re-collect → count-join form (three
+# exchanges) up to ~16 dims — the PQ subspace loops (d_sub=16) dropped
+# ~0.5-0.6 s/entry — but LOSES above it (dim=64 flat Lloyd: 1.35 s
+# posexplode vs 2.06 s unrolled; 64 element_at aggregates blow the
+# generated aggregate past what codegen handles well).  Callers pass the
+# static dim; the narrow-subspace form engages only under this cap.
+_CENT_UNROLL_MAX_DIM = 16
+
 
 def _exact_cent_dist():
     """Exact rational distance ||x - s/n||^2 = num/n^2 with
@@ -574,61 +586,98 @@ def _exact_cent_dist():
 def _route_assign(q, cents, k: int, nprobe: int):
     """One IVF-routed Lloyd assignment step: group the k fine centroids
     under kc = ceil(sqrt(k)) coarse seeds (the kc lowest-cid fine means),
-    route each vector to its ``nprobe`` nearest coarse cells (n*kc narrow
-    fan-out in double — routing needs no exactness), and run the EXACT
-    rational argmin only over the fine centroids in the probed cells
+    route each vector to its ``nprobe`` nearest coarse cells, and run the
+    EXACT rational argmin only over the fine centroids in the probed cells
     (n * ~nprobe*k/kc rows instead of n*k).  Standard IVF semantics: the
     assignment is approximate when nprobe < kc (the true nearest fine
     centroid may live in an unprobed cell) and EXHAUSTIVE — bit-identical
     to the flat path — when nprobe >= kc, which is how the parity test
     pins it.  Vectors whose probed cells are all empty (possible only
     under exact seed ties) fall back to the flat scan, so assignment is
-    total."""
+    total.
+
+    Routing shape (r13): the kc coarse seeds ride as ONE broadcast row
+    holding an array<struct<gid, gm>>, so the per-vector probe is a
+    map-side transform + array_sort + slice over that array — the former
+    n*kc explode and its collect_list re-group shuffle are gone, and the
+    probe stage shuffles nothing.  The probed rows carry ``v`` along
+    (duplicated nprobe ways in-flight, never shuffled wide), so the fine
+    argmin needs no re-join of q.  Distances keep the exact same fold
+    expressions as before, so probe selection and argmin are
+    bit-identical to the r11 form."""
     import math
 
     kc = max(2, math.ceil(math.sqrt(k)))
     mean = F.transform("s", lambda si: si.cast("double") / F.col("n"))
     fine = cents.select("cid", "s", "n", mean.alias("m"))
+    # ONE row: every coarse seed as array<struct<gid,gm>> (kc entries of
+    # metadata-scale centroid means; array_sort on distinct gids is the
+    # deterministic order, though argmin below is order-independent)
     seeds = (
         fine.orderBy("cid")
         .limit(kc)
-        .select(F.col("cid").alias("gid"), F.col("m").alias("gm"))
-    )
-    cdist = F.aggregate(
-        F.zip_with("m", "gm", lambda x, g: (x - g) * (x - g)),
-        F.lit(0.0),
-        lambda acc, y: acc + y,
-    )
-    fine_g = (
-        fine.crossJoin(F.broadcast(seeds))
-        .select("cid", "s", "n", cdist.alias("_d"), "gid")
-        .groupBy("cid")
-        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("gid"))).alias("g"))
-        .select("cid", F.col("g.gid").alias("gid"))
-        .join(fine.select("cid", "s", "n"), "cid")
-    )
-    vdist = F.aggregate(
-        F.zip_with("v", "gm", lambda x, g: (x.cast("double") - g) * (x.cast("double") - g)),
-        F.lit(0.0),
-        lambda acc, y: acc + y,
-    )
-    probed = (
-        q.crossJoin(F.broadcast(seeds))
-        .select("vec_id", vdist.alias("_d"), "gid")
-        .groupBy("vec_id")
         .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid").alias("gid"), F.col("m").alias("gm")))
+            ).alias("seeds")
+        )
+    )
+
+    def _sqdist_fold(xcol, gm, cast_x: bool):
+        return F.aggregate(
+            F.zip_with(
+                xcol,
+                gm,
+                (lambda x, g: (x.cast("double") - g) * (x.cast("double") - g))
+                if cast_x
+                else (lambda x, g: (x - g) * (x - g)),
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+
+    # nearest coarse seed per fine centroid: map-side array argmin (struct
+    # sort = (d asc, gid asc), exactly the old min(struct) tie-break)
+    fine_g = fine.crossJoin(F.broadcast(seeds)).select(
+        "cid",
+        "s",
+        "n",
+        F.element_at(
+            F.array_sort(
+                F.transform(
+                    "seeds",
+                    lambda sd: F.struct(
+                        _sqdist_fold(F.col("m"), sd["gm"], cast_x=False).alias("d"),
+                        sd["gid"].alias("gid"),
+                    ),
+                )
+            ),
+            1,
+        )["gid"].alias("gid"),
+    )
+    # per-vector probe: map-side argsort over the seed array, no shuffle
+    probed = q.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        F.explode(
             F.slice(
-                F.array_sort(F.collect_list(F.struct(F.col("_d").alias("d"), "gid"))),
+                F.array_sort(
+                    F.transform(
+                        "seeds",
+                        lambda sd: F.struct(
+                            _sqdist_fold(F.col("v"), sd["gm"], cast_x=True).alias("d"),
+                            sd["gid"].alias("gid"),
+                        ),
+                    )
+                ),
                 1,
                 nprobe,
-            ).alias("ps")
-        )
-        .select("vec_id", F.explode("ps.gid").alias("gid"))
+            )["gid"]
+        ).alias("gid"),
     )
     d = _exact_cent_dist()
     routed = (
-        probed.join(q, "vec_id")
-        .join(F.broadcast(fine_g.select("gid", "cid", "s", "n")), "gid")
+        probed.join(F.broadcast(fine_g.select("gid", "cid", "s", "n")), "gid")
         .select("vec_id", d.alias("_d"), "cid")
         .groupBy("vec_id")
         .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("cid"))).alias("m"))
@@ -653,6 +702,7 @@ def _lloyd_quantized(
     iters: int,
     route_min_k: int = _LLOYD_ROUTE_MIN_K,
     nprobe: int = _LLOYD_NPROBE,
+    dim: int | None = None,
 ):
     """The deterministic Lloyd loop over (vec_id, v: array<long>) rows.
 
@@ -684,6 +734,22 @@ def _lloyd_quantized(
     for _ in range(iters):
         cents_used = cents
         if k >= route_min_k:
+            # Routed mode pins the EXACT k-row integer centroid state as a
+            # LocalRelation each iteration (the MLlib per-iteration centroid
+            # collect — bounded k*(dim+1) longs of metadata, never corpus
+            # rows).  Without this the routed step's 4+ references to the
+            # prior iteration's centroid subtree re-EXPAND it (Column trees
+            # are not DAGs), compounding per iteration: the k=4 driver
+            # entry's initial plan held 620 Exchange nodes and spent most
+            # of its 6.5 s planning + materializing AQE stages.  Values are
+            # exact longs, so assignments are bit-identical (parity test +
+            # oracle pin it).  The flat path stays fully lazy — at oracle
+            # scales ReusedExchange already deduplicates it (r6 note below).
+            spark = q.sparkSession
+            rows = cents.collect()
+            if dim is None and rows:
+                dim = len(rows[0]["s"])
+            cents_used = spark.createDataFrame(rows, schema=cents.schema)
             scores = _route_assign(q, cents_used, k, nprobe)
         else:
             # project the n*k fan-out down to (vec_id, d, cid) BEFORE the
@@ -701,20 +767,44 @@ def _lloyd_quantized(
                 .select("vec_id", F.col("m.cid").alias("cid"))
             )
         assigned = q.join(scores, "vec_id").select("vec_id", "cid", "v")
-        sums = (
-            assigned.select("cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.sum("x").alias("sx"))
-        )
-        cents = (
-            sums.groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
-                ).alias("s")
+        if dim is not None and dim <= _CENT_UNROLL_MAX_DIM:
+            # centroid update as ONE hash-aggregable groupBy: dim per-dim
+            # long sums + the member count in a single map-side-combined
+            # pass (fixed-width buffer -> HashAggregate).  The dim-agnostic
+            # fallback below needs three exchanges (posexplode re-shuffle,
+            # per-cid re-collect, count join) for the identical integer
+            # state; per-dim long sums are order-independent, so ``s`` is
+            # bit-equal either way.
+            cents = (
+                assigned.groupBy("cid")
+                .agg(
+                    *[
+                        F.sum(F.element_at("v", i + 1)).alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    "cid",
+                    F.array(*[F.col(f"_s{i}") for i in range(dim)]).alias("s"),
+                    "n",
+                )
             )
-            .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
-        )
+        else:
+            sums = (
+                assigned.select("cid", F.posexplode("v").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(F.sum("x").alias("sx"))
+            )
+            cents = (
+                sums.groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
+                    ).alias("s")
+                )
+                .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
+            )
     # NOTE (r6, measured): do NOT localCheckpoint the per-iteration
     # centroid state here — Spark's ReusedExchange already deduplicates
     # the shared iterative prefix when both returned frames are consumed
@@ -819,23 +909,48 @@ def product_quantize(
             )
             .select("vec_id", "sub", F.col("mm.cid").alias("cid"), "v")
         )
-        sums = (
-            assigned.select("sub", "cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("sub", "cid", "i")
-            .agg(F.sum("x").alias("sx"))
-        )
-        cents = (
-            sums.groupBy("sub", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
-                ).alias("s")
+        # centroid update as ONE hash-aggregable groupBy (r13): d_sub
+        # per-dim long sums + the member count in a single map-side-
+        # combined pass — the posexplode → per-(sub,cid) re-collect →
+        # count-join form needed three exchanges for the identical
+        # integer state.  Gated on the measured codegen-width crossover
+        # (see _CENT_UNROLL_MAX_DIM); wide subspaces keep the old form.
+        if d_sub <= _CENT_UNROLL_MAX_DIM:
+            cents = (
+                assigned.groupBy("sub", "cid")
+                .agg(
+                    *[
+                        F.sum(F.element_at("v", i + 1)).alias(f"_s{i}")
+                        for i in range(d_sub)
+                    ],
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .select(
+                    "sub",
+                    "cid",
+                    F.array(*[F.col(f"_s{i}") for i in range(d_sub)]).alias("s"),
+                    "n",
+                )
             )
-            .join(
-                assigned.groupBy("sub", "cid").agg(F.count(F.lit(1)).alias("n")),
-                ["sub", "cid"],
+        else:
+            sums = (
+                assigned.select("sub", "cid", F.posexplode("v").alias("i", "x"))
+                .groupBy("sub", "cid", "i")
+                .agg(F.sum("x").alias("sx"))
             )
-        )
+            cents = (
+                sums.groupBy("sub", "cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "sx"))),
+                        lambda s: s["sx"],
+                    ).alias("s")
+                )
+                .join(
+                    assigned.groupBy("sub", "cid").agg(F.count(F.lit(1)).alias("n")),
+                    ["sub", "cid"],
+                )
+            )
     out = (
         assigned.groupBy("vec_id")
         .agg(
@@ -1023,7 +1138,7 @@ def ivfpq_topk(
             "v"
         ),
     )
-    assigned, coarse = _lloyd_quantized(qz, nlist, iters)
+    assigned, coarse = _lloyd_quantized(qz, nlist, iters, dim=dim)
     codes, books = product_quantize(
         corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim, scale=scale
     )
@@ -1274,6 +1389,7 @@ def semdedup_pairs(
     scale: int = 1000,
     cache_assignments: bool = True,
     scope=None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540): cluster
@@ -1301,7 +1417,7 @@ def semdedup_pairs(
     """
     assigned = kmeans_quantized(
         corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-        scale=scale, return_assignments=True,
+        scale=scale, return_assignments=True, dim=dim,
     )
     # norms once per VECTOR, carried through the join as scalars (same
     # rationale as _self_join_scored: each vector meets many in-cluster
@@ -1993,7 +2109,7 @@ def write_ivfpq_index(
     )
     from ..cache import CacheScope
 
-    assigned, coarse = _lloyd_quantized(qz, nlist, iters)
+    assigned, coarse = _lloyd_quantized(qz, nlist, iters, dim=dim)
     with CacheScope() as s:
         codes, books = product_quantize(
             corpus, m=m, k=k_pq, iters=iters, vec_col=vec_col, id_col=id_col, dim=dim,
@@ -2116,6 +2232,12 @@ def jl_project(
     """
     import math
 
+    from .relational import ensure_parallelism
+
+    # out_dim interpreted fold expressions per row are a compute-heavy
+    # narrow stage: spread single-row-group inputs across cores first
+    # (no-op on well-partitioned 100 TB inputs)
+    corpus = ensure_parallelism(corpus)
     signs = _jl_signs(out_dim, in_dim)
     scale = 1.0 / math.sqrt(out_dim)
     comps = F.array(

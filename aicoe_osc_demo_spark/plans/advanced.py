@@ -763,10 +763,19 @@ def window_percentile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deciles via exact percentile cutpoints — one combine-friendly aggregate
     # + a broadcast map-side fold instead of NTILE's per-group global sort.
     # Same per-bin envelope output shape as the NTILE query.
-    from ..operators.relational import percentile_bins
+    from ..operators.relational import ensure_parallelism, percentile_bins
 
+    # single-row-group input: spread the scan so the percentile partials and
+    # the per-row cutpoint fold use every core (no-op on partitioned inputs)
     binned = percentile_bins(
-        load(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice", 10
+        ensure_parallelism(
+            load(spark, sf_dir, "lineitem").select(
+                "l_returnflag", "l_extendedprice"
+            )
+        ),
+        ["l_returnflag"],
+        "l_extendedprice",
+        10,
     )
     return binned.groupBy("l_returnflag", "bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1130,6 +1130,7 @@ def llm_fuzzy_candidates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same left/right/blocking as llm_fuzzy_ratio_join; bound machinery
     # from operators/fuzzy.py (the exact expressions the pruned join runs).
     from ..operators.fuzzy import _processed_tokens, with_token_set_bounds
+    from ..operators.relational import ensure_parallelism
 
     d = load(spark, sf_dir, "documents")
     left = d.filter(F.col("doc_id") < 20).select(
@@ -1137,7 +1138,10 @@ def llm_fuzzy_candidates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         _processed_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_ta"),
     )
-    right = d.filter(F.col("doc_id") >= 100).select(
+    # spread the corpus side BEFORE tokenization — the broadcast join
+    # output inherits its partitioning (single-row-group input = 1 task
+    # for the regex + the per-pair bounds otherwise; no-op at scale)
+    right = ensure_parallelism(d.filter(F.col("doc_id") >= 100)).select(
         "lang",
         _processed_tokens(F.coalesce(F.col("text"), F.lit(""))).alias("_tb"),
     )
@@ -1347,7 +1351,7 @@ def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(struct), per-(cluster,dim) integer sums; only ints shuffle.
     from ..operators.similarity import kmeans_quantized
 
-    return kmeans_quantized(load(spark, sf_dir, "embeddings"), k=4, iters=2)
+    return kmeans_quantized(load(spark, sf_dir, "embeddings"), k=4, iters=2, dim=64)
 
 
 @register("llm_kmeans_routed", _KMEANS_SQL)
@@ -1365,7 +1369,7 @@ def llm_kmeans_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_quantized
 
     return kmeans_quantized(
-        load(spark, sf_dir, "embeddings"), k=4, iters=2, route_min_k=4, nprobe=2
+        load(spark, sf_dir, "embeddings"), k=4, iters=2, route_min_k=4, nprobe=2, dim=64
     )
 
 
@@ -2344,7 +2348,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(_clone_arm(emb))
     k = max(4, _clone_corpus_rows(sf_dir) // 128)
-    return semdedup_pairs(corpus, k=k, iters=2, tau=0.99)
+    return semdedup_pairs(corpus, k=k, iters=2, tau=0.99, dim=64)
 
 
 # --- MMR diverse top-k (Carbonell & Goldstein 1998) --------------------------

@@ -641,12 +641,15 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-document Shannon entropy of the character distribution -- the
     # model-free information-density filter next to the repetition/C4
-    # rules.  Pure codegen'd higher-order-function expression: zero
-    # shuffles, documents score at scan speed.
+    # rules.  The per-char run-length aggregate is an interpreted HOF (a
+    # compute-heavy narrow stage), so single-row-group inputs must not
+    # serialize it onto one task — ensure_parallelism spreads the scan
+    # (no-op on well-partitioned 100 TB inputs).
     from ..functions.text import char_entropy
+    from ..operators.relational import ensure_parallelism
 
     return (
-        load(spark, sf_dir, "documents")
+        ensure_parallelism(load(spark, sf_dir, "documents"))
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
