@@ -816,7 +816,12 @@ def rake_phrases(
     Output: (phrase, n_words, n_occurrences, score) for phrases of
     ``min_words..max_words`` words, score rounded to 6 dp.
     """
+    from .relational import ensure_parallelism
+
     stops = stopwords if stopwords is not None else _RAKE_STOPWORDS
+    # the tokenizing regex + posexplode are the compute-heavy narrow
+    # stage: spread single-row-group inputs first (no-op at scale)
+    df = ensure_parallelism(df)
     words = df.select(
         F.col(id_col).alias("_doc"),
         F.posexplode(

@@ -454,8 +454,13 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicate).  Unrolled integer CASE chain, bit-identical to the
     # oracle's generated replay of the same walk.
     from ..operators.layout import hilbert_key
+    from ..operators.relational import ensure_parallelism
 
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # the 12-level unrolled Hilbert CASE chain is a compute-heavy narrow
+    # stage: spread the single-row-group scan first (no-op at scale)
+    o = ensure_parallelism(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    )
     x = F.pmod(F.col("o_custkey"), F.lit(4096))
     y = F.pmod(F.floor("o_totalprice").cast("long"), F.lit(4096))
     return hilbert_key(o, x, y, out="hkey", bits=12).select("o_orderkey", "hkey")
@@ -1084,8 +1089,13 @@ def join_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").cast("double").alias("qty")
     )
-    pt = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
-    scored = ps.join(pt, on="l_partkey")
+    # per-part total as a WINDOW sharing the argmax window's partitioning
+    # (one exchange on l_partkey serves both), not a groupBy + join back —
+    # the join form re-evaluated the ps subtree on both sides (guide §2.4:
+    # same-keyed window needs no second shuffle; identical totals)
+    scored = ps.withColumn(
+        "total", F.sum("qty").over(Window.partitionBy("l_partkey"))
+    )
     top = argmax_per_group(
         scored, ["l_partkey"], F.col("qty"), tiebreak=["l_suppkey"]
     ).withColumn("share", F.col("qty") / F.col("total"))

@@ -1148,26 +1148,27 @@ def llm_fuzzy_candidates_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = with_token_set_bounds(
         left.join(right, on="lang"), "_ta", "_tb", ub_col="ub", lb_col="lb"
     ).select("qid", "ub", "lb")
-    stats = pairs.groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.max("ub").alias("max_ub"),
-        F.max("lb").alias("max_lb"),
+    # per-qid stats as WINDOWS over one exchange, not a groupBy + join
+    # back: the join form re-evaluated the whole bounds subtree on both
+    # sides (the stats side and the probe side each expanded `pairs`).
+    # The survivor count stays a CONDITIONAL AGGREGATE, not
+    # filter-then-count: a .filter(ub >= max_lb) makes Catalyst infer
+    # isnotnull(ub) and push the fully re-expanded bound expression into
+    # the join condition (measured ~10 s in the r13 mid-build session);
+    # a predicate inside sum(when(...)) is not a constraint, so nothing
+    # is pushed.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid")
+    pw = (
+        pairs.withColumn("n_candidates", F.count(F.lit(1)).over(w))
+        .withColumn("max_ub", F.max("ub").over(w))
+        .withColumn("max_lb", F.max("lb").over(w))
     )
-    # survivor count as a CONDITIONAL AGGREGATE, not filter-then-count: a
-    # .filter(ub >= max_lb) above the join makes Catalyst infer
-    # isnotnull(ub) and push it into the join condition with the alias
-    # chain fully re-expanded — the entire bound expression (pairwise
-    # array ops included) re-evaluated per candidate INSIDE the join
-    # (measured: ~10 s of the entry's runtime).  A predicate inside
-    # sum(when(...)) is not a constraint, so nothing is pushed.
-    return (
-        pairs.join(F.broadcast(stats), on="qid")
-        .groupBy("qid", "n_candidates", "max_ub", "max_lb")
-        .agg(
-            F.sum(F.when(F.col("ub") >= F.col("max_lb"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_survivors_lb")
-        )
+    return pw.groupBy("qid", "n_candidates", "max_ub", "max_lb").agg(
+        F.sum(F.when(F.col("ub") >= F.col("max_lb"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_survivors_lb")
     )
 
 

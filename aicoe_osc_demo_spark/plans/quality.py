@@ -597,7 +597,13 @@ def pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rate broadcast.
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    from ..operators.relational import ensure_parallelism
+
+    # the narrow gates (lang/quality scoring) are the compute-heavy scan
+    # stage and the gated subtree feeds two branches — spread the
+    # single-row-group input so both evaluations parallelize (no-op at
+    # scale)
+    d = ensure_parallelism(load(spark, sf_dir, "documents"))
     gated = (
         d.filter(lang_id(F.col("text")) == "en")
         .withColumn("q", F.round(quality_score(F.col("text")), 6))
