@@ -341,13 +341,14 @@ def kn_perplexity_scores(
 
 def dsir_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 256,
     k: int = 50,
     cache_features: bool = True,
     scope=None,
+    target_flag=None,
 ) -> DataFrame:
     """DSIR (Xie et al. 2023, "Data Selection for Language Models via
     Importance Resampling", NeurIPS 2023): select the ``k`` raw documents
@@ -384,20 +385,34 @@ def dsir_resample(
 
     bl = F.lit(buckets).cast("long")
 
-    def feats(df: DataFrame) -> DataFrame:
+    def feats(df: DataFrame, flag=None) -> DataFrame:
         text = F.col(text_col)
         grams = F.concat(F.split(text, " "), positional_word_ngrams(text, 2))
-        return ensure_parallelism(df).select(
-            F.col(id_col).alias("doc_id"), F.explode(grams).alias("w")
-        ).select(
-            "doc_id",
+        first = [F.col(id_col).alias("doc_id"), F.explode(grams).alias("w")]
+        keep = ["doc_id"]
+        if flag is not None:
+            first.append(flag.cast("boolean").alias("_tgt"))
+            keep.append("_tgt")
+        return ensure_parallelism(df).select(*first).select(
+            *keep,
             (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % bl).alias("b"),
         )
 
     spark = raw.sparkSession
     spine = spark.range(buckets).select(F.col("id").cast("long").alias("b"))
-    tgt_counts = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
-    raw_feats = feats(raw)
+    if target_flag is not None:
+        # target ⊆ raw, identified by a per-row predicate: featurize the
+        # raw corpus ONCE with the membership flag carried through the
+        # explode, and read the target distribution off the same persisted
+        # feature frame — the second full featurization scan (interpreted
+        # bigram HOF + one md5 per token over the target slice) disappears.
+        # Counts are identical by construction (same deterministic
+        # bucketization, same rows), so the selection is bit-unchanged.
+        raw_feats = feats(raw, flag=target_flag)
+        tgt_counts = None
+    else:
+        tgt_counts = feats(target).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+        raw_feats = feats(raw)
     if cache_features:
         # raw_feats feeds BOTH the q-distribution aggregate and the
         # per-doc bucket counts; uncached, the expensive featurization
@@ -408,6 +423,12 @@ def dsir_resample(
         raw_feats = raw_feats.persist()
         if scope is not None:
             scope.add(raw_feats)
+    if tgt_counts is None:
+        tgt_counts = (
+            raw_feats.filter(F.col("_tgt"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("np"))
+        )
     raw_counts = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
     # "tot_p", not "Np": Spark's resolver is case-insensitive, so a column
     # named Np would collide with the per-bucket np after the join

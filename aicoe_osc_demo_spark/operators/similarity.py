@@ -338,10 +338,21 @@ def _self_join_scored(
     base = ensure_parallelism(
         corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     ).withColumn("nrm", _norm(F.col("v")))
-    right = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim).select(
+    # bucket ONCE: both join sides are the same exploded (vid, v, nrm, t,
+    # bucket) frame, but as two Column trees the corpus scan + Arrow
+    # bucketing UDF executed twice (the multiprobe explode sits below the
+    # left exchange, so the sides are not canonically identical and
+    # exchange reuse never fires).  A lazy localCheckpoint materializes
+    # the bucketed pass the first time either side needs it and the
+    # second side reads the checkpointed blocks — one UDF scan instead of
+    # two, computed inside the job (nothing crosses runs).
+    tb = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim).localCheckpoint(
+        eager=False
+    )
+    right = tb.select(
         F.col("vid").alias("d2"), F.col("v").alias("v2"), F.col("nrm").alias("n2"), "t", "bucket"
     )
-    left = _explode_tables(base, F.col("v"), n_tables, planes_per_table, dim)
+    left = tb
     if multiprobe:
         flips = _multiprobe_flips(planes_per_table)
         left = left.withColumn("bucket", F.explode(flips))

@@ -784,7 +784,12 @@ def llm_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import dsir_resample
 
     docs = load(spark, sf_dir, "documents")
-    return dsir_resample(docs, docs.filter(F.col("lang") == "en"), buckets=256, k=50)
+    # target = the English slice OF THE RAW CORPUS, so pass it as a
+    # membership flag: one featurization scan (flag carried through the
+    # explode) instead of two, identical counts (operator docstring)
+    return dsir_resample(
+        docs, None, buckets=256, k=50, target_flag=F.col("lang") == "en"
+    )
 
 
 @register(

@@ -256,6 +256,29 @@ def test_dsir_resample_prefers_target_like_docs(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_dsir_target_flag_matches_two_frame_path(spark):
+    # target_flag= (single featurization scan, membership carried through
+    # the explode) must select bit-identically to passing the same slice
+    # as a separate target frame — the r13 scan-sharing optimization.
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.operators.quality import dsir_resample
+
+    rows = [
+        (i, ("alpha beta gamma delta " if i % 3 == 0 else "zz qq xx ww ") + f"doc {i}",
+         "en" if i % 3 == 0 else "de")
+        for i in range(30)
+    ]
+    raw = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    two_frame = dsir_resample(
+        raw, raw.filter(F.col("lang") == "en"), buckets=64, k=8
+    ).collect()
+    flagged = dsir_resample(
+        raw, None, buckets=64, k=8, target_flag=F.col("lang") == "en"
+    ).collect()
+    assert sorted(map(tuple, two_frame)) == sorted(map(tuple, flagged))
+
+
 def test_c4_rule_filter_line_and_page_rules(spark):
     from aicoe_osc_demo_spark.operators.quality import c4_rule_filter
 
