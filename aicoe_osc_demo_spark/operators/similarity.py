@@ -732,6 +732,16 @@ def _lloyd_quantized(
     """
     from pyspark.sql import Window
 
+    from .relational import ensure_parallelism
+
+    # spread the (vec_id, v) input BEFORE the per-iteration n*k distance
+    # fan-out: a single-row-group scan leaves the interpreted rational-
+    # distance fold on 1-2 tasks (measured 0.71 -> 0.41 s per assignment
+    # step at sf0.1, k=15), and the round-robin exchange gives every
+    # reference of q a canonical ReusedExchange point so the quantize
+    # transform is not re-executed per iteration.  No-op on real
+    # multi-file inputs (partitions >= cores).
+    q = ensure_parallelism(q)
     cents = (
         q.orderBy("vec_id")
         .limit(k)
