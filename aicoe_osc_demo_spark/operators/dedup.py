@@ -249,9 +249,18 @@ def minhash_dedup_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    prune_candidates: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     exact token-set Jaccard verification on candidates only.
+
+    ``prune_candidates=True`` restricts the 3-gram verify pass to documents
+    that appear in a banded collision (a semi-join on the candidate id set
+    before the gram walk — value-neutral, the verify join is inner on
+    d1/d2).  Worth it when candidates ≪ corpus, i.e. at production scale;
+    at bench scale the extra semi-join + checkpoint jobs cost a measured
+    ~0.25 s constant and save almost nothing, so the default keeps the
+    single-pass form.
 
     Output: (d1, d2, jaccard) for pairs above the threshold.
     """
@@ -259,9 +268,29 @@ def minhash_dedup_pairs(
 
     sigs = minhash_signatures_wide(df, text_col, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, n_hashes, bands)
-    toksets = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
-        "doc_id", word_ngrams(F.col(text_col), 3).alias("ws")
+    # the token-set side of the verify join is referenced twice (ws1/ws2);
+    # as two Column trees the 3-gram HOF over the corpus would execute
+    # twice (same-session A/B: one materialized pass 1.07 s vs 1.01 s for
+    # the double pass at sf0.1 — a wash locally, one corpus gram pass
+    # instead of two at scale).  Lazy localCheckpoint materializes it the
+    # first time either side needs it, inside the job.
+    toksets = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     )
+    if prune_candidates:
+        # pair-sized; checkpointed because the id-set union below expands
+        # the candidate chain once per union arm otherwise (measured
+        # 1.34 → 1.96 s as plain Column trees)
+        cands = cands.localCheckpoint(eager=False)
+        cand_ids = (
+            cands.select(F.col("d1").alias("doc_id"))
+            .unionByName(cands.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        toksets = toksets.join(cand_ids, "doc_id", "left_semi")
+    toksets = toksets.select(
+        "doc_id", word_ngrams(F.col(text_col), 3).alias("ws")
+    ).localCheckpoint(eager=False)
     return (
         cands.join(toksets.withColumnRenamed("doc_id", "d1").withColumnRenamed("ws", "ws1"), "d1")
         .join(toksets.withColumnRenamed("doc_id", "d2").withColumnRenamed("ws", "ws2"), "d2")

@@ -1235,12 +1235,25 @@ def join_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     sn = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))
+    # Q7 join order (guide §3.3): Catalyst pushes n_name IN (18,19) into
+    # both nation scans but keeps the JOIN ORDER as written, so the
+    # fact-fact li⋈o shuffle ran over unfiltered rows.  Joining each fact
+    # against its nation-pruned dimension FIRST (both broadcastable after
+    # the 2/25-nation cut) shrinks both shuffle sides ~12x before the
+    # orderkey exchange; the disjunctive pair filter still applies after —
+    # inner-join reorder + retained filter is value-identical.
+    s2 = s.join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk")).select(
+        "c_custkey", "cust_nation"
+    )
     j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
-        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        li.join(F.broadcast(s2), li["l_suppkey"] == s2["s_suppkey"])
+        .join(
+            o.join(F.broadcast(c2), o["o_custkey"] == c2["c_custkey"]),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
         .filter(
             ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
             | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))

@@ -40,6 +40,24 @@ def test_minhash_finds_near_dups_without_cartesian(spark):
     assert all(d2 != 3 for _, d2 in got) or (3, 3) not in got  # unrelated doc not paired
 
 
+def test_minhash_prune_candidates_parity(spark):
+    # prune_candidates=True restricts the gram pass to banded-collision
+    # docs via a semi-join; the verify join is inner on d1/d2, so the
+    # output must be row-identical to the unpruned default
+    df = _docs(spark)
+    base = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_dedup_pairs(df, jaccard_threshold=0.3).collect()
+    }
+    pruned = {
+        (r.d1, r.d2, r.jaccard)
+        for r in minhash_dedup_pairs(
+            df, jaccard_threshold=0.3, prune_candidates=True
+        ).collect()
+    }
+    assert base == pruned and base  # identical and non-vacuous
+
+
 def test_incremental_dedup_and_contamination(spark):
     from aicoe_osc_demo_spark.operators.dedup import contamination_check, incremental_dedup
 
