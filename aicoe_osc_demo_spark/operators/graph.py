@@ -210,13 +210,17 @@ def label_propagation(
     """
     # the symmetrized edge set is scanned every iteration and its lineage
     # contains the caller's edge-generation chain twice (the union arms) —
-    # checkpoint once so iterations join a materialized table
+    # checkpoint once so iterations join a materialized table.  All
+    # checkpoints here are LAZY: eager ones each launch a separate driver
+    # job (und + seed + one per iteration ≈ 6 job submissions of pure
+    # overhead at bench scale); lazy ones materialize inside the single
+    # job the caller's action runs, with identical lineage truncation.
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
     seed = seeds.select(
         F.col(node_col).alias("n"), F.col(label_col).alias("slab")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels = seed.select("n", F.col("slab").alias("lab"))
     for _ in range(iters):
         votes = (
@@ -233,7 +237,7 @@ def label_propagation(
             winner.join(seed, on="n", how="full_outer")
             .join(labels.select(F.col("n"), F.col("lab").alias("old")), on="n", how="full_outer")
             .select("n", F.coalesce(F.col("slab"), F.col("plab"), F.col("old")).alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select(F.col("n").alias(node_col), F.col("lab").alias(label_col))
 

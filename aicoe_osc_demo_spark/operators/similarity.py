@@ -56,9 +56,22 @@ def _norm(a):
 
 
 def cosine_scores(corpus: DataFrame, queries: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """All (query, corpus) cosine scores; query side must be small (broadcast)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    """All (query, corpus) cosine scores; query side must be small (broadcast).
+
+    Norms are hoisted to once per VECTOR: the naive per-pair expression
+    re-folds ``_norm(qv)`` and ``_norm(cv)`` for every (query, corpus) pair
+    (|Q|+1 interpreted 64-element folds per corpus row instead of 2), and
+    the broadcast join's output inherits the corpus scan's partitioning, so
+    on a single-row-group input the whole fold stage ran on ONE task —
+    spread first.  Each norm is the identical deterministic fold over the
+    identical operands and the division still sees ``nq * nc`` in the same
+    order, so every cosine is bit-identical to the per-pair form."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "_nq", _norm(F.col("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "_nc", _norm(F.col("cv"))
+    )
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -66,7 +79,7 @@ def cosine_scores(corpus: DataFrame, queries: DataFrame, vec_col: str = "embeddi
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+                _dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")), 6
             ).alias("cosine"),
         )
     )

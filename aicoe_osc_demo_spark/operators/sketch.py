@@ -435,7 +435,13 @@ def hll_overlap_pairs(
     Output: one row per unordered group pair (group_a, group_b, est_a,
     est_b, est_union, est_intersect), with est_intersect floored at 0.
     """
-    sk = hll_sketch(items, item_col, [group_col])
+    # sk is referenced four times below (per-group estimate, group list,
+    # both union arms); as Column trees each reference re-expands — and
+    # re-EXECUTES — the corpus-scale raw-item pass (16 parquet scans in
+    # the initial plan, exchange reuse not guaranteed).  The sketch is
+    # G × m rows of bounded state: lazily checkpoint it so the raw items
+    # are touched exactly once, as the contract above promises.
+    sk = hll_sketch(items, item_col, [group_col]).localCheckpoint(eager=False)
     est = hll_estimate(sk, [group_col]).select(
         F.col(group_col).alias("_g"), F.col("estimate").alias("_est")
     )

@@ -2924,10 +2924,14 @@ def llm_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket) for the union estimate, inclusion-exclusion for the
     # intersection.  Sketch algebra — the pair fan-out is sketch-sized
     # (G^2/2 * 1024 state rows), never corpus-sized.
+    from ..operators.relational import ensure_parallelism
     from ..operators.sketch import hll_overlap_pairs
 
     docs = load(spark, sf_dir, "documents")
-    items = docs.select(
+    # spread the documents BEFORE the token explode: the per-token md5 +
+    # bucket fold is the compute-heavy stage and would otherwise run on
+    # the single-row-group scan's one task (no-op on multi-file inputs)
+    items = ensure_parallelism(docs.select("source", "text")).select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     return hll_overlap_pairs(items, "token", "source")
