@@ -825,19 +825,22 @@ def _lloyd_quantized(
                 )
             )
         else:
+            # the member count rides the SAME posexplode pass: every member
+            # contributes exactly one row per dim, so count(*) of any
+            # (cid, i) group IS the member count — the former separate
+            # groupBy over `assigned` + join-back (two more exchanges per
+            # iteration for a value already sitting in this aggregate) is
+            # gone.  max over identical per-i counts is that count.
             sums = (
                 assigned.select("cid", F.posexplode("v").alias("i", "x"))
                 .groupBy("cid", "i")
-                .agg(F.sum("x").alias("sx"))
+                .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
             )
-            cents = (
-                sums.groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
-                    ).alias("s")
-                )
-                .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
+            cents = sums.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
+                ).alias("s"),
+                F.max("cnt").alias("n"),
             )
     # NOTE (r6, measured): do NOT localCheckpoint the per-iteration
     # centroid state here — Spark's ReusedExchange already deduplicates

@@ -334,8 +334,13 @@ def events_retention_d1_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mismatches pandas in the compare harness).
     e = load(spark, sf_dir, "events")
     d = e.select("user_id", F.to_date("ts").alias("day")).distinct()
-    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
-    j = d.join(c, on="user_id").withColumn("off", F.datediff("day", "cohort_day"))
+    # r13 same-key-window rewrite: min(day) over the user partition
+    # replaces the groupBy + join-back on the same key (2 events scans ->
+    # 1; the distinct's exchange feeds the window directly).  Identical
+    # aggregate expression -> bit-equal values (oracle-pinned).
+    j = d.withColumn(
+        "cohort_day", F.min("day").over(Window.partitionBy("user_id"))
+    ).withColumn("off", F.datediff("day", "cohort_day"))
     return j.groupBy("cohort_day").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct(F.when(F.col("off") == 1, F.col("user_id"))).alias("retained_d1"),
@@ -1121,21 +1126,35 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cohort retention matrix — the canonical product-analytics rollup:
     # users grouped by first-seen day, distinct actives per (cohort, day
-    # offset), rate against cohort size.  Two keyed aggregates + one
-    # broadcast-sized cohort join; the events table is scanned once per
-    # aggregate, never per cohort.
+    # offset), rate against cohort size.  One events scan: first-seen via
+    # a user-key window, size via the day-offset-0 row of the same
+    # (cohort, offset) aggregate — never per cohort.
     e = load(spark, sf_dir, "events").select(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
     )
-    first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
-    r = e.join(first, "user_id").select(
+    # r13 same-key-window rewrite: the first-seen day was a groupBy +
+    # join-back over the same user key, and the cohort-size a second
+    # aggregate over that first-seen table — Catalyst re-expanded both
+    # shared subtrees (2 events scans, 0 ReusedExchange).  min(d) over the
+    # user partition rides ONE events scan; cohort_size == n_users at
+    # day_offset 0 (every user is active on their own first day — the
+    # min-day row is in the distinct-active set by construction), so the
+    # size rides the SAME (cohort, day_offset) aggregate via a
+    # cohort-partition window instead of a second aggregate + join.
+    # Identical aggregate expressions -> bit-equal values (oracle-pinned).
+    r = e.withColumn("cohort", F.min("d").over(Window.partitionBy("user_id"))).select(
         "user_id", "cohort", F.datediff("d", "cohort").alias("day_offset")
     )
     g = r.groupBy("cohort", "day_offset").agg(
         F.countDistinct("user_id").alias("n_users")
     )
-    s = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return g.join(s, "cohort").select(
+    g = g.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("day_offset") == 0, F.col("n_users"))).over(
+            Window.partitionBy("cohort")
+        ),
+    )
+    return g.select(
         F.col("cohort").cast("string").alias("cohort"),
         "day_offset",
         "n_users",

@@ -101,3 +101,37 @@ def test_route_assign_ties_and_chain_total(spark):
     a = sorted((r.vec_id, r.cid) for r in flat.collect())
     b = sorted((r.vec_id, r.cid) for r in routed.collect())
     assert a == b and len(b) == 64
+
+
+def test_lloyd_centroid_count_rides_posexplode_pass(spark):
+    # r13: the dim-agnostic centroid update folds the member count into the
+    # posexplode aggregate (every member contributes exactly one row per
+    # dim, so count(*) of any (cid, i) group IS the member count).  Pin the
+    # one-pass form against the former groupBy-over-assigned + join form on
+    # a fixed assignment frame, including a singleton and an empty-free mix.
+    rows = [(i, i % 3, [int(i * 13 + j) for j in range(20)]) for i in range(25)]
+    rows.append((99, 7, [int(5 + j) for j in range(20)]))  # singleton cluster
+    assigned = spark.createDataFrame(rows, "vec_id long, cid int, v array<long>")
+    sums = (
+        assigned.select("cid", F.posexplode("v").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+    )
+    new = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
+        ).alias("s"),
+        F.max("cnt").alias("n"),
+    )
+    old = (
+        sums.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sx"))), lambda s: s["sx"]
+            ).alias("s")
+        )
+        .join(assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n")), "cid")
+    )
+    a = sorted((r.cid, tuple(r.s), r.n) for r in new.collect())
+    b = sorted((r.cid, tuple(r.s), r.n) for r in old.collect())
+    assert a == b and len(a) == 4
