@@ -587,8 +587,9 @@ def feature_hash_embed(
     Engine parity: raw components are exact integer sums of ±token
     counts, the squared norm is an exact integer, and ``val = v /
     sqrt(ssq)`` is a fixed per-row double chain — hash-identical in any
-    engine at any parallelism.  Scale: explode + two keyed aggregates
-    ((doc, dim) then doc); shuffle rows are ints, text never shuffles.
+    engine at any parallelism.  Scale: explode + one keyed aggregate
+    ((doc, dim)) + a doc-partition window for the norm; shuffle rows are
+    ints, text never shuffles.
     """
     from ..operators.relational import ensure_parallelism
 
@@ -618,12 +619,17 @@ def feature_hash_embed(
         .agg(F.sum("s").cast("long").alias("v"))
         .filter(F.col("v") != 0)
     )
-    ssq = comps.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("ssq"))
-    return comps.join(ssq, "doc_id").select(
+    # r13 same-key window: the squared norm was a groupBy over comps +
+    # join-back on the same doc key, re-expanding the md5-hashing comps
+    # subtree on both sides (2 corpus scans, 0 ReusedExchange).  A window
+    # over the doc partition computes the identical exact-integer sum on
+    # ONE comps pass; order-independent long sum -> bit-equal values.
+    ssq = F.sum(F.col("v") * F.col("v")).over(Window.partitionBy("doc_id"))
+    return comps.select(
         "doc_id",
         "dim",
         F.round(
-            F.col("v").cast("double") / F.sqrt(F.col("ssq").cast("double")), 6
+            F.col("v").cast("double") / F.sqrt(ssq.cast("double")), 6
         ).alias("val"),
     )
 
@@ -852,6 +858,11 @@ def rake_phrases(
             (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
         )
         .select("_doc", F.concat_ws(" ", "_words").alias("phrase"), "n_words")
+        # r13: phrases feeds word_stats AND the scoring explode below; as
+        # two Column trees the tokenizing regex + posexplode + run window
+        # would execute once per reference — materialize the narrow
+        # phrase-occurrence table once, inside the caller's job
+        .localCheckpoint(eager=False)
     )
     word_stats = (
         phrases.select(
@@ -868,6 +879,12 @@ def rake_phrases(
             (F.col("_deg").cast("double") / F.col("_freq")).alias("_wscore"),
         )
     )
+    # r13: n_occurrences rides the SAME per-phrase aggregate — the
+    # exploded frame holds exactly n_occurrences * n_words rows per phrase
+    # (every occurrence contributes one row per word, and equal phrase
+    # text implies equal n_words), so count/max(n_words) is an exact
+    # integer division; the former third phrases reference and its
+    # join-back are gone
     scored = (
         phrases.select("phrase", "n_words", F.explode(F.split("phrase", " ")).alias("_w"))
         .join(F.broadcast(word_stats), "_w")
@@ -875,13 +892,11 @@ def rake_phrases(
         .agg(
             F.max("n_words").cast("int").alias("n_words"),
             (F.sum("_wscore") / F.count(F.lit(1)) * F.max("n_words")).alias("_sc"),
+            F.floor(F.count(F.lit(1)) / F.max("n_words")).cast("long").alias("n_occurrences"),
         )
     )
-    occurrences = phrases.groupBy("phrase").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences")
-    )
     return (
-        scored.join(occurrences, "phrase")
+        scored
         .select(
             "phrase",
             "n_words",

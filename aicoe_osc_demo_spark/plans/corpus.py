@@ -531,15 +531,22 @@ def llm_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "doc_id", "rank"
     )
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     qt = queries.select(
         "q_id",
         F.explode(F.array_distinct(F.split(F.col("q_text"), " "))).alias("term"),
     )
+    # r13: restrict the token stream to query terms BEFORE aggregating —
+    # the former full-vocabulary postings groupBy shuffled every distinct
+    # (doc, term) only to discard all but the query terms at the join (the
+    # exact web-scale trap bm25_topk's own prefilter comment describes).
+    # qt is distinct per (q_id, term), so each matched token occurrence
+    # contributes once per querying q_id and count(*) per (q_id, doc) ==
+    # sum of per-(doc, term) tf over query terms — bit-equal score, one
+    # aggregate instead of two.
     tf_scored = (
-        postings.join(F.broadcast(qt), on="term")
+        toks.join(F.broadcast(qt), on="term")
         .groupBy("q_id", "doc_id")
-        .agg(F.sum("tf").alias("score"))
+        .agg(F.count(F.lit(1)).alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     tf_ranked = (
