@@ -891,11 +891,16 @@ def kl_divergence_by_group(
     b = (
         F.conv(F.substring(F.md5(F.col(token_col)), 1, 8), 16, 10).cast("long") % bl
     ).alias("b")
+    # gb is referenced three times below (group totals, corpus mixture,
+    # the grid join); as Column trees each reference re-expands — and
+    # re-executes — the corpus-scale md5 token pass.  The table is bounded
+    # (G x buckets count rows): lazily checkpoint it so the tokens are
+    # touched exactly once, as the contract above promises.
     gb = (
         tokens.select(F.col(group_col).alias("_g"), b)
         .groupBy("_g", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
-    )
+    ).localCheckpoint(eager=False)
     g_tot = gb.groupBy("_g").agg(F.sum("c_gb").cast("long").alias("n_g"))
     corpus = gb.groupBy("b").agg(F.sum("c_gb").cast("long").alias("c_b"))
     c_tot = corpus.agg(F.sum("c_b").cast("long").alias("n_c"))

@@ -95,9 +95,13 @@ def text_curation_pipeline(
         year_in_question(F.col("question"), F.col("year"), F.col("add_year")),
     ).filter(F.col("question").isNotNull())
 
+    # positives feeds the pos-page anti-join, the dataset union AND the
+    # negative sampler's group list; as Column trees each reference
+    # re-expands the annotation chain (documents + KPI scans).  The table
+    # is annotation-scale (bounded) — materialize once, lazily (r13).
     positives = with_q.select(
         "source_file", F.col("source_page").alias("page"), "question", "context"
-    ).withColumn("label", F.lit(1))
+    ).withColumn("label", F.lit(1)).localCheckpoint(eager=False)
 
     # negative pool: extracted paragraphs not on any positive (pdf, page) — J8
     pos_pages = positives.select(

@@ -1178,7 +1178,14 @@ def llm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
         ).alias("pos", "w"),
     )
-    uni = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # r13: uni (vocabulary-sized) feeds ut AND h_uni, bc (distinct-bigram-
+    # sized) feeds m1, bt AND the entropy join — as Column trees each
+    # reference re-expands the corpus-scale regex tokenize pass.  Lazy
+    # checkpoints on the two bounded count tables cut the corpus passes
+    # to one per n-gram order (same move as the KN model table).
+    uni = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
     ut = uni.groupBy("lang").agg(F.sum("n").cast("long").alias("nt"))
     p_u = F.col("n").cast("double") / F.col("nt")
     h_uni = (
@@ -1194,7 +1201,7 @@ def llm_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = bi.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab")
-    )
+    ).localCheckpoint(eager=False)
     m1 = bc.groupBy("lang", "w1").agg(F.sum("n_ab").cast("long").alias("n1"))
     bt = bc.groupBy("lang").agg(F.sum("n_ab").cast("long").alias("bnt"))
     h_bi = (
