@@ -2926,38 +2926,45 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     touch = e.filter(F.col("event_type").isin("click", "view", "signup")).select(
-        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
     )
     age_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.col("tts").cast("timestamp")
     )
-    matched = (
-        conv.join(touch, "user_id")
-        .filter((F.col("tts") <= F.col("ts")) & (age_us <= 604800000000))
-        .select("event_id", "value", "channel")
+    # r13: ONE left join replaces the inner join + count join-back + anti-
+    # join trio — the old shape referenced the matched-pairs subtree three
+    # times and conv twice (7 events scans in the initial plan, 0 reuse).
+    # The range residual rides the ON clause, so a conversion with zero
+    # in-window touches surfaces as its single null-extended row (exactly
+    # the old anti-join leg); n_touches = count of non-null channels over
+    # the conversion-id window (bit-equal to the old per-event_id count,
+    # since a matched conversion has no null rows and vice versa), and the
+    # per-row credit arithmetic is unchanged.  Events scanned twice (conv
+    # + touch legs), never per-reference.
+    j = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_uid"))
+        & (F.col("tts") <= F.col("ts"))
+        & (age_us <= 604800000000),
+        "left",
     )
-    k = matched.groupBy("event_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches")
-    )
-    credited = (
-        matched.join(k, "event_id")
-        .select(
-            "channel",
-            F.floor(F.lit(1.0) / F.col("n_touches") * 1e9 + F.lit(0.5))
-            .cast("long")
-            .alias("credit_n"),
-            F.floor(F.col("value") / F.col("n_touches") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .alias("rev_u"),
+    n_touches = F.count("channel").over(Window.partitionBy("event_id"))
+    credited = j.select(
+        F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"),
+        F.when(
+            F.col("channel").isNotNull(),
+            F.floor(F.lit(1.0) / n_touches * 1e9 + F.lit(0.5)).cast("long"),
         )
-        .unionByName(
-            conv.join(matched.select("event_id").distinct(), "event_id", "left_anti")
-            .select(
-                F.lit("(none)").alias("channel"),
-                F.lit(1000000000).cast("long").alias("credit_n"),
-                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("rev_u"),
-            )
+        .otherwise(F.lit(1000000000).cast("long"))
+        .alias("credit_n"),
+        F.when(
+            F.col("channel").isNotNull(),
+            F.floor(F.col("value") / n_touches * 1e6 + F.lit(0.5)).cast("long"),
         )
+        .otherwise(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("rev_u"),
     )
     dec = "decimal(38,0)"
     return credited.groupBy("channel").agg(
