@@ -526,20 +526,30 @@ def simhash_dedup_pairs(
     by pigeonhole, any pair within hamming distance 3 shares at least one
     exact byte → equi-join per byte-band, then exact hamming check.  No
     all-pairs scan."""
-    fps = simhash(df, text_col, id_col)
-    bands = []
-    for byte in range(4):
-        bands.append(
-            fps.select(
-                "doc_id",
-                "simhash",
-                F.lit(byte).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("bkey"),
+    # the banded SELF-join references the fingerprint table on both sides,
+    # and Column trees re-expand per reference: with the old 4-arm union
+    # form the gram+md5+vote fingerprint pass appeared 8x in the plan
+    # (4 band arms x 2 join sides) and executed 8x — zero ReusedExchange,
+    # the hll_overlap_pairs finding.  The (doc_id, simhash) table is
+    # doc-sized and 2 longs wide: materialize it once (lazily — the
+    # caller's single action runs it), and band via ONE posexplode over
+    # the 4 byte keys (pos IS the band index) so the checkpoint is the
+    # only upstream.  Row set identical to the union form.
+    fps = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), byte * 8).bitwiseAND(
+                        F.lit(255)
+                    )
+                    for byte in range(4)
+                ]
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+        ).alias("band", "bkey"),
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=["band", "bkey"])
@@ -722,12 +732,24 @@ def prefix_jaccard_join(
         toks.join(dfreq, on="w")
         .withColumn("rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("dfc", "w")))
         .filter(F.col("rn") <= plen)
-        .select("doc_id", "w")
+        # n rides along for the length filter below
+        .select("doc_id", "w", "n")
     )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), on="w")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # PPJoin length filter: J is maximized at full containment, where
+        # it equals least(n1,n2)/greatest(n1,n2) — computed as the SAME
+        # double division of the same ints as the verify step's o=min
+        # case, so every pruned pair would provably fail the final
+        # threshold.  Prunes candidates BEFORE the distinct and the two
+        # array-fetch joins (measured at sf0.1: wins every rep).
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n")).cast("double")
+            >= F.lit(float(threshold))
+        )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )

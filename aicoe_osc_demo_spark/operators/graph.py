@@ -285,7 +285,11 @@ def k_core(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the count() below materializes the checkpoint in the SAME
+        # job — one driver job per round instead of two (the
+        # label_propagation eager->lazy pattern; measured a wash locally,
+        # the removed job submission is a constant driver-latency term)
+        .localCheckpoint(eager=False)
     )
     n_cur = und.count()
     converged = n_cur == 0
@@ -302,7 +306,8 @@ def k_core(
         nxt = (
             und.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            # lazy + count: one job per round (see the und checkpoint note)
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         if n_next == n_cur:

@@ -502,6 +502,13 @@ def llm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lm_perplexity_scores(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     )
+    # percentile_bins references scores twice (cutpoint aggregate + bin
+    # join) and Column trees re-expand per reference: the whole bigram
+    # LM chain (explode + two count windows + vocab aggregate) ran twice.
+    # scores is doc-sized and 3 columns wide — materialize it once
+    # (lazily; the caller's action runs it).  Measured at sf0.1: wins
+    # every interleaved rep; corpus passes 2 -> 1.
+    scores = scores.localCheckpoint(eager=False)
     binned = percentile_bins(scores, ["lang"], "avg_logp", 3)
     bucket = (
         F.when(F.col("bin") == 2, F.lit("head"))
