@@ -68,13 +68,18 @@ def bm25_topk(
     matched = toks.join(F.broadcast(qterms.select("term").distinct()), on="term").groupBy(
         "doc_id", "dl", "term"
     ).agg(F.count(F.lit(1)).alias("tf"))
-    # matched rows are unique on (doc_id, term), so a count per term IS df
-    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = (
-        matched.join(F.broadcast(qterms), on="term")
-        .join(F.broadcast(dfreq), on="term")
-        .join(F.broadcast(stats))
+    # matched rows are unique on (doc_id, term), so a count per term IS df.
+    # Same-key window, not groupBy + broadcast join-back: the join form
+    # referenced `matched` twice and Column trees re-expand per reference —
+    # the token explode + semi-join + tf aggregate ran twice (2 corpus
+    # scans, 0 ReusedExchange).  The window costs one exchange of the
+    # query-term-restricted postings slice and touches the corpus once
+    # (measured at sf0.1: wins every interleaved rep; bit-equal, the
+    # count is an exact integer either way).
+    matched = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
     )
+    scored = matched.join(F.broadcast(qterms), on="term").join(F.broadcast(stats))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tfn = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))

@@ -354,9 +354,16 @@ def cooccurrence_lift(
     Output: (item_a, item_b, n_a, n_b, n_both, lift) per co-occurring
     pair, with N = distinct entity count.
     """
-    u = df.select(
-        F.col(entity_col).alias("_e"), F.col(item_col).alias("_i")
-    ).distinct()
+    u = (
+        df.select(F.col(entity_col).alias("_e"), F.col(item_col).alias("_i"))
+        .distinct()
+        # u feeds FIVE references (totals, per_item, both self-join arms);
+        # each re-expanded the source scan + distinct.  The deduped
+        # (entity, item) frame is bounded by entities x item vocabulary —
+        # far below the event count — so materialize it once (lazily;
+        # integer counts downstream, no rounding-order concern).
+        .localCheckpoint(eager=False)
+    )
     totals = u.agg(F.countDistinct("_e").cast("long").alias("_n_entities"))
     per_item = u.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_n"))
     pairs = (

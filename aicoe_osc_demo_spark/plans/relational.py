@@ -1606,6 +1606,13 @@ def agg_share_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(dim), li["l_suppkey"] == dim["s_suppkey"])
         .groupBy("region", "nation")
         .agg(F.sum("_rev").alias("_nrev"))
+        # nrev feeds the region rollup AND the final join; each reference
+        # re-expanded the lineitem join+aggregate (all 4 tables scanned
+        # twice, 0 ReusedExchange).  The table is nation-count-sized —
+        # materialize it once (lazily).  A region WINDOW instead would
+        # also work but changes the double-sum ORDER of _rrev and risks
+        # the 6dp round; the checkpoint keeps the aggregate bit-identical.
+        .localCheckpoint(eager=False)
     )
     rrev = nrev.groupBy("region").agg(F.sum("_nrev").alias("_rrev"))
     return nrev.join(F.broadcast(rrev), "region").select(

@@ -143,11 +143,16 @@ def test_pack_and_cap_are_single_shuffle(spark):
 
 
 def test_bm25_joins_all_broadcast(spark):
-    # postings x query-terms / dfreq / corpus-stats: all broadcast at this
-    # scale; never a shuffled all-pairs product
+    # postings x query-terms / corpus-stats: all broadcast at this scale;
+    # never a shuffled all-pairs product.  df no longer join-backs: it
+    # rides a window over the term partition of the SAME postings subtree
+    # (the groupBy+broadcast-join form re-expanded the token explode — a
+    # second corpus scan), so the plan must show a Window and one fewer
+    # broadcast join than the pre-r13 shape.
     plan = explain(QUERIES["llm_bm25_topk"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Window" in plan
 
 
 def test_dsir_lambda_join_is_broadcast(spark):
