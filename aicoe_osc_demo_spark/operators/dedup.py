@@ -806,9 +806,17 @@ def duplicate_span_stats(
     spans = ensure_parallelism(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", F.explode(grams).alias("g")
     )
-    occ = spans.groupBy("g").agg(F.count(F.lit(1)).alias("occ"))
+    # occurrence count as a window over the SAME span stream, not a
+    # groupBy + join-back: the join form referenced `spans` twice and the
+    # positional-gram md5 explode ran twice (2 corpus scans).  The window
+    # rides one exchange on the hash key; counts are exact integers so
+    # the rollup is bit-equal (measured at sf0.1: wins every rep).
+    from pyspark.sql import Window
+    with_occ = spans.withColumn(
+        "occ", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     return (
-        spans.join(occ, on="g")
+        with_occ
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

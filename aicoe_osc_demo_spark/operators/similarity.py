@@ -2416,11 +2416,17 @@ def centroid_outliers(
             "cosine"
         ),
     )
-    cuts = scored.groupBy(group_col).agg(
-        F.expr(f"percentile(cosine, {pct})").alias("_cut")
-    )
+    # the cut rides a WINDOW over the same group partition, not a groupBy
+    # + broadcast join-back: the join form referenced `scored` twice and
+    # re-expanded the whole centroid+cosine chain (4 embeddings scans).
+    # percentile buffers the full value set per group either way, so the
+    # window's accumulation order cannot change the result — bit-equal
+    # (measured at sf0.1: wins every interleaved rep; scans 4 -> 2).
     return (
-        scored.join(F.broadcast(cuts), on=group_col)
+        scored.withColumn(
+            "_cut",
+            F.expr(f"percentile(cosine, {pct}) OVER (PARTITION BY {group_col})"),
+        )
         .select(
             id_col,
             group_col,

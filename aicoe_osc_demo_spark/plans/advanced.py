@@ -413,7 +413,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("doc_id") + 100000
         )
     )
-    hashes = perceptual_hashes(media.unionByName(clones))
+    # the banded self-join references hashes on both sides — without a
+    # materialization the mapInPandas pHash stage (the Python boundary)
+    # and both media arms execute twice.  The (media_id, phash) frame is
+    # two longs per media row: checkpoint it once (lazily).  Measured at
+    # sf0.1: wins every interleaved rep; Python hash passes 2 -> 1.
+    hashes = perceptual_hashes(media.unionByName(clones)).localCheckpoint(
+        eager=False
+    )
     return phash_near_dup_pairs(hashes, max_hamming=5, bands=6, band_bits=10)
 
 

@@ -825,8 +825,22 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("w2").isNotNull())
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # bc feeds the total AND the PMI join; uni feeds both unigram arms —
+    # un-materialized, each reference re-ran the regexp tokenize +
+    # posexplode pass (4-5 corpus scans, 0 ReusedExchange).  Both tables
+    # are vocabulary-bounded: checkpoint lazily, corpus passes -> 2
+    # (local timing a wash at sf0.1; the scan cut is the 100 TB term,
+    # the hll_overlap_pairs policy).
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = bc.agg(F.sum("n_ab").cast("long").alias("nt"))
     return (
         bc.filter(F.col("n_ab") >= 3)
@@ -1049,10 +1063,22 @@ def llm_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    tok_per_bucket = toks.groupBy("lang", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok")
+    # two-level aggregation: both rollups (tokens per bucket, first-seen
+    # bucket per word) read the bounded (lang, bucket, w, count) table
+    # instead of each re-running the regexp tokenize + explode pass over
+    # the corpus (2 scans -> 1; local timing a wash at sf0.1 — the scan
+    # cut is the 100 TB term).  sum-of-counts == token count and
+    # min-bucket over the distinct table == min over occurrences, so
+    # both rollups are bit-equal integers.
+    tcounts = (
+        toks.groupBy("lang", "bucket", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    first_seen = toks.groupBy("lang", "w").agg(F.min("bucket").alias("fb"))
+    tok_per_bucket = tcounts.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("long").alias("n_tok")
+    )
+    first_seen = tcounts.groupBy("lang", "w").agg(F.min("bucket").alias("fb"))
     new_per_bucket = first_seen.groupBy("lang", F.col("fb").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )

@@ -2843,14 +2843,19 @@ def ml_time_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("in_train"),
     )
-    sizes = tagged.agg(
-        F.sum("in_train").cast("long").alias("n_train"),
-        F.sum(F.lit(1) - F.col("in_train")).cast("long").alias("n_test"),
-    )
+    # two-level aggregation: the global sizes roll up from the SAME
+    # per-user aggregate the overlap check needs, so `tagged` (and the
+    # events scan under it) is read once instead of twice.  Per-user sums
+    # and counts are exact integers — the rollup is bit-equal.
     u = tagged.groupBy("user_id").agg(
-        F.max("in_train").alias("_in_tr"), F.min("in_train").alias("_all_tr")
+        F.max("in_train").alias("_in_tr"),
+        F.min("in_train").alias("_all_tr"),
+        F.sum("in_train").cast("long").alias("_n_tr"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
     )
-    ov = u.agg(
+    roll = u.agg(
+        F.sum("_n_tr").cast("long").alias("n_train"),
+        F.sum(F.col("_n") - F.col("_n_tr")).cast("long").alias("n_test"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum(
             F.when((F.col("_in_tr") == 1) & (F.col("_all_tr") == 0), 1).otherwise(0)
@@ -2858,7 +2863,7 @@ def ml_time_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_overlap_users"),
     )
-    return sizes.crossJoin(F.broadcast(ov)).select(
+    return roll.select(
         "n_train",
         "n_test",
         F.round(

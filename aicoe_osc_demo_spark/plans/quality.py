@@ -1835,9 +1835,15 @@ def quality_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type", F.col("ts").cast("date").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        # daily feeds FOUR references (both S-statistic join arms, the
+        # n count, the tie correction); each re-expanded the events scan
+        # + aggregate.  The table is (event_type x day)-bounded:
+        # materialize once (lazily), events passes 4 -> 1.
+        .localCheckpoint(eager=False)
+    )
     a = daily.select("event_type", F.col("d").alias("_da"), F.col("y").alias("_ya"))
     b = daily.select("event_type", F.col("d").alias("_db"), F.col("y").alias("_yb"))
     s = (
