@@ -277,11 +277,16 @@ def tfidf_keywords(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df rides a window over the term partition of the SAME tf table —
+    # the groupBy + join-back form referenced tf twice and re-ran the
+    # token explode + tf aggregate (2 corpus scans), and its term-keyed
+    # join shuffled BOTH sides anyway; the window is the same one
+    # exchange with no second pass (the bm25_topk df fix; integer
+    # counts, bit-equal — wins every interleaved rep at sf0.1).
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = (
-        tf.join(dfreq, on="term")
-        .join(F.broadcast(n))
+        tf.join(F.broadcast(n))
         .select(
             "doc_id",
             "term",
