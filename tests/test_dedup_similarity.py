@@ -333,6 +333,27 @@ def test_prefix_jaccard_join_exact_vs_brute_force(spark):
     assert got == want
 
 
+def test_prefix_jaccard_length_filter_keeps_exact_boundary(spark):
+    # The PPJoin length filter prunes pairs with least(n1,n2)/greatest
+    # (n1,n2) < t BEFORE verification.  A contained pair whose size
+    # ratio (== its exact Jaccard) lands EXACTLY on the threshold must
+    # survive both the filter and the final >= t check — the float
+    # boundary the filter's double division shares with the verifier.
+    from aicoe_osc_demo_spark.operators.dedup import prefix_jaccard_join
+
+    toks = [f"w{i}" for i in range(12)]
+    a = " ".join(toks[:7])  # 5 distinct 3-grams
+    b = " ".join(toks[:12])  # 10 distinct 3-grams, superset of a's
+    # a third doc sharing no grams keeps the join non-trivial
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, " ".join(f"z{i}" for i in range(8)))],
+        ["doc_id", "text"],
+    )
+    out = {(r.d1, r.d2): r.jaccard for r in prefix_jaccard_join(df, threshold=0.5).collect()}
+    # J(a, b) = 5 / 10 = 0.5 exactly == threshold: must be found
+    assert out == {(1, 2): 0.5}
+
+
 def test_duplicate_span_stats(spark):
     from aicoe_osc_demo_spark.operators.dedup import duplicate_span_stats
 
