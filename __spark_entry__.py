@@ -26,76 +26,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Driver-verification scheduling: the per-round correctness gate checks the
-# FIRST 50 registry entries.  r13 window = (a) the r13 backlog — the 2
-# entries that landed after the r12 window filled (llm_kn_perplexity —
-# interpolated Kneser-Ney bigram perplexity, the KenLM/CCNet smoothing;
-# llm_good_turing_coverage — simple Good-Turing unseen-mass + hapax ratio;
-# both local-oracle green at all three scales + hand-computed pytest in
-# test_round12_operators.py); (b) the two r05-rotation entries that rolled
-# when the r12 window filled (pipeline_text_curation, reshape_nest_squad);
-# then (c) the oldest-green rotation continuing into the r06 cohort — the
-# 36-entry r06 batch is now the oldest driver evidence; 46 of its 50
-# entries fit this window, the last 4 (llm_dedup_clusters,
-# llm_lm_perplexity, llm_segment_dedup, join_anti) roll to the r14
-# window.  The two rows-only-by-design entries (llm_fuzzy_ratio_join,
-# ml_relevance_training_metrics) are pytest-pinned and take no slots —
-# and as of r13 each has a value-hashed companion entry
-# (llm_fuzzy_candidates_profile, ml_relevance_split_profile) oracling its
-# SQL-expressible prefix.
+# FIRST 50 registry entries.  r14 window (VERDICT r13 "Next round" #3) =
+# (a) the 4 r06-rotation entries that rolled when the r13 window filled;
+# (b) the r13 rewrites the driver has not re-hashed post-change — r13
+# touched 64 entries through shared-operator edits but its window covered
+# only ~20 of them; the 10 biggest unwindowed rewrites named by the r13
+# verdict come first, then the remaining touched-but-unwindowed entries
+# (Lloyd/PQ family, same-key-window rewrites, input spreads,
+# bounded-table checkpoints, retention family, checkpoint-policy changes)
+# plus the entries this round touches (quality_chi2_independence,
+# llm_retrieve_rerank, llm_ndcg_eval); (c) the oldest-green rotation
+# continuing into the r07 cohort for the last 7 slots.  The two
+# rows-only-by-design entries (llm_fuzzy_ratio_join,
+# ml_relevance_training_metrics) are pytest-pinned and take no slots;
+# their value-hashed companion entries stand in
+# (llm_fuzzy_candidates_profile below; ml_relevance_split_profile was
+# driver-green in r13).
 _DRIVER_CHECK_PRIORITY = [
-    # --- (a) r13 backlog: landed after the r12 window filled ---
-    "llm_kn_perplexity",
-    "llm_good_turing_coverage",
-    # --- (b) r05-rotation entries that rolled from the r12 window ---
-    "pipeline_text_curation",
-    "reshape_nest_squad",
-    # --- (c) oldest-green rotation: last driver-green r06 (46 of 50) ---
-    "llm_pq_refine_topk",
-    "llm_bpe_merge_loop",
-    "llm_bpe_encode",
-    "llm_tfidf_keywords",
-    "incremental_apply_cdc",
-    "quality_expectations",
-    "layout_zorder_key",
-    "llm_semdedup",
-    "llm_knn_graph",
-    "llm_dsir_resample",
-    "llm_mmr_diverse_topk",
-    "multimodal_phash_dedup",
-    "llm_c4_rules",
-    "llm_token_budget_plan",
-    "llm_pagerank",
-    "llm_cross_corpus_links",
-    "llm_feature_hash_embed",
-    "llm_sq_codes",
-    "llm_sq_recon_error",
-    "llm_leakage_safe_split",
-    "llm_vocab_coverage",
-    "llm_bpe_pair_counts",
-    "llm_ann_recall",
-    "llm_ivf_recall",
-    "llm_pq_recall",
-    "llm_corpus_report",
-    "llm_pq_codes",
-    "events_gapfill_locf",
-    "events_scd2_type_history",
-    "events_scd2_pointintime",
-    "llm_incremental_near_dedup",
-    "text_lang_id_trigram",
-    "text_winnow_fingerprint",
-    "llm_minhash_signatures",
-    "llm_minhash_lsh_pairs",
-    "llm_simhash_fingerprints",
-    "llm_simhash_pairs",
-    "llm_ngram_jaccard_pairs",
-    "llm_embedding_near_dup",
-    "llm_ann_candidate_count",
-    "llm_contamination_check",
-    "llm_prefix_jaccard_join",
-    "llm_duplicate_spans",
-    "llm_lsh_candidate_count",
-    "llm_repetition_stats",
-    "llm_containment_pairs",
+    # --- (a) r06-rotation entries that rolled from the r13 window ---
+    "llm_dedup_clusters",
+    "llm_lm_perplexity",
+    "llm_segment_dedup",
+    "join_anti",
+    # --- (b) r13/r14 rewrites not yet driver-hashed post-change ---
+    "llm_kmeans_routed",
+    "llm_bm25_topk",
+    "llm_rank_fusion",
+    "events_retention_d1_d7",
+    "events_retention_cohorts",
+    "events_attribution_linear",
+    "llm_fuzzy_candidates_profile",
+    "text_char_entropy",
+    "join_single_late_supplier",
+    "llm_cosine_topk",
+    "llm_retrieve_rerank",
+    "llm_ivfpq_recall",
+    "llm_ivfpq_topk",
+    "llm_tokenizer_fertility",
+    "join_top_supplier_share",
+    "llm_centroid_outliers",
+    "events_retention_halflife",
+    "pipeline_llm_curation",
+    "llm_rake_keywords",
+    "llm_rand_projection",
+    "layout_hilbert_key",
+    "llm_corpus_overlap",
+    "llm_source_divergence",
+    "llm_bigram_entropy",
+    "llm_perplexity_buckets",
+    "llm_semantic_dedup",
+    "llm_keep_canonical",
+    "llm_pmi_collocations",
+    "llm_heaps_law",
+    "quality_mann_kendall",
+    "agg_share_to_parent",
+    "events_cooccurrence_lift",
+    "llm_dedup_cluster_sizes",
+    "llm_label_propagation",
+    "graph_kcore_copurchase",
+    "llm_ndcg_eval",
+    "window_percentile_bins",
+    "ml_time_split_report",
+    "quality_chi2_independence",
+    # --- (c) oldest-green rotation: into the r07 cohort ---
+    "agg_count_by_group",
+    "agg_distinct_count",
+    "agg_global_sum",
+    "agg_grouping_sets",
+    "agg_having_groups",
+    "agg_pricing_summary",
+    "agg_sum_avg_by_group",
 ]
 
 

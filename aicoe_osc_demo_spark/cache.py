@@ -21,6 +21,21 @@ Two contracts replace that:
   several downstream actions).  The caller releases everything with
   ``scope.release()`` — or a ``with CacheScope() as s:`` block —
   without touching unrelated caches.
+
+A third pattern used across the operators — ``localCheckpoint
+(eager=False)`` on a BOUNDED intermediate referenced by several plan
+branches — trades fault tolerance for the scan cut: local checkpoints
+truncate lineage, pin executor-local blocks (released only by the
+ContextCleaner), and Spark documents non-eager local checkpointing as
+unsafe under dynamic allocation (blocks lost with an executor are
+unrecoverable).  That trade is deliberate here: every such site
+checkpoints a table bounded by a vocabulary / group count / document
+count (never the fact table), within a single caller action.  Cluster
+deployments with dynamic allocation or strict fault-tolerance needs
+should swap these sites to ``persist()`` + a ``CacheScope`` release, or
+reliable ``checkpoint()`` — the semantics are identical; only recovery
+and block lifetime differ.  (ADVICE r13: recorded once here rather than
+at each of the ~30 call sites.)
 """
 
 from __future__ import annotations

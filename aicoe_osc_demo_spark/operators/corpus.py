@@ -45,18 +45,46 @@ def bm25_topk(
     sum over query terms of idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
     Scores are rounded to 6 decimals before ranking and ties break on
     doc_id, so the result is deterministic and engine-portable.
+
+    The postings builder and the scorer are factored out
+    (:func:`bm25_query_terms` / :func:`bm25_matched_postings` /
+    :func:`bm25_rank_from_postings`, identical expressions) so hybrid
+    entries that rank the SAME query-term-restricted postings twice
+    (rank_fusion's bm25 + tf legs) can materialize the bounded matched
+    table once and feed both legs from it instead of re-running the
+    corpus token explode per leg (r14; guide §2.4/§6).
     """
-    words = F.split(F.col(text_col), " ")
-    toks = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
-        "doc_id", F.size(words).alias("dl"), F.explode(words).alias("term")
-    )
+    qterms = bm25_query_terms(queries, q_text_col=q_text_col, q_id_col=q_id_col)
+    matched = bm25_matched_postings(docs, qterms, text_col=text_col, id_col=id_col)
     stats = docs.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
     )
-    qterms = queries.select(
+    return bm25_rank_from_postings(matched, qterms, stats, k=k, k1=k1, b=b)
+
+
+def bm25_query_terms(
+    queries: DataFrame, q_text_col: str = "q_text", q_id_col: str = "q_id"
+) -> DataFrame:
+    """(q_id, term) pairs, distinct per query — the broadcast side of the
+    postings restriction in :func:`bm25_topk`."""
+    return queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(F.split(F.col(q_text_col), " "))).alias("term"),
+    )
+
+
+def bm25_matched_postings(
+    docs: DataFrame,
+    qterms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The query-term-restricted postings table (doc_id, dl, term, tf) —
+    ONE corpus token pass, bounded by |docs that contain a query term|."""
+    words = F.split(F.col(text_col), " ")
+    toks = ensure_parallelism(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.size(words).alias("dl"), F.explode(words).alias("term")
     )
     # Restrict the token stream to query terms BEFORE the postings
     # aggregation (broadcast semi-join below the groupBy): the tf aggregate
@@ -65,9 +93,21 @@ def bm25_topk(
     # an unbroadcastable 10^8-row dictionary at web scale.  (The join key
     # contains the group key, so filtering before or after the groupBy is
     # value-identical.)
-    matched = toks.join(F.broadcast(qterms.select("term").distinct()), on="term").groupBy(
+    return toks.join(F.broadcast(qterms.select("term").distinct()), on="term").groupBy(
         "doc_id", "dl", "term"
     ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_rank_from_postings(
+    matched: DataFrame,
+    qterms: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score and rank a matched-postings table (see :func:`bm25_topk` for
+    the formula and determinism contract)."""
     # matched rows are unique on (doc_id, term), so a count per term IS df.
     # Same-key window, not groupBy + broadcast join-back: the join form
     # referenced `matched` twice and Column trees re-expand per reference —
@@ -262,12 +302,13 @@ def tfidf_keywords(
     / dedup explainability).
 
     Scale shape: token counts aggregate map-side-combined to the
-    (doc, term) table; document frequency is ONE more aggregate of that
-    table; the df join keys on term WITHOUT broadcasting (the full
-    vocabulary is 10^8 rows at web scale — this is the case where
-    bm25_topk's broadcast-the-query-terms trick does not apply, so the
-    plan must shuffle both sides on term); corpus count rides along as a
-    broadcast scalar.  One window per doc for the top-k.
+    (doc, term) table; document frequency rides a count window over the
+    term partition of that SAME table (one exchange, no join-back — the
+    full vocabulary is 10^8 rows at web scale, so bm25_topk's
+    broadcast-the-query-terms trick does not apply and any df join would
+    shuffle both sides on term; the window needs just the one shuffle);
+    corpus count rides along as a broadcast scalar.  One window per doc
+    for the top-k.
 
     Scores round to 6dp before ranking, ties break on term — engine-
     portable determinism, same contract as bm25_topk.

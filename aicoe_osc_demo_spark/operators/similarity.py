@@ -2422,10 +2422,16 @@ def centroid_outliers(
     # percentile buffers the full value set per group either way, so the
     # window's accumulation order cannot change the result — bit-equal
     # (measured at sf0.1: wins every interleaved rep; scans 4 -> 2).
+    # ADVICE r13: quote the partition column (dots/spaces/reserved words
+    # parsed fine under the old groupBy form but break raw SQL) and
+    # validate pct is numeric before interpolating it.
+    quoted_group = "`" + group_col.replace("`", "``") + "`"
     return (
         scored.withColumn(
             "_cut",
-            F.expr(f"percentile(cosine, {pct}) OVER (PARTITION BY {group_col})"),
+            F.expr(
+                f"percentile(cosine, {float(pct)}) OVER (PARTITION BY {quoted_group})"
+            ),
         )
         .select(
             id_col,

@@ -2803,12 +2803,16 @@ _NOVELTY_TRIGRAMS = """list_transform(
 def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memorization / freshness audit: per-document fraction of distinct
     # word trigrams unseen in the reference slice (every 10th doc stands
-    # in for "the corpus we already trained on").  Narrow (id, 16-hex)
-    # join — the complement of llm_contamination_check.
+    # in for "the corpus we already trained on").  The reference is a
+    # row-local slice of the SAME corpus, so ref-membership rides a
+    # same-key window on the one shingle pass (r14, guide §2.4 — see
+    # ngram_novelty's reference_flag) instead of a second tokenize+md5
+    # pass + distinct + join; A/B wins all 5 paired reps, values
+    # bit-identical.
     from ..operators.dedup import ngram_novelty
 
     docs = load(spark, sf_dir, "documents")
-    return ngram_novelty(docs, docs.filter(F.col("doc_id") % 10 == 0), n=3)
+    return ngram_novelty(docs, None, n=3, reference_flag=F.col("doc_id") % 10 == 0)
 
 
 @register(

@@ -1,0 +1,122 @@
+"""r14 optimization-round pins: internals changed for performance must keep
+bit-identical semantics.
+
+- ngram_novelty(reference_flag=...): ref-membership rides a same-key
+  window (max(flag) over the gram partition) on ONE shingle pass instead
+  of a second tokenize pass + distinct + join; must equal the two-frame
+  form on every row, including docs with zero reference overlap and the
+  all-flagged / none-flagged edges.
+- bm25 factoring: bm25_topk now composes bm25_query_terms /
+  bm25_matched_postings / bm25_rank_from_postings so hybrid entries can
+  share one matched-postings pass; the composition must reproduce the
+  monolithic scores, and the rank_fusion tf leg computed as SUM(tf) over
+  the shared postings must equal the count-of-matched-occurrences form.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma zeta eta"),
+        (2, "one two three four five six"),
+        (3, "one two three alpha beta gamma"),
+        (4, "seven eight nine ten"),
+        (5, "alpha beta gamma delta epsilon"),  # exact dup of doc 0
+        (6, "totally novel words only here"),
+        (7, "ten nine eight seven"),  # reversed -> different trigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_novelty_flag_matches_two_frame_form(spark):
+    from aicoe_osc_demo_spark.operators.dedup import ngram_novelty
+
+    docs = _docs(spark)
+    flag = F.col("doc_id") % 2 == 0
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        tuple(r)
+        for r in ngram_novelty(docs, None, n=3, reference_flag=flag).collect()
+    }
+    want = {tuple(r) for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert got == want
+
+
+def test_ngram_novelty_flag_edges(spark):
+    from aicoe_osc_demo_spark.operators.dedup import ngram_novelty
+
+    docs = _docs(spark)
+    # every doc flagged -> nothing is novel
+    all_ref = ngram_novelty(docs, None, n=3, reference_flag=F.lit(True)).collect()
+    assert all(r.n_novel == 0 and r.novelty_pct == 0.0 for r in all_ref)
+    # no doc flagged -> everything is novel
+    none_ref = ngram_novelty(docs, None, n=3, reference_flag=F.lit(False)).collect()
+    assert all(r.n_novel == r.n_grams and r.novelty_pct == 100.0 for r in none_ref)
+
+
+def test_bm25_factored_composition_matches_monolith(spark):
+    from aicoe_osc_demo_spark.operators.corpus import (
+        bm25_matched_postings,
+        bm25_query_terms,
+        bm25_rank_from_postings,
+        bm25_topk,
+    )
+
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "nine ten"), (102, "unseen term")],
+        "q_id long, q_text string",
+    )
+    mono = {tuple(r) for r in bm25_topk(docs, qs, k=5, k1=1.5, b=0.75).collect()}
+    qt = bm25_query_terms(qs)
+    matched = bm25_matched_postings(docs, qt)
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+    comp = {
+        tuple(r)
+        for r in bm25_rank_from_postings(matched, qt, stats, k=5, k1=1.5, b=0.75).collect()
+    }
+    assert comp == mono and len(mono) > 0
+
+
+def test_rank_fusion_tf_leg_sum_tf_equals_occurrence_count(spark):
+    from aicoe_osc_demo_spark.operators.corpus import (
+        bm25_matched_postings,
+        bm25_query_terms,
+    )
+
+    docs = _docs(spark)
+    qs = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "one alpha one")],
+        "q_id long, q_text string",
+    )
+    qt = bm25_query_terms(qs)
+    matched = bm25_matched_postings(docs, qt)
+    new = {
+        (r.q_id, r.doc_id): r.score
+        for r in matched.join(F.broadcast(qt), on="term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("tf").alias("score"))
+        .collect()
+    }
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    old = {
+        (r.q_id, r.doc_id): r.score
+        for r in toks.join(F.broadcast(qt), on="term")
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .collect()
+    }
+    assert new == old and len(new) > 0
