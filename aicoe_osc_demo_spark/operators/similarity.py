@@ -591,6 +591,12 @@ _LLOYD_NPROBE = 4
 # static dim; the narrow-subspace form engages only under this cap.
 _CENT_UNROLL_MAX_DIM = 16
 
+# r14: checkpoint the quantized input once in ROUTED Lloyd mode (iters+1
+# sequential driver jobs otherwise each rescan + requantize + respread it).
+# Module-level so the A/B harness can flip it; semantics are unaffected
+# (same rows, same partitioning).
+_LLOYD_CKPT_ROUTED_INPUT = True
+
 
 def _exact_cent_dist():
     """Exact rational distance ||x - s/n||^2 = num/n^2 with
@@ -754,7 +760,28 @@ def _lloyd_quantized(
     # reference of q a canonical ReusedExchange point so the quantize
     # transform is not re-executed per iteration.  No-op on real
     # multi-file inputs (partitions >= cores).
+    # r14: in ROUTED mode the loop runs iters+1 SEQUENTIAL driver jobs (one
+    # centroid-state collect per iteration + the caller's final action), and
+    # each job re-executes the scan + quantize transform + spread of q from
+    # storage — with _route_assign referencing q again for the probe and the
+    # totality-guard anti-join.  On a genuinely large input (partitions >=
+    # live parallelism BEFORE the spread — the ensure_parallelism gate), the
+    # repeated corpus scans are the dominant term, so checkpoint the
+    # quantized input once: every later job reads the materialized blocks,
+    # exactly MLlib k-means' training-input cache.  On single-row-group
+    # bench inputs the checkpoint LOSES (measured +0.25 s every interleaved
+    # rep at sf0.1: the rescan is ~30 ms and the block round-trips are pure
+    # overhead), so it engages only above the gate — scale-adaptive, no
+    # constants.  The flat path stays lazy: it is a single driver job where
+    # ReusedExchange already deduplicates q (r6 note below).
+    input_parts = q.rdd.getNumPartitions()
     q = ensure_parallelism(q)
+    if (
+        k >= route_min_k
+        and _LLOYD_CKPT_ROUTED_INPUT
+        and input_parts >= q.sparkSession.sparkContext.defaultParallelism
+    ):
+        q = q.localCheckpoint(eager=False)
     cents = (
         q.orderBy("vec_id")
         .limit(k)

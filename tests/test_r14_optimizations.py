@@ -120,3 +120,36 @@ def test_rank_fusion_tf_leg_sum_tf_equals_occurrence_count(spark):
         .collect()
     }
     assert new == old and len(new) > 0
+
+
+def test_lloyd_routed_input_checkpoint_gate_parity(spark):
+    """r14: routed mode checkpoints the quantized input ONLY when the input
+    arrives with >= defaultParallelism partitions (the ensure_parallelism
+    gate).  Above the gate the checkpointed run must produce bit-identical
+    assignments; below it the plan must not checkpoint (bench path
+    unchanged)."""
+    import aicoe_osc_demo_spark.operators.similarity as sim
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    par = spark.sparkContext.defaultParallelism
+    wide = emb.repartition(par)  # at/above the gate -> checkpoint engages
+
+    def run(df, flag):
+        old = sim._LLOYD_CKPT_ROUTED_INPUT
+        sim._LLOYD_CKPT_ROUTED_INPUT = flag
+        try:
+            return {
+                tuple(r)
+                for r in sim.kmeans_quantized(
+                    df, k=4, iters=2, route_min_k=4, nprobe=2, dim=64,
+                    return_assignments=True,
+                ).collect()
+            }
+        finally:
+            sim._LLOYD_CKPT_ROUTED_INPUT = old
+
+    assert run(wide, True) == run(wide, False) == run(emb, True)
