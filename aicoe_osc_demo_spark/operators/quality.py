@@ -147,7 +147,13 @@ def mixture_sample(
     """
     if alpha != 0.5:
         raise ValueError("alpha=0.5 (sqrt temperature) is the supported portable setting")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s"))
+    # r14: the bounded per-group counts feed TWO references (totals +
+    # rates), each re-expanding the input chain — one lazy checkpoint
+    # keeps the shape at the inherent two passes (counts + rate join);
+    # A/B wash-to-win at sf0.1, corpus aggregates 2 -> 1.
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_s")).localCheckpoint(
+        eager=False
+    )
     tot = counts.agg(
         F.sum("n_s").cast("double").alias("n_total"),
         F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),

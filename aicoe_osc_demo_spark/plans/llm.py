@@ -1863,7 +1863,11 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk, lsh_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    # r14 scan audit: the 5-row query slice fed both the LSH and the exact
+    # leg, re-expanding its pushdown corpus scan per reference (4
+    # embeddings scans total); one lazy checkpoint cuts it to 3 (A/B
+    # wash-to-win: 3/5 paired reps, values identical).
+    queries = emb.filter(F.col("vec_id") < 5).localCheckpoint(eager=False)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -1923,7 +1927,9 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    # r14: same two-leg query-slice shape as llm_ndcg_eval — one lazy
+    # checkpoint on the 5-row slice (embeddings scans 4 -> 3)
+    queries = emb.filter(F.col("vec_id") < 5).localCheckpoint(eager=False)
     lsh = lsh_ann_topk(
         emb, queries, k=5, n_tables=_ANN_TABLES, planes_per_table=_ANN_PLANES, dim=64
     ).select("query_id", "neighbor_id", F.lit(True).alias("hit"))
