@@ -877,6 +877,17 @@ def containment_pairs(
     )
 
 
+# r14: eager vs lazy per-round checkpoints in dedup_clusters were A/B'd
+# (tools/ab_clusters_r14.py) expecting the k-core/label_propagation lazy
+# win — it does NOT transfer: lazy LOSES on llm_keep_canonical (4/4 reps)
+# and llm_leakage_safe_split (3/4) and washes elsewhere, because each
+# round references `labels` three times (two jump-join sides + neighbor
+# leg) and the lazy checkpoint defers materialization into a job that
+# then runs those references against a not-yet-truncated lineage.  Eager
+# stays the default; the flag remains for re-measurement.
+_CLUSTER_CKPT_EAGER = True
+
+
 def dedup_clusters(
     pairs: DataFrame, d1: str = "d1", d2: str = "d2", max_iter: int = 15
 ) -> DataFrame:
@@ -898,7 +909,7 @@ def dedup_clusters(
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=_CLUSTER_CKPT_EAGER)
     )
     # Round 1 unrolled (r13): the initial labeling is label == node, so the
     # jump join is the identity and min over neighbors' LABELS is min over
@@ -918,7 +929,7 @@ def dedup_clusters(
                 "label"
             ),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=_CLUSTER_CKPT_EAGER)
     )
     for it in range(1, max_iter):
         neigh = (
@@ -942,7 +953,7 @@ def dedup_clusters(
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=_CLUSTER_CKPT_EAGER)
         )
         prev = labels
         labels = merged

@@ -1505,11 +1505,17 @@ def t_closeness_report(
     cv = df.select(*qi_cols, sensitive.alias("_v")).where(
         sensitive.isNotNull()
     )
+    # r14 (two-level aggregation, the ml_time_split_report pattern): the
+    # global value distribution and the total are EXACT integer rollups of
+    # the (class, value) counts, so both ride the bounded class_val table
+    # (one lazy checkpoint) instead of re-aggregating the input — input
+    # scans 3 -> 1 (the 100 TB term; local timing a wash, values
+    # bit-identical by sum-of-counts associativity).
     class_val = cv.groupBy(*qi_cols, "_v").agg(
         F.count(F.lit(1)).cast("long").alias("_ncv")
-    )
-    glob = cv.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_ngv"))
-    n_total = cv.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ).localCheckpoint(eager=False)
+    glob = class_val.groupBy("_v").agg(F.sum("_ncv").cast("long").alias("_ngv"))
+    n_total = class_val.agg(F.sum("_ncv").cast("long").alias("_n"))
     w_class = Window.partitionBy(*qi_cols)
     joined = (
         class_val.join(F.broadcast(glob), "_v")
