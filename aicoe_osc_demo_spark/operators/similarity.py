@@ -1071,18 +1071,35 @@ def pq_adc_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     d_sub = dim // m
-    # one LUT row per (query, sub, cid): d = sum_i (n*q_i - s_i)^2 / n^2
-    qsub = None
-    for j in range(m):
-        piece = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(j).alias("sub"),
-            F.transform(
-                F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
-                lambda x: F.round(x.cast("double") * scale).cast("long"),
-            ).alias("qv"),
-        )
-        qsub = piece if qsub is None else qsub.unionByName(piece)
+    # one LUT row per (query, sub, cid): d = sum_i (n*q_i - s_i)^2 / n^2.
+    # r14: the query side was an m-way unionByName, each arm re-scanning
+    # the queries source — ONE explode over the m (sub, slice) structs is
+    # the same rows from a single pass (the product_quantize subs shape);
+    # identical per-row expressions, so LUT values are bit-equal.
+    qslices = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.transform(
+                    F.slice(F.col(vec_col), j * d_sub + 1, d_sub),
+                    lambda x: F.round(x.cast("double") * scale).cast("long"),
+                ).alias("qv"),
+            )
+            for j in range(m)
+        ]
+    )
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(qslices).alias("e")
+    ).select("query_id", F.col("e.sub").alias("sub"), F.col("e.qv").alias("qv"))
+    if not cache_lut:
+        # Serving path (persisted-index reads, plan otherwise fully lazy):
+        # the LUT is referenced m+1 times below and WITHOUT the persist its
+        # whole lineage — including this queries pass — re-expands per
+        # reference.  qsub is bounded (m*|queries| rows): one lazy
+        # checkpoint leaves the visible plan as the broadcast codebook
+        # joins + the codes scan (index-table scans stay inspectable,
+        # which the persist/serve test pins).
+        qsub = qsub.localCheckpoint(eager=False)
     num = F.aggregate(
         F.zip_with("qv", "s", lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s)),
         F.lit(0).cast("long"),

@@ -153,3 +153,29 @@ def test_lloyd_routed_input_checkpoint_gate_parity(spark):
             sim._LLOYD_CKPT_ROUTED_INPUT = old
 
     assert run(wide, True) == run(wide, False) == run(emb, True)
+
+
+def test_pq_adc_serving_path_matches_persisted_lut_path(spark):
+    """r14: pq_adc_topk's query side is one explode pass (was an m-way
+    union) and the cache_lut=False serving path checkpoints the bounded
+    qsub.  Both cache_lut branches must produce identical rankings."""
+    import random
+
+    from aicoe_osc_demo_spark.operators.similarity import pq_adc_topk, product_quantize
+
+    random.seed(91)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes, books = product_quantize(df, m=2, k=4, iters=2, dim=8)
+    with_lut = {
+        tuple(r)
+        for r in pq_adc_topk(codes, books, queries, k=5, m=2, dim=8, cache_lut=True).collect()
+    }
+    serving = {
+        tuple(r)
+        for r in pq_adc_topk(codes, books, queries, k=5, m=2, dim=8, cache_lut=False).collect()
+    }
+    assert with_lut == serving and len(with_lut) > 0
