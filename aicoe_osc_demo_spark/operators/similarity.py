@@ -265,34 +265,43 @@ def ivf_topk(
     cent = ivf_centroids(corpus, list_col=label_col, vec_col=vec_col).select(
         F.col("ivf_list").alias("bucket"), "centroid"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # r14: norms hoisted to once per VECTOR (the r13 cosine_scores fix
+    # applied here too) — the scored stage re-folded _norm(qv) and
+    # _norm(cv) per candidate PAIR.  Each norm is the identical fold over
+    # identical operands and the division still sees nq * nc in the same
+    # order, so every cosine is bit-identical to the per-pair form
+    # (interleaved A/B + oracle x2 scales).
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_nq", _norm(F.col("qv")))
     # assign each query to its nprobe nearest centroids (tiny cross: queries
     # and centroid table are both broadcast-sized)
     probe = top_k_per_group(
         q.crossJoin(F.broadcast(cent)).select(
             "query_id",
             "qv",
+            "_nq",
             "bucket",
             (_dot(F.col("qv"), F.col("centroid"))
-             / (_norm(F.col("qv")) * _norm(F.col("centroid")))).alias("csim"),
+             / (F.col("_nq") * _norm(F.col("centroid")))).alias("csim"),
         ),
         ["query_id"],
         F.col("csim"),
         nprobe,
         tiebreak=["bucket"],
-    ).select("query_id", "qv", "bucket")
+    ).select("query_id", "qv", "_nq", "bucket")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col(label_col).alias("bucket"),
-    )
+    ).withColumn("_nc", _norm(F.col("cv")))
     cand = c.join(F.broadcast(probe), on="bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6).alias(
+        F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")), 6).alias(
             "cosine"
         ),
     )
