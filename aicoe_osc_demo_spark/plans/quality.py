@@ -1664,11 +1664,22 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 references (rt, ct, n, the grid's left join, and the dims rollup
     # via rt/ct/n again) — SEVEN documents aggregates in the initial plan,
     # zero reuse.  One lazy localCheckpoint leaves a single corpus
-    # aggregate (the 100 TB term); same-box interleaved A/B at sf0.1 wins
-    # 5/6 paired reps (best 0.895 vs 0.941 s), values bit-identical.
+    # aggregate — the 100 TB term — GATED on real input width (the
+    # ensure_parallelism / routed-Lloyd gate): on the single-row-group
+    # bench input the seven re-aggregations of a tiny table cost less
+    # than the checkpoint's constant job overhead (r13 measured
+    # +0.2-0.3 s; contended r14 A/Bs straddled the same line), so below
+    # the gate the r13 shape is kept byte-identical.  Values are
+    # identical on both sides (parity pinned by
+    # test_chi2_obs_checkpoint_gate_parity).
     obs = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("o")
-    ).localCheckpoint(eager=False)
+    )
+    if (
+        d.rdd.getNumPartitions()
+        >= spark.sparkContext.defaultParallelism
+    ):
+        obs = obs.localCheckpoint(eager=False)
     rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r_tot"))
     ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c_tot"))
     n = obs.agg(F.sum("o").cast("long").alias("n"))

@@ -179,3 +179,75 @@ def test_pq_adc_serving_path_matches_persisted_lut_path(spark):
         for r in pq_adc_topk(codes, books, queries, k=5, m=2, dim=8, cache_lut=False).collect()
     }
     assert with_lut == serving and len(with_lut) > 0
+
+
+def test_chi2_obs_checkpoint_gate_parity(spark):
+    """r14: quality_chi2_independence checkpoints its bounded obs table
+    only above the input-width gate; values must be identical on both
+    sides of the gate."""
+    from aicoe_osc_demo_spark.plans import QUERIES
+
+    # bench path (1-partition parquet input, below the gate)
+    below = sorted(
+        map(tuple, QUERIES["quality_chi2_independence"](spark, "/root/testdata/sf0.001").collect())
+    )
+    # forced above-the-gate shape: same frame with the checkpoint applied
+    from pyspark.sql import functions as F
+
+    from aicoe_osc_demo_spark.plans import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    d_wide = d.repartition(spark.sparkContext.defaultParallelism)
+    obs = d_wide.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r_tot"))
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c_tot"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), on=["source", "lang"], how="left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    t_micro = F.floor(F.pow(F.col("o") - e, 2) / e * 1e6 + F.lit(0.5)).cast("long")
+    terms = grid.select(t_micro.alias("t_micro"))
+    dims = (
+        rt.agg(F.count(F.lit(1)).alias("nr"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("nc")))
+        .crossJoin(n.select(F.col("n").alias("nn")))
+    )
+    chi2_exact = F.col("chi2_micro").cast("double") / 1e6
+    defined = (F.col("nr") > 1) & (F.col("nc") > 1)
+    above = sorted(
+        map(
+            tuple,
+            terms.crossJoin(F.broadcast(dims))
+            .groupBy("nr", "nc", "nn")
+            .agg(F.sum("t_micro").alias("chi2_micro"))
+            .select(
+                F.col("nr").cast("long").alias("n_rows"),
+                F.col("nc").cast("long").alias("n_cols"),
+                F.when(
+                    (F.col("nr") > 0) & (F.col("nc") > 0),
+                    ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long"),
+                ).alias("dof"),
+                F.when(defined, F.round(chi2_exact, 6)).alias("chi2"),
+                F.when(
+                    defined,
+                    F.round(
+                        F.sqrt(
+                            chi2_exact
+                            / (F.col("nn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                        ),
+                        6,
+                    ),
+                ).alias("cramers_v"),
+            )
+            .collect(),
+        )
+    )
+    assert below == above and len(below) == 1
