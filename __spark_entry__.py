@@ -33,11 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # only ~20 of them; the 10 biggest unwindowed rewrites named by the r13
 # verdict come first, then the remaining touched-but-unwindowed entries
 # (Lloyd/PQ family, same-key-window rewrites, input spreads,
-# bounded-table checkpoints, retention family, checkpoint-policy changes)
-# plus the entries this round touches (quality_chi2_independence,
-# llm_retrieve_rerank, llm_ndcg_eval); (c) the oldest-green rotation
-# continuing into the r07 cohort for the last 7 slots.  The two
-# rows-only-by-design entries (llm_fuzzy_ratio_join,
+# bounded-table checkpoints, retention family, checkpoint-policy changes);
+# (c) every entry the r14 optimization round itself changed (shared
+# matched-postings rank fusion, novelty window, PQ LUT single-pass +
+# serving checkpoint, ivf norm hoist, mixture/curation checkpoints, chi2
+# gate, t-closeness two-level rollup) so the driver re-hashes this
+# round's rewrites.  Four r13-touched entries whose shared-operator
+# changes are already covered by in-window siblings yielded slots
+# (llm_tokenizer_fertility — BPE family, llm_bpe_* driver-green r13;
+# events_retention_halflife — built on in-window retention_cohorts;
+# llm_pmi_collocations / llm_heaps_law — the bounded-checkpoint pattern
+# verified via in-window llm_perplexity_buckets / quality_mann_kendall).
+# The two rows-only-by-design entries (llm_fuzzy_ratio_join,
 # ml_relevance_training_metrics) are pytest-pinned and take no slots;
 # their value-hashed companion entries stand in
 # (llm_fuzzy_candidates_profile below; ml_relevance_split_profile was
@@ -62,10 +69,8 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_retrieve_rerank",
     "llm_ivfpq_recall",
     "llm_ivfpq_topk",
-    "llm_tokenizer_fertility",
     "join_top_supplier_share",
     "llm_centroid_outliers",
-    "events_retention_halflife",
     "pipeline_llm_curation",
     "llm_rake_keywords",
     "llm_rand_projection",
@@ -76,8 +81,6 @@ _DRIVER_CHECK_PRIORITY = [
     "llm_perplexity_buckets",
     "llm_semantic_dedup",
     "llm_keep_canonical",
-    "llm_pmi_collocations",
-    "llm_heaps_law",
     "quality_mann_kendall",
     "agg_share_to_parent",
     "events_cooccurrence_lift",
@@ -88,14 +91,18 @@ _DRIVER_CHECK_PRIORITY = [
     "window_percentile_bins",
     "ml_time_split_report",
     "quality_chi2_independence",
-    # --- (c) oldest-green rotation: into the r07 cohort ---
-    "agg_count_by_group",
-    "agg_distinct_count",
-    "agg_global_sum",
-    "agg_grouping_sets",
-    "agg_having_groups",
-    "agg_pricing_summary",
-    "agg_sum_avg_by_group",
+    # --- (c) entries the r14 optimization round changed ---
+    "llm_novelty_score",
+    "llm_bleu_doc_pairs",
+    "llm_mixture_sample",
+    "llm_temperature_mixture",
+    "llm_pq_adc_topk",
+    "llm_pq_refine_topk",
+    "llm_pq_recall",
+    "llm_ann_recall",
+    "llm_ivf_topk",
+    "llm_ivf_recall",
+    "privacy_t_closeness",
 ]
 
 
