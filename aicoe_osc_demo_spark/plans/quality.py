@@ -1675,10 +1675,11 @@ def quality_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = d.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("o")
     )
-    if (
-        d.rdd.getNumPartitions()
-        >= spark.sparkContext.defaultParallelism
-    ):
+    # gate probe: len(inputFiles) is file-listing metadata (~10 ms) where
+    # .rdd.getNumPartitions() pays a full plan->RDD conversion (~50-150 ms,
+    # visible on this 0.4 s entry); a multi-file corpus engages, the
+    # single-file bench input keeps the r13 shape byte-identical
+    if len(d.inputFiles()) >= spark.sparkContext.defaultParallelism:
         obs = obs.localCheckpoint(eager=False)
     rt = obs.groupBy("source").agg(F.sum("o").cast("long").alias("r_tot"))
     ct = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("c_tot"))
